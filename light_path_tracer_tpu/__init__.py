@@ -1,0 +1,33 @@
+"""light_path_tracer_tpu — a TPU-native general-relativistic ray tracer.
+
+A from-scratch JAX/XLA/Pallas framework with the capabilities of the
+reference CPU ray tracer (dhg14n9/Light-path-tracer): null-geodesic
+integration around Schwarzschild and Kerr black holes, black-hole shadow
+rendering, and gravitational lensing of background images.
+
+Design (TPU-first, not a port):
+  * Structure-of-arrays ray state over the whole pixel grid; every hot path
+    is a single jitted XLA program (vmapped `lax.while_loop` / `lax.scan`),
+    not a per-ray Python loop (reference: metrics.py:661-679 prange loops).
+  * Per-lane masked adaptive Dormand-Prince 4(5) with FSAL replaces the
+    per-ray divergent while loop (reference: metrics.py:419-567).
+  * Multi-chip scaling via `jax.sharding.Mesh` image-tile data parallelism
+    (reference had none; closest analogue is its ProcessPoolExecutor rows).
+
+Public API mirrors the reference surface (metric classes, camera
+conversions, lensing pipeline, CLI) — see individual module docstrings for
+file:line parity citations.
+"""
+
+from light_path_tracer_tpu.version import __version__
+from light_path_tracer_tpu.models import Schwarzschild, Kerr, Metric
+from light_path_tracer_tpu.utils.config import SceneConfig, RenderConfig
+
+__all__ = [
+    "__version__",
+    "Schwarzschild",
+    "Kerr",
+    "Metric",
+    "SceneConfig",
+    "RenderConfig",
+]

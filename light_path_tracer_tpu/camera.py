@@ -1,0 +1,200 @@
+"""Pinhole camera model with off-axis black hole (psi offset).
+
+Conventions match the reference exactly (/root/reference/image_lens.py:1-2):
+every pixel coordinate pair is (y, x); every FOV pair is
+(horizontal, vertical); camera axes are +x right, +y down, +z forward
+(image_lens.py:29-35).
+
+Host-side scalar frame math (psi -> BH direction + tangent screen basis,
+image_lens.py:21-69) runs in float64 NumPy at config time; the per-pixel
+grids (alpha lookup, image_lens.py:133-152; screen-theta lookup,
+image_lens.py:195-208) are batched jnp built from broadcasted index grids —
+one fused XLA program instead of Python pixel loops.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+import jax.numpy as jnp
+
+
+class PsiFrame(NamedTuple):
+    d: np.ndarray     # BH direction in camera coords (3,)
+    e_x: np.ndarray   # screen-tangent basis, aligns with +x image axis
+    e_y: np.ndarray   # screen-tangent basis, aligns with +y image axis
+    in_front: bool
+
+
+def psi_to_bh_direction(psi):
+    """psi = (pitch_up, yaw_right) [rad] -> BH unit direction in camera
+    coords (image_lens.py:21-35). psi_y > 0 moves the BH up (-y)."""
+    psi_y, psi_x = psi
+    sin_pitch, cos_pitch = np.sin(psi_y), np.cos(psi_y)
+    sin_yaw, cos_yaw = np.sin(psi_x), np.cos(psi_x)
+    return np.array([sin_yaw * cos_pitch, -sin_pitch, cos_yaw * cos_pitch],
+                    dtype=np.float64)
+
+
+def psi_frame(psi) -> PsiFrame:
+    """Gram-Schmidt tangent basis around the BH direction
+    (image_lens.py:38-61); e_x/e_y align with the image axes at psi = 0."""
+    d = psi_to_bh_direction(psi)
+    in_front = bool(d[2] > 1e-12)
+
+    cam_x = np.array([1.0, 0.0, 0.0])
+    cam_y = np.array([0.0, 1.0, 0.0])
+
+    e_x = cam_x - np.dot(cam_x, d) * d
+    e_x_norm = np.linalg.norm(e_x)
+    if e_x_norm < 1e-12:
+        e_x = cam_y - np.dot(cam_y, d) * d
+        e_x_norm = np.linalg.norm(e_x)
+    e_x = e_x / max(e_x_norm, 1e-12)
+
+    e_y = cam_y - np.dot(cam_y, d) * d - np.dot(cam_y, e_x) * e_x
+    e_y_norm = np.linalg.norm(e_y)
+    if e_y_norm < 1e-12:
+        e_y = np.cross(d, e_x)
+        e_y_norm = np.linalg.norm(e_y)
+    e_y = e_y / max(e_y_norm, 1e-12)
+
+    return PsiFrame(d, e_x, e_y, in_front)
+
+
+def psi_to_cam_projection(psi):
+    """BH direction projected onto the pinhole plane (image_lens.py:64-69).
+    Returns (y_cam, x_cam, in_front)."""
+    frame = psi_frame(psi)
+    if not frame.in_front:
+        return (np.nan, np.nan, False)
+    d = frame.d
+    return (float(d[1] / d[2]), float(d[0] / d[2]), True)
+
+
+def focal_lengths(image_dimension, fov):
+    """(fx, fy) of the pinhole model; (y, x) / (h, v) conventions."""
+    height, width = image_dimension
+    horizontal_fov, vertical_fov = fov
+    fx = (width / 2) / np.tan(horizontal_fov / 2)
+    fy = (height / 2) / np.tan(vertical_fov / 2)
+    return fx, fy
+
+
+def fov_from_vertical(vertical_fov, image_dimension):
+    """(horizontal, vertical) FOV from the vertical FOV and aspect ratio
+    (image_lens.py:461-463)."""
+    height, width = image_dimension
+    horizontal = 2.0 * np.arctan(np.tan(vertical_fov / 2) * width / height)
+    return (horizontal, vertical_fov)
+
+
+# ---- scalar conversions (API parity, image_lens.py:72-126) ----
+
+def pixel_to_angles(pixel, image_dimension, fov, psi=(0.0, 0.0)):
+    """(alpha, theta) of the camera ray through `pixel` = (y, x)."""
+    height, width = image_dimension
+    fx, fy = focal_lengths(image_dimension, fov)
+    x_cam = (pixel[1] - width / 2) / fx
+    y_cam = (pixel[0] - height / 2) / fy
+
+    frame = psi_frame(psi)
+    ray = np.array([x_cam, y_cam, 1.0])
+    ray = ray / np.linalg.norm(ray)
+
+    cos_alpha = np.clip(np.dot(ray, frame.d), -1.0, 1.0)
+    alpha = float(np.arccos(cos_alpha))
+    theta = float(np.arctan2(np.dot(ray, frame.e_x), np.dot(ray, frame.e_y)))
+    return (alpha, theta)
+
+
+def angles_to_pixel(angles, image_dimension, fov, clip=False, psi=(0.0, 0.0)):
+    """Exact inverse of pixel_to_angles; returns (py, px) or (-1, -1) for
+    rays behind the camera (when clip=False)."""
+    alpha, theta = angles
+    height, width = image_dimension
+    fx, fy = focal_lengths(image_dimension, fov)
+    frame = psi_frame(psi)
+
+    ray = (np.cos(alpha) * frame.d
+           + np.sin(alpha) * (np.sin(theta) * frame.e_x
+                              + np.cos(theta) * frame.e_y))
+    if ray[2] <= 1e-12:
+        return (0, 0) if clip else (-1, -1)
+
+    x = (ray[0] / ray[2]) * fx
+    y = (ray[1] / ray[2]) * fy
+    px = int(np.rint(x + width / 2))
+    py = int(np.rint(y + height / 2))
+    if clip:
+        px = int(np.clip(px, 0, width - 1))
+        py = int(np.clip(py, 0, height - 1))
+    return (py, px)
+
+
+# ---- batched per-pixel grids (jnp) ----
+
+def _cam_grids(image_dimension, fov, dtype):
+    height, width = image_dimension
+    fx, fy = focal_lengths(image_dimension, fov)
+    x_cam = (jnp.arange(width, dtype=dtype) - width / 2) / fx
+    y_cam = (jnp.arange(height, dtype=dtype) - height / 2) / fy
+    return x_cam, y_cam
+
+
+def build_alpha_lookup(image_dimension, fov, decimals=None, psi=(0.0, 0.0),
+                       dtype=jnp.float32):
+    """Per-pixel viewing angle alpha to the BH direction, (H, W).
+
+    Parity: image_lens.py:133-152 (one arccos per pixel on broadcasted
+    camera grids; optional decimal rounding for binning; float32 out).
+    """
+    x_cam, y_cam = _cam_grids(image_dimension, fov, dtype)
+    d = psi_frame(psi).d
+
+    denom = jnp.sqrt(1.0 + x_cam[None, :] ** 2 + y_cam[:, None] ** 2)
+    cos_alpha = (x_cam[None, :] * d[0]
+                 + y_cam[:, None] * d[1] + d[2]) / denom
+    alpha = jnp.arccos(jnp.clip(cos_alpha, -1.0, 1.0))
+    if decimals is not None:
+        alpha = jnp.round(alpha, decimals)
+    return alpha.astype(jnp.float32)
+
+
+def build_theta_lookup(image_dimension, fov, psi=(0.0, 0.0),
+                       dtype=jnp.float32):
+    """Per-pixel screen azimuth theta about the BH direction, (H, W).
+
+    Parity: the theta_pixel construction of image_lens.py:195-208 (and the
+    identical theta_lookup in the renderer, image_lens.py:310-317).
+    """
+    x_cam, y_cam = _cam_grids(image_dimension, fov, dtype)
+    frame = psi_frame(psi)
+    e_x, e_y = frame.e_x, frame.e_y
+
+    denom = jnp.sqrt(1.0 + x_cam[None, :] ** 2 + y_cam[:, None] ** 2)
+    vx = x_cam[None, :] / denom
+    vy = y_cam[:, None] / denom
+    vz = 1.0 / denom
+    theta = jnp.arctan2(
+        vx * e_x[0] + vy * e_x[1] + vz * e_x[2],
+        vx * e_y[0] + vy * e_y[1] + vz * e_y[2],
+    )
+    return theta.astype(dtype)
+
+
+def axis_refine_columns(image_dimension, fov, psi=(0.0, 0.0),
+                        refine_frac=0.07):
+    """Boolean (W,) mask of columns near the BH's screen column, where
+    tighter integrator tolerances are used (image_lens.py:210-216,
+    Y_AXIS_REFINE_FRAC = 0.07)."""
+    height, width = image_dimension
+    fx, _fy = focal_lengths(image_dimension, fov)
+    x_cam = (np.arange(width) - width / 2) / fx
+    _bh_y, bh_x_cam, in_front = psi_to_cam_projection(psi)
+    if not in_front:
+        return np.zeros(width, dtype=bool)
+    x_rel = x_cam - bh_x_cam
+    x_abs_max = max(float(np.max(np.abs(x_rel))), 1e-12)
+    return np.abs(x_rel) <= refine_frac * x_abs_max

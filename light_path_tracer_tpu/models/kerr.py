@@ -1,0 +1,393 @@
+"""Kerr metric in Boyer-Lindquist coordinates: spinning BH, |a| <= M.
+
+Physics parity with /root/reference/metrics.py:840-1133:
+  * outer horizon r_+ = M + sqrt(M^2 - a^2) (metrics.py:853).
+  * Bardeen unstable photon-orbit radii and critical impact parameters
+    (xi, eta) (metrics.py:866-891); shadow-envelope alpha_crit by sampling
+    b^2 over spherical photon orbits with the Schwarzschild floor
+    (metrics.py:893-930).
+  * alpha <-> b conversion with A = (r^2+a^2)^2 - a^2 Delta sin^2(theta)
+    (metrics.py:932-942).
+  * screen -> conserved-quantity initial conditions (Bardeen celestial
+    coordinates; covariant convention p_t = -E, the documented footgun at
+    metrics.py:1076-1079), p_theta from the Carter constant, p_r from the
+    null condition (metrics.py:148-218).
+  * Hamilton's equations on the reduced 5-D state [r, theta, phi, p_r,
+    p_theta] with analytic d/dr and d/dtheta of the five inverse-metric
+    components, hard-zeroed inside r <= 1.001 r_+ (metrics.py:221-303).
+  * final-angle extraction through the coordinate-velocity chain rule
+    (metrics.py:363-416).
+
+TPU-native re-design: all hot-path functions are batched jnp over N rays
+(structure-of-arrays tuples), ready for `vmap`-free direct array evaluation
+inside `lax.while_loop` integrators and Pallas kernels. A correctness
+oracle cross-checks the analytic RHS against `jax.grad` of the
+super-Hamiltonian (tests/test_kerr.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import jax.numpy as jnp
+
+from light_path_tracer_tpu.models.base import Metric
+
+_SIN2_FLOOR = 1e-15
+
+
+def _inverse_metric_terms(M, a, r, th):
+    """The five nonzero contravariant Kerr metric components (batched).
+
+    Returns (g^tt, g^tphi, g^rr, g^thth, g^phiphi) plus the shared
+    intermediates (Sigma, Delta, A, sin_th, cos_th, sin2).
+    """
+    sin_th = jnp.sin(th)
+    cos_th = jnp.cos(th)
+    sin2 = jnp.maximum(sin_th * sin_th, _SIN2_FLOOR)
+    r2 = r * r
+    a2 = a * a
+    Sigma = r2 + a2 * cos_th * cos_th
+    Delta = r2 - 2.0 * M * r + a2
+    ra2 = r2 + a2
+    A = ra2 * ra2 - a2 * Delta * sin2
+    SD = Sigma * Delta
+    g_tt = -A / SD
+    g_tphi = -2.0 * M * a * r / SD
+    g_rr = Delta / Sigma
+    g_thth = 1.0 / Sigma
+    g_phiphi = (Delta - a2 * sin2) / (SD * sin2)
+    return (g_tt, g_tphi, g_rr, g_thth, g_phiphi,
+            Sigma, Delta, A, sin_th, cos_th, sin2)
+
+
+@dataclasses.dataclass(frozen=True)
+class Kerr(Metric):
+    M: float = 1.0
+    a: float = 0.0
+
+    is_spherically_symmetric: bool = dataclasses.field(
+        default=False, init=False, repr=False)
+
+    def __post_init__(self):
+        if abs(self.a) > self.M:
+            raise ValueError(f"|a|={abs(self.a)} exceeds M={self.M}")
+
+    # ---- host-side scalar geometry (config-time, float64 numpy) ----
+
+    @property
+    def r_plus(self) -> float:
+        return self.M + np.sqrt(self.M**2 - self.a**2)
+
+    def capture_radius(self) -> float:
+        return self.r_plus * 1.01
+
+    def _Sigma(self, r, th):
+        return r**2 + self.a**2 * np.cos(th)**2
+
+    def _Delta(self, r):
+        return r**2 - 2.0 * self.M * r + self.a**2
+
+    def unstable_photon_radii(self):
+        """(r_prograde, r_retrograde) of unstable circular photon orbits.
+
+        Bardeen's closed form (metrics.py:866-874). Continuous at a = 0
+        (both branches give 3M), so no special case is needed.
+        """
+        M, a = self.M, self.a
+        r_pro = 2.0 * M * (1.0 + np.cos(2.0 / 3.0 * np.arccos(-a / M)))
+        r_ret = 2.0 * M * (1.0 + np.cos(2.0 / 3.0 * np.arccos(a / M)))
+        return float(r_pro), float(r_ret)
+
+    def _xi_eta(self, r_ph):
+        """Critical conserved quantities (xi, eta) of the spherical photon
+        orbit at Boyer-Lindquist radius r_ph (metrics.py:884-890)."""
+        M, a = self.M, self.a
+        Delta = self._Delta(r_ph)
+        xi = (r_ph**2 + a**2) / a - 2.0 * r_ph * Delta / (a * (r_ph - M))
+        eta = (r_ph**3 / (a**2 * (r_ph - M)**2)
+               * (4.0 * M * Delta - r_ph * (r_ph - M)**2))
+        return xi, eta
+
+    def critical_impact_params(self):
+        """[(xi_pro, eta_pro), (xi_ret, eta_ret)]; undefined for a = 0."""
+        if self.a == 0:
+            raise ValueError("critical_impact_params undefined for a=0")
+        return [self._xi_eta(r) for r in self.unstable_photon_radii()]
+
+    def alpha_crit(self, r_obs, theta_obs=None, n_samples=50) -> float:
+        """Shadow-envelope critical viewing angle (metrics.py:893-930):
+        the max impact parameter over sampled spherical photon orbits,
+        clamped below by the Schwarzschild value, converted to a viewing
+        angle at the observer."""
+        if theta_obs is None:
+            theta_obs = np.pi / 2
+        M, a = self.M, self.a
+        if a == 0:
+            b_crit = 3.0 * np.sqrt(3.0) * M
+        else:
+            r_pro, r_ret = self.unstable_photon_radii()
+            r_arr = np.linspace(r_pro, r_ret, n_samples)
+            xi, eta = self._xi_eta(r_arr)
+            b2 = xi**2 + np.maximum(eta, 0.0)
+            b_crit = max(float(np.sqrt(np.max(b2))), 3.0 * np.sqrt(3.0) * M)
+
+        Delta_o = self._Delta(r_obs)
+        Sigma_o = self._Sigma(r_obs, theta_obs)
+        sin_th = np.sin(theta_obs)
+        A = (r_obs**2 + a**2)**2 - a**2 * Delta_o * sin_th**2
+        arg = b_crit * np.sqrt(Sigma_o * Delta_o / A) / r_obs
+        return float(np.arcsin(np.clip(arg, -1.0, 1.0)))
+
+    def viewing_angle_to_impact_parameter(self, alpha, r_obs,
+                                          theta_obs=None):
+        if theta_obs is None:
+            theta_obs = np.pi / 2
+        if self.a == 0:
+            f = 1.0 - 2.0 * self.M / r_obs
+            return r_obs * np.sin(alpha) / np.sqrt(f)
+        Delta = self._Delta(r_obs)
+        Sigma = self._Sigma(r_obs, theta_obs)
+        sin_th = np.sin(theta_obs)
+        A = (r_obs**2 + self.a**2)**2 - self.a**2 * Delta * sin_th**2
+        return r_obs * np.sin(alpha) * np.sqrt(A / (Sigma * Delta))
+
+    # ---- batched 5-D hot path (jnp, structure-of-arrays) ----
+
+    def initial_conditions_5d(self, r_obs, alphas, thetas, theta_obs):
+        """Screen angles -> reduced 5-D state + conserved momenta, batched.
+
+        Parity: metrics.py:148-218. alphas/thetas are (N,) screen viewing
+        angle / azimuth; theta_obs is the scalar observer inclination.
+        Returns ((r, th, phi, p_r, p_th), p_t, p_phi, invalid).
+        """
+        dtype = alphas.dtype
+        M = jnp.asarray(self.M, dtype)
+        a = jnp.asarray(self.a, dtype)
+
+        r = jnp.asarray(r_obs, dtype)
+        th = jnp.asarray(theta_obs, dtype)
+        sin_th = jnp.sin(th)
+        cos_th = jnp.cos(th)
+        sin2 = jnp.maximum(sin_th * sin_th, _SIN2_FLOOR)
+
+        Sigma = r * r + a * a * cos_th * cos_th
+        Delta = r * r - 2.0 * M * r + a * a
+        bad_obs = (Delta <= 0.0) | (Sigma <= 0.0)
+
+        E = jnp.asarray(1.0, dtype)
+        rho = r * jnp.sin(alphas) * jnp.sqrt(Sigma) / jnp.sqrt(
+            jnp.where(bad_obs, 1.0, Delta))
+
+        sin_screen = jnp.sin(thetas)
+        cos_screen = jnp.cos(thetas)
+        alpha_screen = -rho * sin_screen
+        beta_screen = -rho * cos_screen
+
+        xi = -alpha_screen * sin_th
+        eta = (beta_screen * beta_screen
+               + cos_th * cos_th * (alpha_screen * alpha_screen - a * a))
+        L = xi * E
+        Q = eta * E * E
+
+        # Covariant canonical momentum convention: p_t = -E (E > 0 for
+        # future-directed null geodesics); must match the Hamiltonian flow.
+        p_t = -E
+        p_phi = L
+
+        Theta = jnp.maximum(
+            Q - cos_th * cos_th * (L * L / sin2 - a * a * E * E), 0.0)
+        p_th_sign = jnp.where(cos_screen > 0.0, -1.0, 1.0).astype(dtype)
+        p_th = p_th_sign * jnp.sqrt(Theta)
+
+        (g_tt, g_tphi, g_rr, g_thth, g_phiphi,
+         *_rest) = _inverse_metric_terms(M, a, r, th)
+        other = (g_tt * p_t * p_t
+                 + 2.0 * g_tphi * p_t * p_phi
+                 + g_thth * p_th * p_th
+                 + g_phiphi * p_phi * p_phi)
+        p_r_sq = -other / g_rr
+        p_r = -jnp.sqrt(jnp.maximum(p_r_sq, 0.0))
+
+        invalid = jnp.broadcast_to(bad_obs, alphas.shape)
+        r0 = jnp.broadcast_to(r, alphas.shape)
+        th0 = jnp.broadcast_to(th, alphas.shape)
+        phi0 = jnp.zeros_like(alphas)
+        p_t_b = jnp.broadcast_to(p_t, alphas.shape)
+        return (r0, th0, phi0, p_r, p_th), p_t_b, p_phi, invalid
+
+    def rhs5(self, state5, p_t, p_phi):
+        """Hamilton's equations on the reduced 5-D state, batched.
+
+        Parity: metrics.py:221-303 — analytic d/dr and d/dtheta of the
+        inverse-metric components; RHS hard-zeroed inside r <= 1.001 r_+.
+        state5 = (r, th, phi, p_r, p_th) tuple of (N,) arrays.
+        """
+        r, th, phi, p_r, p_th = state5
+        dtype = r.dtype
+        M = jnp.asarray(self.M, dtype)
+        a = jnp.asarray(self.a, dtype)
+        r_plus = jnp.asarray(self.r_plus, dtype)
+
+        frozen = r <= r_plus * 1.001
+        r_s = jnp.where(frozen, 10.0 * r_plus + 10.0, r)
+
+        (g_tt, g_tphi, g_rr, g_thth, g_phiphi,
+         Sigma, Delta, A, sin_th, cos_th, sin2) = _inverse_metric_terms(
+            M, a, r_s, th)
+        a2 = a * a
+
+        dr = g_rr * p_r
+        dth = g_thth * p_th
+        dphi = g_tphi * p_t + g_phiphi * p_phi
+
+        # -- radial derivatives of the inverse metric --
+        dSigma_dr = 2.0 * r_s
+        dDelta_dr = 2.0 * r_s - 2.0 * M
+        dA_dr = 4.0 * r_s * (r_s * r_s + a2) - a2 * dDelta_dr * sin2
+
+        SD = Sigma * Delta
+        SD2 = SD * SD
+        dSD_dr = dSigma_dr * Delta + Sigma * dDelta_dr
+        dg_tt_dr = -(dA_dr * SD - A * dSD_dr) / SD2
+        dg_tphi_dr = -(2.0 * M * a * (SD - r_s * dSD_dr)) / SD2
+        dg_rr_dr = (dDelta_dr * Sigma - Delta * dSigma_dr) / (Sigma * Sigma)
+        dg_thth_dr = -dSigma_dr / (Sigma * Sigma)
+        den_phi = SD * sin2
+        dg_phiphi_dr = ((dDelta_dr * den_phi
+                         - (Delta - a2 * sin2) * dSD_dr * sin2)
+                        / (den_phi * den_phi))
+
+        dp_r = -0.5 * (dg_tt_dr * p_t * p_t
+                       + 2.0 * dg_tphi_dr * p_t * p_phi
+                       + dg_rr_dr * p_r * p_r
+                       + dg_thth_dr * p_th * p_th
+                       + dg_phiphi_dr * p_phi * p_phi)
+
+        # -- polar derivatives of the inverse metric --
+        sc = sin_th * cos_th
+        dSigma_dth = -2.0 * a2 * sc
+        dA_dth = -2.0 * a2 * Delta * sc
+
+        dg_tt_dth = -(dA_dth * SD - A * dSigma_dth * Delta) / SD2
+        dg_tphi_dth = 2.0 * M * a * r_s * dSigma_dth / (Sigma * Sigma * Delta)
+        dg_rr_dth = -Delta * dSigma_dth / (Sigma * Sigma)
+        dg_thth_dth = -dSigma_dth / (Sigma * Sigma)
+
+        num = Delta - a2 * sin2
+        dnum_dth = -2.0 * a2 * sc
+        dden_dth = dSigma_dth * Delta * sin2 + 2.0 * SD * sc
+        dg_phiphi_dth = (dnum_dth * den_phi - num * dden_dth) / (
+            den_phi * den_phi)
+
+        dp_th = -0.5 * (dg_tt_dth * p_t * p_t
+                        + 2.0 * dg_tphi_dth * p_t * p_phi
+                        + dg_rr_dth * p_r * p_r
+                        + dg_thth_dth * p_th * p_th
+                        + dg_phiphi_dth * p_phi * p_phi)
+
+        keep = jnp.logical_not(frozen)
+        z = jnp.zeros_like(r)
+        return (jnp.where(keep, dr, z), jnp.where(keep, dth, z),
+                jnp.where(keep, dphi, z), jnp.where(keep, dp_r, z),
+                jnp.where(keep, dp_th, z))
+
+    def extract_angle(self, state5, p_t, p_phi, captured):
+        """Final deflection angle from the integrated state, batched.
+
+        Parity: metrics.py:363-416. Returns (status, final_alpha, n_half):
+        status 1 escaped, -1 captured, 0 invalid.
+        """
+        r_f, th_f, phi_f, p_r_f, p_th_f = state5
+        dtype = r_f.dtype
+        M = jnp.asarray(self.M, dtype)
+        a = jnp.asarray(self.a, dtype)
+        r_capture = self.capture_radius()
+
+        n_half = jnp.floor(jnp.abs(phi_f) / np.pi).astype(jnp.int32)
+        is_captured = captured | (r_f <= r_capture * 1.1)
+        bad_state = ~(jnp.isfinite(r_f) & jnp.isfinite(th_f)
+                      & jnp.isfinite(phi_f))
+
+        sin_th = jnp.sin(th_f)
+        cos_th = jnp.cos(th_f)
+        sin2 = jnp.maximum(sin_th * sin_th, _SIN2_FLOOR)
+        r_s = jnp.where(bad_state | is_captured, 10.0 * M + 10.0, r_f)
+        Sigma_f = r_s * r_s + a * a * cos_th * cos_th
+        Delta_f = r_s * r_s - 2.0 * M * r_s + a * a
+        degenerate = (Sigma_f <= 1e-15) | (jnp.abs(Delta_f) <= 1e-15)
+        Sigma_safe = jnp.where(degenerate, 1.0, Sigma_f)
+        Delta_safe = jnp.where(degenerate, 1.0, Delta_f)
+
+        dr_dl = Delta_safe / Sigma_safe * p_r_f
+        dth_dl = p_th_f / Sigma_safe
+        dphi_dl = (-2.0 * M * a * r_s / (Sigma_safe * Delta_safe) * p_t
+                   + (Delta_safe - a * a * sin2)
+                   / (Sigma_safe * Delta_safe * sin2) * p_phi)
+
+        sin_phi = jnp.sin(phi_f)
+        cos_phi = jnp.cos(phi_f)
+        vx = (sin_th * cos_phi * dr_dl
+              + r_s * cos_th * cos_phi * dth_dl
+              - r_s * sin_th * sin_phi * dphi_dl)
+        vy = (sin_th * sin_phi * dr_dl
+              + r_s * cos_th * sin_phi * dth_dl
+              + r_s * sin_th * cos_phi * dphi_dl)
+        vz = cos_th * dr_dl - r_s * sin_th * dth_dl
+
+        bad_v = ~(jnp.isfinite(vx) & jnp.isfinite(vy) & jnp.isfinite(vz))
+        v_mag = jnp.sqrt(vx * vx + vy * vy + vz * vz)
+        tiny_v = v_mag < 1e-30
+        v_safe = jnp.where(tiny_v, 1.0, v_mag)
+        final_alpha = jnp.arccos(jnp.clip(-vx / v_safe, -1.0, 1.0))
+
+        nan = jnp.asarray(jnp.nan, dtype)
+        invalid = bad_state | degenerate | bad_v
+        status = jnp.where(
+            is_captured, -1, jnp.where(invalid, 0, 1)).astype(jnp.int32)
+        final_alpha = jnp.where(
+            is_captured | invalid | tiny_v, nan, final_alpha)
+        n_half = jnp.where(bad_state & ~is_captured, 0, n_half)
+        return status, final_alpha, n_half
+
+    # ---- full 8-D Hamiltonian path (jnp, batched) ----
+
+    def geodesic_equations(self, lam, state8):
+        """Hamilton's equations on the public 8-D state (metrics.py:946-1029).
+
+        Built from the reduced-state RHS: dt = g^tt p_t + g^tphi p_phi and
+        the cyclic momenta are constant.
+        """
+        t, r, th, phi, p_t, p_r, p_th, p_phi = jnp.moveaxis(state8, -1, 0)
+        dr, dth, dphi, dp_r, dp_th = self.rhs5(
+            (r, th, phi, p_r, p_th), p_t, p_phi)[0:5]
+
+        dtype = r.dtype
+        M = jnp.asarray(self.M, dtype)
+        a = jnp.asarray(self.a, dtype)
+        r_plus = jnp.asarray(self.r_plus, dtype)
+        frozen = r <= r_plus * 1.001
+        r_s = jnp.where(frozen, 10.0 * r_plus + 10.0, r)
+        (g_tt, g_tphi, *_rest) = _inverse_metric_terms(M, a, r_s, th)
+        dt = jnp.where(frozen, 0.0, g_tt * p_t + g_tphi * p_phi)
+        zeros = jnp.zeros_like(r)
+        return jnp.stack(
+            [dt, dr, dth, dphi, zeros, dp_r, dp_th, zeros], axis=-1)
+
+    def initial_conditions_8d(self, r_obs, alpha, theta=0.0, theta_obs=None):
+        """Batched 8-D initial state (metrics.py:1033-1109).
+
+        Returns (state8, invalid_mask).
+        """
+        if theta_obs is None:
+            theta_obs = np.pi / 2
+        alpha = jnp.asarray(alpha)
+        theta = jnp.broadcast_to(jnp.asarray(theta, alpha.dtype), alpha.shape)
+        (r0, th0, phi0, p_r, p_th), p_t, p_phi, invalid = (
+            self.initial_conditions_5d(r_obs, alpha, theta, theta_obs))
+        zeros = jnp.zeros_like(alpha)
+        state8 = jnp.stack(
+            [zeros, r0, th0, phi0, p_t, p_r, p_th,
+             jnp.broadcast_to(p_phi, alpha.shape)], axis=-1)
+        return state8, invalid

@@ -1,0 +1,98 @@
+"""Chunked + difficulty-sorted batch tracing driver.
+
+The reference bounds memory with 50k-ray chunks (image_lens.py:168-174,
+251-258). On TPU, chunking serves a different purpose: the lock-step
+`lax.while_loop` in ops/kerr_trace.py runs every lane until the *slowest*
+lane in the batch finishes, so we (a) split the batch into chunks to bound
+each chunk's straggler blast radius, and (b) optionally sort rays by
+expected difficulty (|alpha - alpha_crit|: photon-ring grazers integrate
+longest, metrics.py:452's 200k-step bound exists for them) so stragglers
+share chunks instead of stalling every chunk. This is the TPU analogue of
+active-ray compaction.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from light_path_tracer_tpu.ops.types import TraceResult
+from light_path_tracer_tpu.ops.schwarzschild_trace import (
+    trace_rays_schwarzschild)
+from light_path_tracer_tpu.ops.kerr_trace import trace_rays_kerr
+
+
+def _pad_to(x, n, fill):
+    pad = n - x.shape[0]
+    if pad == 0:
+        return x
+    return jnp.concatenate([x, jnp.full((pad,), fill, x.dtype)])
+
+
+def trace_batch(metric, r_obs, alphas, thetas=None, theta_obs=np.pi / 2,
+                axis_refine=None, *, chunk_size=None, sort_by_difficulty=True,
+                lambda_max=None, max_steps=200000, phi_max=50.0, h_max=0.05):
+    """Trace N rays through `metric`; returns TraceResult of shape (N,).
+
+    Dispatches to the spherically-symmetric orbit tracer or the Kerr DP45
+    tracer (the reference's trace_rays_batch split, metrics.py:831/1128).
+    """
+    n = int(alphas.shape[0])
+    if n == 0:
+        return TraceResult(
+            jnp.zeros((0,), alphas.dtype), jnp.zeros((0,), jnp.int32),
+            jnp.zeros((0,), jnp.int32), jnp.asarray(0, jnp.int32))
+
+    if metric.is_spherically_symmetric:
+        # Fixed-step lock-step integration: no divergence problem, a single
+        # dispatch over the full grid is fastest.
+        return trace_rays_schwarzschild(
+            metric, float(r_obs), alphas, phi_max=phi_max, h_max=h_max)
+
+    if thetas is None:
+        thetas = jnp.zeros_like(alphas)
+    if axis_refine is None:
+        axis_refine = jnp.zeros(alphas.shape, bool)
+    if lambda_max is None:
+        lambda_max = max(5000.0, 6.0 * float(r_obs))
+
+    if chunk_size is None or chunk_size >= n:
+        return trace_rays_kerr(
+            metric, float(r_obs), alphas, thetas, float(theta_obs),
+            axis_refine, float(lambda_max), max_steps)
+
+    alpha_crit = metric.alpha_crit(float(r_obs), float(theta_obs))
+    if sort_by_difficulty:
+        order = jnp.argsort(jnp.abs(alphas - alpha_crit))
+    else:
+        order = jnp.arange(n)
+    inv_order = jnp.argsort(order)
+
+    a_s = alphas[order]
+    t_s = thetas[order]
+    ar_s = axis_refine[order]
+
+    n_pad = ((n + chunk_size - 1) // chunk_size) * chunk_size
+    # Pad with easy far-field rays so padding lanes finish immediately.
+    a_s = _pad_to(a_s, n_pad, np.pi / 2)
+    t_s = _pad_to(t_s, n_pad, 0.0)
+    ar_s = _pad_to(ar_s, n_pad, False)
+
+    fas, nhs, sts = [], [], []
+    total_steps = 0
+    for start in range(0, n_pad, chunk_size):
+        res = trace_rays_kerr(
+            metric, float(r_obs),
+            a_s[start:start + chunk_size],
+            t_s[start:start + chunk_size],
+            float(theta_obs), ar_s[start:start + chunk_size],
+            float(lambda_max), max_steps)
+        fas.append(res.final_alpha)
+        nhs.append(res.n_half_orbits)
+        sts.append(res.status)
+        total_steps += int(res.n_steps)
+
+    fa = jnp.concatenate(fas)[:n][inv_order]
+    nh = jnp.concatenate(nhs)[:n][inv_order]
+    st = jnp.concatenate(sts)[:n][inv_order]
+    return TraceResult(fa, nh, st, jnp.asarray(total_steps, jnp.int32))

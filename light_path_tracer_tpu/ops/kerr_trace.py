@@ -1,0 +1,212 @@
+"""Batched adaptive Dormand-Prince 4(5) Kerr tracer.
+
+TPU-native replacement for the reference's per-ray adaptive hot loop
+(/root/reference/metrics.py:419-567): a single `lax.while_loop` advances the
+entire ray batch in lock-step. Each iteration performs one DP45 *attempt*
+per lane — six RHS evaluations plus the FSAL stage — then a per-lane masked
+accept/reject:
+
+  * error norm: mixed abs/rel over all 5 state components
+    (metrics.py:506-514), with per-lane tolerances (axis-refine band,
+    metrics.py:431-432).
+  * reject: h *= max(0.2, 0.9 * err^-0.2) (metrics.py:516-522);
+    non-finite proposal: h *= 0.25 (metrics.py:500-504);
+    h underflow -> invalid.
+  * accept: capture (r <= 1.01 r_+) / escape (r >= 2 r_obs) crossings are
+    linearly interpolated onto the boundary (metrics.py:528-548); FSAL
+    reuses stage 7 as the next step's stage 1 (metrics.py:551-554);
+    growth h *= 5 (tiny error) or min(5, 0.9 * err^-0.2)
+    (metrics.py:560-564).
+
+Divergent ray lifetimes are the structural hard part (3 steps vs 200k):
+lanes that finish are frozen by masking, and the loop exits as soon as
+*all* lanes in the batch are done — callers bound straggler blast radius by
+chunking + difficulty-sorting the batch (ops/batch.py), the TPU analogue of
+active-ray compaction.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from light_path_tracer_tpu.ops import tableau as tb
+from light_path_tracer_tpu.ops.types import TraceResult
+
+RUNNING = 2
+ESCAPED = 1
+CAPTURED = -1
+INVALID = 0
+
+# Tolerance presets: (atol, rtol) normal / axis-refined. float64 matches the
+# reference (metrics.py:431-432); float32 presets sit safely above the f32
+# roundoff floor of the embedded error estimator (see docs/precision.md).
+TOLS = {
+    jnp.dtype(jnp.float64): dict(atol=1e-8, rtol=1e-6,
+                                 atol_ref=1e-10, rtol_ref=1e-8,
+                                 h_min=1e-12, tiny_err=1e-10),
+    jnp.dtype(jnp.float32): dict(atol=3e-5, rtol=3e-5,
+                                 atol_ref=1e-5, rtol_ref=1e-5,
+                                 h_min=1e-7, tiny_err=1e-8),
+}
+
+
+def _wsum(h, ks, cs):
+    """h * sum(c_i * k_i) for a list of 5-tuples ks with scalar weights."""
+    acc = tuple(cs[0] * k for k in ks[0])
+    for k5, c in zip(ks[1:], cs[1:]):
+        acc = tuple(a + c * k for a, k in zip(acc, k5))
+    return tuple(h * a for a in acc)
+
+
+def _axpy(y, d):
+    return tuple(yi + di for yi, di in zip(y, d))
+
+
+def _all_finite(y):
+    ok = jnp.isfinite(y[0])
+    for yi in y[1:]:
+        ok = ok & jnp.isfinite(yi)
+    return ok
+
+
+def _select(mask, a, b):
+    return tuple(jnp.where(mask, ai, bi) for ai, bi in zip(a, b))
+
+
+def _lerp(y, y_next, frac):
+    return tuple(yi + frac * (ni - yi) for yi, ni in zip(y, y_next))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("metric", "r_obs", "theta_obs", "lambda_max",
+                     "max_steps"))
+def trace_rays_kerr(metric, r_obs, alphas, thetas, theta_obs,
+                    axis_refine, lambda_max: float, max_steps: int = 200000):
+    """Trace a batch of Kerr rays adaptively; returns TraceResult.
+
+    alphas/thetas: (N,) screen viewing angle / azimuth; theta_obs scalar;
+    axis_refine: (N,) bool tolerance-tightening mask.
+    lambda_max default at call sites: max(5000, 6 r_obs) (metrics.py:1121).
+    """
+    dtype = alphas.dtype
+    tols = TOLS[jnp.dtype(dtype)]
+    atol = jnp.where(axis_refine, tols["atol_ref"], tols["atol"]).astype(dtype)
+    rtol = jnp.where(axis_refine, tols["rtol_ref"], tols["rtol"]).astype(dtype)
+    h_min = jnp.asarray(tols["h_min"], dtype)
+    tiny_err = tols["tiny_err"]
+
+    r_capture = jnp.asarray(metric.capture_radius(), dtype)
+    r_escape = jnp.asarray(r_obs * 2.0, dtype)
+    lam_max = jnp.asarray(lambda_max, dtype)
+
+    y0, p_t, p_phi, invalid0 = metric.initial_conditions_5d(
+        r_obs, alphas, thetas, theta_obs)
+    rhs = lambda y: metric.rhs5(y, p_t, p_phi)
+
+    k1_0 = rhs(y0)
+    status0 = jnp.where(invalid0, INVALID, RUNNING).astype(jnp.int32)
+    h0 = jnp.full_like(alphas, max(1.0, 0.01 * float(r_obs)))
+    lam0 = jnp.zeros_like(alphas)
+
+    def cond(carry):
+        step, y, k1, h, lam, status = carry
+        running = (status == RUNNING) & (lam < lam_max)
+        return (step < max_steps) & jnp.any(running)
+
+    def body(carry):
+        step, y, k1, h, lam, status = carry
+        running = (status == RUNNING) & (lam < lam_max)
+        h_eff = jnp.minimum(h, lam_max - lam)
+        h_eff = jnp.maximum(h_eff, 0.0)
+
+        # -- DP45 stages (k1 via FSAL) --
+        k2 = rhs(_axpy(y, _wsum(h_eff, [k1], [tb.A21])))
+        k3 = rhs(_axpy(y, _wsum(h_eff, [k1, k2], [tb.A31, tb.A32])))
+        k4 = rhs(_axpy(y, _wsum(h_eff, [k1, k2, k3],
+                                [tb.A41, tb.A42, tb.A43])))
+        k5 = rhs(_axpy(y, _wsum(h_eff, [k1, k2, k3, k4],
+                                [tb.A51, tb.A52, tb.A53, tb.A54])))
+        k6 = rhs(_axpy(y, _wsum(h_eff, [k1, k2, k3, k4, k5],
+                                [tb.A61, tb.A62, tb.A63, tb.A64, tb.A65])))
+        y5 = _axpy(y, _wsum(h_eff, [k1, k3, k4, k5, k6],
+                            [tb.B1, tb.B3, tb.B4, tb.B5, tb.B6]))
+        k7 = rhs(y5)
+
+        finite_ok = _all_finite(y5) & (y5[0] > 0.0)
+
+        # -- embedded error norm over the 5 components --
+        err = _wsum(h_eff, [k1, k3, k4, k5, k6, k7],
+                    [tb.E1, tb.E3, tb.E4, tb.E5, tb.E6, tb.E7])
+        err_sq = jnp.zeros_like(h_eff)
+        for yi, ni, ei in zip(y, y5, err):
+            sc = atol + rtol * jnp.maximum(jnp.abs(yi), jnp.abs(ni))
+            ratio = jnp.where(finite_ok, ei / sc, 0.0)
+            err_sq = err_sq + ratio * ratio
+        err_norm = jnp.sqrt(err_sq / 5.0)
+
+        accept = running & finite_ok & (err_norm <= 1.0)
+        reject = running & finite_ok & (err_norm > 1.0)
+        blowup = running & ~finite_ok
+
+        # -- events on accepted lanes (capture has priority) --
+        r_prev, r_next = y[0], y5[0]
+        cap = accept & (r_prev > r_capture) & (r_next <= r_capture)
+        esc = accept & (r_prev < r_escape) & (r_next >= r_escape) & ~cap
+
+        denom = r_next - r_prev
+        safe_den = jnp.where(denom == 0.0, 1.0, denom)
+        frac_cap = jnp.clip((r_capture - r_prev) / safe_den, 0.0, 1.0)
+        frac_esc = jnp.clip((r_escape - r_prev) / safe_den, 0.0, 1.0)
+        frac = jnp.where(denom == 0.0, 1.0,
+                         jnp.where(cap, frac_cap,
+                                   jnp.where(esc, frac_esc, 1.0)))
+
+        y_event = _lerp(y, y5, frac)
+        y_acc = _select(cap | esc, y_event, y5)
+        lam_acc = lam + frac * h_eff
+
+        # -- step-size control --
+        shrink = jnp.maximum(0.2, 0.9 * err_norm ** (-0.2))
+        grow = jnp.where(err_norm < tiny_err, 5.0,
+                         jnp.minimum(5.0, 0.9 *
+                                     jnp.maximum(err_norm, 1e-30) ** (-0.2)))
+        h_new = jnp.where(accept, h * grow,
+                          jnp.where(reject, h * shrink,
+                                    jnp.where(blowup, h * 0.25, h)))
+        underflow = (reject | blowup) & (h_new < h_min)
+
+        # -- state/status update (masked) --
+        upd = accept
+        y_out = _select(upd, y_acc, y)
+        k1_out = _select(upd & ~(cap | esc), k7, _select(upd, k1, k1))
+        lam_out = jnp.where(upd, lam_acc, lam)
+
+        corrupt = upd & ~_all_finite(y_acc)
+        status_out = jnp.where(cap, CAPTURED,
+                               jnp.where(esc, ESCAPED, status))
+        status_out = jnp.where(underflow | corrupt, INVALID, status_out)
+        status_out = status_out.astype(jnp.int32)
+        return step + 1, y_out, k1_out, h_new, lam_out, status_out
+
+    carry0 = (jnp.asarray(0, jnp.int32), y0, k1_0, h0, lam0, status0)
+    step_f, y_f, _k1_f, _h_f, _lam_f, status_f = jax.lax.while_loop(
+        cond, body, carry0)
+
+    captured = status_f == CAPTURED
+    ext_status, final_alpha, n_half = metric.extract_angle(
+        y_f, p_t, p_phi, captured)
+
+    invalid_f = (status_f == INVALID) | (ext_status == 0)
+    cap_f = ~invalid_f & (ext_status == -1)
+    status_out = jnp.where(
+        invalid_f, INVALID,
+        jnp.where(cap_f, CAPTURED, ESCAPED)).astype(jnp.int32)
+    nan = jnp.asarray(jnp.nan, dtype)
+    final_alpha = jnp.where(status_out == ESCAPED, final_alpha, nan)
+    n_half = jnp.where(invalid_f & (status_f == INVALID), 0, n_half)
+    return TraceResult(final_alpha, n_half, status_out, step_f)

@@ -1,0 +1,225 @@
+"""End-to-end lensing pipeline: camera grids -> ray tracing -> renderer.
+
+Parity surface: /root/reference/image_lens.py:432-535 (`main`) and the two
+precompute paths:
+  * spherically symmetric (1-D alpha only): image_lens.py:155-178.
+  * Kerr (alpha, theta) with the axis-refine column band and top/bottom
+    mirror symmetry: image_lens.py:185-280.
+
+TPU-native structure: the camera grids, ray tracing, and renderer are each
+single jitted XLA programs over the whole pixel grid; the only host logic
+is configuration, chunk scheduling, and the symmetry fold.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import numpy as np
+import jax.numpy as jnp
+
+from light_path_tracer_tpu.models import make_metric
+from light_path_tracer_tpu import camera
+from light_path_tracer_tpu.ops.batch import trace_batch
+from light_path_tracer_tpu.render import render_lensed_image
+from light_path_tracer_tpu.utils.config import SceneConfig, RenderConfig
+from light_path_tracer_tpu.utils.timing import StageTimer
+
+
+@dataclasses.dataclass
+class PrecomputeResult:
+    final_alpha: jnp.ndarray      # (H, W) float32, NaN = shadow
+    winding: jnp.ndarray          # (H, W) uint16
+    total_rays: int
+    traced_rays: int
+    integrator_steps: int
+
+
+@dataclasses.dataclass
+class RenderOutput:
+    image: Any
+    alpha_lookup: jnp.ndarray
+    precompute: PrecomputeResult
+    alpha_crit: float
+    timings: dict
+    scene: SceneConfig
+    render_cfg: RenderConfig
+
+
+def _dtype_of(cfg: RenderConfig):
+    return jnp.float64 if cfg.dtype == "float64" else jnp.float32
+
+
+def precompute_final_alpha(scene: SceneConfig, cfg: RenderConfig,
+                           image_dimension, fov,
+                           alpha_lookup=None) -> PrecomputeResult:
+    """Trace one ray per pixel; returns per-pixel (final_alpha, winding).
+
+    Dispatches on spherical symmetry like image_lens.py:477-498, applies
+    the axis-refine band (image_lens.py:210-216) and top/bottom mirror
+    symmetry (image_lens.py:218-229, 272-276) for the 2-D path.
+    """
+    metric = make_metric(scene.M, scene.a)
+    dtype = _dtype_of(cfg)
+    height, width = image_dimension
+    if alpha_lookup is None:
+        alpha_lookup = camera.build_alpha_lookup(
+            image_dimension, fov, psi=scene.psi, dtype=dtype)
+    alpha = jnp.asarray(alpha_lookup, dtype)
+    n_total = height * width
+
+    if metric.is_spherically_symmetric:
+        res = trace_batch(
+            metric, scene.r_obs, alpha.ravel(),
+            chunk_size=None, phi_max=cfg.phi_max, h_max=cfg.h_max)
+        fa = res.final_alpha.reshape(image_dimension).astype(jnp.float32)
+        wind = jnp.clip(res.n_half_orbits, 0, cfg.winding_max).astype(
+            jnp.uint16).reshape(image_dimension)
+        return PrecomputeResult(fa, wind, n_total, n_total,
+                                int(res.n_steps))
+
+    theta_lookup = camera.build_theta_lookup(
+        image_dimension, fov, psi=scene.psi, dtype=dtype)
+    refine_cols = camera.axis_refine_columns(
+        image_dimension, fov, psi=scene.psi,
+        refine_frac=cfg.axis_refine_frac)
+
+    use_tb = (cfg.use_tb_symmetry
+              and np.isclose(scene.theta_obs, np.pi / 2)
+              and np.isclose(scene.psi[0], 0.0))
+    trace_rows = (height + 1) // 2 if use_tb else height
+
+    alpha_t = alpha[:trace_rows, :].ravel()
+    theta_t = theta_lookup[:trace_rows, :].ravel()
+    refine_t = jnp.broadcast_to(
+        jnp.asarray(refine_cols)[None, :], (trace_rows, width)).ravel()
+
+    res = trace_batch(
+        metric, scene.r_obs, alpha_t, theta_t, scene.theta_obs, refine_t,
+        chunk_size=cfg.chunk_size,
+        sort_by_difficulty=cfg.sort_by_difficulty,
+        max_steps=cfg.max_steps)
+
+    fa_rows = res.final_alpha.reshape(
+        (trace_rows, width)).astype(jnp.float32)
+    w_rows = jnp.clip(res.n_half_orbits, 0, cfg.winding_max).astype(
+        jnp.uint16).reshape((trace_rows, width))
+
+    if use_tb:
+        top_half = height // 2
+        fa = jnp.full((height, width), jnp.nan, jnp.float32)
+        wind = jnp.zeros((height, width), jnp.uint16)
+        fa = fa.at[:trace_rows].set(fa_rows)
+        wind = wind.at[:trace_rows].set(w_rows)
+        if top_half > 0:
+            fa = fa.at[height - top_half:].set(fa[:top_half][::-1])
+            wind = wind.at[height - top_half:].set(wind[:top_half][::-1])
+    else:
+        fa, wind = fa_rows, w_rows
+
+    return PrecomputeResult(fa, wind, n_total, trace_rows * width,
+                            int(res.n_steps))
+
+
+def render_scene(scene: SceneConfig, source_image,
+                 cfg: RenderConfig = RenderConfig()) -> RenderOutput:
+    """Full lensed render of `source_image` (the image_lens.main pipeline)."""
+    metric = make_metric(scene.M, scene.a)
+    timer = StageTimer()
+
+    height, width = np.asarray(source_image).shape[:2]
+    fov = camera.fov_from_vertical(scene.vertical_fov, (height, width))
+    alpha_crit = metric.alpha_crit(scene.r_obs, scene.theta_obs)
+
+    with timer.stage("load_image") as out:
+        img = jnp.asarray(source_image)
+        if img.dtype == jnp.uint8:
+            img = img.astype(jnp.float32) / 255.0
+        out.append(img)
+
+    with timer.stage("build_lookup") as out:
+        alpha_lookup = camera.build_alpha_lookup(
+            (height, width), fov, psi=scene.psi, dtype=_dtype_of(cfg))
+        out.append(alpha_lookup)
+
+    with timer.stage("precompute") as out:
+        pre = precompute_final_alpha(
+            scene, cfg, (height, width), fov, alpha_lookup=alpha_lookup)
+        out.append((pre.final_alpha, pre.winding))
+
+    with timer.stage("render") as out:
+        lensed = render_lensed_image(
+            img, alpha_lookup, pre.final_alpha, pre.winding,
+            alpha_crit, fov, cfg.render_loop_around, psi=scene.psi)
+        out.append(lensed)
+
+    timings = timer.finish()
+    return RenderOutput(lensed, alpha_lookup, pre, alpha_crit, timings,
+                        scene, cfg)
+
+
+def render_shadow(scene: SceneConfig, resolution,
+                  cfg: RenderConfig = RenderConfig(),
+                  analytic: bool = False):
+    """Black-hole shadow image: white background, black where captured.
+
+    analytic=True reproduces black_hole_shadow.py's zero-integration
+    threshold test against alpha_crit (black_hole_shadow.py:12-15);
+    analytic=False integrates every pixel ray (BASELINE.json configs 1/3).
+    Returns (image (H, W) float32 in {0, 1}, stats dict).
+    """
+    metric = make_metric(scene.M, scene.a)
+    timer = StageTimer()
+    height, width = resolution
+    fov = camera.fov_from_vertical(scene.vertical_fov, resolution)
+    alpha_crit = metric.alpha_crit(scene.r_obs, scene.theta_obs)
+
+    if analytic:
+        with timer.stage("render") as out:
+            alpha = camera.build_alpha_lookup(
+                resolution, fov, psi=scene.psi, dtype=_dtype_of(cfg))
+            image = jnp.where(alpha < alpha_crit, 0.0, 1.0).astype(
+                jnp.float32)
+            out.append(image)
+        stats = dict(total_rays=height * width, traced_rays=0,
+                     integrator_steps=0)
+    else:
+        with timer.stage("precompute") as out:
+            pre = precompute_final_alpha(scene, cfg, resolution, fov)
+            out.append(pre.final_alpha)
+        with timer.stage("render") as out:
+            image = jnp.where(jnp.isnan(pre.final_alpha), 0.0, 1.0)
+            out.append(image)
+        stats = dict(total_rays=pre.total_rays,
+                     traced_rays=pre.traced_rays,
+                     integrator_steps=pre.integrator_steps)
+
+    stats["alpha_crit"] = alpha_crit
+    stats["timings"] = timer.finish()
+    return image, stats
+
+
+def print_benchmark_summary(image_dimension, alpha_crit, total_rays,
+                            traced_rays, timings):
+    """Parity: image_lens.py:404-425, plus rays/sec."""
+    height, width = image_dimension
+    pixel_count = width * height
+    render_time = max(timings.get("render", 0.0), 1e-12)
+    total_time = max(timings.get("total", 0.0), 1e-12)
+    precompute_time = max(timings.get("precompute", 0.0), 1e-12)
+
+    print("\nBenchmark summary")
+    print(f"  resolution: {width}x{height} ({pixel_count:,} pixels)")
+    print(f"  alpha_crit: {alpha_crit:.6f} rad")
+    print(f"  total rays: {total_rays:,}")
+    print(f"  traced rays: {traced_rays:,}")
+    for key in ("load_image", "build_lookup", "precompute", "render",
+                "save_image", "total"):
+        print(f"  {key:<26}{timings.get(key, 0.0):>10.3f} s")
+    print(f"  {'render_throughput':<26}"
+          f"{(pixel_count / render_time) / 1e6:>10.2f} MPix/s")
+    print(f"  {'overall_throughput':<26}"
+          f"{(pixel_count / total_time) / 1e6:>10.2f} MPix/s")
+    print(f"  {'trace_throughput':<26}"
+          f"{traced_rays / precompute_time:>10.0f} rays/s")

@@ -1,0 +1,148 @@
+"""Lensed-image renderer: lookup tables -> output image, fully vectorized.
+
+Semantic parity with /root/reference/image_lens.py:287-397, including the
+edge cases:
+  * NaN final_alpha (captured/invalid rays) stays black — the shadow.
+  * Escaped rays with final_alpha > pi/2 get a winding-number color from
+    the 5-entry palette (WINDING_COLORS, image_lens.py:287-293), clipped to
+    the palette range; grayscale sources use the luma projection
+    (image_lens.py:330-331).
+  * Escaped rays with final_alpha <= pi/2 reconstruct the source direction
+    in the (d, e_x, e_y) frame and project back through the pinhole:
+    out-of-bounds / behind-camera pixels become the magenta sentinel
+    (image_lens.py:367-395), or wrap modulo the image when
+    render_loop_around is set (image_lens.py:354-365 — including the legacy
+    quirk that behind-camera rays sample from the image-center pixel).
+
+TPU-native design: a single jitted gather program — boolean masks +
+`jnp.where` select between shadow / winding color / texture gather /
+sentinel; the texture fetch is one flat `take` on clamped indices.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from light_path_tracer_tpu.camera import psi_frame, focal_lengths
+
+WINDING_COLORS = np.array([
+    [0.0, 0.2, 1.0],   # blue
+    [0.0, 0.7, 1.0],   # sky blue
+    [0.0, 1.0, 0.4],   # green
+    [1.0, 1.0, 0.0],   # yellow
+    [1.0, 0.4, 0.0],   # orange
+], dtype=np.float32)
+
+_LUMA = np.array([0.299, 0.587, 0.114], dtype=np.float32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("image_dimension", "fov", "psi", "render_loop_around"))
+def _render_kernel(source_image, theta_lookup, final_alpha_lookup,
+                   winding_lookup, image_dimension, fov, psi,
+                   render_loop_around):
+    height, width = image_dimension
+    frame = psi_frame(psi)
+    d, e_x, e_y = frame.d, frame.e_x, frame.e_y
+    fx, fy = focal_lengths(image_dimension, fov)
+
+    grayscale = source_image.ndim == 2
+    channels = 1 if grayscale else source_image.shape[2]
+    src = source_image if not grayscale else source_image[..., None]
+    compute_dtype = final_alpha_lookup.dtype
+
+    valid = jnp.isfinite(final_alpha_lookup)
+    fa = jnp.where(valid, final_alpha_lookup, 0.0).astype(compute_dtype)
+    th = theta_lookup.astype(compute_dtype)
+
+    winding_mask = valid & (final_alpha_lookup > np.pi / 2)
+    escaped_mask = valid & (final_alpha_lookup <= np.pi / 2)
+
+    # -- winding color layer --
+    palette = jnp.asarray(WINDING_COLORS)
+    if grayscale:
+        palette = (palette @ jnp.asarray(_LUMA))[:, None]
+    w_idx = jnp.clip(winding_lookup.astype(jnp.int32), 0,
+                     len(WINDING_COLORS) - 1)
+    winding_rgb = palette[w_idx]  # (H, W, C)
+
+    # -- escaped layer: source-direction reconstruction + pinhole gather --
+    sin_fa, cos_fa = jnp.sin(fa), jnp.cos(fa)
+    sin_th, cos_th = jnp.sin(th), jnp.cos(th)
+    sx = sin_th * e_x[0] + cos_th * e_y[0]
+    sy = sin_th * e_x[1] + cos_th * e_y[1]
+    sz = sin_th * e_x[2] + cos_th * e_y[2]
+    src_vx = cos_fa * d[0] + sin_fa * sx
+    src_vy = cos_fa * d[1] + sin_fa * sy
+    src_vz = cos_fa * d[2] + sin_fa * sz
+
+    front = src_vz > 1e-12
+    vz_safe = jnp.where(front, src_vz, 1.0)
+
+    if render_loop_around:
+        # Legacy wrap: behind-camera rays project with x_cam = y_cam = 0,
+        # i.e. sample the image-center pixel (image_lens.py:354-365).
+        x_cam = jnp.where(front, src_vx / vz_safe, 0.0)
+        y_cam = jnp.where(front, src_vy / vz_safe, 0.0)
+        src_x = jnp.rint(x_cam * fx + width / 2).astype(jnp.int32)
+        src_y = jnp.rint(y_cam * fy + height / 2).astype(jnp.int32)
+        src_x = jnp.mod(src_x, width)
+        src_y = jnp.mod(src_y, height)
+        in_bounds = jnp.ones_like(front)
+    else:
+        x_cam = src_vx / vz_safe
+        y_cam = src_vy / vz_safe
+        src_x = jnp.rint(x_cam * fx + width / 2).astype(jnp.int32)
+        src_y = jnp.rint(y_cam * fy + height / 2).astype(jnp.int32)
+        in_bounds = (front
+                     & (src_y >= 0) & (src_y < height)
+                     & (src_x >= 0) & (src_x < width))
+
+    flat_idx = (jnp.clip(src_y, 0, height - 1) * width
+                + jnp.clip(src_x, 0, width - 1))
+    texture = src.reshape(height * width, channels)[flat_idx]  # (H, W, C)
+
+    # Magenta sentinel (image_lens.py:381-393): R=1 (plus B=1 when the
+    # source has >= 3 channels); scalar 1.0 for grayscale.
+    magenta = np.zeros((channels,), dtype=np.float32)
+    magenta[0] = 1.0
+    if channels > 2:
+        magenta[2] = 1.0
+    magenta_px = jnp.asarray(magenta, src.dtype)
+
+    escaped_rgb = jnp.where(in_bounds[..., None], texture, magenta_px)
+
+    out = jnp.zeros_like(src)
+    out = jnp.where(winding_mask[..., None],
+                    winding_rgb.astype(src.dtype), out)
+    out = jnp.where(escaped_mask[..., None], escaped_rgb, out)
+    return out[..., 0] if grayscale else out
+
+
+def render_lensed_image(source_image, alpha_lookup, final_alpha_lookup,
+                        winding_lookup, alpha_crit, fov,
+                        render_loop_around=False, psi=(0.0, 0.0),
+                        theta_lookup=None):
+    """Render the lensed output image from precomputed lookup tables.
+
+    Signature parity: image_lens.py:296-298 (alpha_lookup and alpha_crit
+    are accepted for compatibility; the renderer needs theta, which it
+    derives from the camera grids unless `theta_lookup` is supplied).
+    """
+    height, width = source_image.shape[:2]
+    if theta_lookup is None:
+        from light_path_tracer_tpu.camera import build_theta_lookup
+        theta_lookup = build_theta_lookup(
+            (height, width), fov, psi=psi,
+            dtype=final_alpha_lookup.dtype)
+    if winding_lookup is None:
+        winding_lookup = jnp.zeros((height, width), jnp.int32)
+    return _render_kernel(
+        jnp.asarray(source_image), theta_lookup,
+        jnp.asarray(final_alpha_lookup), jnp.asarray(winding_lookup),
+        (height, width), tuple(fov), tuple(psi), bool(render_loop_around))

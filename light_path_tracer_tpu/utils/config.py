@@ -1,0 +1,55 @@
+"""Unified scene/render configuration.
+
+The reference scatters configuration across argparse flags
+(image_lens.py:519-532), keyword defaults (image_lens.py:432-433), and
+hardcoded constants (WINDING_DTYPE / Y_AXIS_REFINE_FRAC, image_lens.py:12-14;
+integrator tolerances, metrics.py:431-432). Here it is one pair of frozen
+dataclasses — hashable, so jitted programs can treat them as static.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+
+@dataclasses.dataclass(frozen=True)
+class SceneConfig:
+    """Physics + camera scene description."""
+
+    M: float = 1.0
+    a: float = 0.0
+    r_obs_mult: float = 100.0          # observer radius in units of M
+    psi_y: float = 0.0                 # BH screen pitch offset [rad]
+    psi_x: float = 0.0                 # BH screen yaw offset [rad]
+    vertical_fov_deg: float = 40.0
+    theta_obs: float = math.pi / 2     # observer inclination
+
+    @property
+    def psi(self):
+        return (self.psi_y, self.psi_x)
+
+    @property
+    def r_obs(self) -> float:
+        return self.r_obs_mult * self.M
+
+    @property
+    def vertical_fov(self) -> float:
+        return math.radians(self.vertical_fov_deg)
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Numerics + performance knobs."""
+
+    dtype: str = "float32"             # "float32" | "float64"
+    integrator: str = "dp45"           # "dp45" | "rk4" (Kerr comparison path)
+    max_steps: int = 200000            # adaptive-step bound (metrics.py:452)
+    phi_max: float = 50.0              # Schwarzschild orbit bound
+    h_max: float = 0.05                # Schwarzschild fixed step
+    chunk_size: int | None = 65536     # Kerr straggler containment
+    sort_by_difficulty: bool = True    # group photon-ring grazers
+    axis_refine_frac: float = 0.07     # Y_AXIS_REFINE_FRAC
+    use_tb_symmetry: bool = True       # top/bottom mirror when applicable
+    render_loop_around: bool = False
+    winding_max: int = 65535           # uint16 winding clip (image_lens.py:13)
