@@ -1,0 +1,88 @@
+"""Image-tile data-parallel ray tracing over a device mesh.
+
+BASELINE.json config 5's pattern: the pixel grid is sharded row-wise across
+the mesh's `tiles` axis with `shard_map`; each device runs its *own*
+lock-step `lax.while_loop` over its tile, so a tile whose rays all finish
+early exits early — no global per-iteration sync, no collective in the hot
+loop. The only communication is XLA's implicit output gather (ICI).
+
+Single-device results are bitwise identical to the sharded results (tested
+in tests/test_sharding.py on a virtual 8-device CPU mesh).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from light_path_tracer_tpu.parallel.mesh import shard_map_fn
+from light_path_tracer_tpu.ops.kerr_trace import trace_rays_kerr
+from light_path_tracer_tpu.ops.schwarzschild_trace import (
+    trace_rays_schwarzschild)
+
+
+def _pad_rows(grid, rows_to):
+    pad = rows_to - grid.shape[0]
+    if pad == 0:
+        return grid
+    return jnp.concatenate(
+        [grid, jnp.broadcast_to(grid[-1:], (pad,) + grid.shape[1:])], axis=0)
+
+
+def trace_grid_sharded(metric, r_obs, alpha_grid, theta_grid=None,
+                       theta_obs=np.pi / 2, refine_grid=None, *,
+                       mesh: Mesh, lambda_max=None, max_steps=200000,
+                       phi_max=50.0, h_max=0.05):
+    """Trace an (H, W) pixel grid sharded row-wise over `mesh`.
+
+    Returns (final_alpha, n_half_orbits, status) grids of shape (H, W).
+    """
+    axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+    H, W = alpha_grid.shape
+    H_pad = ((H + n_dev - 1) // n_dev) * n_dev
+
+    alpha_p = _pad_rows(alpha_grid, H_pad)
+    shard_map = shard_map_fn()
+    if metric.is_spherically_symmetric:
+        def per_tile(a):
+            res = trace_rays_schwarzschild(
+                metric, float(r_obs), a.ravel(),
+                phi_max=phi_max, h_max=h_max)
+            return (res.final_alpha.reshape(a.shape),
+                    res.n_half_orbits.reshape(a.shape),
+                    res.status.reshape(a.shape))
+
+        f = shard_map(per_tile, mesh=mesh, in_specs=(P(axis, None),),
+                      out_specs=(P(axis, None), P(axis, None),
+                                 P(axis, None)))
+        fa, nh, st = jax.jit(f)(alpha_p)
+    else:
+        if lambda_max is None:
+            lambda_max = max(5000.0, 6.0 * float(r_obs))
+        if theta_grid is None:
+            theta_grid = jnp.zeros_like(alpha_grid)
+        if refine_grid is None:
+            refine_grid = jnp.zeros(alpha_grid.shape, bool)
+        theta_p = _pad_rows(theta_grid, H_pad)
+        refine_p = _pad_rows(refine_grid, H_pad)
+
+        def per_tile(a, t, rf):
+            res = trace_rays_kerr(
+                metric, float(r_obs), a.ravel(), t.ravel(),
+                float(theta_obs), rf.ravel(), float(lambda_max), max_steps)
+            return (res.final_alpha.reshape(a.shape),
+                    res.n_half_orbits.reshape(a.shape),
+                    res.status.reshape(a.shape))
+
+        f = shard_map(per_tile, mesh=mesh,
+                      in_specs=(P(axis, None), P(axis, None), P(axis, None)),
+                      out_specs=(P(axis, None), P(axis, None),
+                                 P(axis, None)))
+        fa, nh, st = jax.jit(f)(alpha_p, theta_p, refine_p)
+
+    return fa[:H], nh[:H], st[:H]

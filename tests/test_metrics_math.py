@@ -1,0 +1,140 @@
+"""Physics-formula unit tests: analytic invariants as oracles (SURVEY §4.3)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from light_path_tracer_tpu.models import Schwarzschild, Kerr
+from oracles.numpy_reference import (
+    kerr_rhs5_complex_step, kerr_hamiltonian)
+
+
+def test_schwarzschild_constants():
+    m = Schwarzschild(M=2.0)
+    assert m.R_S == 4.0
+    assert m.R_PHOTON == 6.0
+    assert np.isclose(m.B_CRIT, 3 * np.sqrt(3) * 2.0)
+    assert np.isclose(m.capture_radius(), 4.0 * 1.01)
+
+
+def test_schwarzschild_alpha_crit_formula():
+    m = Schwarzschild(M=1.0)
+    r_obs = 50.0
+    expected = np.arcsin(3 * np.sqrt(3) * np.sqrt(1 - 2 / 50) / 50)
+    assert np.isclose(m.alpha_crit(r_obs), expected)
+
+
+def test_kerr_spin_bound():
+    with pytest.raises(ValueError):
+        Kerr(M=1.0, a=1.5)
+
+
+def test_kerr_horizon():
+    m = Kerr(M=1.0, a=0.9)
+    assert np.isclose(m.r_plus, 1 + np.sqrt(1 - 0.81))
+    assert np.isclose(Kerr(M=1.0, a=0.0).r_plus, 2.0)
+    assert np.isclose(Kerr(M=1.0, a=1.0).r_plus, 1.0)
+
+
+def test_bardeen_photon_radii_limits():
+    # a=0: both photon orbits at 3M; a=M: prograde M, retrograde 4M.
+    m0 = Kerr(M=1.0, a=0.0)
+    assert np.allclose(m0.unstable_photon_radii(), (3.0, 3.0))
+    m1 = Kerr(M=1.0, a=1.0)
+    r_pro, r_ret = m1.unstable_photon_radii()
+    assert np.isclose(r_pro, 1.0, atol=1e-12)
+    assert np.isclose(r_ret, 4.0, atol=1e-12)
+
+
+def test_kerr_alpha_crit_a0_equals_schwarzschild():
+    r_obs = 100.0
+    assert np.isclose(Kerr(M=1.0, a=0.0).alpha_crit(r_obs),
+                      Schwarzschild(M=1.0).alpha_crit(r_obs))
+    # Continuity: tiny spin stays near the Schwarzschild value.
+    assert np.isclose(Kerr(M=1.0, a=1e-4).alpha_crit(r_obs),
+                      Schwarzschild(M=1.0).alpha_crit(r_obs), rtol=1e-3)
+
+
+def test_impact_parameter_a0():
+    r_obs, alpha = 100.0, 0.01
+    k = Kerr(M=1.0, a=0.0)
+    s = Schwarzschild(M=1.0)
+    assert np.isclose(k.viewing_angle_to_impact_parameter(alpha, r_obs),
+                      s.viewing_angle_to_impact_parameter(alpha, r_obs))
+
+
+def test_kerr_rhs_vs_complex_step():
+    """Analytic RHS == complex-step derivative of the Hamiltonian."""
+    M, a = 1.0, 0.85
+    m = Kerr(M=M, a=a)
+    rng = np.random.default_rng(42)
+    n = 64
+    r = rng.uniform(2.2, 80.0, n)
+    th = rng.uniform(0.3, np.pi - 0.3, n)
+    p_r = rng.uniform(-1.5, 1.5, n)
+    p_th = rng.uniform(-8.0, 8.0, n)
+    p_t = np.full(n, -1.0)
+    p_phi = rng.uniform(-8.0, 8.0, n)
+
+    state = tuple(jnp.asarray(v) for v in
+                  (r, th, np.zeros(n), p_r, p_th))
+    got = m.rhs5(state, jnp.asarray(p_t), jnp.asarray(p_phi))
+
+    for i in range(n):
+        want = kerr_rhs5_complex_step(
+            M, a, r[i], th[i], p_r[i], p_th[i], p_t[i], p_phi[i])
+        for comp, (g, w) in enumerate(zip(got, want)):
+            assert np.isclose(float(g[i]), w, rtol=1e-10, atol=1e-12), (
+                f"component {comp} ray {i}: {float(g[i])} vs {w}")
+
+
+def test_kerr_rhs_frozen_inside_horizon():
+    m = Kerr(M=1.0, a=0.5)
+    r_in = m.r_plus * 1.0005
+    state = tuple(jnp.asarray([v]) for v in
+                  (r_in, np.pi / 2, 0.0, -0.5, 0.3))
+    out = m.rhs5(state, jnp.asarray([-1.0]), jnp.asarray([2.0]))
+    for comp in out:
+        assert float(comp[0]) == 0.0
+
+
+def test_initial_conditions_null():
+    """ICs must satisfy the null condition g^{mu nu} p_mu p_nu = 0."""
+    m = Kerr(M=1.0, a=0.9)
+    r_obs = 100.0
+    alphas = jnp.asarray(np.radians([0.5, 1.5, 3.0, 6.0]), jnp.float64)
+    thetas = jnp.asarray([0.3, 1.2, 2.5, -0.8], jnp.float64)
+    (r, th, phi, p_r, p_th), p_t, p_phi, invalid = (
+        m.initial_conditions_5d(r_obs, alphas, thetas, np.pi / 2))
+    assert not bool(invalid.any())
+    for i in range(4):
+        H = kerr_hamiltonian(1.0, 0.9, float(r[i]), float(th[i]),
+                             float(p_t[i]), float(p_r[i]),
+                             float(p_th[i]), float(p_phi[i]))
+        assert abs(H) < 1e-10
+
+
+def test_initial_conditions_8d_matches_5d():
+    m = Kerr(M=1.0, a=0.7)
+    alphas = jnp.asarray([0.01, 0.03], jnp.float64)
+    thetas = jnp.asarray([0.4, 2.0], jnp.float64)
+    s8, inv8 = m.initial_conditions_8d(100.0, alphas, thetas)
+    (r, th, phi, p_r, p_th), p_t, p_phi, inv5 = m.initial_conditions_5d(
+        100.0, alphas, thetas, np.pi / 2)
+    np.testing.assert_allclose(np.asarray(s8[:, 1]), np.asarray(r))
+    np.testing.assert_allclose(np.asarray(s8[:, 5]), np.asarray(p_r))
+    np.testing.assert_allclose(np.asarray(s8[:, 6]), np.asarray(p_th))
+    np.testing.assert_allclose(np.asarray(s8[:, 7]), np.asarray(p_phi))
+    np.testing.assert_allclose(np.asarray(s8[:, 4]), np.asarray(p_t))
+
+
+def test_kerr_a0_rhs_matches_schwarzschild_8d():
+    """Kerr RHS at a=0 equals the Schwarzschild Hamiltonian RHS."""
+    mk = Kerr(M=1.0, a=0.0)
+    ms = Schwarzschild(M=1.0)
+    state = jnp.asarray(
+        [[0.0, 30.0, np.pi / 2, 0.3, -1.0, -0.7, 0.2, 4.0],
+         [0.0, 5.0, 1.1, 1.0, -1.0, 0.4, -1.3, 2.0]], jnp.float64)
+    dk = np.asarray(mk.geodesic_equations(0.0, state))
+    ds = np.asarray(ms.geodesic_equations(0.0, state))
+    np.testing.assert_allclose(dk, ds, rtol=1e-12, atol=1e-12)
