@@ -159,7 +159,7 @@ def build_alpha_lookup(image_dimension, fov, decimals=None, psi=(0.0, 0.0),
     alpha = jnp.arccos(jnp.clip(cos_alpha, -1.0, 1.0))
     if decimals is not None:
         alpha = jnp.round(alpha, decimals)
-    return alpha.astype(jnp.float32)
+    return alpha.astype(dtype)
 
 
 def build_theta_lookup(image_dimension, fov, psi=(0.0, 0.0),

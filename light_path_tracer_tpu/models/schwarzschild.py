@@ -78,9 +78,9 @@ class Schwarzschild(Metric):
         reference's status-0 guards (metrics.py:52-63).
         """
         dtype = alphas.dtype
-        f0 = self.f(r_obs)
+        f0 = float(self.f(r_obs))
         M = jnp.asarray(self.M, dtype)
-        b = r_obs * jnp.sin(alphas) / np.sqrt(max(f0, 1e-300))
+        b = r_obs * jnp.sin(alphas) / float(np.sqrt(max(f0, 1e-300)))
         u0 = jnp.full_like(alphas, 1.0 / r_obs)
         b_safe = jnp.where(b == 0.0, 1.0, b)
         w0_sq = 1.0 / (b_safe * b_safe) - u0 * u0 + 2.0 * M * u0 * u0 * u0
@@ -148,9 +148,9 @@ class Schwarzschild(Metric):
         Returns (state8, invalid_mask).
         """
         alpha = jnp.asarray(alpha)
-        f0 = self.f(r_obs)
+        f0 = float(self.f(r_obs))
         E = 1.0
-        b = r_obs * jnp.sin(alpha) / np.sqrt(max(f0, 1e-300))
+        b = r_obs * jnp.sin(alpha) / float(np.sqrt(max(f0, 1e-300)))
         L = b * E
         p_r_sq = (E * E / f0 - L * L / (r_obs * r_obs)) / f0
         invalid = p_r_sq < 0.0

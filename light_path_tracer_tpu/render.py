@@ -67,6 +67,12 @@ def _render_kernel(source_image, theta_lookup, final_alpha_lookup,
     palette = jnp.asarray(WINDING_COLORS)
     if grayscale:
         palette = (palette @ jnp.asarray(_LUMA))[:, None]
+    elif channels < 3:
+        palette = palette[:, :channels]
+    elif channels > 3:
+        palette = jnp.concatenate(
+            [palette, jnp.ones((palette.shape[0], channels - 3),
+                               palette.dtype)], axis=1)
     w_idx = jnp.clip(winding_lookup.astype(jnp.int32), 0,
                      len(WINDING_COLORS) - 1)
     winding_rgb = palette[w_idx]  # (H, W, C)

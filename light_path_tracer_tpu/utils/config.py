@@ -47,7 +47,11 @@ class RenderConfig:
     max_steps: int = 200000            # adaptive-step bound (metrics.py:452)
     phi_max: float = 50.0              # Schwarzschild orbit bound
     h_max: float = 0.05                # Schwarzschild fixed step
-    chunk_size: int | None = 65536     # Kerr straggler containment
+    # Kerr straggler containment. None = one dispatch over the whole grid,
+    # which measures fastest on a single v5e up to 1024^2 (the lock-step
+    # loop's global max step count stays low); chunking pays off for
+    # much larger grids or very heterogeneous ray difficulty.
+    chunk_size: int | None = None
     sort_by_difficulty: bool = True    # group photon-ring grazers
     axis_refine_frac: float = 0.07     # Y_AXIS_REFINE_FRAC
     use_tb_symmetry: bool = True       # top/bottom mirror when applicable

@@ -1,0 +1,98 @@
+"""Renderer semantics tests: shadow, winding palette, sentinel, wrap."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from light_path_tracer_tpu.render import render_lensed_image, WINDING_COLORS
+from light_path_tracer_tpu import camera
+
+DIM = (32, 48)
+FOV = camera.fov_from_vertical(np.radians(40.0), DIM)
+
+
+def _mk_source(rgb=True, seed=0):
+    rng = np.random.default_rng(seed)
+    shape = DIM + (3,) if rgb else DIM
+    return rng.random(shape).astype(np.float32)
+
+
+def _render(fa, wind=None, src=None, **kw):
+    if src is None:
+        src = _mk_source()
+    if wind is None:
+        wind = np.zeros(DIM, np.uint16)
+    return np.asarray(render_lensed_image(
+        src, None, jnp.asarray(fa), jnp.asarray(wind), 0.05, FOV, **kw))
+
+
+def test_nan_stays_black():
+    fa = np.full(DIM, np.nan, np.float32)
+    out = _render(fa)
+    assert np.all(out == 0.0)
+
+
+def test_winding_colors():
+    fa = np.full(DIM, np.nan, np.float32)
+    fa[4, 5] = np.pi / 2 + 0.2     # escaped but deflected past pi/2
+    wind = np.zeros(DIM, np.uint16)
+    wind[4, 5] = 3
+    out = _render(fa, wind)
+    np.testing.assert_allclose(out[4, 5], WINDING_COLORS[3], atol=1e-6)
+    # Winding index clipped to the palette.
+    wind[4, 5] = 999
+    out = _render(fa, wind)
+    np.testing.assert_allclose(out[4, 5], WINDING_COLORS[-1], atol=1e-6)
+
+
+def test_winding_grayscale_luma():
+    src = _mk_source(rgb=False)
+    fa = np.full(DIM, np.nan, np.float32)
+    fa[2, 2] = 2.0
+    wind = np.zeros(DIM, np.uint16)
+    wind[2, 2] = 1
+    out = _render(fa, wind, src=src)
+    luma = WINDING_COLORS[1] @ np.array([0.299, 0.587, 0.114])
+    assert np.isclose(out[2, 2], luma, atol=1e-6)
+    assert out.ndim == 2
+
+
+def test_undeflected_identity_center():
+    """A ray with final_alpha equal to its own pixel alpha maps back to
+    (approximately) its own pixel."""
+    src = _mk_source()
+    alpha = np.asarray(camera.build_alpha_lookup(DIM, FOV,
+                                                 dtype=jnp.float64))
+    out = _render(alpha.astype(np.float32), src=src)
+    # Away from edges the gather should reproduce the source.
+    inner = (slice(8, 24), slice(12, 36))
+    match = np.isclose(out[inner], src[inner], atol=1e-6).all(axis=-1)
+    assert match.mean() > 0.95
+
+
+def test_magenta_sentinel_oob():
+    src = _mk_source()
+    fa = np.full(DIM, np.nan, np.float32)
+    fa[10, 10] = np.pi / 2 - 1e-3   # escaped, nearly sideways -> off image
+    out = _render(fa, src=src)
+    np.testing.assert_allclose(out[10, 10], [1.0, 0.0, 1.0], atol=1e-6)
+
+
+def test_loop_around_wraps():
+    src = _mk_source()
+    fa = np.full(DIM, np.nan, np.float32)
+    fa[10, 10] = np.pi / 2 - 1e-3
+    out = _render(fa, src=src, render_loop_around=True)
+    # Wrapped: must equal *some* source pixel, not magenta.
+    px = out[10, 10]
+    assert not np.allclose(px, [1.0, 0.0, 1.0])
+    flat = src.reshape(-1, 3)
+    assert np.isclose(flat, px[None, :], atol=1e-6).all(axis=1).any()
+
+
+def test_two_channel_sentinel():
+    src = np.stack([_mk_source(rgb=False), _mk_source(rgb=False, seed=1)],
+                   axis=-1)
+    fa = np.full(DIM, np.nan, np.float32)
+    fa[5, 5] = np.pi / 2 - 1e-3
+    out = _render(fa, src=src)
+    np.testing.assert_allclose(out[5, 5], [1.0, 0.0], atol=1e-6)
