@@ -1,0 +1,290 @@
+"""Command-line interface.
+
+Flag parity with the reference (`image_lens.py:519-532`): --M --a --r-obs
+--psi-y --psi-x --fov-v, same semantics and defaults (psi in degrees,
+r-obs in units of M, vertical FOV in degrees). Extends it with subcommands
+for the other entry points (shadow render, single-ray demo, trajectory
+plot) and TPU-relevant knobs (dtype, chunking, lookup cache, device mesh).
+
+Usage:
+  python -m light_path_tracer_tpu lens   --a 0.9 --image image.jpg
+  python -m light_path_tracer_tpu shadow --a 0.9 --size 1024
+  python -m light_path_tracer_tpu shadow --analytic          # zero-integration
+  python -m light_path_tracer_tpu ray    --alpha-deg 8       # single-ray demo
+  python -m light_path_tracer_tpu plot   --angles 0,2,4,5.5,5.97,8
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def _add_scene_args(p):
+    p.add_argument("--M", type=float, default=1.0, help="BH mass")
+    p.add_argument("--a", type=float, default=0.0,
+                   help="BH spin (|a| <= M, 0 = Schwarzschild)")
+    p.add_argument("--r-obs", type=float, default=100.0,
+                   help="Observer distance in units of M (default: 100)")
+    p.add_argument("--psi-y", type=float, default=0.0,
+                   help="BH vertical offset in deg (+ = top, - = bottom)")
+    p.add_argument("--psi-x", type=float, default=0.0,
+                   help="BH horizontal offset in deg (+ = right, - = left)")
+    p.add_argument("--fov-v", type=float, default=40.0,
+                   help="Vertical field of view in deg")
+
+
+def _add_render_args(p):
+    p.add_argument("--dtype", default="float32",
+                   choices=["float32", "float64"])
+    p.add_argument("--chunk-size", type=int, default=0,
+                   help="rays per chunk (0 = whole grid in one dispatch)")
+    p.add_argument("--no-symmetry", action="store_true",
+                   help="disable top/bottom mirror symmetry")
+    p.add_argument("--loop-around", action="store_true",
+                   help="wrap out-of-FOV source samples (legacy mode)")
+    p.add_argument("--cache", action="store_true",
+                   help="cache traced lookup tables in lookup_cache/")
+
+
+def _scene_from(args):
+    from light_path_tracer_tpu.utils.config import SceneConfig
+    return SceneConfig(
+        M=args.M, a=args.a, r_obs_mult=args.r_obs,
+        psi_y=np.radians(args.psi_y), psi_x=np.radians(args.psi_x),
+        vertical_fov_deg=args.fov_v)
+
+
+def _render_cfg_from(args):
+    from light_path_tracer_tpu.utils.config import RenderConfig
+    return RenderConfig(
+        dtype=args.dtype,
+        chunk_size=args.chunk_size or None,
+        use_tb_symmetry=not args.no_symmetry,
+        render_loop_around=getattr(args, "loop_around", False))
+
+
+def cmd_lens(args) -> int:
+    """Lensed background-image render (image_lens.main parity)."""
+    import matplotlib.image as mpimg
+    from light_path_tracer_tpu.pipeline import (
+        render_scene, print_benchmark_summary)
+    from light_path_tracer_tpu import camera
+
+    scene = _scene_from(args)
+    cfg = _render_cfg_from(args)
+
+    print(f"Metric: {'Schwarzschild' if args.a == 0 else 'Kerr'} "
+          f"(M={args.M}, a={args.a})")
+    t0 = time.perf_counter()
+    img = mpimg.imread(args.image)
+    load_time = time.perf_counter() - t0
+    height, width = img.shape[:2]
+    print(f"Image: {width}x{height}")
+
+    r_obs = scene.r_obs
+    from light_path_tracer_tpu.models import make_metric
+    metric = make_metric(args.M, args.a)
+    alpha_crit = metric.alpha_crit(r_obs)
+    print(f"r_obs = {r_obs:.1f} M, "
+          f"alpha_crit = {np.degrees(alpha_crit):.4f} deg")
+
+    bh_y, bh_x, in_front = camera.psi_to_cam_projection(scene.psi)
+    fov = camera.fov_from_vertical(scene.vertical_fov, (height, width))
+    in_fov = (in_front and abs(bh_y) <= np.tan(fov[1] / 2)
+              and abs(bh_x) <= np.tan(fov[0] / 2))
+    status = ("behind observer" if not in_front
+              else ("inside FOV" if in_fov else "outside FOV"))
+    print(f"BH screen offset: psi_y={args.psi_y:.4f} deg, "
+          f"psi_x={args.psi_x:.4f} deg ({status})")
+
+    if args.cache:
+        from light_path_tracer_tpu.checkpoint import cached_precompute
+        from light_path_tracer_tpu.utils.timing import StageTimer
+        from light_path_tracer_tpu.render import render_lensed_image
+        import jax.numpy as jnp
+
+        timer = StageTimer()
+        timer.timings["load_image"] = load_time
+        src = jnp.asarray(img)
+        if src.dtype == jnp.uint8:
+            src = src.astype(jnp.float32) / 255.0
+        with timer.stage("build_lookup") as out:
+            alpha_lookup = camera.build_alpha_lookup(
+                (height, width), fov, psi=scene.psi)
+            out.append(alpha_lookup)
+        with timer.stage("precompute") as out:
+            pre, hit = cached_precompute(scene, cfg, (height, width), fov)
+            out.append(pre.final_alpha)
+        print(f"  lookup cache {'HIT' if hit else 'MISS'}")
+        with timer.stage("render") as out:
+            lensed = render_lensed_image(
+                src, alpha_lookup, pre.final_alpha, pre.winding,
+                alpha_crit, fov, cfg.render_loop_around, psi=scene.psi)
+            out.append(lensed)
+        timings = timer.finish()
+        result, total, traced = lensed, pre.total_rays, pre.traced_rays
+    else:
+        out = render_scene(scene, img, cfg)
+        out.timings["load_image"] += load_time
+        timings = out.timings
+        result = out.image
+        total, traced = out.precompute.total_rays, out.precompute.traced_rays
+
+    t0 = time.perf_counter()
+    mpimg.imsave(args.output, np.clip(np.asarray(result), 0.0, 1.0))
+    timings["save_image"] = time.perf_counter() - t0
+    timings["total"] = timings.get("total", 0.0) + timings["save_image"]
+
+    print_benchmark_summary((height, width), alpha_crit, total, traced,
+                            timings)
+    print(f"Saved: {args.output}")
+    return 0
+
+
+def cmd_shadow(args) -> int:
+    """Shadow render (black_hole_shadow.py parity + integrated mode)."""
+    import matplotlib.image as mpimg
+    from light_path_tracer_tpu.pipeline import render_shadow
+
+    scene = _scene_from(args)
+    cfg = _render_cfg_from(args)
+    img, stats = render_shadow(scene, (args.size, args.size), cfg,
+                               analytic=args.analytic)
+    mpimg.imsave(args.output, np.asarray(img), cmap="gray", vmin=0, vmax=1)
+    t = stats["timings"]
+    mode = "analytic threshold" if args.analytic else "integrated"
+    print(f"Shadow ({mode}): {args.size}x{args.size}, "
+          f"alpha_crit={np.degrees(stats['alpha_crit']):.4f} deg, "
+          f"precompute {t.get('precompute', 0.0):.3f}s, "
+          f"render {t.get('render', 0.0):.3f}s")
+    if stats.get("traced_rays"):
+        print(f"  {stats['traced_rays'] / max(t.get('precompute', 1e-12), 1e-12):,.0f} rays/s")
+    print(f"Saved: {args.output}")
+    return 0
+
+
+def cmd_ray(args) -> int:
+    """Single-ray demo (main.py parity): trace, report, plot."""
+    from light_path_tracer_tpu.models import make_metric
+    from light_path_tracer_tpu.trajectory import trace_ray_trajectory
+
+    metric = make_metric(args.M, args.a)
+    r_obs = args.r_obs * args.M
+    alpha = np.radians(args.alpha_deg)
+    traj, outcome = trace_ray_trajectory(metric, r_obs, alpha)
+    b = metric.viewing_angle_to_impact_parameter(alpha, r_obs)
+    print(f"Metric:             {type(metric).__name__}")
+    print(f"Observer radius:    r_obs = {r_obs} M")
+    print(f"Viewing angle:      alpha = {args.alpha_deg} deg")
+    print(f"Impact parameter:   b = {b:.4f} M")
+    print(f"Outcome:            {outcome.upper()}")
+
+    if not args.no_plot and traj is not None:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        n = int(traj.n_valid)
+        r = np.asarray(traj.states[:n, 1])
+        phi = np.asarray(traj.states[:n, 3])
+        fig, ax = plt.subplots(figsize=(10, 10))
+        circle = np.linspace(0, 2 * np.pi, 200)
+        rh = metric.capture_radius()
+        ax.fill(rh * np.cos(circle), rh * np.sin(circle), "k",
+                label="Event horizon")
+        if hasattr(metric, "R_PHOTON"):
+            ax.plot(metric.R_PHOTON * np.cos(circle),
+                    metric.R_PHOTON * np.sin(circle), "r--",
+                    label="Photon sphere")
+        color = "steelblue" if outcome == "escaped" else "crimson"
+        ax.plot(r * np.cos(phi), r * np.sin(phi), color=color,
+                linewidth=2, label=f"Photon path ({outcome})")
+        ax.plot(r_obs, 0, "go", markersize=12, label="Observer")
+        ax.set_aspect("equal")
+        ax.legend(loc="upper left")
+        ax.grid(True, alpha=0.3)
+        plt.savefig(args.output, dpi=150)
+        print(f"Saved: {args.output}")
+    return 0
+
+
+def cmd_plot(args) -> int:
+    """Multi-angle trajectory overlay (geodesic_tracer.__main__ parity)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from light_path_tracer_tpu.models import make_metric
+    from light_path_tracer_tpu.trajectory import plot_trajectories
+
+    metric = make_metric(args.M, args.a)
+    r_obs = args.r_obs * args.M
+    angles = [float(x) for x in args.angles.split(",")]
+    ac = np.degrees(metric.alpha_crit(r_obs))
+    print(f"Metric: {type(metric).__name__}; critical angle "
+          f"{ac:.4f} deg")
+    for alpha_deg in angles:
+        alpha = np.radians(alpha_deg)
+        b = metric.viewing_angle_to_impact_parameter(alpha, r_obs)
+        fa, nh, outcome = metric.trace_ray(r_obs, alpha)
+        print(f"  alpha = {alpha_deg:6.2f} deg -> b = {b:6.3f} M -> "
+              f"{outcome.upper()}")
+    fig, ax = plt.subplots(figsize=(12, 10))
+    plot_trajectories(metric, r_obs, angles, ax=ax)
+    plt.tight_layout()
+    plt.savefig(args.output, dpi=150, bbox_inches="tight")
+    print(f"Saved: {args.output}")
+    return 0
+
+
+def build_parser():
+    parser = argparse.ArgumentParser(
+        prog="light_path_tracer_tpu",
+        description="TPU-native general-relativistic ray tracer")
+    sub = parser.add_subparsers(dest="command")
+
+    p = sub.add_parser("lens", help="lensed background-image render")
+    _add_scene_args(p)
+    _add_render_args(p)
+    p.add_argument("--image", default="image.jpg")
+    p.add_argument("--output", default="lensed_image.png")
+    p.set_defaults(fn=cmd_lens)
+
+    p = sub.add_parser("shadow", help="black-hole shadow render")
+    _add_scene_args(p)
+    _add_render_args(p)
+    p.add_argument("--size", type=int, default=800)
+    p.add_argument("--analytic", action="store_true",
+                   help="zero-integration threshold test vs alpha_crit")
+    p.add_argument("--output", default="black_hole_shadow.png")
+    p.set_defaults(fn=cmd_shadow)
+
+    p = sub.add_parser("ray", help="single-ray trace + trajectory plot")
+    _add_scene_args(p)
+    p.add_argument("--alpha-deg", type=float, default=8.0)
+    p.add_argument("--no-plot", action="store_true")
+    p.add_argument("--output", default="example_geodesic.png")
+    p.set_defaults(fn=cmd_ray)
+
+    p = sub.add_parser("plot", help="multi-angle trajectory overlay")
+    _add_scene_args(p)
+    p.add_argument("--angles", default="0,2,4,5,5.5,5.97,6.5,8,10,15")
+    p.add_argument("--output", default="geodesic_trajectories.png")
+    p.set_defaults(fn=cmd_plot)
+
+    return parser
+
+
+def main(argv=None) -> int:
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    if not getattr(args, "fn", None):
+        parser.print_help()
+        return 2
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

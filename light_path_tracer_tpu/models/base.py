@@ -56,3 +56,33 @@ class Metric(abc.ABC):
     @abc.abstractmethod
     def initial_conditions_8d(self, r_obs, alpha, theta=0.0, theta_obs=None):
         """Batched initial 8-D state for photons at viewing angle alpha."""
+
+    # ---- single-ray convenience API (reference trace_ray parity) ----
+
+    def trace_ray(self, r_obs, alpha, theta=0.0, theta_obs=None,
+                  phi_max=50.0, axis_refine=False, dtype=None):
+        """Trace one ray; returns (final_alpha, n_half_orbits, outcome).
+
+        outcome is 'escaped' | 'captured' | 'invalid' — the reference's
+        scalar API (metrics.py:705-713, 817-829, 1113-1126). This is a
+        convenience wrapper over the batched tracers; production rendering
+        always uses the batch path.
+        """
+        import math
+        import jax
+        import jax.numpy as jnp
+        from light_path_tracer_tpu.ops.batch import trace_batch
+
+        if theta_obs is None:
+            theta_obs = math.pi / 2
+        if dtype is None:
+            dtype = (jnp.float64 if jax.config.jax_enable_x64
+                     else jnp.float32)
+        res = trace_batch(
+            self, r_obs, jnp.asarray([alpha], dtype),
+            jnp.asarray([theta], dtype), theta_obs,
+            jnp.asarray([axis_refine], bool), phi_max=phi_max)
+        status = int(res.status[0])
+        outcome = {1: "escaped", -1: "captured", 0: "invalid"}[status]
+        return (float(res.final_alpha[0]), int(res.n_half_orbits[0]),
+                outcome)
