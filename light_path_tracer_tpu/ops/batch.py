@@ -29,13 +29,25 @@ def _pad_to(x, n, fill):
     return jnp.concatenate([x, jnp.full((pad,), fill, x.dtype)])
 
 
+def _kerr_backend(backend, dtype):
+    """Resolve 'auto' to the Pallas fused kernel on TPU float32."""
+    if backend != "auto":
+        return backend
+    import jax
+    on_tpu = jax.default_backend() == "tpu"
+    return "pallas" if (on_tpu and dtype == jnp.float32) else "xla"
+
+
 def trace_batch(metric, r_obs, alphas, thetas=None, theta_obs=np.pi / 2,
                 axis_refine=None, *, chunk_size=None, sort_by_difficulty=True,
-                lambda_max=None, max_steps=200000, phi_max=50.0, h_max=0.05):
+                lambda_max=None, max_steps=200000, phi_max=50.0, h_max=0.05,
+                backend="auto"):
     """Trace N rays through `metric`; returns TraceResult of shape (N,).
 
     Dispatches to the spherically-symmetric orbit tracer or the Kerr DP45
     tracer (the reference's trace_rays_batch split, metrics.py:831/1128).
+    backend: 'auto' | 'xla' | 'pallas' — 'auto' picks the Pallas fused
+    kernel on TPU float32, the pure-XLA path elsewhere.
     """
     n = int(alphas.shape[0])
     if n == 0:
@@ -56,8 +68,16 @@ def trace_batch(metric, r_obs, alphas, thetas=None, theta_obs=np.pi / 2,
     if lambda_max is None:
         lambda_max = max(5000.0, 6.0 * float(r_obs))
 
+    resolved = _kerr_backend(backend, alphas.dtype)
+    if resolved == "pallas":
+        from light_path_tracer_tpu.ops.pallas.kerr_trace_kernel import (
+            trace_rays_kerr_pallas)
+        kerr_fn = trace_rays_kerr_pallas
+    else:
+        kerr_fn = trace_rays_kerr
+
     if chunk_size is None or chunk_size >= n:
-        return trace_rays_kerr(
+        return kerr_fn(
             metric, float(r_obs), alphas, thetas, float(theta_obs),
             axis_refine, float(lambda_max), max_steps)
 
@@ -81,7 +101,7 @@ def trace_batch(metric, r_obs, alphas, thetas=None, theta_obs=np.pi / 2,
     fas, nhs, sts = [], [], []
     total_steps = 0
     for start in range(0, n_pad, chunk_size):
-        res = trace_rays_kerr(
+        res = kerr_fn(
             metric, float(r_obs),
             a_s[start:start + chunk_size],
             t_s[start:start + chunk_size],

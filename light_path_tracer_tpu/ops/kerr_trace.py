@@ -149,16 +149,49 @@ def trace_rays_kerr(metric, r_obs, alphas, thetas, theta_obs,
 
     r_capture = jnp.asarray(metric.capture_radius(), dtype)
     r_escape = jnp.asarray(r_obs * 2.0, dtype)
-    lam_max = jnp.asarray(lambda_max, dtype)
 
     y0, p_t, p_phi, invalid0 = metric.initial_conditions_5d(
         r_obs, alphas, thetas, theta_obs)
+    status0 = jnp.where(invalid0, INVALID, RUNNING).astype(jnp.int32)
+
+    y_f, status_f, _lam_f, step_f = dp45_integrate(
+        metric, y0, p_t, p_phi, status0,
+        atol=atol, rtol=rtol, h_min=h_min, tiny_err=tiny_err,
+        r_capture=r_capture, r_escape=r_escape,
+        lambda_max=lambda_max, h_init=max(1.0, 0.01 * float(r_obs)),
+        max_steps=max_steps, event_interp=event_interp)
+
+    captured = status_f == CAPTURED
+    ext_status, final_alpha, n_half = metric.extract_angle(
+        y_f, p_t, p_phi, captured)
+
+    invalid_f = (status_f == INVALID) | (ext_status == 0)
+    cap_f = ~invalid_f & (ext_status == -1)
+    status_out = jnp.where(
+        invalid_f, INVALID,
+        jnp.where(cap_f, CAPTURED, ESCAPED)).astype(jnp.int32)
+    nan = jnp.asarray(jnp.nan, dtype)
+    final_alpha = jnp.where(status_out == ESCAPED, final_alpha, nan)
+    n_half = jnp.where(invalid_f & (status_f == INVALID), 0, n_half)
+    return TraceResult(final_alpha, n_half, status_out, step_f)
+
+
+def dp45_integrate(metric, y0, p_t, p_phi, status0, *, atol, rtol, h_min,
+                   tiny_err, r_capture, r_escape, lambda_max, h_init,
+                   max_steps, event_interp="hermite"):
+    """The shared lock-step DP45+FSAL integration loop.
+
+    Shape-polymorphic over the ray axis/axes: the XLA path calls it on
+    (N,) arrays; the Pallas fused kernel calls it on (R, 128) VMEM tiles.
+    Returns (y_final, status, lambda, steps_executed).
+    """
+    dtype = y0[0].dtype
+    lam_max = jnp.asarray(lambda_max, dtype)
     rhs = lambda y: metric.rhs5(y, p_t, p_phi)
 
     k1_0 = rhs(y0)
-    status0 = jnp.where(invalid0, INVALID, RUNNING).astype(jnp.int32)
-    h0 = jnp.full_like(alphas, max(1.0, 0.01 * float(r_obs)))
-    lam0 = jnp.zeros_like(alphas)
+    h0 = jnp.full_like(y0[0], h_init)
+    lam0 = jnp.zeros_like(y0[0])
 
     def cond(carry):
         step, y, k1, h, lam, status = carry
@@ -250,19 +283,6 @@ def trace_rays_kerr(metric, r_obs, alphas, thetas, theta_obs,
         return step + 1, y_out, k1_out, h_new, lam_out, status_out
 
     carry0 = (jnp.asarray(0, jnp.int32), y0, k1_0, h0, lam0, status0)
-    step_f, y_f, _k1_f, _h_f, _lam_f, status_f = jax.lax.while_loop(
+    step_f, y_f, _k1_f, _h_f, lam_f, status_f = jax.lax.while_loop(
         cond, body, carry0)
-
-    captured = status_f == CAPTURED
-    ext_status, final_alpha, n_half = metric.extract_angle(
-        y_f, p_t, p_phi, captured)
-
-    invalid_f = (status_f == INVALID) | (ext_status == 0)
-    cap_f = ~invalid_f & (ext_status == -1)
-    status_out = jnp.where(
-        invalid_f, INVALID,
-        jnp.where(cap_f, CAPTURED, ESCAPED)).astype(jnp.int32)
-    nan = jnp.asarray(jnp.nan, dtype)
-    final_alpha = jnp.where(status_out == ESCAPED, final_alpha, nan)
-    n_half = jnp.where(invalid_f & (status_f == INVALID), 0, n_half)
-    return TraceResult(final_alpha, n_half, status_out, step_f)
+    return y_f, status_f, lam_f, step_f

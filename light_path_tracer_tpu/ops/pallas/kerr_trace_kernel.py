@@ -1,0 +1,149 @@
+"""Fused whole-trace Pallas TPU kernel for the Kerr geodesic hot loop.
+
+BASELINE.json's target kernel: the reference's per-ray adaptive integrator
+(metrics.py:419-567) becomes one Pallas program per VMEM tile of rays. The
+*entire* integration — initial conditions, every DP45 stage of every step,
+event interpolation — runs with the ray state resident in VMEM; HBM sees
+exactly one read of the screen-angle inputs and one write of the final
+state. Per-tile `lax.while_loop`s exit as soon as *their* rays finish, so
+tiles of easy far-field rays stop early while photon-ring tiles keep
+integrating — grid-level divergence containment with zero dispatch
+overhead (the TPU analogue of active-ray compaction).
+
+The numerics are byte-identical to the XLA path: both call
+ops.kerr_trace.dp45_integrate, which is shape-polymorphic over the ray
+axes. Tested against the XLA path in tests/test_pallas.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from light_path_tracer_tpu.ops.kerr_trace import (
+    dp45_integrate, TOLS, RUNNING, INVALID, ESCAPED, CAPTURED)
+from light_path_tracer_tpu.ops.types import TraceResult
+
+LANE = 128          # TPU vector lane width
+DEFAULT_ROWS = 256  # sublane rows per tile -> 32k rays/tile
+
+
+def _trace_tile_kernel(alpha_ref, theta_ref, refine_ref, valid_ref,
+                       r_out, th_out, phi_out, pr_out, pth_out,
+                       status_out, steps_out, *,
+                       metric, r_obs, theta_obs, lambda_max, max_steps,
+                       event_interp, tols):
+    alphas = alpha_ref[:]
+    thetas = theta_ref[:]
+    refine = refine_ref[:] > 0.5
+    valid = valid_ref[:] > 0.5
+    dtype = alphas.dtype
+
+    atol = jnp.where(refine, tols["atol_ref"], tols["atol"]).astype(dtype)
+    rtol = jnp.where(refine, tols["rtol_ref"], tols["rtol"]).astype(dtype)
+
+    y0, p_t, p_phi, invalid0 = metric.initial_conditions_5d(
+        r_obs, alphas, thetas, theta_obs)
+    status0 = jnp.where(invalid0 | ~valid, INVALID, RUNNING).astype(
+        jnp.int32)
+
+    y_f, status_f, _lam_f, steps = dp45_integrate(
+        metric, y0, p_t, p_phi, status0,
+        atol=atol, rtol=rtol,
+        h_min=jnp.asarray(tols["h_min"], dtype),
+        tiny_err=tols["tiny_err"],
+        r_capture=jnp.asarray(metric.capture_radius(), dtype),
+        r_escape=jnp.asarray(r_obs * 2.0, dtype),
+        lambda_max=lambda_max, h_init=max(1.0, 0.01 * float(r_obs)),
+        max_steps=max_steps, event_interp=event_interp)
+
+    r_out[:] = y_f[0]
+    th_out[:] = y_f[1]
+    phi_out[:] = y_f[2]
+    pr_out[:] = y_f[3]
+    pth_out[:] = y_f[4]
+    status_out[:] = status_f
+    steps_out[:] = jnp.full(steps_out.shape, steps, jnp.int32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("metric", "r_obs", "theta_obs", "lambda_max",
+                     "max_steps", "event_interp", "tile_rows", "interpret"))
+def trace_rays_kerr_pallas(metric, r_obs, alphas, thetas, theta_obs,
+                           axis_refine, lambda_max: float,
+                           max_steps: int = 200000,
+                           event_interp: str = "hermite",
+                           tile_rows: int = DEFAULT_ROWS,
+                           interpret: bool = False):
+    """Pallas-fused Kerr batch tracer; drop-in for trace_rays_kerr.
+
+    float32 only (the TPU-native precision tier; use the XLA path for
+    float64 oracle runs). Rays are padded to a whole number of
+    (tile_rows, 128) tiles; padding lanes are masked invalid and cost no
+    integration steps.
+    """
+    dtype = alphas.dtype
+    if dtype != jnp.float32:
+        raise ValueError("pallas path is float32-only; got " + str(dtype))
+    tols = TOLS[jnp.dtype(dtype)]
+
+    n = alphas.shape[0]
+    tile = tile_rows * LANE
+    n_pad = max(1, -(-n // tile)) * tile
+    n_tiles = n_pad // tile
+
+    def pad(x, fill):
+        return jnp.concatenate(
+            [x, jnp.full((n_pad - n,), fill, x.dtype)]) if n_pad > n else x
+
+    alphas_p = pad(alphas, 0.1).reshape(n_tiles * tile_rows, LANE)
+    thetas_p = pad(thetas, 0.0).reshape(n_tiles * tile_rows, LANE)
+    refine_p = pad(axis_refine.astype(dtype), 0.0).reshape(
+        n_tiles * tile_rows, LANE)
+    valid_p = pad(jnp.ones((n,), dtype), 0.0).reshape(
+        n_tiles * tile_rows, LANE)
+
+    kernel = functools.partial(
+        _trace_tile_kernel, metric=metric, r_obs=float(r_obs),
+        theta_obs=float(theta_obs), lambda_max=float(lambda_max),
+        max_steps=max_steps, event_interp=event_interp, tols=tols)
+
+    block = pl.BlockSpec((tile_rows, LANE), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+    f32 = jax.ShapeDtypeStruct((n_tiles * tile_rows, LANE), dtype)
+    i32 = jax.ShapeDtypeStruct((n_tiles * tile_rows, LANE), jnp.int32)
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[block, block, block, block],
+        out_specs=(block,) * 7,
+        out_shape=(f32, f32, f32, f32, f32, i32, i32),
+        interpret=interpret,
+    )(alphas_p, thetas_p, refine_p, valid_p)
+
+    r_f, th_f, phi_f, pr_f, pth_f, status_f, steps = (
+        o.reshape(n_pad)[:n] for o in outs)
+
+    # Extraction outside the kernel (one cheap vectorized pass).
+    _y0, p_t, p_phi, _inv = metric.initial_conditions_5d(
+        float(r_obs), alphas, thetas, float(theta_obs))
+    captured = status_f == CAPTURED
+    ext_status, final_alpha, n_half = metric.extract_angle(
+        (r_f, th_f, phi_f, pr_f, pth_f), p_t, p_phi, captured)
+
+    invalid_f = (status_f == INVALID) | (ext_status == 0)
+    cap_f = ~invalid_f & (ext_status == -1)
+    status_out = jnp.where(
+        invalid_f, INVALID,
+        jnp.where(cap_f, CAPTURED, ESCAPED)).astype(jnp.int32)
+    nan = jnp.asarray(jnp.nan, dtype)
+    final_alpha = jnp.where(status_out == ESCAPED, final_alpha, nan)
+    n_half = jnp.where(invalid_f & (status_f == INVALID), 0, n_half)
+    return TraceResult(final_alpha, n_half, status_out, jnp.max(steps))

@@ -72,7 +72,8 @@ def precompute_final_alpha(scene: SceneConfig, cfg: RenderConfig,
     if metric.is_spherically_symmetric:
         res = trace_batch(
             metric, scene.r_obs, alpha.ravel(),
-            chunk_size=None, phi_max=cfg.phi_max, h_max=cfg.h_max)
+            chunk_size=None, phi_max=cfg.phi_max, h_max=cfg.h_max,
+            backend=cfg.backend)
         fa = res.final_alpha.reshape(image_dimension).astype(jnp.float32)
         wind = jnp.clip(res.n_half_orbits, 0, cfg.winding_max).astype(
             jnp.uint16).reshape(image_dimension)
@@ -99,7 +100,7 @@ def precompute_final_alpha(scene: SceneConfig, cfg: RenderConfig,
         metric, scene.r_obs, alpha_t, theta_t, scene.theta_obs, refine_t,
         chunk_size=cfg.chunk_size,
         sort_by_difficulty=cfg.sort_by_difficulty,
-        max_steps=cfg.max_steps)
+        max_steps=cfg.max_steps, backend=cfg.backend)
 
     fa_rows = res.final_alpha.reshape(
         (trace_rows, width)).astype(jnp.float32)

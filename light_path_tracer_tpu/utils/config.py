@@ -44,6 +44,7 @@ class RenderConfig:
 
     dtype: str = "float32"             # "float32" | "float64"
     integrator: str = "dp45"           # "dp45" | "rk4" (Kerr comparison path)
+    backend: str = "auto"              # "auto" | "xla" | "pallas"
     max_steps: int = 200000            # adaptive-step bound (metrics.py:452)
     phi_max: float = 50.0              # Schwarzschild orbit bound
     h_max: float = 0.05                # Schwarzschild fixed step
