@@ -167,6 +167,40 @@ def cmd_shadow(args) -> int:
     return 0
 
 
+def cmd_disk(args) -> int:
+    """Accretion-disk render (BASELINE.json config 4)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.image as mpimg
+    import matplotlib.cm as cm
+    from light_path_tracer_tpu.utils.config import SceneConfig
+    from light_path_tracer_tpu.disk import render_disk, DiskConfig
+
+    scene = SceneConfig(
+        M=args.M, a=args.a, r_obs_mult=args.r_obs,
+        psi_y=np.radians(args.psi_y), psi_x=np.radians(args.psi_x),
+        vertical_fov_deg=args.fov_v,
+        theta_obs=np.radians(args.inclination))
+    cfg = _render_cfg_from(args)
+    disk = DiskConfig(r_out=args.r_out,
+                      emissivity_index=args.emissivity_q,
+                      g_power=args.g_power,
+                      opaque=not args.translucent)
+    img, stats = render_disk(scene, (args.size, args.size), cfg, disk)
+    colored = cm.afmhot(np.asarray(img))[..., :3]
+    mpimg.imsave(args.output, colored)
+    t = stats["timings"]
+    print(f"Accretion disk: {args.size}x{args.size}, a={args.a}, "
+          f"inclination {args.inclination} deg, "
+          f"r_isco={stats['r_isco']:.3f} M")
+    print(f"  disk pixels: {stats['disk_pixels']:,}, "
+          f"captured: {stats['captured']:,}")
+    print(f"  precompute {t.get('precompute', 0.0):.3f}s "
+          f"({stats['traced_rays'] / max(t.get('precompute', 1e-12), 1e-12):,.0f} rays/s)")
+    print(f"Saved: {args.output}")
+    return 0
+
+
 def cmd_ray(args) -> int:
     """Single-ray demo (main.py parity): trace, report, plot."""
     from light_path_tracer_tpu.models import make_metric
@@ -260,6 +294,20 @@ def build_parser():
                    help="zero-integration threshold test vs alpha_crit")
     p.add_argument("--output", default="black_hole_shadow.png")
     p.set_defaults(fn=cmd_shadow)
+
+    p = sub.add_parser("disk", help="accretion-disk render (redshift + "
+                                    "Doppler beaming)")
+    _add_scene_args(p)
+    _add_render_args(p)
+    p.add_argument("--size", type=int, default=1024)
+    p.add_argument("--inclination", type=float, default=80.0,
+                   help="observer inclination from the spin axis in deg")
+    p.add_argument("--r-out", type=float, default=20.0)
+    p.add_argument("--emissivity-q", type=float, default=3.0)
+    p.add_argument("--g-power", type=float, default=3.0)
+    p.add_argument("--translucent", action="store_true")
+    p.add_argument("--output", default="accretion_disk.png")
+    p.set_defaults(fn=cmd_disk)
 
     p = sub.add_parser("ray", help="single-ray trace + trajectory plot")
     _add_scene_args(p)

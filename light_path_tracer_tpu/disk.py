@@ -1,0 +1,174 @@
+"""Thin accretion-disk rendering with gravitational redshift + Doppler
+beaming (BASELINE.json config 4 — an extension beyond the reference).
+
+Model: a geometrically thin, optically configurable equatorial disk of
+prograde Keplerian circular orbits between r_isco and r_out, with
+power-law emissivity eps(r) ~ r^-q. Per pixel, the geodesic integrator
+records up to two equatorial-plane crossings (primary + secondary image);
+each contributes
+
+    I_obs = g^p * eps(r_c),     g = E_obs / E_em = 1 / (u^t (1 - Omega xi))
+
+where Omega = sqrt(M) / (r^{3/2} + a sqrt(M)) is the Keplerian angular
+velocity, u^t follows from the circular-orbit normalization
+u^t = 1/sqrt(-(g_tt + 2 Omega g_tphi + Omega^2 g_phiphi)), and
+xi = L/E = p_phi/E is the ray's conserved azimuthal impact parameter —
+so the full redshift (gravitational + special-relativistic Doppler) needs
+only the crossing radius and the ray's conserved momenta. p = 3 gives the
+standard bolometric beaming; p = 4 adds bandwidth compression.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from light_path_tracer_tpu.models.kerr import Kerr
+from light_path_tracer_tpu.ops.kerr_trace import (
+    dp45_integrate, TOLS, RUNNING, INVALID, CAPTURED)
+from light_path_tracer_tpu import camera
+from light_path_tracer_tpu.utils.config import SceneConfig, RenderConfig
+from light_path_tracer_tpu.utils.timing import StageTimer
+
+
+@dataclasses.dataclass(frozen=True)
+class DiskConfig:
+    r_out: float = 20.0            # outer edge in units of M
+    r_in: float | None = None      # None -> r_isco
+    emissivity_index: float = 3.0  # eps(r) ~ r^-q
+    g_power: float = 3.0           # I_obs = g^p * eps
+    opaque: bool = True            # first crossing blocks deeper images
+    max_hits: int = 2
+    tone_map: str = "asinh"        # "asinh" | "linear" | "sqrt"
+
+
+def r_isco(M: float, a: float, prograde: bool = True) -> float:
+    """Innermost stable circular orbit radius (Bardeen-Press-Teukolsky)."""
+    chi = a / M
+    z1 = 1.0 + (1.0 - chi**2) ** (1.0 / 3.0) * (
+        (1.0 + chi) ** (1.0 / 3.0) + (1.0 - chi) ** (1.0 / 3.0))
+    z2 = np.sqrt(3.0 * chi**2 + z1**2)
+    sign = -1.0 if prograde else 1.0
+    return float(M * (3.0 + z2 + sign * np.sqrt(
+        (3.0 - z1) * (3.0 + z1 + 2.0 * z2))))
+
+
+def keplerian_redshift(M, a, r_c, xi):
+    """g = 1 / (u^t (1 - Omega xi)) for a prograde Keplerian emitter.
+
+    Batched over crossing radii r_c and per-ray xi = L/E.
+    """
+    sqrtM = jnp.sqrt(M)
+    omega = sqrtM / (r_c ** 1.5 + a * sqrtM)
+    # Equatorial covariant metric components.
+    g_tt = -(1.0 - 2.0 * M / r_c)
+    g_tphi = -2.0 * M * a / r_c
+    g_phiphi = r_c * r_c + a * a + 2.0 * M * a * a / r_c
+    norm = -(g_tt + 2.0 * omega * g_tphi + omega * omega * g_phiphi)
+    u_t = 1.0 / jnp.sqrt(jnp.maximum(norm, 1e-12))
+    g = 1.0 / (u_t * (1.0 - omega * xi))
+    return jnp.maximum(g, 0.0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("metric", "r_obs", "theta_obs", "lambda_max",
+                     "max_steps", "disk"))
+def trace_disk_rays(metric, r_obs, alphas, thetas, theta_obs,
+                    lambda_max: float, max_steps: int, disk: DiskConfig):
+    """Trace rays recording equatorial crossings; returns per-ray
+    (status, n_hits, (r_hits...), xi)."""
+    dtype = alphas.dtype
+    tols = TOLS[jnp.dtype(dtype)]
+    r_in = disk.r_in if disk.r_in is not None else r_isco(
+        metric.M, metric.a)
+
+    y0, p_t, p_phi, invalid0 = metric.initial_conditions_5d(
+        r_obs, alphas, thetas, theta_obs)
+    status0 = jnp.where(invalid0, INVALID, RUNNING).astype(jnp.int32)
+    atol = jnp.full_like(alphas, tols["atol"])
+    rtol = jnp.full_like(alphas, tols["rtol"])
+
+    y_f, status_f, _lam, steps, hits = dp45_integrate(
+        metric, y0, p_t, p_phi, status0,
+        atol=atol, rtol=rtol, h_min=jnp.asarray(tols["h_min"], dtype),
+        tiny_err=tols["tiny_err"],
+        r_capture=jnp.asarray(metric.capture_radius(), dtype),
+        r_escape=jnp.asarray(r_obs * 2.0, dtype),
+        lambda_max=lambda_max, h_init=max(1.0, 0.01 * float(r_obs)),
+        max_steps=max_steps,
+        disk_plane=(float(r_in), float(disk.r_out), float(np.pi / 2),
+                    bool(disk.opaque)),
+        max_disk_hits=disk.max_hits)
+
+    xi = p_phi  # E = 1 convention: xi = L/E = p_phi
+    return status_f, hits["n"], hits["r"], xi, steps
+
+
+def render_disk(scene: SceneConfig, resolution,
+                cfg: RenderConfig = RenderConfig(),
+                disk: DiskConfig = DiskConfig()):
+    """Render the accretion-disk image; returns (image (H,W), stats).
+
+    The observer inclination comes from scene.theta_obs — edge-on
+    (pi/2) shows the classic asymmetric Doppler-boosted disk; use e.g.
+    80 deg (slightly off-plane) for the textbook bent-disk image.
+    """
+    metric = Kerr(M=scene.M, a=scene.a)
+    timer = StageTimer()
+    height, width = resolution
+    fov = camera.fov_from_vertical(scene.vertical_fov, resolution)
+    dtype = jnp.float64 if cfg.dtype == "float64" else jnp.float32
+
+    with timer.stage("build_lookup") as out:
+        alpha = camera.build_alpha_lookup(resolution, fov, psi=scene.psi,
+                                          dtype=dtype)
+        theta = camera.build_theta_lookup(resolution, fov, psi=scene.psi,
+                                          dtype=dtype)
+        out.append((alpha, theta))
+
+    with timer.stage("precompute") as out:
+        status, n_hits, r_hits, xi, steps = trace_disk_rays(
+            metric, scene.r_obs, alpha.ravel(), theta.ravel(),
+            scene.theta_obs, max(5000.0, 6.0 * scene.r_obs),
+            cfg.max_steps, disk)
+        out.append(status)
+
+    with timer.stage("render") as out:
+        r_in = disk.r_in if disk.r_in is not None else r_isco(
+            scene.M, scene.a)
+        intensity = jnp.zeros_like(alpha.ravel())
+        n_slots = 1 if disk.opaque else disk.max_hits
+        for slot in range(n_slots):
+            hit = n_hits > slot
+            r_c = jnp.maximum(r_hits[slot], r_in)
+            g = keplerian_redshift(scene.M, scene.a, r_c, xi)
+            eps = (r_c / r_in) ** (-disk.emissivity_index)
+            contrib = jnp.where(hit, g ** disk.g_power * eps, 0.0)
+            intensity = intensity + contrib
+
+        if disk.tone_map == "asinh":
+            peak = jnp.maximum(jnp.max(intensity), 1e-12)
+            img = jnp.arcsinh(10.0 * intensity / peak) / jnp.arcsinh(10.0)
+        elif disk.tone_map == "sqrt":
+            peak = jnp.maximum(jnp.max(intensity), 1e-12)
+            img = jnp.sqrt(intensity / peak)
+        else:
+            img = intensity / jnp.maximum(jnp.max(intensity), 1e-12)
+        img = img.reshape(resolution).astype(jnp.float32)
+        out.append(img)
+
+    stats = dict(
+        alpha_crit=metric.alpha_crit(scene.r_obs, scene.theta_obs),
+        r_isco=r_isco(scene.M, scene.a),
+        captured=int((np.asarray(status) == CAPTURED).sum()),
+        disk_pixels=int((np.asarray(n_hits) > 0).sum()),
+        integrator_steps=int(steps),
+        total_rays=height * width,
+        traced_rays=height * width,
+        timings=timer.finish())
+    return img, stats

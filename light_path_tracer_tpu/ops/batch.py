@@ -41,7 +41,7 @@ def _kerr_backend(backend, dtype):
 def trace_batch(metric, r_obs, alphas, thetas=None, theta_obs=np.pi / 2,
                 axis_refine=None, *, chunk_size=None, sort_by_difficulty=True,
                 lambda_max=None, max_steps=200000, phi_max=50.0, h_max=0.05,
-                backend="auto"):
+                backend="auto", integrator="dp45"):
     """Trace N rays through `metric`; returns TraceResult of shape (N,).
 
     Dispatches to the spherically-symmetric orbit tracer or the Kerr DP45
@@ -68,13 +68,17 @@ def trace_batch(metric, r_obs, alphas, thetas=None, theta_obs=np.pi / 2,
     if lambda_max is None:
         lambda_max = max(5000.0, 6.0 * float(r_obs))
 
-    resolved = _kerr_backend(backend, alphas.dtype)
-    if resolved == "pallas":
-        from light_path_tracer_tpu.ops.pallas.kerr_trace_kernel import (
-            trace_rays_kerr_pallas)
-        kerr_fn = trace_rays_kerr_pallas
+    if integrator == "rk4":
+        from light_path_tracer_tpu.ops.kerr_rk4 import trace_rays_kerr_rk4
+        kerr_fn = trace_rays_kerr_rk4
     else:
-        kerr_fn = trace_rays_kerr
+        resolved = _kerr_backend(backend, alphas.dtype)
+        if resolved == "pallas":
+            from light_path_tracer_tpu.ops.pallas.kerr_trace_kernel import (
+                trace_rays_kerr_pallas)
+            kerr_fn = trace_rays_kerr_pallas
+        else:
+            kerr_fn = trace_rays_kerr
 
     if chunk_size is None or chunk_size >= n:
         return kerr_fn(

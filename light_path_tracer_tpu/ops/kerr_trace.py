@@ -178,12 +178,19 @@ def trace_rays_kerr(metric, r_obs, alphas, thetas, theta_obs,
 
 def dp45_integrate(metric, y0, p_t, p_phi, status0, *, atol, rtol, h_min,
                    tiny_err, r_capture, r_escape, lambda_max, h_init,
-                   max_steps, event_interp="hermite"):
+                   max_steps, event_interp="hermite", disk_plane=None,
+                   max_disk_hits=2):
     """The shared lock-step DP45+FSAL integration loop.
 
     Shape-polymorphic over the ray axis/axes: the XLA path calls it on
     (N,) arrays; the Pallas fused kernel calls it on (R, 128) VMEM tiles.
-    Returns (y_final, status, lambda, steps_executed).
+    Returns (y_final, status, lambda, steps_executed) — plus, when
+    `disk_plane=(r_in, r_out, theta_plane, opaque)` is given, a
+    `disk_hits` dict with the first `max_disk_hits` equatorial-plane
+    crossing radii per ray (the accretion-disk extension: BASELINE.json
+    config 4 — the reference has no disk). With opaque=True the ray
+    terminates at its first in-disk crossing (status stays as-is; the
+    hit record marks the pixel).
     """
     dtype = y0[0].dtype
     lam_max = jnp.asarray(lambda_max, dtype)
@@ -193,13 +200,25 @@ def dp45_integrate(metric, y0, p_t, p_phi, status0, *, atol, rtol, h_min,
     h0 = jnp.full_like(y0[0], h_init)
     lam0 = jnp.zeros_like(y0[0])
 
+    if disk_plane is not None:
+        disk_r_in, disk_r_out, theta_plane, disk_opaque = disk_plane
+        hits0 = {
+            "n": jnp.zeros(y0[0].shape, jnp.int32),
+            "r": tuple(jnp.zeros_like(y0[0])
+                       for _ in range(max_disk_hits)),
+            "down": tuple(jnp.zeros(y0[0].shape, bool)
+                          for _ in range(max_disk_hits)),
+        }
+    else:
+        hits0 = {"n": jnp.zeros((), jnp.int32), "r": (), "down": ()}
+
     def cond(carry):
-        step, y, k1, h, lam, status = carry
+        step, y, k1, h, lam, status, hits = carry
         running = (status == RUNNING) & (lam < lam_max)
         return (step < max_steps) & jnp.any(running)
 
     def body(carry):
-        step, y, k1, h, lam, status = carry
+        step, y, k1, h, lam, status, hits = carry
         running = (status == RUNNING) & (lam < lam_max)
         h_eff = jnp.minimum(h, lam_max - lam)
         h_eff = jnp.maximum(h_eff, 0.0)
@@ -280,9 +299,52 @@ def dp45_integrate(metric, y0, p_t, p_phi, status0, *, atol, rtol, h_min,
                                jnp.where(esc, ESCAPED, status))
         status_out = jnp.where(underflow | corrupt, INVALID, status_out)
         status_out = status_out.astype(jnp.int32)
-        return step + 1, y_out, k1_out, h_new, lam_out, status_out
 
-    carry0 = (jnp.asarray(0, jnp.int32), y0, k1_0, h0, lam0, status0)
-    step_f, y_f, _k1_f, _h_f, lam_f, status_f = jax.lax.while_loop(
+        hits_out = hits
+        if disk_plane is not None:
+            # Equatorial-plane crossing on the accepted step segment
+            # (up to the event fraction), located with the same
+            # interpolant used for events.
+            th_prev, th_next = y[1], y_acc[1]
+            d_prev = th_prev - theta_plane
+            d_next = th_next - theta_plane
+            crossed = upd & (d_prev * d_next < 0.0)
+            den = jnp.where(d_next == d_prev, 1.0, d_next - d_prev)
+            frac_c = jnp.clip(-d_prev / den, 0.0, 1.0)
+            if event_interp == "hermite":
+                y_cross = _hermite_eval(y, y_acc, k1, k7,
+                                        frac * h_eff, frac_c)
+            else:
+                y_cross = _lerp(y, y_acc, frac_c)
+            r_c = y_cross[0]
+            in_disk = crossed & (r_c >= disk_r_in) & (r_c <= disk_r_out)
+            going_down = d_next > d_prev   # theta increasing (toward +z->-z)
+
+            n = hits_out["n"]
+            new_r = list(hits_out["r"])
+            new_down = list(hits_out["down"])
+            for slot in range(max_disk_hits):
+                take = in_disk & (n == slot)
+                new_r[slot] = jnp.where(take, r_c, new_r[slot])
+                new_down[slot] = jnp.where(take, going_down,
+                                           new_down[slot])
+            n = jnp.where(in_disk, jnp.minimum(n + 1, max_disk_hits), n)
+            hits_out = {"n": n, "r": tuple(new_r),
+                        "down": tuple(new_down)}
+            if disk_opaque:
+                # First in-disk crossing terminates the ray: park it at
+                # the crossing point with ESCAPED-like bookkeeping left
+                # to the caller (hit record identifies disk pixels).
+                stop = in_disk & (hits_out["n"] == 1) & (status_out == RUNNING)
+                y_out = _select(stop, y_cross, y_out)
+                status_out = jnp.where(stop, ESCAPED,
+                                       status_out).astype(jnp.int32)
+
+        return step + 1, y_out, k1_out, h_new, lam_out, status_out, hits_out
+
+    carry0 = (jnp.asarray(0, jnp.int32), y0, k1_0, h0, lam0, status0, hits0)
+    step_f, y_f, _k1_f, _h_f, lam_f, status_f, hits_f = jax.lax.while_loop(
         cond, body, carry0)
+    if disk_plane is not None:
+        return y_f, status_f, lam_f, step_f, hits_f
     return y_f, status_f, lam_f, step_f

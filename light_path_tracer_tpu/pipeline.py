@@ -100,7 +100,8 @@ def precompute_final_alpha(scene: SceneConfig, cfg: RenderConfig,
         metric, scene.r_obs, alpha_t, theta_t, scene.theta_obs, refine_t,
         chunk_size=cfg.chunk_size,
         sort_by_difficulty=cfg.sort_by_difficulty,
-        max_steps=cfg.max_steps, backend=cfg.backend)
+        max_steps=cfg.max_steps, backend=cfg.backend,
+        integrator=cfg.integrator)
 
     fa_rows = res.final_alpha.reshape(
         (trace_rows, width)).astype(jnp.float32)

@@ -1,0 +1,70 @@
+"""Accretion-disk extension tests: ISCO, redshift physics, rendering."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from light_path_tracer_tpu.utils.config import SceneConfig, RenderConfig
+from light_path_tracer_tpu.disk import (
+    render_disk, DiskConfig, r_isco, keplerian_redshift)
+
+
+def test_isco_limits():
+    assert np.isclose(r_isco(1.0, 0.0), 6.0, atol=1e-12)
+    assert np.isclose(r_isco(1.0, 1.0), 1.0, atol=1e-6)
+    assert np.isclose(r_isco(1.0, 0.9), 2.3209, atol=1e-3)
+    assert np.isclose(r_isco(2.0, 0.0), 12.0, atol=1e-12)  # scales with M
+    # Retrograde ISCO is farther out.
+    assert np.isclose(r_isco(1.0, 1.0, prograde=False), 9.0, atol=1e-6)
+
+
+def test_redshift_static_limit():
+    """xi = 0, far radius: g -> sqrt(1 - 3M/r)-ish (pure orbital time
+    dilation); at large r, g -> 1."""
+    g_far = float(keplerian_redshift(1.0, 0.0, jnp.asarray([1e6]),
+                                     jnp.asarray([0.0]))[0])
+    assert np.isclose(g_far, 1.0, atol=1e-4)
+    # Schwarzschild analytic: 1/u^t = sqrt(1 - 3M/r) for circular orbit,
+    # so with xi=0, g = sqrt(1 - 3M/r).
+    r = 8.0
+    g = float(keplerian_redshift(1.0, 0.0, jnp.asarray([r]),
+                                 jnp.asarray([0.0]))[0])
+    assert np.isclose(g, np.sqrt(1.0 - 3.0 / r), atol=1e-12)
+
+
+def test_doppler_sign():
+    """Approaching side (Omega*xi > 0) is blueshifted, receding is red."""
+    r = 10.0
+    g_app = float(keplerian_redshift(1.0, 0.9, jnp.asarray([r]),
+                                     jnp.asarray([5.0]))[0])
+    g_rec = float(keplerian_redshift(1.0, 0.9, jnp.asarray([r]),
+                                     jnp.asarray([-5.0]))[0])
+    assert g_app > g_rec
+
+
+def test_disk_render_edge_on_asymmetry():
+    scene = SceneConfig(M=1.0, a=0.9, r_obs_mult=100.0,
+                        vertical_fov_deg=30.0,
+                        theta_obs=np.radians(80.0))
+    img, stats = render_disk(scene, (48, 64),
+                             RenderConfig(dtype="float64"))
+    img = np.asarray(img)
+    assert stats["disk_pixels"] > 50
+    assert stats["captured"] > 0
+    assert img.max() <= 1.0 and img.min() >= 0.0
+    # Doppler beaming: the two halves differ strongly.
+    left, right = img[:, :32].sum(), img[:, 32:].sum()
+    hi, lo = max(left, right), min(left, right)
+    assert hi / max(lo, 1e-9) > 2.0
+
+
+def test_disk_translucent_more_pixels():
+    """Non-opaque disk shows secondary-image crossings -> never fewer
+    contributing pixels than the opaque disk."""
+    scene = SceneConfig(M=1.0, a=0.5, r_obs_mult=100.0,
+                        vertical_fov_deg=30.0,
+                        theta_obs=np.radians(75.0))
+    _, s_op = render_disk(scene, (32, 48), RenderConfig(dtype="float64"),
+                          DiskConfig(opaque=True))
+    _, s_tr = render_disk(scene, (32, 48), RenderConfig(dtype="float64"),
+                          DiskConfig(opaque=False))
+    assert s_tr["disk_pixels"] >= s_op["disk_pixels"]

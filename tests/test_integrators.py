@@ -215,3 +215,32 @@ def test_axis_refine_tightens_result():
                                   np.asarray(fine.status))
     np.testing.assert_allclose(np.asarray(base.final_alpha),
                                np.asarray(fine.final_alpha), atol=1e-4)
+
+
+def test_rk4_agrees_with_dp45():
+    """Adaptive-vs-fixed-step cross-check (SURVEY §4.2b)."""
+    from light_path_tracer_tpu.ops.kerr_rk4 import trace_rays_kerr_rk4
+    m = Kerr(M=1.0, a=0.9)
+    ac = m.alpha_crit(R_OBS)
+    rng = np.random.default_rng(9)
+    n = 40
+    alphas = jnp.asarray(
+        np.concatenate([rng.uniform(0.3 * ac, 0.8 * ac, n // 2),
+                        rng.uniform(1.2 * ac, 4.0 * ac, n // 2)]),
+        jnp.float64)
+    thetas = jnp.asarray(rng.uniform(-np.pi, np.pi, n), jnp.float64)
+    refine = jnp.zeros(n, bool)
+    r_dp = trace_rays_kerr(m, R_OBS, alphas, thetas, np.pi / 2, refine,
+                           5000.0, 200000)
+    r_rk = trace_rays_kerr_rk4(m, R_OBS, alphas, thetas, np.pi / 2, refine,
+                               5000.0, 200000)
+    s_dp, s_rk = np.asarray(r_dp.status), np.asarray(r_rk.status)
+    # Away from the critical angle the outcomes must agree.
+    assert (s_dp == s_rk).mean() > 0.95
+    both = (s_dp == 1) & (s_rk == 1)
+    d = np.abs(np.asarray(r_dp.final_alpha)[both]
+               - np.asarray(r_rk.final_alpha)[both])
+    # RK4 h=1.0 fixed step + linear event lerp: ~1e-2 agreement is the
+    # expected fidelity of the comparison path (as in the reference).
+    assert np.median(d) < 5e-3
+    assert np.percentile(d, 90) < 3e-2
