@@ -135,22 +135,25 @@ def angles_to_pixel(angles, image_dimension, fov, clip=False, psi=(0.0, 0.0)):
 
 # ---- batched per-pixel grids (jnp) ----
 
-def _cam_grids(image_dimension, fov, dtype):
+def _cam_grids(image_dimension, fov, dtype, pixel_offset=(0.0, 0.0)):
+    """Normalized camera-plane coordinate grids; `pixel_offset` = (dy, dx)
+    subpixel shift in pixels (used by jittered AA supersampling)."""
     height, width = image_dimension
     fx, fy = focal_lengths(image_dimension, fov)
-    x_cam = (jnp.arange(width, dtype=dtype) - width / 2) / fx
-    y_cam = (jnp.arange(height, dtype=dtype) - height / 2) / fy
+    oy, ox = pixel_offset
+    x_cam = (jnp.arange(width, dtype=dtype) - width / 2 + ox) / fx
+    y_cam = (jnp.arange(height, dtype=dtype) - height / 2 + oy) / fy
     return x_cam, y_cam
 
 
 def build_alpha_lookup(image_dimension, fov, decimals=None, psi=(0.0, 0.0),
-                       dtype=jnp.float32):
+                       dtype=jnp.float32, pixel_offset=(0.0, 0.0)):
     """Per-pixel viewing angle alpha to the BH direction, (H, W).
 
     Parity: image_lens.py:133-152 (one arccos per pixel on broadcasted
     camera grids; optional decimal rounding for binning; float32 out).
     """
-    x_cam, y_cam = _cam_grids(image_dimension, fov, dtype)
+    x_cam, y_cam = _cam_grids(image_dimension, fov, dtype, pixel_offset)
     d = psi_frame(psi).d
 
     denom = jnp.sqrt(1.0 + x_cam[None, :] ** 2 + y_cam[:, None] ** 2)
@@ -163,13 +166,13 @@ def build_alpha_lookup(image_dimension, fov, decimals=None, psi=(0.0, 0.0),
 
 
 def build_theta_lookup(image_dimension, fov, psi=(0.0, 0.0),
-                       dtype=jnp.float32):
+                       dtype=jnp.float32, pixel_offset=(0.0, 0.0)):
     """Per-pixel screen azimuth theta about the BH direction, (H, W).
 
     Parity: the theta_pixel construction of image_lens.py:195-208 (and the
     identical theta_lookup in the renderer, image_lens.py:310-317).
     """
-    x_cam, y_cam = _cam_grids(image_dimension, fov, dtype)
+    x_cam, y_cam = _cam_grids(image_dimension, fov, dtype, pixel_offset)
     frame = psi_frame(psi)
     e_x, e_y = frame.e_x, frame.e_y
 
