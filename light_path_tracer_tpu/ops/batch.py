@@ -41,7 +41,7 @@ def _kerr_backend(backend, dtype):
 def trace_batch(metric, r_obs, alphas, thetas=None, theta_obs=np.pi / 2,
                 axis_refine=None, *, chunk_size=None, sort_by_difficulty=True,
                 lambda_max=None, max_steps=200000, phi_max=50.0, h_max=0.05,
-                backend="auto", integrator="dp45"):
+                backend="auto", integrator="dp45", event_interp="hermite"):
     """Trace N rays through `metric`; returns TraceResult of shape (N,).
 
     Dispatches to the spherically-symmetric orbit tracer or the Kerr DP45
@@ -80,10 +80,13 @@ def trace_batch(metric, r_obs, alphas, thetas=None, theta_obs=np.pi / 2,
         else:
             kerr_fn = trace_rays_kerr
 
+    kerr_kwargs = {} if integrator == "rk4" else dict(
+        event_interp=event_interp)
+
     if chunk_size is None or chunk_size >= n:
         return kerr_fn(
             metric, float(r_obs), alphas, thetas, float(theta_obs),
-            axis_refine, float(lambda_max), max_steps)
+            axis_refine, float(lambda_max), max_steps, **kerr_kwargs)
 
     alpha_crit = metric.alpha_crit(float(r_obs), float(theta_obs))
     if sort_by_difficulty:
@@ -110,7 +113,7 @@ def trace_batch(metric, r_obs, alphas, thetas=None, theta_obs=np.pi / 2,
             a_s[start:start + chunk_size],
             t_s[start:start + chunk_size],
             float(theta_obs), ar_s[start:start + chunk_size],
-            float(lambda_max), max_steps)
+            float(lambda_max), max_steps, **kerr_kwargs)
         fas.append(res.final_alpha)
         nhs.append(res.n_half_orbits)
         sts.append(res.status)

@@ -101,7 +101,7 @@ def precompute_final_alpha(scene: SceneConfig, cfg: RenderConfig,
         chunk_size=cfg.chunk_size,
         sort_by_difficulty=cfg.sort_by_difficulty,
         max_steps=cfg.max_steps, backend=cfg.backend,
-        integrator=cfg.integrator)
+        integrator=cfg.integrator, event_interp=cfg.event_interp)
 
     fa_rows = res.final_alpha.reshape(
         (trace_rows, width)).astype(jnp.float32)

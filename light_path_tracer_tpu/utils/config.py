@@ -45,6 +45,9 @@ class RenderConfig:
     dtype: str = "float32"             # "float32" | "float64"
     integrator: str = "dp45"           # "dp45" | "rk4" (Kerr comparison path)
     backend: str = "auto"              # "auto" | "xla" | "pallas"
+    # "hermite" (more accurate) or "linear" (bug-for-bug reference parity,
+    # metrics.py:528-548) boundary-crossing interpolation.
+    event_interp: str = "hermite"
     max_steps: int = 200000            # adaptive-step bound (metrics.py:452)
     phi_max: float = 50.0              # Schwarzschild orbit bound
     h_max: float = 0.05                # Schwarzschild fixed step
