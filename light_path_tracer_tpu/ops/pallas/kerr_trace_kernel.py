@@ -29,8 +29,11 @@ from light_path_tracer_tpu.ops.kerr_trace import (
     dp45_integrate, TOLS, RUNNING, INVALID, ESCAPED, CAPTURED)
 from light_path_tracer_tpu.ops.types import TraceResult
 
-LANE = 128          # TPU vector lane width
-DEFAULT_ROWS = 256  # sublane rows per tile -> 32k rays/tile
+LANE = 128         # TPU vector lane width
+# Sublane rows per tile -> 8k rays/tile. Swept on a v5e for the 1024^2
+# Kerr shadow workload: 64 rows edges out 16/32/128/256 when rays are
+# difficulty-sorted (finer tiles exit sooner; grid overhead balances out).
+DEFAULT_ROWS = 64
 
 
 def _trace_tile_kernel(alpha_ref, theta_ref, refine_ref, valid_ref,
