@@ -41,7 +41,8 @@ def _kerr_backend(backend, dtype):
 def trace_batch(metric, r_obs, alphas, thetas=None, theta_obs=np.pi / 2,
                 axis_refine=None, *, chunk_size=None, sort_by_difficulty=True,
                 lambda_max=None, max_steps=200000, phi_max=50.0, h_max=0.05,
-                backend="auto", integrator="dp45", event_interp="hermite"):
+                backend="auto", integrator="dp45", event_interp="hermite",
+                progress=False):
     """Trace N rays through `metric`; returns TraceResult of shape (N,).
 
     Dispatches to the spherically-symmetric orbit tracer or the Kerr DP45
@@ -111,9 +112,16 @@ def trace_batch(metric, r_obs, alphas, thetas=None, theta_obs=np.pi / 2,
     t_s = _pad_to(t_s, n_pad, 0.0)
     ar_s = _pad_to(ar_s, n_pad, False)
 
+    starts = range(0, n_pad, chunk_size)
+    if progress:
+        # tqdm chunk progress, as the reference's precompute loops show
+        # (image_lens.py:169-170, 252-253).
+        from tqdm import tqdm
+        starts = tqdm(starts, desc="Tracing per-pixel rays", unit="chunk")
+
     fas, nhs, sts = [], [], []
     total_steps = 0
-    for start in range(0, n_pad, chunk_size):
+    for start in starts:
         res = kerr_fn(
             metric, float(r_obs),
             a_s[start:start + chunk_size],

@@ -101,7 +101,8 @@ def precompute_final_alpha(scene: SceneConfig, cfg: RenderConfig,
         chunk_size=cfg.chunk_size,
         sort_by_difficulty=cfg.sort_by_difficulty,
         max_steps=cfg.max_steps, backend=cfg.backend,
-        integrator=cfg.integrator, event_interp=cfg.event_interp)
+        integrator=cfg.integrator, event_interp=cfg.event_interp,
+        progress=cfg.progress)
 
     fa_rows = res.final_alpha.reshape(
         (trace_rows, width)).astype(jnp.float32)

@@ -61,3 +61,4 @@ class RenderConfig:
     use_tb_symmetry: bool = True       # top/bottom mirror when applicable
     render_loop_around: bool = False
     winding_max: int = 65535           # uint16 winding clip (image_lens.py:13)
+    progress: bool = False             # tqdm bars on chunked tracing

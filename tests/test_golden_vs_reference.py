@@ -153,3 +153,41 @@ def test_camera_matches_reference_camera():
                                                 dtype=jnp.float64))
     g_rf = ref_il.build_alpha_lookup(dim, fov, psi=psi)
     np.testing.assert_allclose(g_us, g_rf, atol=1e-6)
+
+
+def test_e2e_kerr_image_matches_reference_pipeline():
+    """Capstone: full small Kerr lensed render vs the reference pipeline
+    run end-to-end (its pure-Python fallback), RMSE gate on the image."""
+    import image_lens as ref_il
+
+    from light_path_tracer_tpu.utils.config import SceneConfig, RenderConfig
+    from light_path_tracer_tpu.pipeline import render_scene
+
+    H, W = 24, 24
+    rng = np.random.default_rng(5)
+    src = rng.random((H, W, 3)).astype(np.float32)
+    a = 0.9
+    fov = camera.fov_from_vertical(np.radians(40.0), (H, W))
+
+    # --- reference pipeline (driven directly, no file IO) ---
+    ref_m = ref.Kerr(M=1.0, a=a)
+    alpha_lookup = ref_il.build_alpha_lookup((H, W), fov)
+    fa_ref, w_ref, _tot, _traced = ref_il.precompute_final_alpha_lookup_2d(
+        alpha_lookup, fov, ref_m.alpha_crit(R_OBS), R_OBS, ref_m)
+    img_ref = ref_il.render_lensed_image(
+        src, alpha_lookup, fa_ref, w_ref, ref_m.alpha_crit(R_OBS), fov)
+
+    # --- our pipeline (f64, bug-for-bug event mode) ---
+    scene = SceneConfig(M=1.0, a=a, r_obs_mult=100.0)
+    out = render_scene(scene, src, RenderConfig(
+        dtype="float64", event_interp="linear", chunk_size=None))
+    img_us = np.asarray(out.image)
+
+    fa_us = np.asarray(out.precompute.final_alpha)
+    shadow_agree = (np.isnan(fa_us) == np.isnan(fa_ref)).mean()
+    assert shadow_agree > 0.98
+
+    rmse = np.sqrt(np.mean((img_us - img_ref) ** 2))
+    # The acceptance gate (BASELINE.md): image RMSE < 1e-3. Identical
+    # algorithms; only fp-order differences on grazing pixels remain.
+    assert rmse < 1e-3, f"image RMSE {rmse}"
