@@ -29,6 +29,10 @@ def main():
     parser.add_argument("--dtype", default="float32")
     args = parser.parse_args()
 
+    if args.dtype == "float64":
+        import jax
+        jax.config.update("jax_enable_x64", True)
+
     from light_path_tracer_tpu.utils.config import SceneConfig, RenderConfig
     from light_path_tracer_tpu.pipeline import render_shadow
 

@@ -35,6 +35,9 @@ def _add_scene_args(p):
                    help="BH horizontal offset in deg (+ = right, - = left)")
     p.add_argument("--fov-v", type=float, default=40.0,
                    help="Vertical field of view in deg")
+    p.add_argument("--theta-obs", type=float, default=90.0,
+                   help="Observer inclination from the spin axis in deg "
+                        "(default: 90 = equatorial)")
 
 
 def _add_render_args(p):
@@ -55,7 +58,8 @@ def _scene_from(args):
     return SceneConfig(
         M=args.M, a=args.a, r_obs_mult=args.r_obs,
         psi_y=np.radians(args.psi_y), psi_x=np.radians(args.psi_x),
-        vertical_fov_deg=args.fov_v)
+        vertical_fov_deg=args.fov_v,
+        theta_obs=np.radians(getattr(args, "theta_obs", 90.0)))
 
 
 def _render_cfg_from(args):

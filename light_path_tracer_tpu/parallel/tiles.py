@@ -36,7 +36,7 @@ def _pad_rows(grid, rows_to):
 def trace_grid_sharded(metric, r_obs, alpha_grid, theta_grid=None,
                        theta_obs=np.pi / 2, refine_grid=None, *,
                        mesh: Mesh, lambda_max=None, max_steps=200000,
-                       phi_max=50.0, h_max=0.05):
+                       phi_max=50.0, h_max=0.05, backend="auto"):
     """Trace an (H, W) pixel grid sharded row-wise over `mesh`.
 
     Returns (final_alpha, n_half_orbits, status) grids of shape (H, W).
@@ -71,8 +71,16 @@ def trace_grid_sharded(metric, r_obs, alpha_grid, theta_grid=None,
         theta_p = _pad_rows(theta_grid, H_pad)
         refine_p = _pad_rows(refine_grid, H_pad)
 
+        from light_path_tracer_tpu.ops.batch import _kerr_backend
+        resolved = _kerr_backend(backend, alpha_grid.dtype)
+        if resolved == "pallas":
+            from light_path_tracer_tpu.ops.pallas.kerr_trace_kernel import (
+                trace_rays_kerr_pallas as kerr_fn)
+        else:
+            kerr_fn = trace_rays_kerr
+
         def per_tile(a, t, rf):
-            res = trace_rays_kerr(
+            res = kerr_fn(
                 metric, float(r_obs), a.ravel(), t.ravel(),
                 float(theta_obs), rf.ravel(), float(lambda_max), max_steps)
             return (res.final_alpha.reshape(a.shape),

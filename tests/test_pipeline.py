@@ -132,3 +132,29 @@ def test_uint8_source_normalized():
         np.uint8)
     out = render_scene(scene, src)
     assert np.asarray(out.image).max() <= 1.0
+
+
+def test_invalid_rays_surface_as_shadow():
+    """Failure handling (SURVEY §5): numerically invalid rays surface as
+    status 0 / NaN final_alpha and render black, never crash."""
+    from light_path_tracer_tpu.models import Kerr
+    from light_path_tracer_tpu.ops import trace_rays_kerr
+
+    # Observer inside the ergosphere/horizon region -> Delta <= 0 -> the
+    # initial-condition guard flags every ray invalid.
+    m = Kerr(M=1.0, a=0.5)
+    alphas = jnp.asarray([0.01, 0.05], jnp.float64)
+    thetas = jnp.asarray([0.0, 1.0], jnp.float64)
+    res = trace_rays_kerr(m, 1.5, alphas, thetas, np.pi / 2,
+                          jnp.zeros(2, bool), 5000.0, 1000)
+    assert (np.asarray(res.status) == 0).all()
+    assert np.isnan(np.asarray(res.final_alpha)).all()
+
+    # Invalid lanes must not poison neighbors in the same batch.
+    m2 = Kerr(M=1.0, a=0.9)
+    al = jnp.asarray([0.0, 0.1], jnp.float64)   # alpha=0: degenerate
+    th = jnp.asarray([0.0, 1.0], jnp.float64)
+    r2 = trace_rays_kerr(m2, 100.0, al, th, np.pi / 2,
+                         jnp.zeros(2, bool), 5000.0, 200000)
+    assert int(r2.status[1]) == 1
+    assert np.isfinite(float(r2.final_alpha[1]))
