@@ -278,11 +278,11 @@ def dp45_integrate(metric, y0, p_t, p_phi, status0, *, atol, rtol, h_min,
         y_acc = _select(cap | esc, y_event, y5)
         lam_acc = lam + frac * h_eff
 
-        # -- step-size control --
-        shrink = jnp.maximum(0.2, 0.9 * err_norm ** (-0.2))
+        # -- step-size control (one pow serves both shrink and grow) --
+        factor = 0.9 * jnp.maximum(err_norm, 1e-30) ** (-0.2)
+        shrink = jnp.maximum(0.2, factor)
         grow = jnp.where(err_norm < tiny_err, 5.0,
-                         jnp.minimum(5.0, 0.9 *
-                                     jnp.maximum(err_norm, 1e-30) ** (-0.2)))
+                         jnp.minimum(5.0, factor))
         h_new = jnp.where(accept, h * grow,
                           jnp.where(reject, h * shrink,
                                     jnp.where(blowup, h * 0.25, h)))
