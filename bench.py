@@ -33,6 +33,9 @@ def main():
         import jax
         jax.config.update("jax_enable_x64", True)
 
+    from light_path_tracer_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
     from light_path_tracer_tpu.utils.config import SceneConfig, RenderConfig
     from light_path_tracer_tpu.pipeline import render_shadow
 

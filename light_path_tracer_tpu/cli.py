@@ -330,6 +330,8 @@ def build_parser():
 
 
 def main(argv=None) -> int:
+    from light_path_tracer_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     parser = build_parser()
     args = parser.parse_args(argv)
     if not getattr(args, "fn", None):
