@@ -12,8 +12,6 @@ in tests/test_sharding.py on a virtual 8-device CPU mesh).
 
 from __future__ import annotations
 
-import functools
-
 import numpy as np
 import jax
 import jax.numpy as jnp
