@@ -74,14 +74,35 @@ def keplerian_redshift(M, a, r_c, xi):
     return jnp.maximum(g, 0.0)
 
 
+def trace_disk_rays(metric, r_obs, alphas, thetas, theta_obs,
+                    lambda_max: float, max_steps: int, disk: DiskConfig,
+                    backend: str = "auto"):
+    """Trace rays recording equatorial crossings; returns per-ray
+    (status, n_hits, (r_hits...), xi, steps). backend as in trace_batch."""
+    from light_path_tracer_tpu.ops.batch import _kerr_backend
+    resolved = _kerr_backend(backend, alphas.dtype)
+    r_in = disk.r_in if disk.r_in is not None else r_isco(
+        metric.M, metric.a)
+    plane = (float(r_in), float(disk.r_out), float(np.pi / 2),
+             bool(disk.opaque))
+    if resolved == "pallas":
+        from light_path_tracer_tpu.ops.pallas.kerr_trace_kernel import (
+            trace_disk_rays_pallas)
+        return trace_disk_rays_pallas(
+            metric, float(r_obs), alphas, thetas, float(theta_obs),
+            float(lambda_max), max_steps, plane, disk.max_hits)
+    return _trace_disk_rays_xla(
+        metric, float(r_obs), alphas, thetas, float(theta_obs),
+        float(lambda_max), max_steps, disk)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("metric", "r_obs", "theta_obs", "lambda_max",
                      "max_steps", "disk"))
-def trace_disk_rays(metric, r_obs, alphas, thetas, theta_obs,
-                    lambda_max: float, max_steps: int, disk: DiskConfig):
-    """Trace rays recording equatorial crossings; returns per-ray
-    (status, n_hits, (r_hits...), xi)."""
+def _trace_disk_rays_xla(metric, r_obs, alphas, thetas, theta_obs,
+                         lambda_max: float, max_steps: int,
+                         disk: DiskConfig):
     dtype = alphas.dtype
     tols = TOLS[jnp.dtype(dtype)]
     r_in = disk.r_in if disk.r_in is not None else r_isco(
@@ -135,7 +156,7 @@ def render_disk(scene: SceneConfig, resolution,
         status, n_hits, r_hits, xi, steps = trace_disk_rays(
             metric, scene.r_obs, alpha.ravel(), theta.ravel(),
             scene.theta_obs, max(5000.0, 6.0 * scene.r_obs),
-            cfg.max_steps, disk)
+            cfg.max_steps, disk, backend=cfg.backend)
         out.append(status)
 
     with timer.stage("render") as out:

@@ -37,10 +37,12 @@ DEFAULT_ROWS = 64
 
 
 def _trace_tile_kernel(alpha_ref, theta_ref, refine_ref, valid_ref,
-                       r_out, th_out, phi_out, pr_out, pth_out,
-                       status_out, steps_out, *,
+                       *out_refs,
                        metric, r_obs, theta_obs, lambda_max, max_steps,
-                       event_interp, tols):
+                       event_interp, tols, disk_plane=None,
+                       max_disk_hits=2):
+    (r_out, th_out, phi_out, pr_out, pth_out,
+     status_out, steps_out) = out_refs[:7]
     alphas = alpha_ref[:]
     thetas = theta_ref[:]
     refine = refine_ref[:] > 0.5
@@ -55,7 +57,7 @@ def _trace_tile_kernel(alpha_ref, theta_ref, refine_ref, valid_ref,
     status0 = jnp.where(invalid0 | ~valid, INVALID, RUNNING).astype(
         jnp.int32)
 
-    y_f, status_f, _lam_f, steps = dp45_integrate(
+    result = dp45_integrate(
         metric, y0, p_t, p_phi, status0,
         atol=atol, rtol=rtol,
         h_min=jnp.asarray(tols["h_min"], dtype),
@@ -63,7 +65,16 @@ def _trace_tile_kernel(alpha_ref, theta_ref, refine_ref, valid_ref,
         r_capture=jnp.asarray(metric.capture_radius(), dtype),
         r_escape=jnp.asarray(r_obs * 2.0, dtype),
         lambda_max=lambda_max, h_init=max(1.0, 0.01 * float(r_obs)),
-        max_steps=max_steps, event_interp=event_interp)
+        max_steps=max_steps, event_interp=event_interp,
+        disk_plane=disk_plane, max_disk_hits=max_disk_hits)
+    if disk_plane is not None:
+        y_f, status_f, _lam_f, steps, hits = result
+        hitn_out = out_refs[7]
+        hitn_out[:] = hits["n"]
+        for slot in range(max_disk_hits):
+            out_refs[8 + slot][:] = hits["r"][slot]
+    else:
+        y_f, status_f, _lam_f, steps = result
 
     r_out[:] = y_f[0]
     th_out[:] = y_f[1]
@@ -150,3 +161,68 @@ def trace_rays_kerr_pallas(metric, r_obs, alphas, thetas, theta_obs,
     final_alpha = jnp.where(status_out == ESCAPED, final_alpha, nan)
     n_half = jnp.where(invalid_f & (status_f == INVALID), 0, n_half)
     return TraceResult(final_alpha, n_half, status_out, jnp.max(steps))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("metric", "r_obs", "theta_obs", "lambda_max",
+                     "max_steps", "disk_plane", "max_disk_hits",
+                     "tile_rows", "interpret"))
+def trace_disk_rays_pallas(metric, r_obs, alphas, thetas, theta_obs,
+                           lambda_max: float, max_steps: int,
+                           disk_plane, max_disk_hits: int = 2,
+                           tile_rows: int = DEFAULT_ROWS,
+                           interpret: bool = False):
+    """Pallas-fused disk-mode tracer: DP45 + equatorial-crossing recording
+    in one kernel. Returns (status, n_hits, (r_hits...), xi, steps) —
+    the same contract as disk.trace_disk_rays."""
+    dtype = alphas.dtype
+    if dtype != jnp.float32:
+        raise ValueError("pallas path is float32-only; got " + str(dtype))
+    tols = TOLS[jnp.dtype(dtype)]
+
+    n = alphas.shape[0]
+    tile = tile_rows * LANE
+    n_pad = max(1, -(-n // tile)) * tile
+    n_tiles = n_pad // tile
+
+    def pad(x, fill):
+        return jnp.concatenate(
+            [x, jnp.full((n_pad - n,), fill, x.dtype)]) if n_pad > n else x
+
+    alphas_p = pad(alphas, 0.1).reshape(n_tiles * tile_rows, LANE)
+    thetas_p = pad(thetas, 0.0).reshape(n_tiles * tile_rows, LANE)
+    refine_p = jnp.zeros((n_tiles * tile_rows, LANE), dtype)
+    valid_p = pad(jnp.ones((n,), dtype), 0.0).reshape(
+        n_tiles * tile_rows, LANE)
+
+    kernel = functools.partial(
+        _trace_tile_kernel, metric=metric, r_obs=float(r_obs),
+        theta_obs=float(theta_obs), lambda_max=float(lambda_max),
+        max_steps=max_steps, event_interp="hermite", tols=tols,
+        disk_plane=disk_plane, max_disk_hits=max_disk_hits)
+
+    block = pl.BlockSpec((tile_rows, LANE), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+    f32 = jax.ShapeDtypeStruct((n_tiles * tile_rows, LANE), dtype)
+    i32 = jax.ShapeDtypeStruct((n_tiles * tile_rows, LANE), jnp.int32)
+
+    n_out = 7 + 1 + max_disk_hits
+    outs = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[block, block, block, block],
+        out_specs=(block,) * n_out,
+        out_shape=(f32, f32, f32, f32, f32, i32, i32, i32)
+        + (f32,) * max_disk_hits,
+        interpret=interpret,
+    )(alphas_p, thetas_p, refine_p, valid_p)
+
+    flat = [o.reshape(n_pad)[:n] for o in outs]
+    status_f, steps = flat[5], flat[6]
+    hit_n = flat[7]
+    hit_r = tuple(flat[8 + s] for s in range(max_disk_hits))
+
+    _y0, _p_t, p_phi, _inv = metric.initial_conditions_5d(
+        float(r_obs), alphas, thetas, float(theta_obs))
+    return status_f, hit_n, hit_r, p_phi, jnp.max(steps)

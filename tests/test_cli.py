@@ -1,0 +1,75 @@
+"""CLI smoke tests: every subcommand end-to-end at tiny sizes."""
+
+import os
+
+import numpy as np
+import pytest
+
+import matplotlib
+matplotlib.use("Agg")
+import matplotlib.image as mpimg  # noqa: E402
+
+from light_path_tracer_tpu.cli import main, build_parser  # noqa: E402
+
+
+@pytest.fixture()
+def workdir(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    return tmp_path
+
+
+def test_parser_reference_flags():
+    """The reference's exact flags (image_lens.py:519-532) parse."""
+    p = build_parser()
+    args = p.parse_args(["lens", "--M", "2.0", "--a", "0.5",
+                         "--r-obs", "80", "--psi-y", "1.5",
+                         "--psi-x", "-2.0", "--fov-v", "30"])
+    assert args.M == 2.0 and args.a == 0.5 and args.r_obs == 80.0
+    assert args.psi_y == 1.5 and args.psi_x == -2.0 and args.fov_v == 30.0
+
+
+def test_no_command_shows_help(capsys):
+    assert main([]) == 2
+
+
+def test_cli_shadow_analytic(workdir):
+    rc = main(["shadow", "--size", "48", "--analytic",
+               "--output", "s.png"])
+    assert rc == 0 and os.path.exists("s.png")
+
+
+def test_cli_shadow_integrated(workdir):
+    rc = main(["shadow", "--size", "32", "--a", "0.8", "--dtype",
+               "float64", "--output", "s.png"])
+    assert rc == 0 and os.path.exists("s.png")
+
+
+def test_cli_lens_with_cache(workdir):
+    src = np.random.default_rng(0).random((24, 32, 3)).astype(np.float32)
+    mpimg.imsave("src.png", src)
+    rc = main(["lens", "--image", "src.png", "--output", "l.png",
+               "--cache"])
+    assert rc == 0 and os.path.exists("l.png")
+    assert os.path.isdir("lookup_cache")
+    rc = main(["lens", "--image", "src.png", "--output", "l2.png",
+               "--cache"])   # hit path
+    assert rc == 0 and os.path.exists("l2.png")
+    a = mpimg.imread("l.png")
+    b = mpimg.imread("l2.png")
+    np.testing.assert_array_equal(a, b)
+
+
+def test_cli_disk(workdir):
+    rc = main(["disk", "--a", "0.9", "--size", "32",
+               "--inclination", "80", "--dtype", "float64",
+               "--output", "d.png"])
+    assert rc == 0 and os.path.exists("d.png")
+
+
+def test_cli_ray_and_plot(workdir):
+    rc = main(["ray", "--alpha-deg", "8", "--r-obs", "50",
+               "--output", "r.png"])
+    assert rc == 0 and os.path.exists("r.png")
+    rc = main(["plot", "--angles", "4,8", "--r-obs", "50",
+               "--output", "p.png"])
+    assert rc == 0 and os.path.exists("p.png")

@@ -68,3 +68,35 @@ def test_disk_translucent_more_pixels():
     _, s_tr = render_disk(scene, (32, 48), RenderConfig(dtype="float64"),
                           DiskConfig(opaque=False))
     assert s_tr["disk_pixels"] >= s_op["disk_pixels"]
+
+
+def test_disk_pallas_matches_xla():
+    """Pallas disk-mode kernel vs the XLA path (interpret mode)."""
+    from light_path_tracer_tpu.models import Kerr
+    from light_path_tracer_tpu.disk import trace_disk_rays, DiskConfig
+    from light_path_tracer_tpu.ops.pallas.kerr_trace_kernel import (
+        trace_disk_rays_pallas)
+    import jax.numpy as jnp
+
+    m = Kerr(M=1.0, a=0.9)
+    rng = np.random.default_rng(21)
+    n = 300
+    alphas = jnp.asarray(rng.uniform(0.01, 0.12, n), jnp.float32)
+    thetas = jnp.asarray(rng.uniform(-np.pi, np.pi, n), jnp.float32)
+    disk = DiskConfig(opaque=True)
+
+    s_x, n_x, r_x, xi_x, _ = trace_disk_rays(
+        m, 100.0, alphas, thetas, np.radians(80.0), 5000.0, 20000, disk,
+        backend="xla")
+    from light_path_tracer_tpu.disk import r_isco
+    plane = (float(r_isco(1.0, 0.9)), 20.0, float(np.pi / 2), True)
+    s_p, n_p, r_p, xi_p, _ = trace_disk_rays_pallas(
+        m, 100.0, alphas, thetas, np.radians(80.0), 5000.0, 20000, plane,
+        2, tile_rows=8, interpret=True)
+
+    assert (np.asarray(n_x) == np.asarray(n_p)).mean() > 0.98
+    both = (np.asarray(n_x) > 0) & (np.asarray(n_p) > 0)
+    d = np.abs(np.asarray(r_x[0])[both] - np.asarray(r_p[0])[both])
+    assert np.median(d) < 1e-4
+    np.testing.assert_allclose(np.asarray(xi_x), np.asarray(xi_p),
+                               rtol=1e-6)
