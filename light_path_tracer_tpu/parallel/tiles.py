@@ -34,9 +34,14 @@ def _pad_rows(grid, rows_to):
 def trace_grid_sharded(metric, r_obs, alpha_grid, theta_grid=None,
                        theta_obs=np.pi / 2, refine_grid=None, *,
                        mesh: Mesh, lambda_max=None, max_steps=200000,
-                       phi_max=50.0, h_max=0.05, backend="auto"):
+                       phi_max=50.0, h_max=0.05, backend="auto",
+                       layout="stripes"):
     """Trace an (H, W) pixel grid sharded row-wise over `mesh`.
 
+    layout: "bands" gives each device a contiguous row band; "stripes"
+    (default) interleaves rows (row i -> device i mod n), which
+    equidistributes the expensive photon-ring rows across devices
+    (docs/scaling.md) — valid because no computation couples rows.
     Returns (final_alpha, n_half_orbits, status) grids of shape (H, W).
     """
     axis = mesh.axis_names[0]
@@ -44,7 +49,16 @@ def trace_grid_sharded(metric, r_obs, alpha_grid, theta_grid=None,
     H, W = alpha_grid.shape
     H_pad = ((H + n_dev - 1) // n_dev) * n_dev
 
-    alpha_p = _pad_rows(alpha_grid, H_pad)
+    if layout == "stripes":
+        perm = np.argsort(np.arange(H_pad) % n_dev, kind="stable")
+    else:
+        perm = np.arange(H_pad)
+    inv_perm = np.argsort(perm)
+
+    def place(grid):
+        return _pad_rows(grid, H_pad)[perm]
+
+    alpha_p = place(alpha_grid)
     shard_map = shard_map_fn()
     if metric.is_spherically_symmetric:
         def per_tile(a):
@@ -66,8 +80,8 @@ def trace_grid_sharded(metric, r_obs, alpha_grid, theta_grid=None,
             theta_grid = jnp.zeros_like(alpha_grid)
         if refine_grid is None:
             refine_grid = jnp.zeros(alpha_grid.shape, bool)
-        theta_p = _pad_rows(theta_grid, H_pad)
-        refine_p = _pad_rows(refine_grid, H_pad)
+        theta_p = place(theta_grid)
+        refine_p = place(refine_grid)
 
         from light_path_tracer_tpu.ops.batch import _kerr_backend
         resolved = _kerr_backend(backend, alpha_grid.dtype)
@@ -91,4 +105,4 @@ def trace_grid_sharded(metric, r_obs, alpha_grid, theta_grid=None,
                                  P(axis, None)))
         fa, nh, st = jax.jit(f)(alpha_p, theta_p, refine_p)
 
-    return fa[:H], nh[:H], st[:H]
+    return fa[inv_perm][:H], nh[inv_perm][:H], st[inv_perm][:H]

@@ -24,16 +24,25 @@ def test_kerr_sharded_equals_single_device():
     alpha = camera.build_alpha_lookup(DIM, FOV, dtype=jnp.float64)
     theta = camera.build_theta_lookup(DIM, FOV, dtype=jnp.float64)
     m = Kerr(M=1.0, a=0.9)
-    fa, nh, st = trace_grid_sharded(m, R_OBS, alpha, theta, mesh=mesh)
     res = trace_rays_kerr(
         m, R_OBS, alpha.ravel(), theta.ravel(), np.pi / 2,
         jnp.zeros(alpha.size, bool), 5000.0, 200000)
-    np.testing.assert_array_equal(
-        np.asarray(fa), np.asarray(res.final_alpha.reshape(DIM)))
-    np.testing.assert_array_equal(
-        np.asarray(st), np.asarray(res.status.reshape(DIM)))
-    np.testing.assert_array_equal(
-        np.asarray(nh), np.asarray(res.n_half_orbits.reshape(DIM)))
+    fa_1 = np.asarray(res.final_alpha.reshape(DIM))
+
+    # Both layouts agree with the single-device result to the last ulp
+    # (different batch shapes may vectorize with different FMA
+    # contraction, so exact bitwise equality is not guaranteed).
+    ok = np.isfinite(fa_1)
+    for layout in ("bands", "stripes"):
+        fa, nh, st = trace_grid_sharded(m, R_OBS, alpha, theta, mesh=mesh,
+                                        layout=layout)
+        np.testing.assert_array_equal(
+            np.asarray(st), np.asarray(res.status.reshape(DIM)))
+        np.testing.assert_array_equal(
+            np.asarray(nh), np.asarray(res.n_half_orbits.reshape(DIM)))
+        assert (np.isfinite(np.asarray(fa)) == ok).all()
+        np.testing.assert_allclose(np.asarray(fa)[ok], fa_1[ok],
+                                   rtol=1e-12)
 
 
 def test_schwarzschild_sharded_equals_single_device():
