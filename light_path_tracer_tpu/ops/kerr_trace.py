@@ -202,11 +202,13 @@ def dp45_integrate(metric, y0, p_t, p_phi, status0, *, atol, rtol, h_min,
 
     if disk_plane is not None:
         disk_r_in, disk_r_out, theta_plane, disk_opaque = disk_plane
+        # "down" flags are carried as 0.0/1.0 in the compute dtype: bool
+        # (i1) vectors in a while_loop carry do not lower in Mosaic.
         hits0 = {
             "n": jnp.zeros(y0[0].shape, jnp.int32),
             "r": tuple(jnp.zeros_like(y0[0])
                        for _ in range(max_disk_hits)),
-            "down": tuple(jnp.zeros(y0[0].shape, bool)
+            "down": tuple(jnp.zeros_like(y0[0])
                           for _ in range(max_disk_hits)),
         }
     else:
@@ -308,7 +310,11 @@ def dp45_integrate(metric, y0, p_t, p_phi, status0, *, atol, rtol, h_min,
             th_prev, th_next = y[1], y_acc[1]
             d_prev = th_prev - theta_plane
             d_next = th_next - theta_plane
-            crossed = upd & (d_prev * d_next < 0.0)
+            # Strict sign change, plus the tangent case of landing exactly
+            # on the plane (measure-zero center-column pixels otherwise
+            # leave a 1-px seam in disk renders).
+            crossed = upd & ((d_prev * d_next < 0.0)
+                             | ((d_next == 0.0) & (d_prev != 0.0)))
             den = jnp.where(d_next == d_prev, 1.0, d_next - d_prev)
             frac_c = jnp.clip(-d_prev / den, 0.0, 1.0)
             if event_interp == "hermite":
@@ -323,11 +329,11 @@ def dp45_integrate(metric, y0, p_t, p_phi, status0, *, atol, rtol, h_min,
             n = hits_out["n"]
             new_r = list(hits_out["r"])
             new_down = list(hits_out["down"])
+            down_f = going_down.astype(r_c.dtype)
             for slot in range(max_disk_hits):
                 take = in_disk & (n == slot)
                 new_r[slot] = jnp.where(take, r_c, new_r[slot])
-                new_down[slot] = jnp.where(take, going_down,
-                                           new_down[slot])
+                new_down[slot] = jnp.where(take, down_f, new_down[slot])
             n = jnp.where(in_disk, jnp.minimum(n + 1, max_disk_hits), n)
             hits_out = {"n": n, "r": tuple(new_r),
                         "down": tuple(new_down)}
