@@ -20,7 +20,8 @@ file:line parity citations.
 """
 
 from light_path_tracer_tpu.version import __version__
-from light_path_tracer_tpu.models import Schwarzschild, Kerr, Metric
+from light_path_tracer_tpu.models import (
+    Schwarzschild, Kerr, Metric, make_metric)
 from light_path_tracer_tpu.utils.config import SceneConfig, RenderConfig
 
 __all__ = [
@@ -28,6 +29,27 @@ __all__ = [
     "Schwarzschild",
     "Kerr",
     "Metric",
+    "make_metric",
     "SceneConfig",
     "RenderConfig",
+    # Lazily imported heavyweight entry points (see __getattr__):
+    "render_scene",
+    "render_shadow",
+    "render_disk",
+    "trace_batch",
 ]
+
+_LAZY = {
+    "render_scene": ("light_path_tracer_tpu.pipeline", "render_scene"),
+    "render_shadow": ("light_path_tracer_tpu.pipeline", "render_shadow"),
+    "render_disk": ("light_path_tracer_tpu.disk", "render_disk"),
+    "trace_batch": ("light_path_tracer_tpu.ops.batch", "trace_batch"),
+}
+
+
+def __getattr__(name):
+    if name in _LAZY:
+        import importlib
+        module, attr = _LAZY[name]
+        return getattr(importlib.import_module(module), attr)
+    raise AttributeError(name)
