@@ -89,5 +89,5 @@ def cached_precompute(scene: SceneConfig, cfg: RenderConfig,
     save_lookup(path, pre.final_alpha, pre.winding,
                 dict(total_rays=pre.total_rays,
                      traced_rays=pre.traced_rays,
-                     integrator_steps=pre.integrator_steps))
+                     integrator_steps=pre.steps))
     return pre, False

@@ -120,7 +120,7 @@ def trace_batch(metric, r_obs, alphas, thetas=None, theta_obs=np.pi / 2,
         starts = tqdm(starts, desc="Tracing per-pixel rays", unit="chunk")
 
     fas, nhs, sts = [], [], []
-    total_steps = 0
+    total_steps = jnp.asarray(0, jnp.int32)
     for start in starts:
         res = kerr_fn(
             metric, float(r_obs),
@@ -131,9 +131,11 @@ def trace_batch(metric, r_obs, alphas, thetas=None, theta_obs=np.pi / 2,
         fas.append(res.final_alpha)
         nhs.append(res.n_half_orbits)
         sts.append(res.status)
-        total_steps += int(res.n_steps)
+        # Keep the step counter on device: forcing a host scalar here
+        # would serialize every chunk on a tunnel round-trip.
+        total_steps = total_steps + res.n_steps
 
     fa = jnp.concatenate(fas)[:n][inv_order]
     nh = jnp.concatenate(nhs)[:n][inv_order]
     st = jnp.concatenate(sts)[:n][inv_order]
-    return TraceResult(fa, nh, st, jnp.asarray(total_steps, jnp.int32))
+    return TraceResult(fa, nh, st, total_steps)

@@ -14,9 +14,11 @@ is configuration, chunk scheduling, and the symmetry fold.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from light_path_tracer_tpu.models import make_metric
@@ -33,7 +35,13 @@ class PrecomputeResult:
     winding: jnp.ndarray          # (H, W) uint16
     total_rays: int
     traced_rays: int
-    integrator_steps: int
+    # Device scalar (or int): kept lazy — forcing it mid-pipeline costs a
+    # host round-trip over the TPU tunnel (~100 ms measured).
+    integrator_steps: object
+
+    @property
+    def steps(self) -> int:
+        return int(self.integrator_steps)
 
 
 @dataclasses.dataclass
@@ -59,7 +67,46 @@ def precompute_final_alpha(scene: SceneConfig, cfg: RenderConfig,
     Dispatches on spherical symmetry like image_lens.py:477-498, applies
     the axis-refine band (image_lens.py:210-216) and top/bottom mirror
     symmetry (image_lens.py:218-229, 272-276) for the 2-D path.
+
+    The whole body (camera grids -> trace -> winding clip -> symmetry
+    fold) executes as ONE jitted program when possible: every extra
+    dispatch costs a scheduling round-trip, which dominates at ~50 ms
+    kernel times. Chunked or progress-reporting runs fall back to the
+    eager host loop.
     """
+    fov = (float(fov[0]), float(fov[1]))
+    image_dimension = (int(image_dimension[0]), int(image_dimension[1]))
+    whole_grid = cfg.chunk_size is None or (
+        cfg.chunk_size >= image_dimension[0] * image_dimension[1])
+    if alpha_lookup is None and not cfg.progress and whole_grid:
+        fa, wind, steps = _precompute_fused(scene, cfg, image_dimension,
+                                            fov)
+        height, width = image_dimension
+        use_tb = _use_tb(scene, cfg)
+        metric = make_metric(scene.M, scene.a)
+        traced = (height if (metric.is_spherically_symmetric or not use_tb)
+                  else (height + 1) // 2) * width
+        return PrecomputeResult(fa, wind, height * width, traced, steps)
+    return _precompute_eager(scene, cfg, image_dimension, fov,
+                             alpha_lookup)
+
+
+def _use_tb(scene: SceneConfig, cfg: RenderConfig) -> bool:
+    return (cfg.use_tb_symmetry
+            and bool(np.isclose(scene.theta_obs, np.pi / 2))
+            and bool(np.isclose(scene.psi[0], 0.0)))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scene", "cfg", "image_dimension", "fov"))
+def _precompute_fused(scene, cfg, image_dimension, fov):
+    pre = _precompute_eager(scene, cfg, image_dimension, fov, None)
+    return pre.final_alpha, pre.winding, pre.integrator_steps
+
+
+def _precompute_eager(scene: SceneConfig, cfg: RenderConfig,
+                      image_dimension, fov,
+                      alpha_lookup=None) -> PrecomputeResult:
     metric = make_metric(scene.M, scene.a)
     dtype = _dtype_of(cfg)
     height, width = image_dimension
@@ -78,7 +125,7 @@ def precompute_final_alpha(scene: SceneConfig, cfg: RenderConfig,
         wind = jnp.clip(res.n_half_orbits, 0, cfg.winding_max).astype(
             jnp.uint16).reshape(image_dimension)
         return PrecomputeResult(fa, wind, n_total, n_total,
-                                int(res.n_steps))
+                                res.n_steps)
 
     theta_lookup = camera.build_theta_lookup(
         image_dimension, fov, psi=scene.psi, dtype=dtype)
@@ -122,7 +169,7 @@ def precompute_final_alpha(scene: SceneConfig, cfg: RenderConfig,
         fa, wind = fa_rows, w_rows
 
     return PrecomputeResult(fa, wind, n_total, trace_rows * width,
-                            int(res.n_steps))
+                            res.n_steps)
 
 
 def render_scene(scene: SceneConfig, source_image,
@@ -196,7 +243,7 @@ def render_shadow(scene: SceneConfig, resolution,
             out.append(image)
         stats = dict(total_rays=pre.total_rays,
                      traced_rays=pre.traced_rays,
-                     integrator_steps=pre.integrator_steps)
+                     integrator_steps=pre.steps)
 
     stats["alpha_crit"] = alpha_crit
     stats["timings"] = timer.finish()
