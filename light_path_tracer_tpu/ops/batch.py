@@ -57,8 +57,15 @@ def trace_batch(metric, r_obs, alphas, thetas=None, theta_obs=np.pi / 2,
             jnp.zeros((0,), jnp.int32), jnp.asarray(0, jnp.int32))
 
     if metric.is_spherically_symmetric:
-        # Fixed-step lock-step integration: no divergence problem, a single
-        # dispatch over the full grid is fastest.
+        if _kerr_backend(backend, alphas.dtype) == "pallas":
+            # Tile-level early exit: the whole-grid loop otherwise runs
+            # every lane to the global worst ray (grazers take all 1000
+            # fixed steps to phi_max).
+            from light_path_tracer_tpu.ops.pallas.schwarzschild_kernel \
+                import trace_rays_schwarzschild_pallas
+            return trace_rays_schwarzschild_pallas(
+                metric, float(r_obs), alphas, phi_max=phi_max,
+                h_max=h_max)
         return trace_rays_schwarzschild(
             metric, float(r_obs), alphas, phi_max=phi_max, h_max=h_max)
 

@@ -73,3 +73,29 @@ def test_pallas_rejects_f64():
         trace_rays_kerr_pallas(
             m, R_OBS, jnp.zeros(4, jnp.float64), jnp.zeros(4, jnp.float64),
             np.pi / 2, jnp.zeros(4, bool), 5000.0, 100, interpret=True)
+
+
+def test_schwarzschild_pallas_matches_xla():
+    from light_path_tracer_tpu.models import Schwarzschild
+    from light_path_tracer_tpu.ops import trace_rays_schwarzschild
+    from light_path_tracer_tpu.ops.pallas.schwarzschild_kernel import (
+        trace_rays_schwarzschild_pallas)
+
+    m = Schwarzschild(M=1.0)
+    ac = m.alpha_crit(R_OBS)
+    rng = np.random.default_rng(6)
+    alphas = jnp.asarray(
+        np.concatenate([rng.uniform(0.2 * ac, 4 * ac, 900), [0.0]]),
+        jnp.float32)
+    rp = trace_rays_schwarzschild_pallas(
+        m, R_OBS, alphas, tile_rows=8, interpret=True)
+    rx = trace_rays_schwarzschild(m, R_OBS, alphas)
+    np.testing.assert_array_equal(np.asarray(rp.status),
+                                  np.asarray(rx.status))
+    both = np.asarray(rp.status) == 1
+    np.testing.assert_allclose(np.asarray(rp.final_alpha)[both],
+                               np.asarray(rx.final_alpha)[both],
+                               atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(rp.n_half_orbits)[both],
+                                  np.asarray(rx.n_half_orbits)[both])
+    assert int(rp.status[-1]) == 0   # alpha = 0 invalid lane
