@@ -217,6 +217,37 @@ class Kerr(Metric):
         p_t_b = jnp.broadcast_to(p_t, alphas.shape)
         return (r0, th0, phi0, p_r, p_th), p_t_b, p_phi, invalid
 
+    def plunge_radii(self, r_obs, alphas, thetas, theta_obs):
+        """Per-ray certain-capture radius for early termination.
+
+        A photon arriving from large r whose radial turning point would
+        have to lie inside the photon-orbit band cannot escape: every
+        spherical photon orbit satisfies r >= r_prograde, so crossing
+        r < r_prograde inbound is a guaranteed plunge — integration can
+        stop there instead of grinding through the shrinking steps down
+        to 1.01 r_+. Vortical rays (eta < 0, only possible off the
+        equatorial observer plane) are excluded (radius 0 disables).
+        This is purely an optimization: outcome classification is
+        unchanged, only the parked state of captured rays differs.
+        """
+        dtype = alphas.dtype
+        a = jnp.asarray(self.a, dtype)
+        th = jnp.asarray(theta_obs, dtype)
+        sin_th = jnp.sin(th)
+        cos_th = jnp.cos(th)
+        r = jnp.asarray(r_obs, dtype)
+        M = jnp.asarray(self.M, dtype)
+        Sigma = r * r + a * a * cos_th * cos_th
+        Delta = r * r - 2.0 * M * r + a * a
+        rho = r * jnp.sin(alphas) * jnp.sqrt(Sigma) / jnp.sqrt(
+            jnp.maximum(Delta, 1e-30))
+        alpha_screen = -rho * jnp.sin(thetas)
+        beta_screen = -rho * jnp.cos(thetas)
+        eta = (beta_screen * beta_screen
+               + cos_th * cos_th * (alpha_screen * alpha_screen - a * a))
+        r_pro = self.unstable_photon_radii()[0]
+        return jnp.where(eta >= 0.0, 0.999 * r_pro, 0.0).astype(dtype)
+
     def rhs5(self, state5, p_t, p_phi):
         """Hamilton's equations on the reduced 5-D state, batched.
 

@@ -130,10 +130,11 @@ def _hermite_crossing_frac(r0, r1, fr0, fr1, h, target, frac_linear,
 @functools.partial(
     jax.jit,
     static_argnames=("metric", "r_obs", "theta_obs", "lambda_max",
-                     "max_steps", "event_interp"))
+                     "max_steps", "event_interp", "early_capture"))
 def trace_rays_kerr(metric, r_obs, alphas, thetas, theta_obs,
                     axis_refine, lambda_max: float, max_steps: int = 200000,
-                    event_interp: str = "hermite"):
+                    event_interp: str = "hermite",
+                    early_capture: bool = True):
     """Trace a batch of Kerr rays adaptively; returns TraceResult.
 
     alphas/thetas: (N,) screen viewing angle / azimuth; theta_obs scalar;
@@ -153,13 +154,16 @@ def trace_rays_kerr(metric, r_obs, alphas, thetas, theta_obs,
     y0, p_t, p_phi, invalid0 = metric.initial_conditions_5d(
         r_obs, alphas, thetas, theta_obs)
     status0 = jnp.where(invalid0, INVALID, RUNNING).astype(jnp.int32)
+    r_plunge = (metric.plunge_radii(r_obs, alphas, thetas, theta_obs)
+                if early_capture else None)
 
     y_f, status_f, _lam_f, step_f = dp45_integrate(
         metric, y0, p_t, p_phi, status0,
         atol=atol, rtol=rtol, h_min=h_min, tiny_err=tiny_err,
         r_capture=r_capture, r_escape=r_escape,
         lambda_max=lambda_max, h_init=max(1.0, 0.01 * float(r_obs)),
-        max_steps=max_steps, event_interp=event_interp)
+        max_steps=max_steps, event_interp=event_interp,
+        r_plunge=r_plunge)
 
     captured = status_f == CAPTURED
     ext_status, final_alpha, n_half = metric.extract_angle(
@@ -179,7 +183,7 @@ def trace_rays_kerr(metric, r_obs, alphas, thetas, theta_obs,
 def dp45_integrate(metric, y0, p_t, p_phi, status0, *, atol, rtol, h_min,
                    tiny_err, r_capture, r_escape, lambda_max, h_init,
                    max_steps, event_interp="hermite", disk_plane=None,
-                   max_disk_hits=2):
+                   max_disk_hits=2, r_plunge=None):
     """The shared lock-step DP45+FSAL integration loop.
 
     Shape-polymorphic over the ray axis/axes: the XLA path calls it on
@@ -257,6 +261,13 @@ def dp45_integrate(metric, y0, p_t, p_phi, status0, *, atol, rtol, h_min,
         # -- events on accepted lanes (capture has priority) --
         r_prev, r_next = y[0], y5[0]
         cap = accept & (r_prev > r_capture) & (r_next <= r_capture)
+        if r_plunge is not None:
+            # Certain-capture early exit: inbound crossing of the
+            # innermost photon orbit (metric.plunge_radii) is a
+            # guaranteed plunge; stop here instead of integrating the
+            # shrinking steps down to the horizon.
+            cap = cap | (accept & (r_next <= r_plunge)
+                         & (r_next < r_prev))
         esc = accept & (r_prev < r_escape) & (r_next >= r_escape) & ~cap
 
         denom = r_next - r_prev

@@ -56,6 +56,10 @@ def _trace_tile_kernel(alpha_ref, theta_ref, refine_ref, valid_ref,
         r_obs, alphas, thetas, theta_obs)
     status0 = jnp.where(invalid0 | ~valid, INVALID, RUNNING).astype(
         jnp.int32)
+    # Certain-capture early exit (disabled in disk mode, where custom
+    # inner radii could otherwise clip legitimate plane crossings).
+    r_plunge = (metric.plunge_radii(r_obs, alphas, thetas, theta_obs)
+                if disk_plane is None else None)
 
     result = dp45_integrate(
         metric, y0, p_t, p_phi, status0,
@@ -66,7 +70,8 @@ def _trace_tile_kernel(alpha_ref, theta_ref, refine_ref, valid_ref,
         r_escape=jnp.asarray(r_obs * 2.0, dtype),
         lambda_max=lambda_max, h_init=max(1.0, 0.01 * float(r_obs)),
         max_steps=max_steps, event_interp=event_interp,
-        disk_plane=disk_plane, max_disk_hits=max_disk_hits)
+        disk_plane=disk_plane, max_disk_hits=max_disk_hits,
+        r_plunge=r_plunge)
     if disk_plane is not None:
         y_f, status_f, _lam_f, steps, hits = result
         hitn_out = out_refs[7]

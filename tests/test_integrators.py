@@ -281,3 +281,36 @@ def test_polar_observer_no_nans():
     assert set(np.unique(s)).issubset({-1, 0, 1})
     assert np.isfinite(fa[s == 1]).all()
     assert (s == 1).sum() > 0 and (s == -1).sum() > 0
+
+
+def test_early_capture_equivalence():
+    """Certain-plunge termination changes no outcome or escaped angle."""
+    m = Kerr(M=1.0, a=0.9)
+    ac = m.alpha_crit(R_OBS)
+    rng = np.random.default_rng(23)
+    n = 400
+    alphas = jnp.asarray(rng.uniform(0.05 * ac, 3 * ac, n), jnp.float64)
+    thetas = jnp.asarray(rng.uniform(-np.pi, np.pi, n), jnp.float64)
+    on = trace_rays_kerr(m, R_OBS, alphas, thetas, np.pi / 2,
+                         jnp.zeros(n, bool), 5000.0, 200000,
+                         early_capture=True)
+    off = trace_rays_kerr(m, R_OBS, alphas, thetas, np.pi / 2,
+                          jnp.zeros(n, bool), 5000.0, 200000,
+                          early_capture=False)
+    np.testing.assert_array_equal(np.asarray(on.status),
+                                  np.asarray(off.status))
+    esc = np.asarray(on.status) == 1
+    np.testing.assert_allclose(np.asarray(on.final_alpha)[esc],
+                               np.asarray(off.final_alpha)[esc],
+                               rtol=1e-12)
+    np.testing.assert_array_equal(np.asarray(on.n_half_orbits)[esc],
+                                  np.asarray(off.n_half_orbits)[esc])
+    # The optimization must actually engage: captured rays stop earlier.
+    assert (np.asarray(on.status) == -1).sum() > 20
+
+    # Extremal spin: plunge radius degenerates below the capture radius
+    # and silently disables — still correct.
+    m1 = Kerr(M=1.0, a=0.999)
+    r1 = trace_rays_kerr(m1, R_OBS, alphas[:50], thetas[:50], np.pi / 2,
+                         jnp.zeros(50, bool), 5000.0, 200000)
+    assert set(np.unique(np.asarray(r1.status))).issubset({-1, 0, 1})
