@@ -22,12 +22,118 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from light_path_tracer_tpu.ops import tableau as tb
+
 
 class Trajectory(NamedTuple):
     states: jnp.ndarray    # (n_steps+1, ..., 8) recorded path
     lambdas: jnp.ndarray   # (n_steps+1, ...) affine parameter
     outcome: jnp.ndarray   # (...,) int32: 1 escaped, -1 captured, 0 invalid
     n_valid: jnp.ndarray   # (...,) int32 number of live samples
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("metric", "n_steps", "r_obs", "rtol", "atol"))
+def integrate_geodesic_8d_adaptive(metric, state0, *, r_obs,
+                                   n_steps: int = 2000,
+                                   rtol: float = 1e-8, atol: float = 1e-10):
+    """Adaptive DP45 path recorder on the public 8-D state.
+
+    The TPU-native equivalent of the reference's scipy solve_ivp RK45 slow
+    path (geodesic_tracer.py:57-67): same tolerances (rtol 1e-8 /
+    atol 1e-10), terminal capture/escape events with interpolation onto
+    the crossing, and the whole accepted-step sequence recorded (the
+    dense-output analogue). Runs as a lax.scan over fixed attempt slots;
+    rejected attempts re-record the current point.
+
+    state0: (..., 8); batched over leading axes.
+    """
+    r_stop_inner = metric.capture_radius()
+    r_stop_outer = 2.0 * float(r_obs)
+    dtype = state0.dtype
+    lead = state0.shape[:-1]
+
+    def rhs(s):
+        return metric.geodesic_equations(0.0, s)
+
+    def attempt(carry, _):
+        s, k1, h, lam, done = carry
+        hh = h[..., None]
+        k2 = rhs(s + hh * tb.A21 * k1)
+        k3 = rhs(s + hh * (tb.A31 * k1 + tb.A32 * k2))
+        k4 = rhs(s + hh * (tb.A41 * k1 + tb.A42 * k2 + tb.A43 * k3))
+        k5 = rhs(s + hh * (tb.A51 * k1 + tb.A52 * k2 + tb.A53 * k3
+                           + tb.A54 * k4))
+        k6 = rhs(s + hh * (tb.A61 * k1 + tb.A62 * k2 + tb.A63 * k3
+                           + tb.A64 * k4 + tb.A65 * k5))
+        s5 = s + hh * (tb.B1 * k1 + tb.B3 * k3 + tb.B4 * k4
+                       + tb.B5 * k5 + tb.B6 * k6)
+        k7 = rhs(s5)
+
+        err = hh * (tb.E1 * k1 + tb.E3 * k3 + tb.E4 * k4
+                    + tb.E5 * k5 + tb.E6 * k6 + tb.E7 * k7)
+        sc = atol + rtol * jnp.maximum(jnp.abs(s), jnp.abs(s5))
+        err_norm = jnp.sqrt(jnp.mean((err / sc) ** 2, axis=-1))
+        finite = jnp.all(jnp.isfinite(s5), axis=-1)
+        accept = ~done & finite & (err_norm <= 1.0)
+
+        r_prev, r_next = s[..., 1], s5[..., 1]
+        cap = accept & (r_prev > r_stop_inner) & (r_next <= r_stop_inner)
+        esc = accept & (r_prev < r_stop_outer) & (r_next >= r_stop_outer)
+        den = jnp.where(r_next == r_prev, 1.0, r_next - r_prev)
+        frac = jnp.where(
+            cap, jnp.clip((r_stop_inner - r_prev) / den, 0.0, 1.0),
+            jnp.where(esc, jnp.clip((r_stop_outer - r_prev) / den,
+                                    0.0, 1.0), 1.0))
+        # Cubic-Hermite event interpolation (endpoint derivatives are
+        # free via FSAL) — keeps the terminal sample on the solution
+        # manifold (null condition holds) unlike a linear lerp.
+        fr = frac[..., None]
+        fr2 = fr * fr
+        fr3 = fr2 * fr
+        s_interp = ((2 * fr3 - 3 * fr2 + 1) * s
+                    + (fr3 - 2 * fr2 + fr) * hh * k1
+                    + (-2 * fr3 + 3 * fr2) * s5
+                    + (fr3 - fr2) * hh * k7)
+        s_new = jnp.where((cap | esc)[..., None], s_interp, s5)
+
+        factor = 0.9 * jnp.maximum(err_norm, 1e-30) ** (-0.2)
+        h_new = jnp.where(accept, h * jnp.clip(factor, 0.2, 5.0),
+                          jnp.where(~done & finite,
+                                    h * jnp.maximum(factor, 0.2),
+                                    h * 0.25))
+        h_new = jnp.minimum(h_new, 1.0 * r_stop_outer)
+
+        s_out = jnp.where(accept[..., None], s_new, s)
+        k1_out = jnp.where((accept & ~(cap | esc))[..., None], k7, k1)
+        lam_out = jnp.where(accept, lam + frac * h, lam)
+        done_out = done | cap | esc | ~finite
+        return ((s_out, k1_out, h_new, lam_out, done_out),
+                (s_out, lam_out, accept & ~done))
+
+    lam0 = jnp.zeros(lead, dtype)
+    done0 = jnp.zeros(lead, bool)
+    h0 = jnp.full(lead, 0.1, dtype)
+    carry0 = (state0, rhs(state0), h0, lam0, done0)
+    (s_f, _k, _h, _lam, _done), (path, lams, live) = jax.lax.scan(
+        attempt, carry0, None, length=n_steps)
+
+    states = jnp.concatenate([state0[None], path], axis=0)
+    lambdas = jnp.concatenate([lam0[None], lams], axis=0)
+    live_full = jnp.concatenate(
+        [jnp.ones((1,) + lead, bool), live], axis=0)
+    # Compact: move accepted samples to the front (rejected attempt slots
+    # re-recorded the previous point), so states[:n_valid] is the path.
+    order = jnp.argsort(~live_full, axis=0, stable=True)
+    states = jnp.take_along_axis(states, order[..., None], axis=0)
+    lambdas = jnp.take_along_axis(lambdas, order, axis=0)
+    n_valid = jnp.sum(live_full, axis=0).astype(jnp.int32)
+    final_r = s_f[..., 1]
+    outcome = jnp.where(final_r <= r_stop_inner * 1.1, -1,
+                        jnp.where(jnp.all(jnp.isfinite(s_f), axis=-1),
+                                  1, 0)).astype(jnp.int32)
+    return Trajectory(states, lambdas, outcome, n_valid)
 
 
 @functools.partial(
@@ -88,9 +194,12 @@ def integrate_geodesic_8d(metric, state0, *, r_obs, n_steps: int = 4000,
 
 def trace_ray_trajectory(metric, r_obs, alpha, theta=0.0,
                          theta_obs=np.pi / 2, n_steps: int = 4000,
-                         h_base: float = 0.5, dtype=jnp.float32):
+                         h_base: float = 0.5, dtype=jnp.float32,
+                         method: str = "adaptive"):
     """Single-ray full-path trace (geodesic_tracer.py:74-82 front-end).
 
+    method: 'adaptive' (DP45, reference-tolerance — the scipy-path
+    equivalent) or 'fixed' (curvature-scheduled RK4).
     Returns (Trajectory, outcome_str). outcome: 'captured'/'escaped'/
     'invalid'.
     """
@@ -99,9 +208,14 @@ def trace_ray_trajectory(metric, r_obs, alpha, theta=0.0,
         float(r_obs), alpha_arr, theta, theta_obs)
     if bool(invalid[0]):
         return None, "invalid"
-    traj = integrate_geodesic_8d(
-        metric, state8[0], r_obs=float(r_obs), n_steps=n_steps,
-        h_base=h_base)
+    if method == "adaptive":
+        traj = integrate_geodesic_8d_adaptive(
+            metric, state8[0], r_obs=float(r_obs),
+            n_steps=min(n_steps, 2000))
+    else:
+        traj = integrate_geodesic_8d(
+            metric, state8[0], r_obs=float(r_obs), n_steps=n_steps,
+            h_base=h_base)
     outcome = {1: "escaped", -1: "captured", 0: "invalid"}[int(traj.outcome)]
     return traj, outcome
 

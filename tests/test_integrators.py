@@ -314,3 +314,36 @@ def test_early_capture_equivalence():
     r1 = trace_rays_kerr(m1, R_OBS, alphas[:50], thetas[:50], np.pi / 2,
                          jnp.zeros(50, bool), 5000.0, 200000)
     assert set(np.unique(np.asarray(r1.status))).issubset({-1, 0, 1})
+
+
+def test_adaptive_trajectory_recorder():
+    """Adaptive 8-D path recorder (scipy-path equivalent): conservation
+    along the path, sensible termination, agreement with the angle
+    tracer's classification."""
+    from light_path_tracer_tpu.trajectory import (
+        integrate_geodesic_8d_adaptive)
+    m = Kerr(M=1.0, a=0.9)
+    alphas = jnp.asarray([0.06, 0.02], jnp.float64)   # escape, capture
+    thetas = jnp.asarray([1.0, 0.5], jnp.float64)
+    s8, inv = m.initial_conditions_8d(R_OBS, alphas, thetas)
+    assert not bool(inv.any())
+    traj = integrate_geodesic_8d_adaptive(m, s8, r_obs=R_OBS,
+                                          n_steps=2000)
+    out = np.asarray(traj.outcome)
+    assert out[0] == 1 and out[1] == -1
+
+    # Conservation + monotonic lambda on the compacted escaped path.
+    n = int(traj.n_valid[0])
+    assert 10 < n < 2000
+    states = np.asarray(traj.states[:n, 0])
+    lams = np.asarray(traj.lambdas[:n, 0])
+    assert (np.diff(lams) > 0).all()
+    np.testing.assert_allclose(states[:, 4], states[0, 4], rtol=0, atol=0)
+    np.testing.assert_allclose(states[:, 7], states[0, 7], rtol=0, atol=0)
+    H = np.array([
+        kerr_hamiltonian(1.0, 0.9, s[1], s[2], s[4], s[5], s[6], s[7])
+        for s in states])
+    assert np.max(np.abs(H)) < 1e-6   # incl. the Hermite-interpolated end
+
+    # Terminates at the escape radius (within the last interpolated step).
+    assert abs(states[-1, 1] - 2 * R_OBS) < 1e-2
