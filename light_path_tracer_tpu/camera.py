@@ -201,3 +201,47 @@ def axis_refine_columns(image_dimension, fov, psi=(0.0, 0.0),
     x_rel = x_cam - bh_x_cam
     x_abs_max = max(float(np.max(np.abs(x_rel))), 1e-12)
     return np.abs(x_rel) <= refine_frac * x_abs_max
+
+
+# ---- traced-psi variants (animation / serving: no recompile per frame) ----
+
+def psi_frame_dynamic(psi_y, psi_x):
+    """psi_frame with traced scalars: returns (d, e_x, e_y) as jnp (3,)
+    vectors. Identical math to the host version; used by the sequence
+    renderer so a camera pan reuses one compiled program."""
+    sin_p, cos_p = jnp.sin(psi_y), jnp.cos(psi_y)
+    sin_yw, cos_yw = jnp.sin(psi_x), jnp.cos(psi_x)
+    d = jnp.stack([sin_yw * cos_p, -sin_p, cos_yw * cos_p])
+
+    cam_x = jnp.array([1.0, 0.0, 0.0], d.dtype)
+    cam_y = jnp.array([0.0, 1.0, 0.0], d.dtype)
+
+    e_x = cam_x - jnp.dot(cam_x, d) * d
+    nx = jnp.linalg.norm(e_x)
+    e_x_alt = cam_y - jnp.dot(cam_y, d) * d
+    e_x = jnp.where(nx < 1e-12, e_x_alt, e_x)
+    e_x = e_x / jnp.maximum(jnp.linalg.norm(e_x), 1e-12)
+
+    e_y = cam_y - jnp.dot(cam_y, d) * d - jnp.dot(cam_y, e_x) * e_x
+    ny = jnp.linalg.norm(e_y)
+    e_y = jnp.where(ny < 1e-12, jnp.cross(d, e_x), e_y)
+    e_y = e_y / jnp.maximum(jnp.linalg.norm(e_y), 1e-12)
+    return d, e_x, e_y
+
+
+def build_angle_lookups_dynamic(image_dimension, fov, psi_y, psi_x,
+                                dtype=jnp.float32):
+    """(alpha, theta) per-pixel grids with traced psi scalars."""
+    x_cam, y_cam = _cam_grids(image_dimension, fov, dtype)
+    d, e_x, e_y = psi_frame_dynamic(jnp.asarray(psi_y, dtype),
+                                    jnp.asarray(psi_x, dtype))
+    denom = jnp.sqrt(1.0 + x_cam[None, :] ** 2 + y_cam[:, None] ** 2)
+    vx = x_cam[None, :] / denom
+    vy = y_cam[:, None] / denom
+    vz = 1.0 / denom
+    cos_alpha = vx * d[0] + vy * d[1] + vz * d[2]
+    alpha = jnp.arccos(jnp.clip(cos_alpha, -1.0, 1.0))
+    theta = jnp.arctan2(
+        vx * e_x[0] + vy * e_x[1] + vz * e_x[2],
+        vx * e_y[0] + vy * e_y[1] + vz * e_y[2])
+    return alpha.astype(dtype), theta.astype(dtype)

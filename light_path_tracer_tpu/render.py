@@ -46,9 +46,18 @@ _LUMA = np.array([0.299, 0.587, 0.114], dtype=np.float32)
 def _render_kernel(source_image, theta_lookup, final_alpha_lookup,
                    winding_lookup, image_dimension, fov, psi,
                    render_loop_around):
-    height, width = image_dimension
     frame = psi_frame(psi)
-    d, e_x, e_y = frame.d, frame.e_x, frame.e_y
+    return _render_core(source_image, theta_lookup, final_alpha_lookup,
+                        winding_lookup, frame.d, frame.e_x, frame.e_y,
+                        image_dimension, fov, render_loop_around)
+
+
+def _render_core(source_image, theta_lookup, final_alpha_lookup,
+                 winding_lookup, d, e_x, e_y, image_dimension, fov,
+                 render_loop_around):
+    """Renderer body with the camera frame vectors as (possibly traced)
+    values — shared by the static-psi kernel and the animation path."""
+    height, width = image_dimension
     fx, fy = focal_lengths(image_dimension, fov)
 
     grayscale = source_image.ndim == 2

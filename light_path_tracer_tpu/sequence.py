@@ -1,0 +1,88 @@
+"""Animation / serving: frame sequences without per-frame recompilation.
+
+The static pipeline folds the camera pointing psi into compiled constants
+(fastest for a single frame). For sequences — a camera pan, an orbiting
+observer — that would recompile every frame; here psi is a *traced*
+argument instead, so the whole per-frame program (camera grids -> Kerr
+trace -> renderer) compiles once and every subsequent frame is a single
+dispatch. Measured steady-state frame cost ~= the single-frame compute
+cost (docs in BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from light_path_tracer_tpu.models import Kerr
+from light_path_tracer_tpu import camera
+from light_path_tracer_tpu.ops.kerr_trace import trace_rays_kerr
+from light_path_tracer_tpu.render import _render_core
+from light_path_tracer_tpu.utils.config import SceneConfig, RenderConfig
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("metric", "r_obs", "theta_obs", "resolution", "fov",
+                     "max_steps", "shadow_only", "loop_around"))
+def _render_frame_dynamic(psi_y, psi_x, source_image, *, metric, r_obs,
+                          theta_obs, resolution, fov, max_steps,
+                          shadow_only, loop_around):
+    dtype = jnp.float32
+    alpha, theta = camera.build_angle_lookups_dynamic(
+        resolution, fov, psi_y, psi_x, dtype=dtype)
+    res = trace_rays_kerr(
+        metric, r_obs, alpha.ravel(), theta.ravel(), theta_obs,
+        jnp.zeros(alpha.size, bool), max(5000.0, 6.0 * r_obs), max_steps)
+    fa = res.final_alpha.reshape(resolution)
+    if shadow_only:
+        return jnp.where(jnp.isnan(fa), 0.0, 1.0).astype(jnp.float32)
+    winding = jnp.clip(res.n_half_orbits, 0, 65535).astype(
+        jnp.uint16).reshape(resolution)
+    d, e_x, e_y = camera.psi_frame_dynamic(
+        jnp.asarray(psi_y, dtype), jnp.asarray(psi_x, dtype))
+    return _render_core(source_image, theta, fa, winding, d, e_x, e_y,
+                        resolution, fov, loop_around)
+
+
+def render_sequence(scene: SceneConfig, psi_frames, source_image=None,
+                    resolution=None, cfg: RenderConfig = RenderConfig(),
+                    max_steps: int = 20000):
+    """Render frames for a sequence of (psi_y, psi_x) camera pointings.
+
+    One compile for the whole sequence. source_image=None renders binary
+    shadows (resolution required); otherwise full lensed frames at the
+    source image's resolution.
+
+    Dynamic-psi tradeoffs vs the static pipeline: no top/bottom mirror
+    shortcut and no axis-refine band (both depend on psi at trace time).
+    Returns a list of device arrays.
+    """
+    metric = Kerr(M=scene.M, a=scene.a)
+    shadow_only = source_image is None
+    if shadow_only:
+        if resolution is None:
+            raise ValueError("resolution required for shadow sequences")
+        src = jnp.zeros((1, 1), jnp.float32)   # unused placeholder
+        resolution = tuple(resolution)
+    else:
+        src = jnp.asarray(source_image)
+        if src.dtype == jnp.uint8:
+            src = src.astype(jnp.float32) / 255.0
+        resolution = tuple(src.shape[:2])
+    fov = tuple(float(f) for f in
+                camera.fov_from_vertical(scene.vertical_fov, resolution))
+
+    frames = []
+    for psi_y, psi_x in psi_frames:
+        frames.append(_render_frame_dynamic(
+            jnp.asarray(psi_y, jnp.float32),
+            jnp.asarray(psi_x, jnp.float32), src,
+            metric=metric, r_obs=float(scene.r_obs),
+            theta_obs=float(scene.theta_obs), resolution=resolution,
+            fov=fov, max_steps=max_steps, shadow_only=shadow_only,
+            loop_around=cfg.render_loop_around))
+    return frames
