@@ -34,7 +34,16 @@ def _render_frame_dynamic(psi_y, psi_x, source_image, *, metric, r_obs,
     dtype = jnp.float32
     alpha, theta = camera.build_angle_lookups_dynamic(
         resolution, fov, psi_y, psi_x, dtype=dtype)
-    res = trace_rays_kerr(
+    # Pallas on TPU: a single photon-ring grazer can need thousands of
+    # adaptive steps; tile-level early exit confines it to one tile
+    # instead of stalling every lane of the whole-grid loop.
+    from light_path_tracer_tpu.ops.batch import _kerr_backend
+    if _kerr_backend("auto", dtype) == "pallas":
+        from light_path_tracer_tpu.ops.pallas.kerr_trace_kernel import (
+            trace_rays_kerr_pallas as kerr_fn)
+    else:
+        kerr_fn = trace_rays_kerr
+    res = kerr_fn(
         metric, r_obs, alpha.ravel(), theta.ravel(), theta_obs,
         jnp.zeros(alpha.size, bool), max(5000.0, 6.0 * r_obs), max_steps)
     fa = res.final_alpha.reshape(resolution)
