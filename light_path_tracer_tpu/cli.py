@@ -205,6 +205,51 @@ def cmd_disk(args) -> int:
     return 0
 
 
+def cmd_animate(args) -> int:
+    """Camera-pan sequence -> animated GIF (traced-psi fast path)."""
+    import time
+    import numpy as np
+    from PIL import Image
+    from light_path_tracer_tpu.sequence import render_sequence
+
+    scene = _scene_from(args)
+    pan = np.radians(args.pan_deg)
+    psis = [(scene.psi_y, scene.psi_x - pan / 2 + pan * i /
+             max(args.frames - 1, 1)) for i in range(args.frames)]
+
+    src = None
+    if args.image:
+        import matplotlib.image as mpimg
+        src = mpimg.imread(args.image)
+
+    t0 = time.perf_counter()
+    frames = render_sequence(scene, psis[:1], source_image=src,
+                             resolution=(args.size, args.size))
+    first = np.asarray(frames[0])
+    t_compile = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    rest = render_sequence(scene, psis[1:], source_image=src,
+                           resolution=(args.size, args.size))
+    imgs = [first] + [np.asarray(f) for f in rest]
+    dt = (time.perf_counter() - t0) / max(len(psis) - 1, 1)
+
+    def to_pil(a):
+        a = np.clip(a, 0.0, 1.0)
+        if a.ndim == 2:
+            a = np.repeat(a[..., None], 3, axis=-1)
+        return Image.fromarray((a[..., :3] * 255).astype(np.uint8))
+
+    pils = [to_pil(a) for a in imgs]
+    pils[0].save(args.output, save_all=True, append_images=pils[1:],
+                 duration=int(1000 / args.fps), loop=0)
+    print(f"Animation: {args.frames} frames at {args.size}x{args.size}, "
+          f"compile+first {t_compile:.1f}s, then {dt * 1000:.0f} ms/frame "
+          f"({1 / max(dt, 1e-9):.1f} fps)")
+    print(f"Saved: {args.output}")
+    return 0
+
+
 def cmd_ray(args) -> int:
     """Single-ray demo (main.py parity): trace, report, plot."""
     from light_path_tracer_tpu.models import make_metric
@@ -312,6 +357,19 @@ def build_parser():
     p.add_argument("--translucent", action="store_true")
     p.add_argument("--output", default="accretion_disk.png")
     p.set_defaults(fn=cmd_disk)
+
+    p = sub.add_parser("animate", help="camera-pan animation (GIF), "
+                                       "one compile for all frames")
+    _add_scene_args(p)
+    p.add_argument("--size", type=int, default=256)
+    p.add_argument("--frames", type=int, default=24)
+    p.add_argument("--pan-deg", type=float, default=2.0,
+                   help="total horizontal pan across the sequence")
+    p.add_argument("--image", default=None,
+                   help="background image (default: shadow-only frames)")
+    p.add_argument("--fps", type=int, default=12)
+    p.add_argument("--output", default="pan.gif")
+    p.set_defaults(fn=cmd_animate)
 
     p = sub.add_parser("ray", help="single-ray trace + trajectory plot")
     _add_scene_args(p)
