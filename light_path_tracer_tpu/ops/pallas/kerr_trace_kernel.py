@@ -93,13 +93,15 @@ def _trace_tile_kernel(alpha_ref, theta_ref, refine_ref, valid_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("metric", "r_obs", "theta_obs", "lambda_max",
-                     "max_steps", "event_interp", "tile_rows", "interpret"))
+                     "max_steps", "event_interp", "tile_rows", "interpret",
+                     "return_unconverged"))
 def trace_rays_kerr_pallas(metric, r_obs, alphas, thetas, theta_obs,
                            axis_refine, lambda_max: float,
                            max_steps: int = 200000,
                            event_interp: str = "hermite",
                            tile_rows: int = DEFAULT_ROWS,
-                           interpret: bool = False):
+                           interpret: bool = False,
+                           return_unconverged: bool = False):
     """Pallas-fused Kerr batch tracer; drop-in for trace_rays_kerr.
 
     float32 only (the TPU-native precision tier; use the XLA path for
@@ -165,7 +167,61 @@ def trace_rays_kerr_pallas(metric, r_obs, alphas, thetas, theta_obs,
     nan = jnp.asarray(jnp.nan, dtype)
     final_alpha = jnp.where(status_out == ESCAPED, final_alpha, nan)
     n_half = jnp.where(invalid_f & (status_f == INVALID), 0, n_half)
-    return TraceResult(final_alpha, n_half, status_out, jnp.max(steps))
+    result = TraceResult(final_alpha, n_half, status_out, jnp.max(steps))
+    if return_unconverged:
+        # Raw RUNNING after the step budget = neither event fired nor
+        # lambda exhausted within max_steps; the two-pass driver
+        # re-traces these with the full budget.
+        return result, status_f == RUNNING
+    return result
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("metric", "r_obs", "theta_obs", "lambda_max",
+                     "max_steps", "pass1_steps", "slots", "tile_rows",
+                     "interpret"))
+def trace_rays_kerr_two_pass(metric, r_obs, alphas, thetas, theta_obs,
+                             axis_refine, lambda_max: float,
+                             max_steps: int = 200000,
+                             pass1_steps: int = 512, slots: int = 8192,
+                             tile_rows: int = DEFAULT_ROWS,
+                             interpret: bool = False):
+    """Straggler-robust tracing: a cheap capped pass over all rays, then a
+    full-depth second pass over only the unconverged ones.
+
+    A single photon-ring grazer can need thousands of adaptive steps and
+    pin its whole tile; pass 1 caps every tile at `pass1_steps`, and the
+    (typically handful of) rays still running are gathered into fixed
+    `slots`, re-traced from scratch with the full budget on the XLA path,
+    and scattered back — all inside one jitted program (no host sync).
+    If more than `slots` rays are unconverged the extras keep their
+    pass-1 result; size `slots` generously (default 8192 ~= one tile).
+    """
+    res1, unconv = trace_rays_kerr_pallas(
+        metric, r_obs, alphas, thetas, theta_obs, axis_refine,
+        lambda_max, pass1_steps, tile_rows=tile_rows,
+        interpret=interpret, return_unconverged=True)
+
+    n = alphas.shape[0]
+    slots = min(slots, n)
+    idx = jnp.nonzero(unconv, size=slots, fill_value=0)[0]
+    # Pass 2 on minimal Pallas tiles: a (8, 128) tile is one vreg row per
+    # op, so the deep re-integration of the few stragglers costs ~lane/64
+    # of a full-width pass per step.
+    res2 = trace_rays_kerr_pallas(
+        metric, r_obs, alphas[idx], thetas[idx], theta_obs,
+        axis_refine[idx], lambda_max, max_steps, tile_rows=8,
+        interpret=interpret)
+
+    take = unconv[idx]
+    fa = res1.final_alpha.at[idx].set(
+        jnp.where(take, res2.final_alpha, res1.final_alpha[idx]))
+    nh = res1.n_half_orbits.at[idx].set(
+        jnp.where(take, res2.n_half_orbits, res1.n_half_orbits[idx]))
+    st = res1.status.at[idx].set(
+        jnp.where(take, res2.status, res1.status[idx]))
+    return TraceResult(fa, nh, st, res1.n_steps + res2.n_steps)
 
 
 @functools.partial(

@@ -34,18 +34,22 @@ def _render_frame_dynamic(psi_y, psi_x, source_image, *, metric, r_obs,
     dtype = jnp.float32
     alpha, theta = camera.build_angle_lookups_dynamic(
         resolution, fov, psi_y, psi_x, dtype=dtype)
-    # Pallas on TPU: a single photon-ring grazer can need thousands of
-    # adaptive steps; tile-level early exit confines it to one tile
-    # instead of stalling every lane of the whole-grid loop.
+    # Two-pass on TPU: a single photon-ring grazer can need thousands of
+    # adaptive steps; a capped tile pass plus a tiny full-depth retrace
+    # of the stragglers keeps every frame near the median cost.
     from light_path_tracer_tpu.ops.batch import _kerr_backend
     if _kerr_backend("auto", dtype) == "pallas":
         from light_path_tracer_tpu.ops.pallas.kerr_trace_kernel import (
-            trace_rays_kerr_pallas as kerr_fn)
+            trace_rays_kerr_two_pass)
+        res = trace_rays_kerr_two_pass(
+            metric, r_obs, alpha.ravel(), theta.ravel(), theta_obs,
+            jnp.zeros(alpha.size, bool), max(5000.0, 6.0 * r_obs),
+            max_steps)
     else:
-        kerr_fn = trace_rays_kerr
-    res = kerr_fn(
-        metric, r_obs, alpha.ravel(), theta.ravel(), theta_obs,
-        jnp.zeros(alpha.size, bool), max(5000.0, 6.0 * r_obs), max_steps)
+        res = trace_rays_kerr(
+            metric, r_obs, alpha.ravel(), theta.ravel(), theta_obs,
+            jnp.zeros(alpha.size, bool), max(5000.0, 6.0 * r_obs),
+            max_steps)
     fa = res.final_alpha.reshape(resolution)
     if shadow_only:
         return jnp.where(jnp.isnan(fa), 0.0, 1.0).astype(jnp.float32)

@@ -99,3 +99,36 @@ def test_schwarzschild_pallas_matches_xla():
     np.testing.assert_array_equal(np.asarray(rp.n_half_orbits)[both],
                                   np.asarray(rx.n_half_orbits)[both])
     assert int(rp.status[-1]) == 0   # alpha = 0 invalid lane
+
+
+def test_two_pass_matches_single_pass():
+    """Capped pass + straggler retrace == full single pass."""
+    from light_path_tracer_tpu.ops.pallas.kerr_trace_kernel import (
+        trace_rays_kerr_two_pass)
+
+    m = Kerr(M=1.0, a=0.9)
+    ac = m.alpha_crit(R_OBS)
+    rng = np.random.default_rng(31)
+    n = 2048
+    # Include deliberate grazers that exceed the pass-1 cap.
+    alphas = np.concatenate([
+        rng.uniform(0.3 * ac, 4 * ac, n - 8),
+        ac * (1 + np.linspace(-2e-6, 2e-6, 8))])
+    thetas = rng.uniform(-np.pi, np.pi, n)
+    al = jnp.asarray(alphas, jnp.float32)
+    th = jnp.asarray(thetas, jnp.float32)
+    refine = jnp.zeros(n, bool)
+
+    full = trace_rays_kerr(m, R_OBS, al, th, np.pi / 2, refine,
+                           5000.0, 100000)
+    two = trace_rays_kerr_two_pass(
+        m, R_OBS, al, th, np.pi / 2, refine, 5000.0, 100000,
+        pass1_steps=64, slots=256, tile_rows=8, interpret=True)
+
+    s_f, s_t = np.asarray(full.status), np.asarray(two.status)
+    assert (s_f == s_t).mean() > 0.995
+    both = (s_f == 1) & (s_t == 1)
+    stable = both & (np.abs(alphas - ac) > 0.05 * ac)
+    d = np.abs(np.asarray(full.final_alpha)[stable]
+               - np.asarray(two.final_alpha)[stable])
+    assert np.percentile(d, 99) < 1e-3
