@@ -43,15 +43,24 @@ def main():
     cfg = RenderConfig(dtype=args.dtype, chunk_size=None)
     dim = (args.size, args.size)
 
-    # Warmup: compile.
-    render_shadow(scene, dim, cfg)
+    def measure():
+        render_shadow(scene, dim, cfg)   # warmup: compile
+        best = None
+        for _ in range(args.repeats):
+            _img, stats = render_shadow(scene, dim, cfg)
+            dt = stats["timings"]["precompute"]
+            rays_per_sec = stats["traced_rays"] / dt
+            best = rays_per_sec if best is None else max(best,
+                                                         rays_per_sec)
+        return best
 
-    best = None
-    for _ in range(args.repeats):
-        _img, stats = render_shadow(scene, dim, cfg)
-        dt = stats["timings"]["precompute"]
-        rays_per_sec = stats["traced_rays"] / dt
-        best = rays_per_sec if best is None else max(best, rays_per_sec)
+    try:
+        best = measure()
+    except Exception as exc:   # transient TPU-tunnel faults: retry once
+        print(f"# bench attempt failed ({type(exc).__name__}: {exc}); "
+              f"retrying in 60s", flush=True)
+        time.sleep(60)
+        best = measure()
 
     print(json.dumps({
         "metric": f"kerr_a{args.spin}_shadow_{args.size}sq_rays_per_sec_chip",
