@@ -304,7 +304,8 @@ def dp45_integrate(metric, y0, p_t, p_phi, status0, *, atol, rtol, h_min,
         # -- state/status update (masked) --
         upd = accept
         y_out = _select(upd, y_acc, y)
-        k1_out = _select(upd & ~(cap | esc), k7, _select(upd, k1, k1))
+        # FSAL: stage 7 seeds the next step's stage 1 on plain accepts.
+        k1_out = _select(upd & ~(cap | esc), k7, k1)
         lam_out = jnp.where(upd, lam_acc, lam)
 
         corrupt = upd & ~_all_finite(y_acc)
