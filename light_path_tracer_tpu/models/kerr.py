@@ -62,6 +62,57 @@ def _inverse_metric_terms(M, a, r, th):
             Sigma, Delta, A, sin_th, cos_th, sin2)
 
 
+class TracedKerr:
+    """Kerr physics with *traced* (M, a): the serving/animation variant.
+
+    The frozen `Kerr` dataclass is hashable and folds its parameters into
+    compiled constants — ideal for one scene, but a spin/mass sweep would
+    recompile every frame. This adapter carries M and a as jnp scalars
+    and reuses the exact same batched method implementations (they only
+    touch self.M / self.a / self.r_plus through jnp ops), so one compiled
+    program serves any (M, a).
+
+    Only the hot-path surface is available (rhs5, initial_conditions_5d,
+    extract_angle, capture_radius, plunge_radii); host-side scalar
+    geometry (alpha_crit etc.) needs concrete floats — use `Kerr`.
+    """
+
+    is_spherically_symmetric = False
+
+    def __init__(self, M, a):
+        self.M = M
+        self.a = a
+        self.r_plus = M + jnp.sqrt(jnp.maximum(M * M - a * a, 0.0))
+
+    def capture_radius(self):
+        return self.r_plus * 1.01
+
+    def plunge_radii(self, r_obs, alphas, thetas, theta_obs):
+        dtype = alphas.dtype
+        M = jnp.asarray(self.M, dtype)
+        a = jnp.asarray(self.a, dtype)
+        th = jnp.asarray(theta_obs, dtype)
+        sin_th, cos_th = jnp.sin(th), jnp.cos(th)
+        r = jnp.asarray(r_obs, dtype)
+        Sigma = r * r + a * a * cos_th * cos_th
+        Delta = r * r - 2.0 * M * r + a * a
+        rho = r * jnp.sin(alphas) * jnp.sqrt(Sigma) / jnp.sqrt(
+            jnp.maximum(Delta, 1e-30))
+        alpha_s = -rho * jnp.sin(thetas)
+        beta_s = -rho * jnp.cos(thetas)
+        eta = (beta_s * beta_s
+               + cos_th * cos_th * (alpha_s * alpha_s - a * a))
+        # Bardeen prograde photon-orbit radius, traced (continuous at a=0).
+        ratio = jnp.clip(-a / jnp.maximum(M, 1e-30), -1.0, 1.0)
+        r_pro = 2.0 * M * (1.0 + jnp.cos(2.0 / 3.0 * jnp.arccos(ratio)))
+        return jnp.where(eta >= 0.0, 0.999 * r_pro, 0.0).astype(dtype)
+
+    # The batched hot-path implementations are shared with Kerr verbatim.
+    rhs5 = None                   # bound below (forward reference)
+    initial_conditions_5d = None
+    extract_angle = None
+
+
 @dataclasses.dataclass(frozen=True)
 class Kerr(Metric):
     M: float = 1.0
@@ -445,3 +496,11 @@ class Kerr(Metric):
             [zeros, r0, th0, phi0, p_t, p_r, p_th,
              jnp.broadcast_to(p_phi, alpha.shape)], axis=-1)
         return state8, invalid
+
+
+# Bind the shared hot-path implementations onto the traced adapter (the
+# method bodies only touch self.M / self.a / self.r_plus through jnp ops,
+# so they trace cleanly with scalar tracers).
+TracedKerr.rhs5 = Kerr.rhs5
+TracedKerr.initial_conditions_5d = Kerr.initial_conditions_5d
+TracedKerr.extract_angle = Kerr.extract_angle

@@ -37,10 +37,17 @@ DEFAULT_ROWS = 64
 
 
 def _trace_tile_kernel(alpha_ref, theta_ref, refine_ref, valid_ref,
-                       *out_refs,
+                       plunge_ref, *refs,
                        metric, r_obs, theta_obs, lambda_max, max_steps,
                        event_interp, tols, disk_plane=None,
-                       max_disk_hits=2):
+                       max_disk_hits=2, dynamic_metric=False):
+    if dynamic_metric:
+        from light_path_tracer_tpu.models.kerr import TracedKerr
+        m_ref, a_ref = refs[0], refs[1]
+        out_refs = refs[2:]
+        metric = TracedKerr(m_ref[0, 0], a_ref[0, 0])
+    else:
+        out_refs = refs
     (r_out, th_out, phi_out, pr_out, pth_out,
      status_out, steps_out) = out_refs[:7]
     alphas = alpha_ref[:]
@@ -56,10 +63,11 @@ def _trace_tile_kernel(alpha_ref, theta_ref, refine_ref, valid_ref,
         r_obs, alphas, thetas, theta_obs)
     status0 = jnp.where(invalid0 | ~valid, INVALID, RUNNING).astype(
         jnp.int32)
-    # Certain-capture early exit (disabled in disk mode, where custom
-    # inner radii could otherwise clip legitimate plane crossings).
-    r_plunge = (metric.plunge_radii(r_obs, alphas, thetas, theta_obs)
-                if disk_plane is None else None)
+    # Certain-capture early-exit radii, precomputed by the wrapper (the
+    # Bardeen formula needs acos, which Mosaic doesn't lower); disabled
+    # in disk mode, where custom inner radii could otherwise clip
+    # legitimate plane crossings.
+    r_plunge = plunge_ref[:] if disk_plane is None else None
 
     result = dp45_integrate(
         metric, y0, p_t, p_phi, status0,
@@ -101,18 +109,31 @@ def trace_rays_kerr_pallas(metric, r_obs, alphas, thetas, theta_obs,
                            event_interp: str = "hermite",
                            tile_rows: int = DEFAULT_ROWS,
                            interpret: bool = False,
-                           return_unconverged: bool = False):
+                           return_unconverged: bool = False,
+                           dynamic_params=None):
     """Pallas-fused Kerr batch tracer; drop-in for trace_rays_kerr.
 
     float32 only (the TPU-native precision tier; use the XLA path for
     float64 oracle runs). Rays are padded to a whole number of
     (tile_rows, 128) tiles; padding lanes are masked invalid and cost no
     integration steps.
+
+    dynamic_params: optional traced (M, a) jnp scalars — the metric
+    parameters enter the kernel through SMEM instead of being folded into
+    compiled constants, so spin/mass sweeps reuse one compiled program
+    (`metric` is then only an API placeholder).
     """
     dtype = alphas.dtype
     if dtype != jnp.float32:
         raise ValueError("pallas path is float32-only; got " + str(dtype))
     tols = TOLS[jnp.dtype(dtype)]
+    if dynamic_params is not None:
+        from light_path_tracer_tpu.models.kerr import TracedKerr
+        eff_metric = TracedKerr(
+            jnp.asarray(dynamic_params[0], dtype),
+            jnp.asarray(dynamic_params[1], dtype))
+    else:
+        eff_metric = metric
 
     n = alphas.shape[0]
     tile = tile_rows * LANE
@@ -133,30 +154,46 @@ def trace_rays_kerr_pallas(metric, r_obs, alphas, thetas, theta_obs,
     kernel = functools.partial(
         _trace_tile_kernel, metric=metric, r_obs=float(r_obs),
         theta_obs=float(theta_obs), lambda_max=float(lambda_max),
-        max_steps=max_steps, event_interp=event_interp, tols=tols)
+        max_steps=max_steps, event_interp=event_interp, tols=tols,
+        dynamic_metric=dynamic_params is not None)
 
     block = pl.BlockSpec((tile_rows, LANE), lambda i: (i, 0),
                          memory_space=pltpu.VMEM)
     f32 = jax.ShapeDtypeStruct((n_tiles * tile_rows, LANE), dtype)
     i32 = jax.ShapeDtypeStruct((n_tiles * tile_rows, LANE), jnp.int32)
 
+    plunge = eff_metric.plunge_radii(
+        float(r_obs), alphas, thetas, float(theta_obs)).astype(dtype)
+    plunge_p = pad(plunge, 0.0).reshape(n_tiles * tile_rows, LANE)
+
+    in_specs = [block, block, block, block, block]
+    inputs = (alphas_p, thetas_p, refine_p, valid_p, plunge_p)
+    if dynamic_params is not None:
+        scalar_spec = pl.BlockSpec((1, 1), lambda i: (0, 0),
+                                   memory_space=pltpu.SMEM)
+        in_specs += [scalar_spec, scalar_spec]
+        inputs += (jnp.reshape(jnp.asarray(dynamic_params[0], dtype),
+                               (1, 1)),
+                   jnp.reshape(jnp.asarray(dynamic_params[1], dtype),
+                               (1, 1)))
+
     outs = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
-        in_specs=[block, block, block, block],
+        in_specs=in_specs,
         out_specs=(block,) * 7,
         out_shape=(f32, f32, f32, f32, f32, i32, i32),
         interpret=interpret,
-    )(alphas_p, thetas_p, refine_p, valid_p)
+    )(*inputs)
 
     r_f, th_f, phi_f, pr_f, pth_f, status_f, steps = (
         o.reshape(n_pad)[:n] for o in outs)
 
     # Extraction outside the kernel (one cheap vectorized pass).
-    _y0, p_t, p_phi, _inv = metric.initial_conditions_5d(
+    _y0, p_t, p_phi, _inv = eff_metric.initial_conditions_5d(
         float(r_obs), alphas, thetas, float(theta_obs))
     captured = status_f == CAPTURED
-    ext_status, final_alpha, n_half = metric.extract_angle(
+    ext_status, final_alpha, n_half = eff_metric.extract_angle(
         (r_f, th_f, phi_f, pr_f, pth_f), p_t, p_phi, captured)
 
     invalid_f = (status_f == INVALID) | (ext_status == 0)
@@ -186,7 +223,8 @@ def trace_rays_kerr_two_pass(metric, r_obs, alphas, thetas, theta_obs,
                              max_steps: int = 200000,
                              pass1_steps: int = 512, slots: int = 8192,
                              tile_rows: int = DEFAULT_ROWS,
-                             interpret: bool = False):
+                             interpret: bool = False,
+                             dynamic_params=None):
     """Straggler-robust tracing: a cheap capped pass over all rays, then a
     full-depth second pass over only the unconverged ones.
 
@@ -201,7 +239,8 @@ def trace_rays_kerr_two_pass(metric, r_obs, alphas, thetas, theta_obs,
     res1, unconv = trace_rays_kerr_pallas(
         metric, r_obs, alphas, thetas, theta_obs, axis_refine,
         lambda_max, pass1_steps, tile_rows=tile_rows,
-        interpret=interpret, return_unconverged=True)
+        interpret=interpret, return_unconverged=True,
+        dynamic_params=dynamic_params)
 
     n = alphas.shape[0]
     slots = min(slots, n)
@@ -212,7 +251,7 @@ def trace_rays_kerr_two_pass(metric, r_obs, alphas, thetas, theta_obs,
     res2 = trace_rays_kerr_pallas(
         metric, r_obs, alphas[idx], thetas[idx], theta_obs,
         axis_refine[idx], lambda_max, max_steps, tile_rows=8,
-        interpret=interpret)
+        interpret=interpret, dynamic_params=dynamic_params)
 
     take = unconv[idx]
     fa = res1.final_alpha.at[idx].set(
@@ -256,6 +295,7 @@ def trace_disk_rays_pallas(metric, r_obs, alphas, thetas, theta_obs,
     refine_p = jnp.zeros((n_tiles * tile_rows, LANE), dtype)
     valid_p = pad(jnp.ones((n,), dtype), 0.0).reshape(
         n_tiles * tile_rows, LANE)
+    plunge_p = jnp.zeros((n_tiles * tile_rows, LANE), dtype)  # unused
 
     kernel = functools.partial(
         _trace_tile_kernel, metric=metric, r_obs=float(r_obs),
@@ -272,12 +312,12 @@ def trace_disk_rays_pallas(metric, r_obs, alphas, thetas, theta_obs,
     outs = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
-        in_specs=[block, block, block, block],
+        in_specs=[block] * 5,
         out_specs=(block,) * n_out,
         out_shape=(f32, f32, f32, f32, f32, i32, i32, i32)
         + (f32,) * max_disk_hits,
         interpret=interpret,
-    )(alphas_p, thetas_p, refine_p, valid_p)
+    )(alphas_p, thetas_p, refine_p, valid_p, plunge_p)
 
     flat = [o.reshape(n_pad)[:n] for o in outs]
     status_f, steps = flat[5], flat[6]

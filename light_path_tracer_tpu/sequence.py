@@ -99,3 +99,51 @@ def render_sequence(scene: SceneConfig, psi_frames, source_image=None,
             fov=fov, max_steps=max_steps, shadow_only=shadow_only,
             loop_around=cfg.render_loop_around))
     return frames
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("r_obs", "theta_obs", "resolution", "fov",
+                     "max_steps"))
+def _shadow_frame_param_dynamic(psi_y, psi_x, M, a, *, r_obs, theta_obs,
+                                resolution, fov, max_steps):
+    from light_path_tracer_tpu.ops.batch import _kerr_backend
+    dtype = jnp.float32
+    alpha, theta = camera.build_angle_lookups_dynamic(
+        resolution, fov, psi_y, psi_x, dtype=dtype)
+    placeholder = Kerr(M=1.0, a=0.0)   # API placeholder; params are traced
+    if _kerr_backend("auto", dtype) == "pallas":
+        from light_path_tracer_tpu.ops.pallas.kerr_trace_kernel import (
+            trace_rays_kerr_two_pass)
+        res = trace_rays_kerr_two_pass(
+            placeholder, r_obs, alpha.ravel(), theta.ravel(), theta_obs,
+            jnp.zeros(alpha.size, bool), max(5000.0, 6.0 * r_obs),
+            max_steps, dynamic_params=(M, a))
+    else:
+        from light_path_tracer_tpu.ops.pallas.kerr_trace_kernel import (
+            trace_rays_kerr_pallas)
+        res = trace_rays_kerr_pallas(
+            placeholder, r_obs, alpha.ravel(), theta.ravel(), theta_obs,
+            jnp.zeros(alpha.size, bool), max(5000.0, 6.0 * r_obs),
+            max_steps, interpret=True, dynamic_params=(M, a))
+    fa = res.final_alpha.reshape(resolution)
+    return jnp.where(jnp.isnan(fa), 0.0, 1.0).astype(jnp.float32)
+
+
+def render_param_sequence(scene: SceneConfig, frames, resolution,
+                          max_steps: int = 20000):
+    """Shadow frames over a sequence of (psi_y, psi_x, M, a) — camera AND
+    metric parameters traced, so e.g. a spin ramp 0 -> 0.99 reuses ONE
+    compiled program (the static pipeline would recompile per spin)."""
+    resolution = tuple(resolution)
+    fov = tuple(float(f) for f in
+                camera.fov_from_vertical(scene.vertical_fov, resolution))
+    out = []
+    for psi_y, psi_x, M, a in frames:
+        out.append(_shadow_frame_param_dynamic(
+            jnp.asarray(psi_y, jnp.float32),
+            jnp.asarray(psi_x, jnp.float32),
+            jnp.asarray(M, jnp.float32), jnp.asarray(a, jnp.float32),
+            r_obs=float(scene.r_obs), theta_obs=float(scene.theta_obs),
+            resolution=resolution, fov=fov, max_steps=max_steps))
+    return out

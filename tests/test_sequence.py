@@ -63,3 +63,32 @@ def test_lensed_sequence():
         assert np.isfinite(img).all()
     assert not np.array_equal(np.asarray(frames[0]),
                               np.asarray(frames[1]))
+
+
+def test_param_sequence_spin_sweep():
+    """Traced (M, a): one compile serves a spin ramp; frames match the
+    static pipeline's shadows."""
+    from light_path_tracer_tpu.sequence import (
+        render_param_sequence, _shadow_frame_param_dynamic)
+    from light_path_tracer_tpu.pipeline import render_shadow
+    from light_path_tracer_tpu.utils.config import RenderConfig
+
+    scene = SceneConfig(M=1.0, a=0.0, r_obs_mult=100.0)
+    spins = [0.0, 0.5, 0.9]
+    frames = render_param_sequence(
+        scene, [(0.0, 0.0, 1.0, a) for a in spins], (24, 24))
+    assert _shadow_frame_param_dynamic._cache_size() == 1
+
+    for a, frame in zip(spins, frames):
+        ref_scene = SceneConfig(M=1.0, a=a, r_obs_mult=100.0)
+        # Static pipeline without symmetry (the dynamic path traces all
+        # rows) for an apples-to-apples shadow mask.
+        img_ref, _ = render_shadow(
+            ref_scene, (24, 24),
+            RenderConfig(use_tb_symmetry=False, backend="xla"))
+        agree = (np.asarray(frame) == np.asarray(img_ref)).mean()
+        assert agree > 0.99, (a, agree)
+
+    # The sweep actually changes the image (shadow grows/shifts with a).
+    assert not np.array_equal(np.asarray(frames[0]),
+                              np.asarray(frames[2]))
