@@ -138,3 +138,27 @@ def test_kerr_a0_rhs_matches_schwarzschild_8d():
     dk = np.asarray(mk.geodesic_equations(0.0, state))
     ds = np.asarray(ms.geodesic_equations(0.0, state))
     np.testing.assert_allclose(dk, ds, rtol=1e-12, atol=1e-12)
+
+
+def test_mass_scale_invariance():
+    """GR scale invariance: scaling (M, r_obs) together leaves all
+    angular results unchanged — validates M enters every formula only
+    through dimensionless ratios."""
+    from light_path_tracer_tpu.ops import trace_rays_kerr
+    alphas = jnp.asarray([0.05, 0.09, 0.13], jnp.float64)
+    thetas = jnp.asarray([0.4, -1.0, 2.2], jnp.float64)
+    r1 = trace_rays_kerr(Kerr(M=1.0, a=0.9), 100.0, alphas, thetas,
+                         np.pi / 2, jnp.zeros(3, bool), 5000.0, 200000)
+    r2 = trace_rays_kerr(Kerr(M=2.0, a=1.8), 200.0, alphas, thetas,
+                         np.pi / 2, jnp.zeros(3, bool), 10000.0, 200000)
+    np.testing.assert_array_equal(np.asarray(r1.status),
+                                  np.asarray(r2.status))
+    esc = np.asarray(r1.status) == 1
+    # Invariance holds to integrator tolerance, not exactly: the
+    # controller's absolute atol is not scale-free, so the accepted step
+    # sequences differ between the two scalings.
+    np.testing.assert_allclose(np.asarray(r1.final_alpha)[esc],
+                               np.asarray(r2.final_alpha)[esc], rtol=1e-4)
+    # Host-side scalar geometry scales identically.
+    assert np.isclose(Kerr(M=1.0, a=0.9).alpha_crit(100.0),
+                      Kerr(M=2.0, a=1.8).alpha_crit(200.0))
