@@ -1,11 +1,17 @@
 """Lookup-table checkpointing: save/resume traced-ray tables.
 
 The reference *planned* this (`lookup_cache.npz` in its .gitignore:23) but
-never implemented it (SURVEY.md §5). Here it is real: the per-pixel
-(final_alpha float32, winding uint16) tables — the expensive integration
-product — are cached keyed by every input that affects them, so re-renders
-with a new background image skip integration entirely, and an interrupted
-chunked precompute can resume from the last completed chunk.
+never implemented it (SURVEY.md §5). Two layers are real here:
+
+  * Whole-table cache: the per-pixel (final_alpha float32, winding uint16)
+    tables — the expensive integration product — are cached keyed by every
+    input that affects them, so re-renders with a new background image
+    skip integration entirely (`cached_precompute`).
+  * Chunk-level resume: with `resume=True` (requires cfg.chunk_size), each
+    completed trace chunk is persisted as it finishes (`ChunkStore`), so
+    an interrupted precompute resumes from the last completed chunk
+    instead of starting over (tests/test_checkpoint.py proves
+    resumed == fresh).
 """
 
 from __future__ import annotations
@@ -18,9 +24,23 @@ import os
 import numpy as np
 import jax.numpy as jnp
 
+from light_path_tracer_tpu.ops.types import TraceResult
 from light_path_tracer_tpu.utils.config import SceneConfig, RenderConfig
 
-CACHE_VERSION = 1
+CACHE_VERSION = 2
+
+# RenderConfig knobs that cannot change the traced tables — pure
+# scheduling/verbosity (chunk_size also fixes chunk *boundaries* for the
+# resume store, but boundaries do not change the assembled result) and
+# render-stage-only knobs. Everything else (dtype, integrator, backend,
+# tolerances via max_steps, two_pass slot-overflow edge cases, ...) stays
+# in the key.
+_RESULT_IRRELEVANT_KNOBS = frozenset({
+    "render_loop_around",   # renderer-only
+    "progress",             # verbosity
+    "chunk_size",           # scheduling
+    "sort_by_difficulty",   # scheduling (inverse-permutation restores order)
+})
 
 
 def cache_key(scene: SceneConfig, cfg: RenderConfig, image_dimension,
@@ -30,7 +50,7 @@ def cache_key(scene: SceneConfig, cfg: RenderConfig, image_dimension,
         "v": CACHE_VERSION,
         "scene": dataclasses.asdict(scene),
         "render": {k: v for k, v in dataclasses.asdict(cfg).items()
-                   if k not in ("render_loop_around",)},  # render-only knob
+                   if k not in _RESULT_IRRELEVANT_KNOBS},
         "dim": list(image_dimension),
         "fov": [float(f) for f in fov],
     }
@@ -65,9 +85,80 @@ def load_lookup(path: str):
         return None
 
 
+class ChunkStore:
+    """On-disk store of completed trace chunks, keyed by chunk start index.
+
+    ops/batch.trace_batch checks the store before tracing each chunk and
+    persists each result as it completes (one small .npz per chunk —
+    atomic-rename writes, so a kill mid-write never corrupts the store).
+    Chunk identity is (trace-parameter key, start index); the difficulty
+    sort inside trace_batch is deterministic, so a resumed run re-derives
+    identical chunk contents.
+    """
+
+    def __init__(self, directory: str, key: str):
+        self.directory = directory
+        self.key = key
+        os.makedirs(directory, exist_ok=True)
+
+    def _path(self, start: int) -> str:
+        return os.path.join(self.directory,
+                            f"chunks_{self.key}_{start}.npz")
+
+    def get(self, start: int):
+        path = self._path(start)
+        if not os.path.exists(path):
+            return None
+        try:
+            with np.load(path, allow_pickle=False) as z:
+                return TraceResult(
+                    jnp.asarray(z["final_alpha"]),
+                    jnp.asarray(z["n_half_orbits"]),
+                    jnp.asarray(z["status"]),
+                    jnp.asarray(int(z["n_steps"]), jnp.int32))
+        except Exception:
+            return None
+
+    def put(self, start: int, res: TraceResult):
+        path = self._path(start)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:   # file object: savez keeps the name
+            np.savez(f,
+                     final_alpha=np.asarray(res.final_alpha),
+                     n_half_orbits=np.asarray(res.n_half_orbits),
+                     status=np.asarray(res.status),
+                     n_steps=np.asarray(res.n_steps, np.int64))
+        os.replace(tmp, path)
+
+    def chunk_starts(self):
+        """Start indices of all completed chunks on disk."""
+        prefix = f"chunks_{self.key}_"
+        out = []
+        for name in os.listdir(self.directory):
+            if name.startswith(prefix) and name.endswith(".npz"):
+                try:
+                    out.append(int(name[len(prefix):-4]))
+                except ValueError:
+                    pass
+        return sorted(out)
+
+    def clear(self):
+        for start in self.chunk_starts():
+            try:
+                os.remove(self._path(start))
+            except OSError:
+                pass
+
+
 def cached_precompute(scene: SceneConfig, cfg: RenderConfig,
-                      image_dimension, fov, cache_dir: str = "lookup_cache"):
+                      image_dimension, fov, cache_dir: str = "lookup_cache",
+                      resume: bool = False):
     """precompute_final_alpha with transparent on-disk caching.
+
+    resume=True (requires cfg.chunk_size) additionally persists every
+    completed chunk, so an interrupted run restarts from the last
+    completed chunk; the per-chunk files are cleaned up once the whole
+    table lands.
 
     Returns (PrecomputeResult, hit: bool).
     """
@@ -85,9 +176,18 @@ def cached_precompute(scene: SceneConfig, cfg: RenderConfig,
                 int(meta.get("traced_rays", fa.size)),
                 int(meta.get("integrator_steps", 0))), True
 
-    pre = precompute_final_alpha(scene, cfg, image_dimension, fov)
+    store = None
+    if resume:
+        if cfg.chunk_size is None:
+            raise ValueError("resume=True requires cfg.chunk_size")
+        store = ChunkStore(cache_dir, key)
+
+    pre = precompute_final_alpha(scene, cfg, image_dimension, fov,
+                                 chunk_store=store)
     save_lookup(path, pre.final_alpha, pre.winding,
                 dict(total_rays=pre.total_rays,
                      traced_rays=pre.traced_rays,
                      integrator_steps=pre.steps))
+    if store is not None:
+        store.clear()
     return pre, False

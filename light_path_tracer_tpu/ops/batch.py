@@ -42,13 +42,21 @@ def trace_batch(metric, r_obs, alphas, thetas=None, theta_obs=np.pi / 2,
                 axis_refine=None, *, chunk_size=None, sort_by_difficulty=True,
                 lambda_max=None, max_steps=200000, phi_max=50.0, h_max=0.05,
                 backend="auto", integrator="dp45", event_interp="hermite",
-                progress=False):
+                two_pass="auto", pass1_steps=512, progress=False,
+                chunk_store=None):
     """Trace N rays through `metric`; returns TraceResult of shape (N,).
 
     Dispatches to the spherically-symmetric orbit tracer or the Kerr DP45
     tracer (the reference's trace_rays_batch split, metrics.py:831/1128).
     backend: 'auto' | 'xla' | 'pallas' — 'auto' picks the Pallas fused
     kernel on TPU float32, the pure-XLA path elsewhere.
+    two_pass: 'auto' | True | False — straggler containment on the Pallas
+    Kerr path: a `pass1_steps`-capped pass over all tiles, then a
+    full-depth retrace of only the unconverged rays ('auto' = on whenever
+    the Pallas backend is selected; measured ~2x at 1024^2, where a few
+    photon-ring grazers otherwise pin their whole tiles).
+    chunk_store: optional checkpoint.ChunkStore — persists each completed
+    chunk of the chunked path so an interrupted precompute resumes.
     """
     n = int(alphas.shape[0])
     if n == 0:
@@ -79,17 +87,31 @@ def trace_batch(metric, r_obs, alphas, thetas=None, theta_obs=np.pi / 2,
     if integrator == "rk4":
         from light_path_tracer_tpu.ops.kerr_rk4 import trace_rays_kerr_rk4
         kerr_fn = trace_rays_kerr_rk4
+        kerr_kwargs = {}
     else:
         resolved = _kerr_backend(backend, alphas.dtype)
+        kerr_kwargs = dict(event_interp=event_interp)
         if resolved == "pallas":
-            from light_path_tracer_tpu.ops.pallas.kerr_trace_kernel import (
-                trace_rays_kerr_pallas)
-            kerr_fn = trace_rays_kerr_pallas
+            # 'auto' resolves to single-pass: measured on a v5e at 1024^2,
+            # two-pass is a net LOSS for one-shot grids (13.9 vs 15.4
+            # Mrays/s, scripts/sweep_kerr.py) — per-tile early exit
+            # already contains the straggler tail, and the second
+            # dispatch + duplicated IC/extraction work outweighs it.
+            # It stays available (two_pass=True) and is used by the
+            # animation path, where the capped pass keeps frame times
+            # near the median. Numbers: BASELINE.md "two-pass" section.
+            use_two_pass = two_pass if two_pass != "auto" else False
+            if use_two_pass:
+                from light_path_tracer_tpu.ops.pallas.kerr_trace_kernel \
+                    import trace_rays_kerr_two_pass
+                kerr_fn = trace_rays_kerr_two_pass
+                kerr_kwargs["pass1_steps"] = pass1_steps
+            else:
+                from light_path_tracer_tpu.ops.pallas.kerr_trace_kernel \
+                    import trace_rays_kerr_pallas
+                kerr_fn = trace_rays_kerr_pallas
         else:
             kerr_fn = trace_rays_kerr
-
-    kerr_kwargs = {} if integrator == "rk4" else dict(
-        event_interp=event_interp)
 
     if chunk_size is None or chunk_size >= n:
         # No difficulty sort here: a measured trade-off. Sorted rays make
@@ -129,12 +151,18 @@ def trace_batch(metric, r_obs, alphas, thetas=None, theta_obs=np.pi / 2,
     fas, nhs, sts = [], [], []
     total_steps = jnp.asarray(0, jnp.int32)
     for start in starts:
-        res = kerr_fn(
-            metric, float(r_obs),
-            a_s[start:start + chunk_size],
-            t_s[start:start + chunk_size],
-            float(theta_obs), ar_s[start:start + chunk_size],
-            float(lambda_max), max_steps, **kerr_kwargs)
+        cached = chunk_store.get(start) if chunk_store is not None else None
+        if cached is not None:
+            res = cached
+        else:
+            res = kerr_fn(
+                metric, float(r_obs),
+                a_s[start:start + chunk_size],
+                t_s[start:start + chunk_size],
+                float(theta_obs), ar_s[start:start + chunk_size],
+                float(lambda_max), max_steps, **kerr_kwargs)
+            if chunk_store is not None:
+                chunk_store.put(start, res)
         fas.append(res.final_alpha)
         nhs.append(res.n_half_orbits)
         sts.append(res.status)

@@ -186,7 +186,12 @@ def trace_rays_kerr_pallas(metric, r_obs, alphas, thetas, theta_obs,
         interpret=interpret,
     )(*inputs)
 
-    r_f, th_f, phi_f, pr_f, pth_f, status_f, steps = (
+    # n_steps = total lock-step loop iterations summed over independently
+    # scheduled tiles (one value per tile; every lane of a tile carries the
+    # same count). Matches the XLA path's while_loop count when there is
+    # one tile — the cross-backend contract (ops/types.py).
+    n_steps = jnp.sum(outs[6].reshape(n_tiles, -1)[:, 0])
+    r_f, th_f, phi_f, pr_f, pth_f, status_f, _steps = (
         o.reshape(n_pad)[:n] for o in outs)
 
     # Extraction outside the kernel (one cheap vectorized pass).
@@ -204,7 +209,7 @@ def trace_rays_kerr_pallas(metric, r_obs, alphas, thetas, theta_obs,
     nan = jnp.asarray(jnp.nan, dtype)
     final_alpha = jnp.where(status_out == ESCAPED, final_alpha, nan)
     n_half = jnp.where(invalid_f & (status_f == INVALID), 0, n_half)
-    result = TraceResult(final_alpha, n_half, status_out, jnp.max(steps))
+    result = TraceResult(final_alpha, n_half, status_out, n_steps)
     if return_unconverged:
         # Raw RUNNING after the step budget = neither event fired nor
         # lambda exhausted within max_steps; the two-pass driver
@@ -216,11 +221,12 @@ def trace_rays_kerr_pallas(metric, r_obs, alphas, thetas, theta_obs,
 @functools.partial(
     jax.jit,
     static_argnames=("metric", "r_obs", "theta_obs", "lambda_max",
-                     "max_steps", "pass1_steps", "slots", "tile_rows",
-                     "interpret"))
+                     "max_steps", "event_interp", "pass1_steps", "slots",
+                     "tile_rows", "interpret"))
 def trace_rays_kerr_two_pass(metric, r_obs, alphas, thetas, theta_obs,
                              axis_refine, lambda_max: float,
                              max_steps: int = 200000,
+                             event_interp: str = "hermite",
                              pass1_steps: int = 512, slots: int = 8192,
                              tile_rows: int = DEFAULT_ROWS,
                              interpret: bool = False,
@@ -238,9 +244,9 @@ def trace_rays_kerr_two_pass(metric, r_obs, alphas, thetas, theta_obs,
     """
     res1, unconv = trace_rays_kerr_pallas(
         metric, r_obs, alphas, thetas, theta_obs, axis_refine,
-        lambda_max, pass1_steps, tile_rows=tile_rows,
-        interpret=interpret, return_unconverged=True,
-        dynamic_params=dynamic_params)
+        lambda_max, pass1_steps, event_interp=event_interp,
+        tile_rows=tile_rows, interpret=interpret,
+        return_unconverged=True, dynamic_params=dynamic_params)
 
     n = alphas.shape[0]
     slots = min(slots, n)
@@ -250,7 +256,8 @@ def trace_rays_kerr_two_pass(metric, r_obs, alphas, thetas, theta_obs,
     # of a full-width pass per step.
     res2 = trace_rays_kerr_pallas(
         metric, r_obs, alphas[idx], thetas[idx], theta_obs,
-        axis_refine[idx], lambda_max, max_steps, tile_rows=8,
+        axis_refine[idx], lambda_max, max_steps,
+        event_interp=event_interp, tile_rows=8,
         interpret=interpret, dynamic_params=dynamic_params)
 
     take = unconv[idx]
@@ -319,11 +326,12 @@ def trace_disk_rays_pallas(metric, r_obs, alphas, thetas, theta_obs,
         interpret=interpret,
     )(alphas_p, thetas_p, refine_p, valid_p, plunge_p)
 
+    n_steps = jnp.sum(outs[6].reshape(n_tiles, -1)[:, 0])
     flat = [o.reshape(n_pad)[:n] for o in outs]
-    status_f, steps = flat[5], flat[6]
+    status_f = flat[5]
     hit_n = flat[7]
     hit_r = tuple(flat[8 + s] for s in range(max_disk_hits))
 
     _y0, _p_t, p_phi, _inv = metric.initial_conditions_5d(
         float(r_obs), alphas, thetas, float(theta_obs))
-    return status_f, hit_n, hit_r, p_phi, jnp.max(steps)
+    return status_f, hit_n, hit_r, p_phi, n_steps

@@ -28,7 +28,8 @@ DEFAULT_ROWS = 64
 
 
 def _orbit_tile_kernel(alpha_ref, valid_ref, u_out, w_out, phi_out,
-                       status_out, *, metric, r_obs, phi_max, h_max):
+                       status_out, steps_out, *, metric, r_obs, phi_max,
+                       h_max):
     alphas = alpha_ref[:]
     valid = valid_ref[:] > 0.5
     dtype = alphas.dtype
@@ -82,13 +83,14 @@ def _orbit_tile_kernel(alpha_ref, valid_ref, u_out, w_out, phi_out,
                 jnp.where(active, phi_new, phi),
                 jnp.where(active, status_new, status))
 
-    _step, u_f, w_f, phi_f, status_f = jax.lax.while_loop(
+    step_f, u_f, w_f, phi_f, status_f = jax.lax.while_loop(
         cond, body, (jnp.asarray(0, jnp.int32), u0, w0, phi0, status0))
 
     u_out[:] = u_f
     w_out[:] = w_f
     phi_out[:] = phi_f
     status_out[:] = status_f
+    steps_out[:] = jnp.full(steps_out.shape, step_f, jnp.int32)
 
 
 @functools.partial(
@@ -131,12 +133,15 @@ def trace_rays_schwarzschild_pallas(metric, r_obs, alphas,
         kernel,
         grid=(n_tiles,),
         in_specs=[block, block],
-        out_specs=(block,) * 4,
-        out_shape=(f32, f32, f32, i32),
+        out_specs=(block,) * 5,
+        out_shape=(f32, f32, f32, i32, i32),
         interpret=interpret,
     )(alphas_p, valid_p)
 
-    u_f, w_f, phi_f, status_f = (o.reshape(n_pad)[:n] for o in outs)
+    # Per-tile loop iteration counts, summed over tiles (cross-backend
+    # n_steps contract; see ops/types.py).
+    n_steps = jnp.sum(outs[4].reshape(n_tiles, -1)[:, 0])
+    u_f, w_f, phi_f, status_f = (o.reshape(n_pad)[:n] for o in outs[:4])
 
     final_alpha, n_half, captured_by_radius = metric.orbit_extract_angle(
         phi_f, u_f, w_f)
@@ -149,5 +154,4 @@ def trace_rays_schwarzschild_pallas(metric, r_obs, alphas,
     nan = jnp.asarray(jnp.nan, dtype)
     final_alpha = jnp.where(status_out == ESCAPED, final_alpha, nan)
     n_half = jnp.where(invalid_f, 0, n_half)
-    return TraceResult(final_alpha, n_half, status_out,
-                       jnp.asarray(0, jnp.int32))
+    return TraceResult(final_alpha, n_half, status_out, n_steps)

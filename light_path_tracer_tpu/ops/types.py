@@ -19,4 +19,10 @@ class TraceResult(NamedTuple):
     final_alpha: jnp.ndarray   # (N,) float
     n_half_orbits: jnp.ndarray  # (N,) int32
     status: jnp.ndarray        # (N,) int32
-    n_steps: jnp.ndarray       # () int32 — integrator iterations executed
+    # () int32 — lock-step integrator loop iterations, summed over
+    # independently scheduled units: the XLA path counts its single
+    # whole-batch while_loop; Pallas paths sum the per-tile counts (each
+    # tile exits when its own rays finish); chunked/two-pass drivers sum
+    # across dispatches. Same contract on every backend: total sequential
+    # step work actually executed.
+    n_steps: jnp.ndarray

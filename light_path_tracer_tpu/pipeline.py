@@ -60,8 +60,8 @@ def _dtype_of(cfg: RenderConfig):
 
 
 def precompute_final_alpha(scene: SceneConfig, cfg: RenderConfig,
-                           image_dimension, fov,
-                           alpha_lookup=None) -> PrecomputeResult:
+                           image_dimension, fov, alpha_lookup=None,
+                           chunk_store=None) -> PrecomputeResult:
     """Trace one ray per pixel; returns per-pixel (final_alpha, winding).
 
     Dispatches on spherical symmetry like image_lens.py:477-498, applies
@@ -78,7 +78,8 @@ def precompute_final_alpha(scene: SceneConfig, cfg: RenderConfig,
     image_dimension = (int(image_dimension[0]), int(image_dimension[1]))
     whole_grid = cfg.chunk_size is None or (
         cfg.chunk_size >= image_dimension[0] * image_dimension[1])
-    if alpha_lookup is None and not cfg.progress and whole_grid:
+    if (alpha_lookup is None and not cfg.progress and whole_grid
+            and chunk_store is None):
         fa, wind, steps = _precompute_fused(scene, cfg, image_dimension,
                                             fov)
         height, width = image_dimension
@@ -88,7 +89,7 @@ def precompute_final_alpha(scene: SceneConfig, cfg: RenderConfig,
                   else (height + 1) // 2) * width
         return PrecomputeResult(fa, wind, height * width, traced, steps)
     return _precompute_eager(scene, cfg, image_dimension, fov,
-                             alpha_lookup)
+                             alpha_lookup, chunk_store=chunk_store)
 
 
 def _use_tb(scene: SceneConfig, cfg: RenderConfig) -> bool:
@@ -105,8 +106,8 @@ def _precompute_fused(scene, cfg, image_dimension, fov):
 
 
 def _precompute_eager(scene: SceneConfig, cfg: RenderConfig,
-                      image_dimension, fov,
-                      alpha_lookup=None) -> PrecomputeResult:
+                      image_dimension, fov, alpha_lookup=None,
+                      chunk_store=None) -> PrecomputeResult:
     metric = make_metric(scene.M, scene.a)
     dtype = _dtype_of(cfg)
     height, width = image_dimension
@@ -149,7 +150,8 @@ def _precompute_eager(scene: SceneConfig, cfg: RenderConfig,
         sort_by_difficulty=cfg.sort_by_difficulty,
         max_steps=cfg.max_steps, backend=cfg.backend,
         integrator=cfg.integrator, event_interp=cfg.event_interp,
-        progress=cfg.progress)
+        two_pass=cfg.two_pass, pass1_steps=cfg.pass1_steps,
+        progress=cfg.progress, chunk_store=chunk_store)
 
     fa_rows = res.final_alpha.reshape(
         (trace_rows, width)).astype(jnp.float32)

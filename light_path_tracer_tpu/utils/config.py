@@ -57,6 +57,12 @@ class RenderConfig:
     # much larger grids or very heterogeneous ray difficulty.
     chunk_size: int | None = None
     sort_by_difficulty: bool = True    # group photon-ring grazers
+    # Two-pass straggler retrace on the Pallas Kerr path: pass 1 caps
+    # every tile at pass1_steps, then only still-running rays are
+    # re-traced at full depth ("auto" = on whenever Pallas is selected).
+    # Measured ~2x at 1024^2 vs single-pass tiles (BASELINE.md).
+    two_pass: str | bool = "auto"
+    pass1_steps: int = 512
     axis_refine_frac: float = 0.07     # Y_AXIS_REFINE_FRAC
     use_tb_symmetry: bool = True       # top/bottom mirror when applicable
     render_loop_around: bool = False
