@@ -21,8 +21,31 @@ Physics parity with /root/reference/metrics.py:840-1133:
 TPU-native re-design: all hot-path functions are batched jnp over N rays
 (structure-of-arrays tuples), ready for `vmap`-free direct array evaluation
 inside `lax.while_loop` integrators and Pallas kernels. A correctness
-oracle cross-checks the analytic RHS against `jax.grad` of the
-super-Hamiltonian (tests/test_kerr.py).
+oracle cross-checks the analytic RHS against a complex-step derivative of
+the super-Hamiltonian
+(tests/test_metrics_math.py::test_kerr_rhs_vs_complex_step), and the
+rational mu-form against the theta-form by chain rule
+(tests/test_metrics_math.py).
+
+Two algebraically equivalent formulations of the polar coordinate exist:
+  * theta-form (`rhs5`): state [r, theta, phi, p_r, p_theta] — the
+    reference-parity surface (metrics.py:221-303), used by the 8-D public
+    path and the fixed-step comparison tracer. Costs sin/cos per
+    evaluation.
+  * mu-form (`rhs5_mu`): state [r, mu=cos(theta), phi, p_r, p_mu] — every
+    inverse-metric component is a *rational* function of (r, mu), so the
+    hot loop runs with ZERO transcendentals. Measured on a v5e: ~25%
+    cheaper per DP45 step than the theta form, but it needs a theta-form
+    retrace of pole-approaching lanes (trace_rays_kerr_hybrid) and takes
+    ~25% more steps in the near-pole band, which nets out slightly
+    SLOWER end-to-end at 1024^2 — so theta remains the default and mu is
+    the opt-in formulation (BASELINE.md "formulation study"). Conversion
+    at entry/exit: p_mu = -p_theta / sin(theta).
+
+The batched hot-path surface lives in `_KerrHotPath`, shared by two
+front-ends: the frozen `Kerr` dataclass (hashable — parameters fold into
+compiled constants) and `TracedKerr` (parameters as traced jnp scalars for
+recompilation-free spin/mass sweeps).
 """
 
 from __future__ import annotations
@@ -62,32 +85,33 @@ def _inverse_metric_terms(M, a, r, th):
             Sigma, Delta, A, sin_th, cos_th, sin2)
 
 
-class TracedKerr:
-    """Kerr physics with *traced* (M, a): the serving/animation variant.
+class _KerrHotPath:
+    """Batched Kerr hot-path surface, shared by `Kerr` and `TracedKerr`.
 
-    The frozen `Kerr` dataclass is hashable and folds its parameters into
-    compiled constants — ideal for one scene, but a spin/mass sweep would
-    recompile every frame. This adapter carries M and a as jnp scalars
-    and reuses the exact same batched method implementations (they only
-    touch self.M / self.a / self.r_plus through jnp ops), so one compiled
-    program serves any (M, a).
-
-    Only the hot-path surface is available (rhs5, initial_conditions_5d,
-    extract_angle, capture_radius, plunge_radii); host-side scalar
-    geometry (alpha_crit etc.) needs concrete floats — use `Kerr`.
+    Every method here touches the metric parameters only through
+    `self.M` / `self.a` / `self.r_plus` via jnp ops, so the same bodies
+    serve both the static (Python-float, constant-folded) and traced
+    (jnp-scalar) front-ends.
     """
 
-    is_spherically_symmetric = False
-
-    def __init__(self, M, a):
-        self.M = M
-        self.a = a
-        self.r_plus = M + jnp.sqrt(jnp.maximum(M * M - a * a, 0.0))
+    # ---- scalars usable from both front-ends ----
 
     def capture_radius(self):
         return self.r_plus * 1.01
 
     def plunge_radii(self, r_obs, alphas, thetas, theta_obs):
+        """Per-ray certain-capture radius for early termination.
+
+        A photon arriving from large r whose radial turning point would
+        have to lie inside the photon-orbit band cannot escape: every
+        spherical photon orbit satisfies r >= r_prograde, so crossing
+        r < r_prograde inbound is a guaranteed plunge — integration can
+        stop there instead of grinding through the shrinking steps down
+        to 1.01 r_+. Vortical rays (eta < 0, only possible off the
+        equatorial observer plane) are excluded (radius 0 disables).
+        This is purely an optimization: outcome classification is
+        unchanged, only the parked state of captured rays differs.
+        """
         dtype = alphas.dtype
         M = jnp.asarray(self.M, dtype)
         a = jnp.asarray(self.a, dtype)
@@ -102,107 +126,44 @@ class TracedKerr:
         beta_s = -rho * jnp.cos(thetas)
         eta = (beta_s * beta_s
                + cos_th * cos_th * (alpha_s * alpha_s - a * a))
-        # Bardeen prograde photon-orbit radius, traced (continuous at a=0).
+        # Bardeen prograde photon-orbit radius (continuous at a = 0,
+        # where both branches give 3M; traced-safe via clip).
         ratio = jnp.clip(-a / jnp.maximum(M, 1e-30), -1.0, 1.0)
         r_pro = 2.0 * M * (1.0 + jnp.cos(2.0 / 3.0 * jnp.arccos(ratio)))
         return jnp.where(eta >= 0.0, 0.999 * r_pro, 0.0).astype(dtype)
 
-    # The batched hot-path implementations are shared with Kerr verbatim.
-    rhs5 = None                   # bound below (forward reference)
-    initial_conditions_5d = None
-    extract_angle = None
+    def pole_risk(self, r_obs, alphas, thetas, theta_obs,
+                  s_thresh=1e-4):
+        """Per-ray mask: will this ray approach the BL polar axis?
 
-
-@dataclasses.dataclass(frozen=True)
-class Kerr(Metric):
-    M: float = 1.0
-    a: float = 0.0
-
-    is_spherically_symmetric: bool = dataclasses.field(
-        default=False, init=False, repr=False)
-
-    def __post_init__(self):
-        if abs(self.a) > self.M:
-            raise ValueError(f"|a|={abs(self.a)} exceeds M={self.M}")
-
-    # ---- host-side scalar geometry (config-time, float64 numpy) ----
-
-    @property
-    def r_plus(self) -> float:
-        return self.M + np.sqrt(self.M**2 - self.a**2)
-
-    def capture_radius(self) -> float:
-        return self.r_plus * 1.01
-
-    def _Sigma(self, r, th):
-        return r**2 + self.a**2 * np.cos(th)**2
-
-    def _Delta(self, r):
-        return r**2 - 2.0 * self.M * r + self.a**2
-
-    def unstable_photon_radii(self):
-        """(r_prograde, r_retrograde) of unstable circular photon orbits.
-
-        Bardeen's closed form (metrics.py:866-874). Continuous at a = 0
-        (both branches give 3M), so no special case is needed.
+        The polar potential Theta(mu) = Q - mu^2 (L^2/sin^2 - a^2 E^2)
+        turns at sin^2(theta)_min ~= L^2 / (Q + a^2 E^2): rays with small
+        conserved L pass arbitrarily close to the axis, where p_mu
+        diverges like 1/sin(theta) — the one place the rational mu-form
+        (module docstring) is ill-conditioned. The hybrid tracer
+        (ops/batch.trace_rays_kerr_hybrid) re-traces these few lanes
+        (typically the one screen column aimed over the pole) in the
+        theta form. Vortical rays (Q < 0) are flagged too — they hover
+        near the axis by construction.
         """
-        M, a = self.M, self.a
-        r_pro = 2.0 * M * (1.0 + np.cos(2.0 / 3.0 * np.arccos(-a / M)))
-        r_ret = 2.0 * M * (1.0 + np.cos(2.0 / 3.0 * np.arccos(a / M)))
-        return float(r_pro), float(r_ret)
-
-    def _xi_eta(self, r_ph):
-        """Critical conserved quantities (xi, eta) of the spherical photon
-        orbit at Boyer-Lindquist radius r_ph (metrics.py:884-890)."""
-        M, a = self.M, self.a
-        Delta = self._Delta(r_ph)
-        xi = (r_ph**2 + a**2) / a - 2.0 * r_ph * Delta / (a * (r_ph - M))
-        eta = (r_ph**3 / (a**2 * (r_ph - M)**2)
-               * (4.0 * M * Delta - r_ph * (r_ph - M)**2))
-        return xi, eta
-
-    def critical_impact_params(self):
-        """[(xi_pro, eta_pro), (xi_ret, eta_ret)]; undefined for a = 0."""
-        if self.a == 0:
-            raise ValueError("critical_impact_params undefined for a=0")
-        return [self._xi_eta(r) for r in self.unstable_photon_radii()]
-
-    def alpha_crit(self, r_obs, theta_obs=None, n_samples=50) -> float:
-        """Shadow-envelope critical viewing angle (metrics.py:893-930):
-        the max impact parameter over sampled spherical photon orbits,
-        clamped below by the Schwarzschild value, converted to a viewing
-        angle at the observer."""
-        if theta_obs is None:
-            theta_obs = np.pi / 2
-        M, a = self.M, self.a
-        if a == 0:
-            b_crit = 3.0 * np.sqrt(3.0) * M
-        else:
-            r_pro, r_ret = self.unstable_photon_radii()
-            r_arr = np.linspace(r_pro, r_ret, n_samples)
-            xi, eta = self._xi_eta(r_arr)
-            b2 = xi**2 + np.maximum(eta, 0.0)
-            b_crit = max(float(np.sqrt(np.max(b2))), 3.0 * np.sqrt(3.0) * M)
-
-        Delta_o = self._Delta(r_obs)
-        Sigma_o = self._Sigma(r_obs, theta_obs)
-        sin_th = np.sin(theta_obs)
-        A = (r_obs**2 + a**2)**2 - a**2 * Delta_o * sin_th**2
-        arg = b_crit * np.sqrt(Sigma_o * Delta_o / A) / r_obs
-        return float(np.arcsin(np.clip(arg, -1.0, 1.0)))
-
-    def viewing_angle_to_impact_parameter(self, alpha, r_obs,
-                                          theta_obs=None):
-        if theta_obs is None:
-            theta_obs = np.pi / 2
-        if self.a == 0:
-            f = 1.0 - 2.0 * self.M / r_obs
-            return r_obs * np.sin(alpha) / np.sqrt(f)
-        Delta = self._Delta(r_obs)
-        Sigma = self._Sigma(r_obs, theta_obs)
-        sin_th = np.sin(theta_obs)
-        A = (r_obs**2 + self.a**2)**2 - self.a**2 * Delta * sin_th**2
-        return r_obs * np.sin(alpha) * np.sqrt(A / (Sigma * Delta))
+        dtype = alphas.dtype
+        M = jnp.asarray(self.M, dtype)
+        a = jnp.asarray(self.a, dtype)
+        th = jnp.asarray(theta_obs, dtype)
+        sin_th, cos_th = jnp.sin(th), jnp.cos(th)
+        r = jnp.asarray(r_obs, dtype)
+        Sigma = r * r + a * a * cos_th * cos_th
+        Delta = r * r - 2.0 * M * r + a * a
+        rho = r * jnp.sin(alphas) * jnp.sqrt(Sigma) / jnp.sqrt(
+            jnp.maximum(Delta, 1e-30))
+        alpha_s = -rho * jnp.sin(thetas)
+        beta_s = -rho * jnp.cos(thetas)
+        L = -alpha_s * sin_th
+        Q = (beta_s * beta_s
+             + cos_th * cos_th * (alpha_s * alpha_s - a * a))
+        L2 = L * L
+        denom = jnp.maximum(Q + a * a + L2, 1e-30)
+        return (Q <= 0.0) | (L2 < s_thresh * denom)
 
     # ---- batched 5-D hot path (jnp, structure-of-arrays) ----
 
@@ -268,39 +229,35 @@ class Kerr(Metric):
         p_t_b = jnp.broadcast_to(p_t, alphas.shape)
         return (r0, th0, phi0, p_r, p_th), p_t_b, p_phi, invalid
 
-    def plunge_radii(self, r_obs, alphas, thetas, theta_obs):
-        """Per-ray certain-capture radius for early termination.
+    # ---- polar-coordinate formulation converters ----
 
-        A photon arriving from large r whose radial turning point would
-        have to lie inside the photon-orbit band cannot escape: every
-        spherical photon orbit satisfies r >= r_prograde, so crossing
-        r < r_prograde inbound is a guaranteed plunge — integration can
-        stop there instead of grinding through the shrinking steps down
-        to 1.01 r_+. Vortical rays (eta < 0, only possible off the
-        equatorial observer plane) are excluded (radius 0 disables).
-        This is purely an optimization: outcome classification is
-        unchanged, only the parked state of captured rays differs.
+    @staticmethod
+    def state_to_mu(y):
+        """(r, theta, phi, p_r, p_theta) -> (r, mu, phi, p_r, p_mu).
+
+        mu = cos(theta); p_mu = p_theta * dtheta/dmu = -p_theta/sin(theta)
+        (exact canonical point transformation — same geodesics).
         """
-        dtype = alphas.dtype
-        a = jnp.asarray(self.a, dtype)
-        th = jnp.asarray(theta_obs, dtype)
+        r, th, phi, p_r, p_th = y
         sin_th = jnp.sin(th)
-        cos_th = jnp.cos(th)
-        r = jnp.asarray(r_obs, dtype)
-        M = jnp.asarray(self.M, dtype)
-        Sigma = r * r + a * a * cos_th * cos_th
-        Delta = r * r - 2.0 * M * r + a * a
-        rho = r * jnp.sin(alphas) * jnp.sqrt(Sigma) / jnp.sqrt(
-            jnp.maximum(Delta, 1e-30))
-        alpha_screen = -rho * jnp.sin(thetas)
-        beta_screen = -rho * jnp.cos(thetas)
-        eta = (beta_screen * beta_screen
-               + cos_th * cos_th * (alpha_screen * alpha_screen - a * a))
-        r_pro = self.unstable_photon_radii()[0]
-        return jnp.where(eta >= 0.0, 0.999 * r_pro, 0.0).astype(dtype)
+        mu = jnp.cos(th)
+        sin_safe = jnp.maximum(sin_th, jnp.asarray(
+            np.sqrt(_SIN2_FLOOR), r.dtype))
+        return (r, mu, phi, p_r, -p_th / sin_safe)
+
+    @staticmethod
+    def state_from_mu(y):
+        """(r, mu, phi, p_r, p_mu) -> (r, theta, phi, p_r, p_theta)."""
+        r, mu, phi, p_r, p_mu = y
+        mu_c = jnp.clip(mu, -1.0, 1.0)
+        th = jnp.arccos(mu_c)
+        # (1-mu)(1+mu) is better conditioned than 1-mu^2 near the poles.
+        sin_th = jnp.sqrt(jnp.maximum(
+            (1.0 - mu_c) * (1.0 + mu_c), _SIN2_FLOOR))
+        return (r, th, phi, p_r, -sin_th * p_mu)
 
     def rhs5(self, state5, p_t, p_phi):
-        """Hamilton's equations on the reduced 5-D state, batched.
+        """Hamilton's equations on the reduced 5-D theta-state, batched.
 
         Parity: metrics.py:221-303 — analytic d/dr and d/dtheta of the
         inverse-metric components; RHS hard-zeroed inside r <= 1.001 r_+.
@@ -311,6 +268,8 @@ class Kerr(Metric):
         form computes three reciprocals (1/Sigma, 1/Delta, 1/sin^2) once
         and expresses every quotient as products of them — algebraically
         identical, ~equal rounding (divides replaced by reciprocal+mul).
+        This is the parity/oracle surface; production integration runs
+        the transcendental-free `rhs5_mu`.
         """
         r, th, phi, p_r, p_th = state5
         dtype = r.dtype
@@ -398,6 +357,101 @@ class Kerr(Metric):
                 jnp.where(keep, dphi, z), jnp.where(keep, dp_r, z),
                 jnp.where(keep, dp_th, z))
 
+    def rhs5_mu(self, state5, p_t, p_phi):
+        """Hamilton's equations on the reduced 5-D mu-state, batched.
+
+        state5 = (r, mu, phi, p_r, p_mu) with mu = cos(theta). Exactly the
+        same Hamiltonian as `rhs5` after the canonical transformation
+        theta -> mu (g^mumu = sin^2/Sigma, sin^2 = (1-mu)(1+mu)), so every
+        component is a rational function of (r, mu): ZERO transcendentals
+        in the hot loop — the production formulation on TPU (module
+        docstring). RHS hard-zeroed inside r <= 1.001 r_+ like rhs5.
+        """
+        r, mu, phi, p_r, p_mu = state5
+        dtype = r.dtype
+        M = jnp.asarray(self.M, dtype)
+        a = jnp.asarray(self.a, dtype)
+        r_plus = jnp.asarray(self.r_plus, dtype)
+
+        frozen = r <= r_plus * 1.001
+        r_s = jnp.where(frozen, 10.0 * r_plus + 10.0, r)
+
+        a2 = a * a
+        r2 = r_s * r_s
+        # (1-mu)(1+mu) stays accurate near the poles where 1-mu^2 cancels.
+        s = jnp.maximum((1.0 - mu) * (1.0 + mu), _SIN2_FLOOR)
+        Sigma = r2 + a2 * mu * mu
+        Delta = r2 - 2.0 * M * r_s + a2
+        ra2 = r2 + a2
+        A = ra2 * ra2 - a2 * Delta * s
+
+        inv_Sigma = 1.0 / Sigma
+        inv_Delta = 1.0 / Delta
+        inv_s = 1.0 / s
+        inv_SD = inv_Sigma * inv_Delta
+        inv_SD2 = inv_SD * inv_SD
+        inv_S2 = inv_Sigma * inv_Sigma
+
+        g_rr = Delta * inv_Sigma
+        g_mumu = s * inv_Sigma
+        g_tphi = -2.0 * M * a * r_s * inv_SD
+        g_phiphi = (Delta - a2 * s) * inv_SD * inv_s
+
+        dr = g_rr * p_r
+        dmu = g_mumu * p_mu
+        dphi = g_tphi * p_t + g_phiphi * p_phi
+
+        # -- radial derivatives (s is independent of r) --
+        SD = Sigma * Delta
+        dSigma_dr = 2.0 * r_s
+        dDelta_dr = 2.0 * r_s - 2.0 * M
+        dA_dr = 4.0 * r_s * ra2 - a2 * dDelta_dr * s
+        dSD_dr = dSigma_dr * Delta + Sigma * dDelta_dr
+
+        dg_tt_dr = -(dA_dr * SD - A * dSD_dr) * inv_SD2
+        dg_tphi_dr = -(2.0 * M * a * (SD - r_s * dSD_dr)) * inv_SD2
+        dg_rr_dr = (dDelta_dr * Sigma - Delta * dSigma_dr) * inv_S2
+        dg_mumu_dr = -s * dSigma_dr * inv_S2
+        inv_den_phi = inv_SD * inv_s
+        inv_den_phi2 = inv_den_phi * inv_den_phi
+        den_phi = SD * s
+        num = Delta - a2 * s
+        dg_phiphi_dr = (dDelta_dr * den_phi
+                        - num * dSD_dr * s) * inv_den_phi2
+
+        dp_r = -0.5 * (dg_tt_dr * p_t * p_t
+                       + 2.0 * dg_tphi_dr * p_t * p_phi
+                       + dg_rr_dr * p_r * p_r
+                       + dg_mumu_dr * p_mu * p_mu
+                       + dg_phiphi_dr * p_phi * p_phi)
+
+        # -- polar (mu) derivatives: all polynomial in mu --
+        ds_dmu = -2.0 * mu
+        dSigma_dmu = 2.0 * a2 * mu
+        dA_dmu = 2.0 * a2 * Delta * mu          # = -a2 * Delta * ds_dmu
+        dSD_dmu = dSigma_dmu * Delta
+
+        dg_tt_dmu = -(dA_dmu * SD - A * dSD_dmu) * inv_SD2
+        dg_tphi_dmu = 2.0 * M * a * r_s * dSD_dmu * inv_SD2
+        dg_rr_dmu = -Delta * dSigma_dmu * inv_S2
+        dg_mumu_dmu = (ds_dmu * Sigma - s * dSigma_dmu) * inv_S2
+        dnum_dmu = 2.0 * a2 * mu                # = -a2 * ds_dmu
+        dden_dmu = dSD_dmu * s + SD * ds_dmu
+        dg_phiphi_dmu = (dnum_dmu * den_phi
+                         - num * dden_dmu) * inv_den_phi2
+
+        dp_mu = -0.5 * (dg_tt_dmu * p_t * p_t
+                        + 2.0 * dg_tphi_dmu * p_t * p_phi
+                        + dg_rr_dmu * p_r * p_r
+                        + dg_mumu_dmu * p_mu * p_mu
+                        + dg_phiphi_dmu * p_phi * p_phi)
+
+        keep = jnp.logical_not(frozen)
+        z = jnp.zeros_like(r)
+        return (jnp.where(keep, dr, z), jnp.where(keep, dmu, z),
+                jnp.where(keep, dphi, z), jnp.where(keep, dp_r, z),
+                jnp.where(keep, dp_mu, z))
+
     def extract_angle(self, state5, p_t, p_phi, captured):
         """Final deflection angle from the integrated state, batched.
 
@@ -456,6 +510,117 @@ class Kerr(Metric):
         n_half = jnp.where(bad_state & ~is_captured, 0, n_half)
         return status, final_alpha, n_half
 
+
+class TracedKerr(_KerrHotPath):
+    """Kerr physics with *traced* (M, a): the serving/animation variant.
+
+    The frozen `Kerr` dataclass is hashable and folds its parameters into
+    compiled constants — ideal for one scene, but a spin/mass sweep would
+    recompile every frame. This adapter carries M and a as jnp scalars
+    and shares the batched hot-path surface through `_KerrHotPath` (those
+    methods only touch self.M / self.a / self.r_plus via jnp ops), so one
+    compiled program serves any (M, a).
+
+    Only the hot-path surface is available; host-side scalar geometry
+    (alpha_crit etc.) needs concrete floats — use `Kerr`.
+    """
+
+    is_spherically_symmetric = False
+
+    def __init__(self, M, a):
+        self.M = M
+        self.a = a
+        self.r_plus = M + jnp.sqrt(jnp.maximum(M * M - a * a, 0.0))
+
+
+@dataclasses.dataclass(frozen=True)
+class Kerr(_KerrHotPath, Metric):
+    M: float = 1.0
+    a: float = 0.0
+
+    is_spherically_symmetric: bool = dataclasses.field(
+        default=False, init=False, repr=False)
+
+    def __post_init__(self):
+        if abs(self.a) > self.M:
+            raise ValueError(f"|a|={abs(self.a)} exceeds M={self.M}")
+
+    # ---- host-side scalar geometry (config-time, float64 numpy) ----
+
+    @property
+    def r_plus(self) -> float:
+        return self.M + np.sqrt(self.M**2 - self.a**2)
+
+    def _Sigma(self, r, th):
+        return r**2 + self.a**2 * np.cos(th)**2
+
+    def _Delta(self, r):
+        return r**2 - 2.0 * self.M * r + self.a**2
+
+    def unstable_photon_radii(self):
+        """(r_prograde, r_retrograde) of unstable circular photon orbits.
+
+        Bardeen's closed form (metrics.py:866-874). Continuous at a = 0
+        (both branches give 3M), so no special case is needed.
+        """
+        M, a = self.M, self.a
+        r_pro = 2.0 * M * (1.0 + np.cos(2.0 / 3.0 * np.arccos(-a / M)))
+        r_ret = 2.0 * M * (1.0 + np.cos(2.0 / 3.0 * np.arccos(a / M)))
+        return float(r_pro), float(r_ret)
+
+    def _xi_eta(self, r_ph):
+        """Critical conserved quantities (xi, eta) of the spherical photon
+        orbit at Boyer-Lindquist radius r_ph (metrics.py:884-890)."""
+        M, a = self.M, self.a
+        Delta = self._Delta(r_ph)
+        xi = (r_ph**2 + a**2) / a - 2.0 * r_ph * Delta / (a * (r_ph - M))
+        eta = (r_ph**3 / (a**2 * (r_ph - M)**2)
+               * (4.0 * M * Delta - r_ph * (r_ph - M)**2))
+        return xi, eta
+
+    def critical_impact_params(self):
+        """[(xi_pro, eta_pro), (xi_ret, eta_ret)]; undefined for a = 0."""
+        if self.a == 0:
+            raise ValueError("critical_impact_params undefined for a=0")
+        return [self._xi_eta(r) for r in self.unstable_photon_radii()]
+
+    def alpha_crit(self, r_obs, theta_obs=None, n_samples=50) -> float:
+        """Shadow-envelope critical viewing angle (metrics.py:893-930):
+        the max impact parameter over sampled spherical photon orbits,
+        clamped below by the Schwarzschild value, converted to a viewing
+        angle at the observer."""
+        if theta_obs is None:
+            theta_obs = np.pi / 2
+        M, a = self.M, self.a
+        if a == 0:
+            b_crit = 3.0 * np.sqrt(3.0) * M
+        else:
+            r_pro, r_ret = self.unstable_photon_radii()
+            r_arr = np.linspace(r_pro, r_ret, n_samples)
+            xi, eta = self._xi_eta(r_arr)
+            b2 = xi**2 + np.maximum(eta, 0.0)
+            b_crit = max(float(np.sqrt(np.max(b2))), 3.0 * np.sqrt(3.0) * M)
+
+        Delta_o = self._Delta(r_obs)
+        Sigma_o = self._Sigma(r_obs, theta_obs)
+        sin_th = np.sin(theta_obs)
+        A = (r_obs**2 + a**2)**2 - a**2 * Delta_o * sin_th**2
+        arg = b_crit * np.sqrt(Sigma_o * Delta_o / A) / r_obs
+        return float(np.arcsin(np.clip(arg, -1.0, 1.0)))
+
+    def viewing_angle_to_impact_parameter(self, alpha, r_obs,
+                                          theta_obs=None):
+        if theta_obs is None:
+            theta_obs = np.pi / 2
+        if self.a == 0:
+            f = 1.0 - 2.0 * self.M / r_obs
+            return r_obs * np.sin(alpha) / np.sqrt(f)
+        Delta = self._Delta(r_obs)
+        Sigma = self._Sigma(r_obs, theta_obs)
+        sin_th = np.sin(theta_obs)
+        A = (r_obs**2 + self.a**2)**2 - self.a**2 * Delta * sin_th**2
+        return r_obs * np.sin(alpha) * np.sqrt(A / (Sigma * Delta))
+
     # ---- full 8-D Hamiltonian path (jnp, batched) ----
 
     def geodesic_equations(self, lam, state8):
@@ -496,11 +661,3 @@ class Kerr(Metric):
             [zeros, r0, th0, phi0, p_t, p_r, p_th,
              jnp.broadcast_to(p_phi, alpha.shape)], axis=-1)
         return state8, invalid
-
-
-# Bind the shared hot-path implementations onto the traced adapter (the
-# method bodies only touch self.M / self.a / self.r_plus through jnp ops,
-# so they trace cleanly with scalar tracers).
-TracedKerr.rhs5 = Kerr.rhs5
-TracedKerr.initial_conditions_5d = Kerr.initial_conditions_5d
-TracedKerr.extract_angle = Kerr.extract_angle

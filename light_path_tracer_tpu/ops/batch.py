@@ -42,8 +42,8 @@ def trace_batch(metric, r_obs, alphas, thetas=None, theta_obs=np.pi / 2,
                 axis_refine=None, *, chunk_size=None, sort_by_difficulty=True,
                 lambda_max=None, max_steps=200000, phi_max=50.0, h_max=0.05,
                 backend="auto", integrator="dp45", event_interp="hermite",
-                two_pass="auto", pass1_steps=512, progress=False,
-                chunk_store=None):
+                two_pass="auto", pass1_steps=512, formulation="mu",
+                progress=False, chunk_store=None):
     """Trace N rays through `metric`; returns TraceResult of shape (N,).
 
     Dispatches to the spherically-symmetric orbit tracer or the Kerr DP45
@@ -90,17 +90,24 @@ def trace_batch(metric, r_obs, alphas, thetas=None, theta_obs=np.pi / 2,
         kerr_kwargs = {}
     else:
         resolved = _kerr_backend(backend, alphas.dtype)
-        kerr_kwargs = dict(event_interp=event_interp)
-        if resolved == "pallas":
-            # 'auto' resolves to single-pass: measured on a v5e at 1024^2,
-            # two-pass is a net LOSS for one-shot grids (13.9 vs 15.4
-            # Mrays/s, scripts/sweep_kerr.py) — per-tile early exit
-            # already contains the straggler tail, and the second
-            # dispatch + duplicated IC/extraction work outweighs it.
-            # It stays available (two_pass=True) and is used by the
-            # animation path, where the capped pass keeps frame times
-            # near the median. Numbers: BASELINE.md "two-pass" section.
-            use_two_pass = two_pass if two_pass != "auto" else False
+        # 'auto' two_pass resolves to single-pass: measured on a v5e at
+        # 1024^2, a capped first pass is a net LOSS for one-shot grids
+        # (scripts/sweep_kerr.py) — per-tile early exit already contains
+        # the straggler tail. two_pass=True (used by the animation path)
+        # enables the pass1_steps cap inside the hybrid tracer.
+        use_two_pass = two_pass if two_pass != "auto" else False
+        if formulation == "mu":
+            # Production path: mu-form bulk + theta-form pole/straggler
+            # retrace, one jitted program (see trace_rays_kerr_hybrid).
+            from light_path_tracer_tpu.ops.kerr_trace import (
+                trace_rays_kerr_hybrid)
+            kerr_fn = trace_rays_kerr_hybrid
+            kerr_kwargs = dict(
+                event_interp=event_interp, backend=resolved,
+                pass1_steps=pass1_steps if use_two_pass else None)
+        elif resolved == "pallas":
+            kerr_kwargs = dict(event_interp=event_interp,
+                               formulation=formulation)
             if use_two_pass:
                 from light_path_tracer_tpu.ops.pallas.kerr_trace_kernel \
                     import trace_rays_kerr_two_pass
@@ -112,6 +119,8 @@ def trace_batch(metric, r_obs, alphas, thetas=None, theta_obs=np.pi / 2,
                 kerr_fn = trace_rays_kerr_pallas
         else:
             kerr_fn = trace_rays_kerr
+            kerr_kwargs = dict(event_interp=event_interp,
+                               formulation=formulation)
 
     if chunk_size is None or chunk_size >= n:
         # No difficulty sort here: a measured trade-off. Sorted rays make

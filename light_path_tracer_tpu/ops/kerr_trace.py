@@ -130,17 +130,41 @@ def _hermite_crossing_frac(r0, r1, fr0, fr1, h, target, frac_linear,
 @functools.partial(
     jax.jit,
     static_argnames=("metric", "r_obs", "theta_obs", "lambda_max",
-                     "max_steps", "event_interp", "early_capture"))
+                     "max_steps", "event_interp", "early_capture",
+                     "formulation"))
 def trace_rays_kerr(metric, r_obs, alphas, thetas, theta_obs,
                     axis_refine, lambda_max: float, max_steps: int = 200000,
                     event_interp: str = "hermite",
-                    early_capture: bool = True):
+                    early_capture: bool = True,
+                    formulation: str = "theta",
+                    force_invalid=None):
     """Trace a batch of Kerr rays adaptively; returns TraceResult.
 
     alphas/thetas: (N,) screen viewing angle / azimuth; theta_obs scalar;
     axis_refine: (N,) bool tolerance-tightening mask.
     lambda_max default at call sites: max(5000, 6 r_obs) (metrics.py:1121).
+    formulation: 'theta' (default — reference-parity polar coordinate)
+    or 'mu' (transcendental-free rational RHS); same geodesics either
+    way (tests/test_integrators.py cross-checks the two paths). NOTE:
+    'mu' alone is ill-conditioned for rays passing near the polar axis
+    (Kerr.pole_risk); mu users should go through trace_rays_kerr_hybrid,
+    which re-traces those lanes in theta form. On a v5e the mu hybrid
+    measured ~25% cheaper per step but slightly slower end-to-end at
+    1024^2 (BASELINE.md "formulation study"), so theta is the default.
     """
+    return _trace_rays_kerr_impl(
+        metric, r_obs, alphas, thetas, theta_obs, axis_refine,
+        lambda_max, max_steps, event_interp, early_capture, formulation,
+        force_invalid)
+
+
+def _trace_rays_kerr_impl(metric, r_obs, alphas, thetas, theta_obs,
+                          axis_refine, lambda_max, max_steps,
+                          event_interp, early_capture, formulation,
+                          force_invalid):
+    """Unjitted body of trace_rays_kerr. `metric` may be a TracedKerr
+    with traced (M, a) when called from inside an enclosing jit (the
+    recompilation-free parameter-sweep path, sequence.py)."""
     dtype = alphas.dtype
     tols = TOLS[jnp.dtype(dtype)]
     atol = jnp.where(axis_refine, tols["atol_ref"], tols["atol"]).astype(dtype)
@@ -153,6 +177,12 @@ def trace_rays_kerr(metric, r_obs, alphas, thetas, theta_obs,
 
     y0, p_t, p_phi, invalid0 = metric.initial_conditions_5d(
         r_obs, alphas, thetas, theta_obs)
+    if formulation == "mu":
+        y0 = metric.state_to_mu(y0)
+    if force_invalid is not None:
+        # Hybrid-tracer poisoning: lanes destined for the theta-form
+        # retrace are frozen at step 0 so they cost no integration work.
+        invalid0 = invalid0 | force_invalid
     status0 = jnp.where(invalid0, INVALID, RUNNING).astype(jnp.int32)
     r_plunge = (metric.plunge_radii(r_obs, alphas, thetas, theta_obs)
                 if early_capture else None)
@@ -163,7 +193,9 @@ def trace_rays_kerr(metric, r_obs, alphas, thetas, theta_obs,
         r_capture=r_capture, r_escape=r_escape,
         lambda_max=lambda_max, h_init=max(1.0, 0.01 * float(r_obs)),
         max_steps=max_steps, event_interp=event_interp,
-        r_plunge=r_plunge)
+        r_plunge=r_plunge, formulation=formulation)
+    if formulation == "mu":
+        y_f = metric.state_from_mu(y_f)
 
     captured = status_f == CAPTURED
     ext_status, final_alpha, n_half = metric.extract_angle(
@@ -183,7 +215,7 @@ def trace_rays_kerr(metric, r_obs, alphas, thetas, theta_obs,
 def dp45_integrate(metric, y0, p_t, p_phi, status0, *, atol, rtol, h_min,
                    tiny_err, r_capture, r_escape, lambda_max, h_init,
                    max_steps, event_interp="hermite", disk_plane=None,
-                   max_disk_hits=2, r_plunge=None):
+                   max_disk_hits=2, r_plunge=None, formulation="theta"):
     """The shared lock-step DP45+FSAL integration loop.
 
     Shape-polymorphic over the ray axis/axes: the XLA path calls it on
@@ -195,10 +227,20 @@ def dp45_integrate(metric, y0, p_t, p_phi, status0, *, atol, rtol, h_min,
     config 4 — the reference has no disk). With opaque=True the ray
     terminates at its first in-disk crossing (status stays as-is; the
     hit record marks the pixel).
+
+    formulation: 'theta' integrates the reference-parity state
+    [r, theta, phi, p_r, p_theta] via metric.rhs5; 'mu' integrates
+    [r, mu=cos(theta), phi, p_r, p_mu] via the transcendental-free
+    metric.rhs5_mu (caller converts y0 with metric.state_to_mu and the
+    result back with metric.state_from_mu). disk_plane's theta_plane is
+    always given in theta; it is converted here for 'mu'.
     """
     dtype = y0[0].dtype
     lam_max = jnp.asarray(lambda_max, dtype)
-    rhs = lambda y: metric.rhs5(y, p_t, p_phi)
+    if formulation == "mu":
+        rhs = lambda y: metric.rhs5_mu(y, p_t, p_phi)
+    else:
+        rhs = lambda y: metric.rhs5(y, p_t, p_phi)
 
     k1_0 = rhs(y0)
     h0 = jnp.full_like(y0[0], h_init)
@@ -206,6 +248,9 @@ def dp45_integrate(metric, y0, p_t, p_phi, status0, *, atol, rtol, h_min,
 
     if disk_plane is not None:
         disk_r_in, disk_r_out, theta_plane, disk_opaque = disk_plane
+        # Plane location in the integration coordinate (static float).
+        plane_c = (float(np.cos(theta_plane)) if formulation == "mu"
+                   else float(theta_plane))
         # "down" flags are carried as 0.0/1.0 in the compute dtype: bool
         # (i1) vectors in a while_loop carry do not lower in Mosaic.
         hits0 = {
@@ -248,8 +293,18 @@ def dp45_integrate(metric, y0, p_t, p_phi, status0, *, atol, rtol, h_min,
         err = _wsum(h_eff, [k1, k3, k4, k5, k6, k7],
                     [tb.E1, tb.E3, tb.E4, tb.E5, tb.E6, tb.E7])
         err_sq = jnp.zeros_like(h_eff)
-        for yi, ni, ei in zip(y, y5, err):
-            sc = atol + rtol * jnp.maximum(jnp.abs(yi), jnp.abs(ni))
+        for i, (yi, ni, ei) in enumerate(zip(y, y5, err)):
+            mag = jnp.maximum(jnp.abs(yi), jnp.abs(ni))
+            if formulation == "mu" and i == 1:
+                # mu = cos(theta) spans [-1, 1] while theta sits near
+                # pi/2 on typical rays, so mu's relative term vanishes at
+                # the equator and the controller would over-resolve the
+                # polar coordinate ~(pi/2 rtol/atol)^(1/5)x vs the theta
+                # form. Weight mu's error on the theta scale (valid:
+                # |d mu| = sin(theta) |d theta| <= |d theta|; pole-bound
+                # lanes are rerouted to theta form by the hybrid anyway).
+                mag = jnp.maximum(mag, np.pi / 2)
+            sc = atol + rtol * mag
             ratio = jnp.where(finite_ok, ei / sc, 0.0)
             err_sq = err_sq + ratio * ratio
         err_norm = jnp.sqrt(err_sq / 5.0)
@@ -320,8 +375,8 @@ def dp45_integrate(metric, y0, p_t, p_phi, status0, *, atol, rtol, h_min,
             # (up to the event fraction), located with the same
             # interpolant used for events.
             th_prev, th_next = y[1], y_acc[1]
-            d_prev = th_prev - theta_plane
-            d_next = th_next - theta_plane
+            d_prev = th_prev - plane_c
+            d_next = th_next - plane_c
             # Strict sign change, plus the tangent case of landing exactly
             # on the plane (measure-zero center-column pixels otherwise
             # leave a 1-px seam in disk renders).
@@ -330,13 +385,24 @@ def dp45_integrate(metric, y0, p_t, p_phi, status0, *, atol, rtol, h_min,
             den = jnp.where(d_next == d_prev, 1.0, d_next - d_prev)
             frac_c = jnp.clip(-d_prev / den, 0.0, 1.0)
             if event_interp == "hermite":
-                y_cross = _hermite_eval(y, y_acc, k1, k7,
-                                        frac * h_eff, frac_c)
+                # k7 is the derivative at y5 (the un-shortened endpoint);
+                # when a capture/escape event shortened this same step
+                # (y_acc != y5), Hermite with k7 would be inconsistent —
+                # fall back to linear on those (rare) lanes.
+                y_cross_h = _hermite_eval(y, y_acc, k1, k7,
+                                          frac * h_eff, frac_c)
+                y_cross = _select(cap | esc, _lerp(y, y_acc, frac_c),
+                                  y_cross_h)
             else:
                 y_cross = _lerp(y, y_acc, frac_c)
             r_c = y_cross[0]
             in_disk = crossed & (r_c >= disk_r_in) & (r_c <= disk_r_out)
-            going_down = d_next > d_prev   # theta increasing (toward +z->-z)
+            # "down" = theta increasing through the plane (+z -> -z); in
+            # mu = cos(theta) coordinates that is mu *decreasing*.
+            if formulation == "mu":
+                going_down = d_next < d_prev
+            else:
+                going_down = d_next > d_prev
 
             n = hits_out["n"]
             new_r = list(hits_out["r"])
@@ -366,3 +432,123 @@ def dp45_integrate(metric, y0, p_t, p_phi, status0, *, atol, rtol, h_min,
     if disk_plane is not None:
         return y_f, status_f, lam_f, step_f, hits_f
     return y_f, status_f, lam_f, step_f
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("metric", "r_obs", "theta_obs", "lambda_max",
+                     "max_steps", "event_interp", "backend", "s_thresh",
+                     "slots", "pass1_steps", "tile_rows"))
+def trace_rays_kerr_hybrid(metric, r_obs, alphas, thetas, theta_obs,
+                           axis_refine, lambda_max: float,
+                           max_steps: int = 200000,
+                           event_interp: str = "hermite",
+                           backend: str = "xla",
+                           s_thresh: float = 1e-3,
+                           slots: int | None = None,
+                           pass1_steps: int | None = None,
+                           tile_rows: int | None = None,
+                           dynamic_params=None):
+    """Production Kerr tracer: mu-form bulk + theta-form pole fallback.
+
+    The rational mu = cos(theta) formulation integrates ~2x faster per
+    step than the theta form (zero transcendentals; scripts/sweep_kerr.py)
+    but is ill-conditioned for the few rays that pass near the polar axis
+    (p_mu ~ 1/sin(theta) diverges — typically the one screen column aimed
+    straight over the pole). This driver:
+
+      1. predicts those lanes from the conserved quantities at launch
+         (Kerr.pole_risk) and poisons them so they cost zero steps;
+      2. traces everything else in mu form (optionally capped at
+         `pass1_steps` for straggler containment — the capped lanes join
+         the retrace set);
+      3. gathers the poisoned/invalid/capped lanes into fixed `slots` and
+         re-traces them in theta form at full depth, then scatters back.
+
+    All inside one jitted program. backend: 'xla' | 'pallas'.
+    dynamic_params: optional traced (M, a) — metric is then a placeholder
+    (recompilation-free parameter sweeps; works on both backends).
+    Falls back to pure theta form when the observer is nearly polar
+    (sin(theta_obs) < 0.1: most of the grid would be pole-risk anyway).
+    """
+    import math
+
+    if dynamic_params is not None:
+        from light_path_tracer_tpu.models.kerr import TracedKerr
+        eff_metric = TracedKerr(
+            jnp.asarray(dynamic_params[0], alphas.dtype),
+            jnp.asarray(dynamic_params[1], alphas.dtype))
+    else:
+        eff_metric = metric
+
+    def run(al, th, rf, form, steps, fi=None, unconv=False, rows=None):
+        if backend == "pallas":
+            from light_path_tracer_tpu.ops.pallas.kerr_trace_kernel \
+                import trace_rays_kerr_pallas
+            kw = {} if rows is None else dict(tile_rows=rows)
+            return trace_rays_kerr_pallas(
+                metric, float(r_obs), al, th, float(theta_obs), rf,
+                float(lambda_max), steps, event_interp=event_interp,
+                return_unconverged=unconv, dynamic_params=dynamic_params,
+                formulation=form, force_invalid=fi, **kw)
+        res = _trace_rays_kerr_impl(
+            eff_metric, float(r_obs), al, th, float(theta_obs), rf,
+            float(lambda_max), steps, event_interp, True, form, fi)
+        if unconv:
+            # The XLA whole-batch loop has no per-tile cap semantics;
+            # nothing is left running when it returns.
+            return res, jnp.zeros(al.shape, bool)
+        return res
+
+    if abs(math.sin(float(theta_obs))) < 0.1:
+        # Nearly-polar observer: most rays hug the axis; mu form would
+        # reroute nearly everything, so integrate it all in theta form.
+        kw = {} if tile_rows is None else dict(rows=tile_rows)
+        return run(alphas, thetas, axis_refine, "theta", max_steps, **kw)
+
+    n = int(alphas.shape[0])
+    risk = eff_metric.pole_risk(
+        float(r_obs), alphas, thetas, float(theta_obs), s_thresh)
+    if slots is None:
+        # Sized for the default s_thresh: measured risk fraction at
+        # s_thresh=1e-3 is ~1.6% of an equatorial-observer grid; n//32
+        # leaves ~2x margin. Overflow degrades gracefully (see below).
+        slots = min(n, max(8192, -(-n // 32)))
+    slots = min(slots, n)
+
+    # Poison only the risk lanes that pass 2 is guaranteed to pick up
+    # (the first `slots` of them) — if a pathological scene produces more
+    # risk lanes than slots, the excess integrate in mu form instead of
+    # being frozen into invalid pixels.
+    idx_r = jnp.nonzero(risk, size=slots, fill_value=n)[0]
+    poison = jnp.zeros((n,), bool).at[idx_r].set(True, mode="drop")
+
+    p1 = max_steps if pass1_steps is None else min(pass1_steps, max_steps)
+    if backend == "pallas":
+        res_a, unconv = run(alphas, thetas, axis_refine, "mu", p1,
+                            fi=poison, unconv=True, rows=tile_rows)
+    else:
+        res_a = run(alphas, thetas, axis_refine, "mu", max_steps,
+                    fi=poison)
+        unconv = jnp.zeros(alphas.shape, bool)
+
+    redo = poison | (res_a.status == INVALID) | unconv
+    idx = jnp.nonzero(redo, size=slots, fill_value=0)[0]
+
+    # Pass-B tile width: grid iterations run sequentially on a
+    # TensorCore, so wide tiles (more lanes, fewer serial tiles) win
+    # once slots is more than a few thousand rays.
+    rows_b = None
+    if backend == "pallas":
+        rows_b = 8 if slots <= 8192 else 32
+    res_b = run(alphas[idx], thetas[idx], axis_refine[idx], "theta",
+                max_steps, rows=rows_b)
+
+    take = redo[idx]
+    fa = res_a.final_alpha.at[idx].set(
+        jnp.where(take, res_b.final_alpha, res_a.final_alpha[idx]))
+    nh = res_a.n_half_orbits.at[idx].set(
+        jnp.where(take, res_b.n_half_orbits, res_a.n_half_orbits[idx]))
+    st = res_a.status.at[idx].set(
+        jnp.where(take, res_b.status, res_a.status[idx]))
+    return TraceResult(fa, nh, st, res_a.n_steps + res_b.n_steps)

@@ -40,7 +40,8 @@ def _trace_tile_kernel(alpha_ref, theta_ref, refine_ref, valid_ref,
                        plunge_ref, *refs,
                        metric, r_obs, theta_obs, lambda_max, max_steps,
                        event_interp, tols, disk_plane=None,
-                       max_disk_hits=2, dynamic_metric=False):
+                       max_disk_hits=2, dynamic_metric=False,
+                       formulation="mu"):
     if dynamic_metric:
         from light_path_tracer_tpu.models.kerr import TracedKerr
         m_ref, a_ref = refs[0], refs[1]
@@ -61,6 +62,8 @@ def _trace_tile_kernel(alpha_ref, theta_ref, refine_ref, valid_ref,
 
     y0, p_t, p_phi, invalid0 = metric.initial_conditions_5d(
         r_obs, alphas, thetas, theta_obs)
+    if formulation == "mu":
+        y0 = metric.state_to_mu(y0)
     status0 = jnp.where(invalid0 | ~valid, INVALID, RUNNING).astype(
         jnp.int32)
     # Certain-capture early-exit radii, precomputed by the wrapper (the
@@ -79,7 +82,7 @@ def _trace_tile_kernel(alpha_ref, theta_ref, refine_ref, valid_ref,
         lambda_max=lambda_max, h_init=max(1.0, 0.01 * float(r_obs)),
         max_steps=max_steps, event_interp=event_interp,
         disk_plane=disk_plane, max_disk_hits=max_disk_hits,
-        r_plunge=r_plunge)
+        r_plunge=r_plunge, formulation=formulation)
     if disk_plane is not None:
         y_f, status_f, _lam_f, steps, hits = result
         hitn_out = out_refs[7]
@@ -88,6 +91,9 @@ def _trace_tile_kernel(alpha_ref, theta_ref, refine_ref, valid_ref,
             out_refs[8 + slot][:] = hits["r"][slot]
     else:
         y_f, status_f, _lam_f, steps = result
+    # NOTE: in mu-formulation the state is written out as
+    # (r, mu, phi, p_r, p_mu); the wrapper converts back to theta-form
+    # (state_from_mu needs acos, which Mosaic does not lower).
 
     r_out[:] = y_f[0]
     th_out[:] = y_f[1]
@@ -102,7 +108,7 @@ def _trace_tile_kernel(alpha_ref, theta_ref, refine_ref, valid_ref,
     jax.jit,
     static_argnames=("metric", "r_obs", "theta_obs", "lambda_max",
                      "max_steps", "event_interp", "tile_rows", "interpret",
-                     "return_unconverged"))
+                     "return_unconverged", "formulation"))
 def trace_rays_kerr_pallas(metric, r_obs, alphas, thetas, theta_obs,
                            axis_refine, lambda_max: float,
                            max_steps: int = 200000,
@@ -110,7 +116,9 @@ def trace_rays_kerr_pallas(metric, r_obs, alphas, thetas, theta_obs,
                            tile_rows: int = DEFAULT_ROWS,
                            interpret: bool = False,
                            return_unconverged: bool = False,
-                           dynamic_params=None):
+                           dynamic_params=None,
+                           formulation: str = "mu",
+                           force_invalid=None):
     """Pallas-fused Kerr batch tracer; drop-in for trace_rays_kerr.
 
     float32 only (the TPU-native precision tier; use the XLA path for
@@ -148,14 +156,19 @@ def trace_rays_kerr_pallas(metric, r_obs, alphas, thetas, theta_obs,
     thetas_p = pad(thetas, 0.0).reshape(n_tiles * tile_rows, LANE)
     refine_p = pad(axis_refine.astype(dtype), 0.0).reshape(
         n_tiles * tile_rows, LANE)
-    valid_p = pad(jnp.ones((n,), dtype), 0.0).reshape(
-        n_tiles * tile_rows, LANE)
+    valid = jnp.ones((n,), dtype)
+    if force_invalid is not None:
+        # Hybrid-tracer poisoning (see trace_rays_kerr_hybrid): these
+        # lanes freeze at step 0; whole-risk tiles exit immediately.
+        valid = jnp.where(force_invalid, 0.0, valid)
+    valid_p = pad(valid, 0.0).reshape(n_tiles * tile_rows, LANE)
 
     kernel = functools.partial(
         _trace_tile_kernel, metric=metric, r_obs=float(r_obs),
         theta_obs=float(theta_obs), lambda_max=float(lambda_max),
         max_steps=max_steps, event_interp=event_interp, tols=tols,
-        dynamic_metric=dynamic_params is not None)
+        dynamic_metric=dynamic_params is not None,
+        formulation=formulation)
 
     block = pl.BlockSpec((tile_rows, LANE), lambda i: (i, 0),
                          memory_space=pltpu.VMEM)
@@ -193,6 +206,10 @@ def trace_rays_kerr_pallas(metric, r_obs, alphas, thetas, theta_obs,
     n_steps = jnp.sum(outs[6].reshape(n_tiles, -1)[:, 0])
     r_f, th_f, phi_f, pr_f, pth_f, status_f, _steps = (
         o.reshape(n_pad)[:n] for o in outs)
+    if formulation == "mu":
+        # Kernel wrote the mu-state; convert to theta-form for extraction.
+        r_f, th_f, phi_f, pr_f, pth_f = eff_metric.state_from_mu(
+            (r_f, th_f, phi_f, pr_f, pth_f))
 
     # Extraction outside the kernel (one cheap vectorized pass).
     _y0, p_t, p_phi, _inv = eff_metric.initial_conditions_5d(
@@ -222,7 +239,7 @@ def trace_rays_kerr_pallas(metric, r_obs, alphas, thetas, theta_obs,
     jax.jit,
     static_argnames=("metric", "r_obs", "theta_obs", "lambda_max",
                      "max_steps", "event_interp", "pass1_steps", "slots",
-                     "tile_rows", "interpret"))
+                     "tile_rows", "interpret", "formulation"))
 def trace_rays_kerr_two_pass(metric, r_obs, alphas, thetas, theta_obs,
                              axis_refine, lambda_max: float,
                              max_steps: int = 200000,
@@ -230,7 +247,8 @@ def trace_rays_kerr_two_pass(metric, r_obs, alphas, thetas, theta_obs,
                              pass1_steps: int = 512, slots: int = 8192,
                              tile_rows: int = DEFAULT_ROWS,
                              interpret: bool = False,
-                             dynamic_params=None):
+                             dynamic_params=None,
+                             formulation: str = "mu"):
     """Straggler-robust tracing: a cheap capped pass over all rays, then a
     full-depth second pass over only the unconverged ones.
 
@@ -246,7 +264,8 @@ def trace_rays_kerr_two_pass(metric, r_obs, alphas, thetas, theta_obs,
         metric, r_obs, alphas, thetas, theta_obs, axis_refine,
         lambda_max, pass1_steps, event_interp=event_interp,
         tile_rows=tile_rows, interpret=interpret,
-        return_unconverged=True, dynamic_params=dynamic_params)
+        return_unconverged=True, dynamic_params=dynamic_params,
+        formulation=formulation)
 
     n = alphas.shape[0]
     slots = min(slots, n)
@@ -258,7 +277,8 @@ def trace_rays_kerr_two_pass(metric, r_obs, alphas, thetas, theta_obs,
         metric, r_obs, alphas[idx], thetas[idx], theta_obs,
         axis_refine[idx], lambda_max, max_steps,
         event_interp=event_interp, tile_rows=8,
-        interpret=interpret, dynamic_params=dynamic_params)
+        interpret=interpret, dynamic_params=dynamic_params,
+        formulation=formulation)
 
     take = unconv[idx]
     fa = res1.final_alpha.at[idx].set(
@@ -274,12 +294,13 @@ def trace_rays_kerr_two_pass(metric, r_obs, alphas, thetas, theta_obs,
     jax.jit,
     static_argnames=("metric", "r_obs", "theta_obs", "lambda_max",
                      "max_steps", "disk_plane", "max_disk_hits",
-                     "tile_rows", "interpret"))
+                     "tile_rows", "interpret", "formulation"))
 def trace_disk_rays_pallas(metric, r_obs, alphas, thetas, theta_obs,
                            lambda_max: float, max_steps: int,
                            disk_plane, max_disk_hits: int = 2,
                            tile_rows: int = DEFAULT_ROWS,
-                           interpret: bool = False):
+                           interpret: bool = False,
+                           formulation: str = "mu"):
     """Pallas-fused disk-mode tracer: DP45 + equatorial-crossing recording
     in one kernel. Returns (status, n_hits, (r_hits...), xi, steps) —
     the same contract as disk.trace_disk_rays."""
@@ -308,7 +329,8 @@ def trace_disk_rays_pallas(metric, r_obs, alphas, thetas, theta_obs,
         _trace_tile_kernel, metric=metric, r_obs=float(r_obs),
         theta_obs=float(theta_obs), lambda_max=float(lambda_max),
         max_steps=max_steps, event_interp="hermite", tols=tols,
-        disk_plane=disk_plane, max_disk_hits=max_disk_hits)
+        disk_plane=disk_plane, max_disk_hits=max_disk_hits,
+        formulation=formulation)
 
     block = pl.BlockSpec((tile_rows, LANE), lambda i: (i, 0),
                          memory_space=pltpu.VMEM)

@@ -19,7 +19,8 @@ import jax.numpy as jnp
 
 from light_path_tracer_tpu.models import Kerr
 from light_path_tracer_tpu import camera
-from light_path_tracer_tpu.ops.kerr_trace import trace_rays_kerr
+from light_path_tracer_tpu.ops.kerr_trace import (
+    trace_rays_kerr, trace_rays_kerr_hybrid)
 from light_path_tracer_tpu.render import _render_core
 from light_path_tracer_tpu.utils.config import SceneConfig, RenderConfig
 
@@ -34,22 +35,17 @@ def _render_frame_dynamic(psi_y, psi_x, source_image, *, metric, r_obs,
     dtype = jnp.float32
     alpha, theta = camera.build_angle_lookups_dynamic(
         resolution, fov, psi_y, psi_x, dtype=dtype)
-    # Two-pass on TPU: a single photon-ring grazer can need thousands of
-    # adaptive steps; a capped tile pass plus a tiny full-depth retrace
-    # of the stragglers keeps every frame near the median cost.
+    # Hybrid tracer with the pass1 cap: a single photon-ring grazer can
+    # need thousands of adaptive steps; the capped mu-form pass plus the
+    # tiny full-depth theta retrace keeps every frame near the median
+    # cost (and handles pole-aimed rays when the camera pans across the
+    # axis).
     from light_path_tracer_tpu.ops.batch import _kerr_backend
-    if _kerr_backend("auto", dtype) == "pallas":
-        from light_path_tracer_tpu.ops.pallas.kerr_trace_kernel import (
-            trace_rays_kerr_two_pass)
-        res = trace_rays_kerr_two_pass(
-            metric, r_obs, alpha.ravel(), theta.ravel(), theta_obs,
-            jnp.zeros(alpha.size, bool), max(5000.0, 6.0 * r_obs),
-            max_steps)
-    else:
-        res = trace_rays_kerr(
-            metric, r_obs, alpha.ravel(), theta.ravel(), theta_obs,
-            jnp.zeros(alpha.size, bool), max(5000.0, 6.0 * r_obs),
-            max_steps)
+    res = trace_rays_kerr_hybrid(
+        metric, r_obs, alpha.ravel(), theta.ravel(), theta_obs,
+        jnp.zeros(alpha.size, bool), max(5000.0, 6.0 * r_obs),
+        max_steps, backend=_kerr_backend("auto", dtype),
+        pass1_steps=512)
     fa = res.final_alpha.reshape(resolution)
     if shadow_only:
         return jnp.where(jnp.isnan(fa), 0.0, 1.0).astype(jnp.float32)
@@ -112,20 +108,13 @@ def _shadow_frame_param_dynamic(psi_y, psi_x, M, a, *, r_obs, theta_obs,
     alpha, theta = camera.build_angle_lookups_dynamic(
         resolution, fov, psi_y, psi_x, dtype=dtype)
     placeholder = Kerr(M=1.0, a=0.0)   # API placeholder; params are traced
-    if _kerr_backend("auto", dtype) == "pallas":
-        from light_path_tracer_tpu.ops.pallas.kerr_trace_kernel import (
-            trace_rays_kerr_two_pass)
-        res = trace_rays_kerr_two_pass(
-            placeholder, r_obs, alpha.ravel(), theta.ravel(), theta_obs,
-            jnp.zeros(alpha.size, bool), max(5000.0, 6.0 * r_obs),
-            max_steps, dynamic_params=(M, a))
-    else:
-        from light_path_tracer_tpu.ops.pallas.kerr_trace_kernel import (
-            trace_rays_kerr_pallas)
-        res = trace_rays_kerr_pallas(
-            placeholder, r_obs, alpha.ravel(), theta.ravel(), theta_obs,
-            jnp.zeros(alpha.size, bool), max(5000.0, 6.0 * r_obs),
-            max_steps, interpret=True, dynamic_params=(M, a))
+    # Off-TPU this routes to the XLA path with TracedKerr (compiled speed),
+    # not a Pallas interpret-mode emulation.
+    res = trace_rays_kerr_hybrid(
+        placeholder, r_obs, alpha.ravel(), theta.ravel(), theta_obs,
+        jnp.zeros(alpha.size, bool), max(5000.0, 6.0 * r_obs),
+        max_steps, backend=_kerr_backend("auto", dtype),
+        pass1_steps=512, dynamic_params=(M, a))
     fa = res.final_alpha.reshape(resolution)
     return jnp.where(jnp.isnan(fa), 0.0, 1.0).astype(jnp.float32)
 

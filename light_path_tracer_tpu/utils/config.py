@@ -48,6 +48,12 @@ class RenderConfig:
     # "hermite" (more accurate) or "linear" (bug-for-bug reference parity,
     # metrics.py:528-548) boundary-crossing interpolation.
     event_interp: str = "hermite"
+    # Polar-coordinate formulation of the Kerr hot loop: "theta"
+    # (reference-parity coordinate — measured fastest end-to-end on a
+    # v5e, BASELINE.md "formulation study") or "mu" (mu = cos(theta),
+    # rational transcendental-free RHS + theta-form pole retrace via
+    # trace_rays_kerr_hybrid).
+    formulation: str = "theta"
     max_steps: int = 200000            # adaptive-step bound (metrics.py:452)
     phi_max: float = 50.0              # Schwarzschild orbit bound
     h_max: float = 0.05                # Schwarzschild fixed step

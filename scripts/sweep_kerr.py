@@ -56,21 +56,26 @@ def main():
 
     print(f"# {args.size}^2 Kerr a={args.spin}: {n} rays")
 
-    for rows in (8, 16, 32, 64, 128):
-        dt, res = bench(trace_rays_kerr_pallas, metric, r_obs, alphas,
-                        thetas, np.pi / 2, refine, lam_max, 200000,
-                        tile_rows=rows)
-        steps = int(res.n_steps)
-        print(f"single rows={rows:<4} {dt*1e3:8.1f} ms  "
-              f"{n/dt/1e6:6.2f} Mrays/s  tile-steps={steps}")
+    from light_path_tracer_tpu.ops.kerr_trace import trace_rays_kerr_hybrid
+
+    for form in ("theta", "mu"):
+        for rows in (16, 32, 64):
+            dt, res = bench(trace_rays_kerr_pallas, metric, r_obs, alphas,
+                            thetas, np.pi / 2, refine, lam_max, 200000,
+                            tile_rows=rows, formulation=form)
+            steps = int(res.n_steps)
+            print(f"single {form:<6} rows={rows:<4} {dt*1e3:8.1f} ms  "
+                  f"{n/dt/1e6:6.2f} Mrays/s  tile-steps={steps}")
 
     for rows in (16, 32, 64):
-        for p1 in (96, 128, 192, 256, 384, 512):
-            dt, res = bench(trace_rays_kerr_two_pass, metric, r_obs,
+        for p1 in (None, 256, 512):
+            dt, res = bench(trace_rays_kerr_hybrid, metric, r_obs,
                             alphas, thetas, np.pi / 2, refine, lam_max,
-                            200000, pass1_steps=p1, tile_rows=rows)
-            print(f"two    rows={rows:<3} p1={p1:<4} {dt*1e3:8.1f} ms  "
-                  f"{n/dt/1e6:6.2f} Mrays/s")
+                            200000, backend="pallas", pass1_steps=p1,
+                            tile_rows=rows)
+            steps = int(res.n_steps)
+            print(f"hybrid rows={rows:<3} p1={str(p1):<5} {dt*1e3:8.1f} ms  "
+                  f"{n/dt/1e6:6.2f} Mrays/s  tile-steps={steps}")
 
 
 if __name__ == "__main__":

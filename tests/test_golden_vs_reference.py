@@ -62,10 +62,15 @@ def test_kerr_final_alpha_matches_reference_linear_mode():
     angles = rng.uniform(0.2 * ac, 4.0 * ac, n)
     screens = rng.uniform(-np.pi, np.pi, n)
 
+    # Bug-for-bug mode: linear event lerp AND the reference's theta
+    # polar coordinate (the mu production form integrates the same
+    # geodesics but with a different step sequence, so per-ray values
+    # agree only to integration tolerance, not fp-order).
     ours = trace_rays_kerr(
         m, R_OBS, jnp.asarray(angles, jnp.float64),
         jnp.asarray(screens, jnp.float64), np.pi / 2,
-        jnp.zeros(n, bool), 5000.0, 200000, event_interp="linear")
+        jnp.zeros(n, bool), 5000.0, 200000, event_interp="linear",
+        formulation="theta")
 
     fa_ref = np.full(n, np.nan)
     w_ref = np.zeros(n, np.int64)
@@ -177,10 +182,11 @@ def test_e2e_kerr_image_matches_reference_pipeline():
     img_ref = ref_il.render_lensed_image(
         src, alpha_lookup, fa_ref, w_ref, ref_m.alpha_crit(R_OBS), fov)
 
-    # --- our pipeline (f64, bug-for-bug event mode) ---
+    # --- our pipeline (f64, bug-for-bug event + coordinate mode) ---
     scene = SceneConfig(M=1.0, a=a, r_obs_mult=100.0)
     out = render_scene(scene, src, RenderConfig(
-        dtype="float64", event_interp="linear", chunk_size=None))
+        dtype="float64", event_interp="linear", formulation="theta",
+        chunk_size=None))
     img_us = np.asarray(out.image)
 
     fa_us = np.asarray(out.precompute.final_alpha)

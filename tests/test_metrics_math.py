@@ -162,3 +162,42 @@ def test_mass_scale_invariance():
     # Host-side scalar geometry scales identically.
     assert np.isclose(Kerr(M=1.0, a=0.9).alpha_crit(100.0),
                       Kerr(M=2.0, a=1.8).alpha_crit(200.0))
+
+
+def test_kerr_rhs_mu_matches_theta_by_chain_rule():
+    """The rational mu-form RHS is the exact canonical transform of the
+    theta-form: dmu = -sin(th) dth and
+    dp_mu = -dp_th/sin + p_th cos/sin^2 dth."""
+    k = Kerr(M=1.0, a=0.9)
+    rng = np.random.default_rng(0)
+    n = 512
+    r = jnp.asarray(rng.uniform(2.2, 150.0, n))
+    th = jnp.asarray(rng.uniform(0.05, np.pi - 0.05, n))
+    phi = jnp.asarray(rng.uniform(-10, 10, n))
+    p_r = jnp.asarray(rng.normal(0, 1, n))
+    p_th = jnp.asarray(rng.normal(0, 5, n))
+    p_t = jnp.full((n,), -1.0)
+    p_phi = jnp.asarray(rng.normal(0, 5, n))
+
+    y_th = (r, th, phi, p_r, p_th)
+    d_th = k.rhs5(y_th, p_t, p_phi)
+    y_mu = k.state_to_mu(y_th)
+    d_mu = k.rhs5_mu(y_mu, p_t, p_phi)
+
+    sin, cos = np.sin(np.asarray(th)), np.cos(np.asarray(th))
+    np.testing.assert_allclose(d_mu[0], d_th[0], rtol=1e-11)
+    np.testing.assert_allclose(d_mu[2], d_th[2], rtol=1e-11, atol=1e-13)
+    np.testing.assert_allclose(d_mu[3], d_th[3], rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(d_mu[1]), -sin * np.asarray(d_th[1]), rtol=1e-11,
+        atol=1e-14)
+    exp_dpmu = (-np.asarray(d_th[4]) / sin
+                + np.asarray(p_th) * cos / sin**2 * np.asarray(d_th[1]))
+    np.testing.assert_allclose(np.asarray(d_mu[4]), exp_dpmu, rtol=1e-9,
+                               atol=1e-10)
+
+    # Round-trip state conversion is the identity.
+    back = k.state_from_mu(y_mu)
+    for ours, orig in zip(back, y_th):
+        np.testing.assert_allclose(np.asarray(ours), np.asarray(orig),
+                                   rtol=1e-12, atol=1e-12)
