@@ -1,6 +1,7 @@
 """Lookup-table checkpoint cache tests."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from light_path_tracer_tpu.utils.config import SceneConfig, RenderConfig
@@ -62,3 +63,77 @@ def test_cached_precompute_hit_matches_miss(tmp_path):
     _pre3, hit3 = cached_precompute(scene3, cfg, dim, fov,
                                     cache_dir=str(tmp_path))
     assert not hit3
+
+
+def test_chunk_resume_after_crash(tmp_path, monkeypatch):
+    """Kill a chunked precompute after 2 completed chunks; resuming
+    loads those chunks from disk, re-traces only the rest, and matches a
+    fresh run exactly (VERDICT r1 item 5)."""
+    import light_path_tracer_tpu.checkpoint as ckpt
+
+    scene = SceneConfig(M=1.0, a=0.7, r_obs_mult=100.0)
+    cfg = RenderConfig(dtype="float64", chunk_size=128, max_steps=20000)
+    # 24x32 grid; tb-mirror symmetry traces 12 rows -> 384
+    # rays -> 3 chunks of 128.
+    dim = (24, 32)
+    fov = camera.fov_from_vertical(scene.vertical_fov, dim)
+
+    class CrashingStore(ckpt.ChunkStore):
+        puts = 0
+
+        def put(self, start, res):
+            super().put(start, res)
+            CrashingStore.puts += 1
+            if CrashingStore.puts >= 2:
+                raise KeyboardInterrupt("simulated crash")
+
+    monkeypatch.setattr(ckpt, "ChunkStore", CrashingStore)
+    with pytest.raises(KeyboardInterrupt):
+        cached_precompute(scene, cfg, dim, fov, cache_dir=str(tmp_path),
+                          resume=True)
+    monkeypatch.undo()
+
+    import os
+    persisted = [f for f in os.listdir(tmp_path)
+                 if f.startswith("chunks_")]
+    assert len(persisted) == 2
+
+    class CountingStore(ckpt.ChunkStore):
+        puts = 0
+        gets_hit = 0
+
+        def put(self, start, res):
+            CountingStore.puts += 1
+            super().put(start, res)
+
+        def get(self, start):
+            res = super().get(start)
+            if res is not None:
+                CountingStore.gets_hit += 1
+            return res
+
+    monkeypatch.setattr(ckpt, "ChunkStore", CountingStore)
+    pre_resumed, hit = cached_precompute(
+        scene, cfg, dim, fov, cache_dir=str(tmp_path), resume=True)
+    monkeypatch.undo()
+    assert not hit
+    assert CountingStore.gets_hit == 2      # resumed from disk
+    assert CountingStore.puts == 1          # only the rest re-traced
+
+    pre_fresh, _ = cached_precompute(
+        scene, cfg, dim, fov, cache_dir=str(tmp_path / "fresh"),
+        resume=True)
+    np.testing.assert_array_equal(np.asarray(pre_resumed.final_alpha),
+                                  np.asarray(pre_fresh.final_alpha))
+    np.testing.assert_array_equal(np.asarray(pre_resumed.winding),
+                                  np.asarray(pre_fresh.winding))
+    # Per-chunk files are cleaned up once the whole table lands.
+    assert not [f for f in os.listdir(tmp_path)
+                if f.startswith("chunks_")]
+
+
+def test_resume_requires_chunking():
+    scene = SceneConfig()
+    cfg = RenderConfig(chunk_size=None)
+    with pytest.raises(ValueError, match="chunk_size"):
+        cached_precompute(scene, cfg, (8, 8), (0.1, 0.1), resume=True)
