@@ -29,7 +29,7 @@ import jax.numpy as jnp
 
 from light_path_tracer_tpu.models.kerr import Kerr
 from light_path_tracer_tpu.ops.kerr_trace import (
-    dp45_integrate, TOLS, RUNNING, INVALID, CAPTURED)
+    dp45_integrate, get_tols, RUNNING, INVALID, CAPTURED)
 from light_path_tracer_tpu import camera
 from light_path_tracer_tpu.utils.config import SceneConfig, RenderConfig
 from light_path_tracer_tpu.utils.timing import StageTimer
@@ -104,7 +104,7 @@ def _trace_disk_rays_xla(metric, r_obs, alphas, thetas, theta_obs,
                          lambda_max: float, max_steps: int,
                          disk: DiskConfig):
     dtype = alphas.dtype
-    tols = TOLS[jnp.dtype(dtype)]
+    tols = get_tols(dtype)
     r_in = disk.r_in if disk.r_in is not None else r_isco(
         metric.M, metric.a)
 

@@ -42,8 +42,8 @@ def trace_batch(metric, r_obs, alphas, thetas=None, theta_obs=np.pi / 2,
                 axis_refine=None, *, chunk_size=None, sort_by_difficulty=True,
                 lambda_max=None, max_steps=200000, phi_max=50.0, h_max=0.05,
                 backend="auto", integrator="dp45", event_interp="hermite",
-                two_pass="auto", pass1_steps=512, formulation="mu",
-                progress=False, chunk_store=None):
+                two_pass="auto", pass1_steps=512, formulation="theta",
+                precision="fast", progress=False, chunk_store=None):
     """Trace N rays through `metric`; returns TraceResult of shape (N,).
 
     Dispatches to the spherically-symmetric orbit tracer or the Kerr DP45
@@ -104,10 +104,12 @@ def trace_batch(metric, r_obs, alphas, thetas=None, theta_obs=np.pi / 2,
             kerr_fn = trace_rays_kerr_hybrid
             kerr_kwargs = dict(
                 event_interp=event_interp, backend=resolved,
-                pass1_steps=pass1_steps if use_two_pass else None)
+                pass1_steps=pass1_steps if use_two_pass else None,
+                precision=precision)
         elif resolved == "pallas":
             kerr_kwargs = dict(event_interp=event_interp,
-                               formulation=formulation)
+                               formulation=formulation,
+                               precision=precision)
             if use_two_pass:
                 from light_path_tracer_tpu.ops.pallas.kerr_trace_kernel \
                     import trace_rays_kerr_two_pass
@@ -120,7 +122,8 @@ def trace_batch(metric, r_obs, alphas, thetas=None, theta_obs=np.pi / 2,
         else:
             kerr_fn = trace_rays_kerr
             kerr_kwargs = dict(event_interp=event_interp,
-                               formulation=formulation)
+                               formulation=formulation,
+                               precision=precision)
 
     if chunk_size is None or chunk_size >= n:
         # No difficulty sort here: a measured trade-off. Sorted rays make

@@ -41,9 +41,16 @@ ESCAPED = 1
 CAPTURED = -1
 INVALID = 0
 
-# Tolerance presets: (atol, rtol) normal / axis-refined. float64 matches the
-# reference (metrics.py:431-432); float32 presets sit safely above the f32
-# roundoff floor of the embedded error estimator (see docs/precision.md).
+# Tolerance presets: (atol, rtol) normal / axis-refined. float64 matches
+# the reference (metrics.py:431-432). Two float32 tiers, calibrated by a
+# tolerance sweep on the 1024^2 Kerr a=0.9 workload (BASELINE.md "f32
+# gate"): final-alpha RMSE vs the f64 oracle is 2.6e-4 / 1.25e-4 /
+# 5.6e-5 / 3.0e-5 rad at atol=rtol = 3e-5 / 1e-5 / 3e-6 / 1e-6, at
+# +0/+10/+22/+44% steps — no f32 roundoff floor anywhere in this range.
+#   * "fast" (3e-5): the throughput tier; clears the 1e-3-rad angle gate
+#     with 4x margin.
+#   * "precise" (3e-6): ~2e-3 image RMSE on mid-frequency textures at
+#     ~20% throughput cost (full analysis in BASELINE.md).
 TOLS = {
     jnp.dtype(jnp.float64): dict(atol=1e-8, rtol=1e-6,
                                  atol_ref=1e-10, rtol_ref=1e-8,
@@ -52,6 +59,21 @@ TOLS = {
                                  atol_ref=1e-5, rtol_ref=1e-5,
                                  h_min=1e-7, tiny_err=1e-8),
 }
+
+TOLS_PRECISE = {
+    jnp.dtype(jnp.float64): TOLS[jnp.dtype(jnp.float64)],
+    jnp.dtype(jnp.float32): dict(atol=3e-6, rtol=3e-6,
+                                 atol_ref=1e-6, rtol_ref=1e-6,
+                                 h_min=1e-7, tiny_err=1e-9),
+}
+
+
+def get_tols(dtype, precision: str = "fast"):
+    if precision not in ("fast", "precise"):
+        raise ValueError(
+            f"precision must be 'fast' or 'precise', got {precision!r}")
+    table = TOLS_PRECISE if precision == "precise" else TOLS
+    return table[jnp.dtype(dtype)]
 
 
 def _wsum(h, ks, cs):
@@ -131,13 +153,14 @@ def _hermite_crossing_frac(r0, r1, fr0, fr1, h, target, frac_linear,
     jax.jit,
     static_argnames=("metric", "r_obs", "theta_obs", "lambda_max",
                      "max_steps", "event_interp", "early_capture",
-                     "formulation"))
+                     "formulation", "precision"))
 def trace_rays_kerr(metric, r_obs, alphas, thetas, theta_obs,
                     axis_refine, lambda_max: float, max_steps: int = 200000,
                     event_interp: str = "hermite",
                     early_capture: bool = True,
                     formulation: str = "theta",
-                    force_invalid=None):
+                    force_invalid=None,
+                    precision: str = "fast"):
     """Trace a batch of Kerr rays adaptively; returns TraceResult.
 
     alphas/thetas: (N,) screen viewing angle / azimuth; theta_obs scalar;
@@ -155,18 +178,18 @@ def trace_rays_kerr(metric, r_obs, alphas, thetas, theta_obs,
     return _trace_rays_kerr_impl(
         metric, r_obs, alphas, thetas, theta_obs, axis_refine,
         lambda_max, max_steps, event_interp, early_capture, formulation,
-        force_invalid)
+        force_invalid, precision)
 
 
 def _trace_rays_kerr_impl(metric, r_obs, alphas, thetas, theta_obs,
                           axis_refine, lambda_max, max_steps,
                           event_interp, early_capture, formulation,
-                          force_invalid):
+                          force_invalid, precision="fast"):
     """Unjitted body of trace_rays_kerr. `metric` may be a TracedKerr
     with traced (M, a) when called from inside an enclosing jit (the
     recompilation-free parameter-sweep path, sequence.py)."""
     dtype = alphas.dtype
-    tols = TOLS[jnp.dtype(dtype)]
+    tols = get_tols(dtype, precision)
     atol = jnp.where(axis_refine, tols["atol_ref"], tols["atol"]).astype(dtype)
     rtol = jnp.where(axis_refine, tols["rtol_ref"], tols["rtol"]).astype(dtype)
     h_min = jnp.asarray(tols["h_min"], dtype)
@@ -438,7 +461,7 @@ def dp45_integrate(metric, y0, p_t, p_phi, status0, *, atol, rtol, h_min,
     jax.jit,
     static_argnames=("metric", "r_obs", "theta_obs", "lambda_max",
                      "max_steps", "event_interp", "backend", "s_thresh",
-                     "slots", "pass1_steps", "tile_rows"))
+                     "slots", "pass1_steps", "tile_rows", "precision"))
 def trace_rays_kerr_hybrid(metric, r_obs, alphas, thetas, theta_obs,
                            axis_refine, lambda_max: float,
                            max_steps: int = 200000,
@@ -448,7 +471,8 @@ def trace_rays_kerr_hybrid(metric, r_obs, alphas, thetas, theta_obs,
                            slots: int | None = None,
                            pass1_steps: int | None = None,
                            tile_rows: int | None = None,
-                           dynamic_params=None):
+                           dynamic_params=None,
+                           precision: str = "fast"):
     """Production Kerr tracer: mu-form bulk + theta-form pole fallback.
 
     The rational mu = cos(theta) formulation integrates ~2x faster per
@@ -490,10 +514,12 @@ def trace_rays_kerr_hybrid(metric, r_obs, alphas, thetas, theta_obs,
                 metric, float(r_obs), al, th, float(theta_obs), rf,
                 float(lambda_max), steps, event_interp=event_interp,
                 return_unconverged=unconv, dynamic_params=dynamic_params,
-                formulation=form, force_invalid=fi, **kw)
+                formulation=form, force_invalid=fi, precision=precision,
+                **kw)
         res = _trace_rays_kerr_impl(
             eff_metric, float(r_obs), al, th, float(theta_obs), rf,
-            float(lambda_max), steps, event_interp, True, form, fi)
+            float(lambda_max), steps, event_interp, True, form, fi,
+            precision)
         if unconv:
             # The XLA whole-batch loop has no per-tile cap semantics;
             # nothing is left running when it returns.

@@ -26,7 +26,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from light_path_tracer_tpu.ops.kerr_trace import (
-    dp45_integrate, TOLS, RUNNING, INVALID, ESCAPED, CAPTURED)
+    dp45_integrate, get_tols, RUNNING, INVALID, ESCAPED, CAPTURED)
 from light_path_tracer_tpu.ops.types import TraceResult
 
 LANE = 128         # TPU vector lane width
@@ -108,7 +108,7 @@ def _trace_tile_kernel(alpha_ref, theta_ref, refine_ref, valid_ref,
     jax.jit,
     static_argnames=("metric", "r_obs", "theta_obs", "lambda_max",
                      "max_steps", "event_interp", "tile_rows", "interpret",
-                     "return_unconverged", "formulation"))
+                     "return_unconverged", "formulation", "precision"))
 def trace_rays_kerr_pallas(metric, r_obs, alphas, thetas, theta_obs,
                            axis_refine, lambda_max: float,
                            max_steps: int = 200000,
@@ -118,7 +118,8 @@ def trace_rays_kerr_pallas(metric, r_obs, alphas, thetas, theta_obs,
                            return_unconverged: bool = False,
                            dynamic_params=None,
                            formulation: str = "mu",
-                           force_invalid=None):
+                           force_invalid=None,
+                           precision: str = "fast"):
     """Pallas-fused Kerr batch tracer; drop-in for trace_rays_kerr.
 
     float32 only (the TPU-native precision tier; use the XLA path for
@@ -134,7 +135,7 @@ def trace_rays_kerr_pallas(metric, r_obs, alphas, thetas, theta_obs,
     dtype = alphas.dtype
     if dtype != jnp.float32:
         raise ValueError("pallas path is float32-only; got " + str(dtype))
-    tols = TOLS[jnp.dtype(dtype)]
+    tols = get_tols(dtype, precision)
     if dynamic_params is not None:
         from light_path_tracer_tpu.models.kerr import TracedKerr
         eff_metric = TracedKerr(
@@ -239,7 +240,7 @@ def trace_rays_kerr_pallas(metric, r_obs, alphas, thetas, theta_obs,
     jax.jit,
     static_argnames=("metric", "r_obs", "theta_obs", "lambda_max",
                      "max_steps", "event_interp", "pass1_steps", "slots",
-                     "tile_rows", "interpret", "formulation"))
+                     "tile_rows", "interpret", "formulation", "precision"))
 def trace_rays_kerr_two_pass(metric, r_obs, alphas, thetas, theta_obs,
                              axis_refine, lambda_max: float,
                              max_steps: int = 200000,
@@ -248,7 +249,8 @@ def trace_rays_kerr_two_pass(metric, r_obs, alphas, thetas, theta_obs,
                              tile_rows: int = DEFAULT_ROWS,
                              interpret: bool = False,
                              dynamic_params=None,
-                             formulation: str = "mu"):
+                             formulation: str = "mu",
+                             precision: str = "fast"):
     """Straggler-robust tracing: a cheap capped pass over all rays, then a
     full-depth second pass over only the unconverged ones.
 
@@ -265,7 +267,7 @@ def trace_rays_kerr_two_pass(metric, r_obs, alphas, thetas, theta_obs,
         lambda_max, pass1_steps, event_interp=event_interp,
         tile_rows=tile_rows, interpret=interpret,
         return_unconverged=True, dynamic_params=dynamic_params,
-        formulation=formulation)
+        formulation=formulation, precision=precision)
 
     n = alphas.shape[0]
     slots = min(slots, n)
@@ -278,7 +280,7 @@ def trace_rays_kerr_two_pass(metric, r_obs, alphas, thetas, theta_obs,
         axis_refine[idx], lambda_max, max_steps,
         event_interp=event_interp, tile_rows=8,
         interpret=interpret, dynamic_params=dynamic_params,
-        formulation=formulation)
+        formulation=formulation, precision=precision)
 
     take = unconv[idx]
     fa = res1.final_alpha.at[idx].set(
@@ -307,7 +309,7 @@ def trace_disk_rays_pallas(metric, r_obs, alphas, thetas, theta_obs,
     dtype = alphas.dtype
     if dtype != jnp.float32:
         raise ValueError("pallas path is float32-only; got " + str(dtype))
-    tols = TOLS[jnp.dtype(dtype)]
+    tols = get_tols(dtype)
 
     n = alphas.shape[0]
     tile = tile_rows * LANE

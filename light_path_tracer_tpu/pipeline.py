@@ -151,8 +151,8 @@ def _precompute_eager(scene: SceneConfig, cfg: RenderConfig,
         max_steps=cfg.max_steps, backend=cfg.backend,
         integrator=cfg.integrator, event_interp=cfg.event_interp,
         two_pass=cfg.two_pass, pass1_steps=cfg.pass1_steps,
-        formulation=cfg.formulation, progress=cfg.progress,
-        chunk_store=chunk_store)
+        formulation=cfg.formulation, precision=cfg.precision,
+        progress=cfg.progress, chunk_store=chunk_store)
 
     fa_rows = res.final_alpha.reshape(
         (trace_rows, width)).astype(jnp.float32)

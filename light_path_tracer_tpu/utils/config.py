@@ -54,6 +54,10 @@ class RenderConfig:
     # rational transcendental-free RHS + theta-form pole retrace via
     # trace_rays_kerr_hybrid).
     formulation: str = "theta"
+    # f32 tolerance tier: "fast" (atol 3e-5; the throughput tier) or
+    # "precise" (3e-6; ~5.6e-5-rad final-alpha RMSE at ~20% cost —
+    # BASELINE.md "f32 gate"). float64 always uses reference tolerances.
+    precision: str = "fast"
     max_steps: int = 200000            # adaptive-step bound (metrics.py:452)
     phi_max: float = 50.0              # Schwarzschild orbit bound
     h_max: float = 0.05                # Schwarzschild fixed step
