@@ -151,11 +151,32 @@ def cmd_lens(args) -> int:
 
 def cmd_shadow(args) -> int:
     """Shadow render (black_hole_shadow.py parity + integrated mode)."""
+    import os
     import matplotlib.image as mpimg
-    from light_path_tracer_tpu.pipeline import render_shadow
+    from light_path_tracer_tpu.pipeline import render_shadow, render_rings
 
     scene = _scene_from(args)
     cfg = _render_cfg_from(args)
+
+    if args.rings:
+        masks, composite, stats = render_rings(
+            scene, (args.size, args.size), cfg, max_order=args.max_order)
+        mpimg.imsave(args.output, np.asarray(composite))
+        stem, ext = os.path.splitext(args.output)
+        labels = ([f"order{k}" for k in range(args.max_order)]
+                  + [f"order{args.max_order}plus", "shadow"])
+        for mask, label in zip(np.asarray(masks), labels):
+            mpimg.imsave(f"{stem}_{label}{ext}",
+                         mask.astype(np.float32), cmap="gray",
+                         vmin=0, vmax=1)
+        t = stats["timings"]
+        print(f"Photon-ring decomposition: {args.size}x{args.size}, "
+              f"a={scene.a}, precompute {t.get('precompute', 0.0):.3f}s")
+        for label, count in stats["order_pixels"].items():
+            print(f"  {label:<12} {count:>10,} px")
+        print(f"Saved: {args.output} (+ {len(labels)} per-order masks)")
+        return 0
+
     img, stats = render_shadow(scene, (args.size, args.size), cfg,
                                analytic=args.analytic)
     mpimg.imsave(args.output, np.asarray(img), cmap="gray", vmin=0, vmax=1)
@@ -341,6 +362,11 @@ def build_parser():
     p.add_argument("--size", type=int, default=800)
     p.add_argument("--analytic", action="store_true",
                    help="zero-integration threshold test vs alpha_crit")
+    p.add_argument("--rings", action="store_true",
+                   help="photon-ring decomposition: composite colored by "
+                        "winding order + one mask image per order")
+    p.add_argument("--max-order", type=int, default=3,
+                   help="highest photon-ring order to separate")
     p.add_argument("--output", default="black_hole_shadow.png")
     p.set_defaults(fn=cmd_shadow)
 

@@ -276,3 +276,34 @@ def print_benchmark_summary(image_dimension, alpha_crit, total_rays,
           f"{(pixel_count / total_time) / 1e6:>10.2f} MPix/s")
     print(f"  {'trace_throughput':<26}"
           f"{traced_rays / precompute_time:>10.0f} rays/s")
+
+
+def render_rings(scene: SceneConfig, resolution,
+                 cfg: RenderConfig = RenderConfig(), max_order: int = 3):
+    """Photon-ring decomposition render (render.ring_decomposition).
+
+    Returns (masks (max_order+2, H, W) bool, composite (H, W, 3) float32,
+    stats) — stats includes per-order pixel counts.
+    """
+    from light_path_tracer_tpu.render import ring_decomposition
+
+    timer = StageTimer()
+    fov = camera.fov_from_vertical(scene.vertical_fov, resolution)
+    with timer.stage("precompute") as out:
+        pre = precompute_final_alpha(scene, cfg, resolution, fov)
+        out.append(pre.final_alpha)
+    with timer.stage("render") as out:
+        masks, composite = ring_decomposition(
+            pre.final_alpha, pre.winding, max_order=max_order)
+        out.append(composite)
+
+    counts = np.asarray(masks.sum(axis=(1, 2)))
+    labels = ([f"order_{k}" for k in range(max_order)]
+              + [f"order_ge_{max_order}", "shadow"])
+    metric = make_metric(scene.M, scene.a)
+    stats = dict(
+        alpha_crit=metric.alpha_crit(scene.r_obs, scene.theta_obs),
+        order_pixels={lab: int(c) for lab, c in zip(labels, counts)},
+        total_rays=pre.total_rays, traced_rays=pre.traced_rays,
+        integrator_steps=pre.steps, timings=timer.finish())
+    return masks, composite, stats

@@ -161,3 +161,43 @@ def render_lensed_image(source_image, alpha_lookup, final_alpha_lookup,
         jnp.asarray(source_image), theta_lookup,
         jnp.asarray(final_alpha_lookup), jnp.asarray(winding_lookup),
         (height, width), tuple(fov), tuple(psi), bool(render_loop_around))
+
+
+def ring_decomposition(final_alpha, winding, max_order: int = 3):
+    """Separate an image by photon-ring order (winding half-orbits).
+
+    A pixel's ray winds `winding` half-orbits around the hole before
+    escaping: order 0 is the direct image, order 1 the first lensed
+    (secondary) image, order n the exponentially thinner n-th photon
+    ring (each order ~e^-pi the width of the previous — the structure
+    EHT-style observations target). The per-pixel winding data already
+    exists in every render; this just splits it.
+
+    New capability beyond the reference (which folds all orders into one
+    image). Returns (masks, composite):
+      * masks: (max_order + 2, H, W) bool — orders 0..max_order-1, then
+        ">= max_order", then the shadow (captured/invalid).
+      * composite: (H, W, 3) float32 — shadow black, each order tinted
+        with the winding palette (WINDING_COLORS), direct image light
+        gray.
+    """
+    fa = jnp.asarray(final_alpha)
+    w = jnp.asarray(winding).astype(jnp.int32)
+    escaped = ~jnp.isnan(fa)
+
+    masks = []
+    for k in range(max_order):
+        masks.append(escaped & (w == k))
+    masks.append(escaped & (w >= max_order))
+    masks.append(~escaped)
+    masks = jnp.stack(masks)
+
+    h, wd = fa.shape
+    composite = jnp.zeros((h, wd, 3), jnp.float32)
+    direct = jnp.asarray([0.85, 0.85, 0.85], jnp.float32)
+    composite = jnp.where(masks[0][..., None], direct, composite)
+    palette = jnp.asarray(WINDING_COLORS)
+    for k in range(1, max_order + 1):
+        color = palette[min(k - 1, len(WINDING_COLORS) - 1)]
+        composite = jnp.where(masks[k][..., None], color, composite)
+    return masks, composite

@@ -96,3 +96,33 @@ def test_two_channel_sentinel():
     fa[5, 5] = np.pi / 2 - 1e-3
     out = _render(fa, src=src)
     np.testing.assert_allclose(out[5, 5], [1.0, 0.0], atol=1e-6)
+
+
+def test_ring_decomposition_partitions_image():
+    """Ring masks partition every pixel exactly once; composite colors
+    shadow black and direct image gray (shadow --rings capability)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from light_path_tracer_tpu.render import ring_decomposition
+
+    rng = np.random.default_rng(3)
+    H, W = 24, 20
+    fa = rng.uniform(0.0, 1.0, (H, W)).astype(np.float32)
+    fa[0:4, 0:4] = np.nan                       # shadow
+    wind = rng.integers(0, 6, (H, W)).astype(np.uint16)
+
+    masks, comp = ring_decomposition(jnp.asarray(fa), jnp.asarray(wind),
+                                     max_order=3)
+    m = np.asarray(masks)
+    assert m.shape == (5, H, W)
+    # exact partition
+    np.testing.assert_array_equal(m.sum(axis=0), np.ones((H, W)))
+    # shadow mask is the NaN set
+    np.testing.assert_array_equal(m[-1], np.isnan(fa))
+    # orders agree with winding
+    esc = ~np.isnan(fa)
+    np.testing.assert_array_equal(m[0], esc & (wind == 0))
+    np.testing.assert_array_equal(m[3], esc & (wind >= 3))
+    c = np.asarray(comp)
+    assert (c[np.isnan(fa)] == 0.0).all()                      # black
+    assert (c[esc & (wind == 0)] == 0.85).all()                # gray
