@@ -154,24 +154,54 @@ def bench_disk(args):
 
 
 def bench_aa_4k(args):
-    """Config 5: 4k shadow, 4x jittered AA, tiled across all devices."""
+    """Config 5: 4k shadow, 4x jittered AA, tiled across all devices.
+
+    Drives the stacked-grid trace directly with per-repeat perturbed
+    inputs: this TPU tunnel memoizes repeat-identical executions
+    (BASELINE.md measurement-hygiene note), so timing a second identical
+    render_shadow_aa call would report a fantasy number.
+    """
     import jax
+    import jax.numpy as jnp
     from light_path_tracer_tpu.utils.config import SceneConfig, RenderConfig
-    from light_path_tracer_tpu.aa import render_shadow_aa
+    from light_path_tracer_tpu.models import make_metric
+    from light_path_tracer_tpu import camera
+    from light_path_tracer_tpu.aa import aa_offsets, _stacked_grids
+    from light_path_tracer_tpu.ops.batch import trace_batch
 
     scene = SceneConfig(M=1.0, a=args.spin, r_obs_mult=100.0)
     cfg = RenderConfig(dtype=args.dtype)
     dim = (2160, 3840)
     n_dev = len(jax.devices())
+    metric = make_metric(scene.M, scene.a)
+    fov = camera.fov_from_vertical(scene.vertical_fov, dim)
+    alpha, theta = _stacked_grids(metric, scene, cfg, dim, fov,
+                                  aa_offsets(4))
+    alpha, theta = alpha.ravel(), theta.ravel()
 
-    img, stats = render_shadow_aa(scene, dim, cfg, aa_samples=4)  # warm
-    t0 = time.perf_counter()
-    img, stats = render_shadow_aa(scene, dim, cfg, aa_samples=4)
-    jax.block_until_ready(img)
-    dt = time.perf_counter() - t0
+    def run(alpha_i):
+        res = trace_batch(metric, scene.r_obs, alpha_i, theta,
+                          scene.theta_obs, backend=cfg.backend,
+                          precision=cfg.precision,
+                          chunk_size=dim[0] * dim[1],
+                          sort_by_difficulty=False)
+        img = jnp.where(jnp.isnan(res.final_alpha.reshape(
+            (4,) + dim)), 0.0, 1.0).mean(axis=0)
+        # Actually fetch a value: on this tunnel block_until_ready alone
+        # can return before execution (BASELINE.md hygiene note).
+        float(img.sum())
+
+    run(alpha)  # warm/compile
+    best = None
+    for i in range(max(2, args.repeats - 1)):
+        alpha_i = alpha * np.float32(1.0 + 1e-6 * (i + 1))
+        t0 = time.perf_counter()
+        run(alpha_i)
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
     rays = dim[0] * dim[1] * 4
-    _emit(f"kerr_a{args.spin}_4k_aa4_rays_per_sec", rays / dt, "rays/s",
-          seconds_per_frame=round(dt, 2), devices=n_dev)
+    _emit(f"kerr_a{args.spin}_4k_aa4_rays_per_sec", rays / best, "rays/s",
+          seconds_per_frame=round(best, 2), devices=n_dev)
 
 
 def main():

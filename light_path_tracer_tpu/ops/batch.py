@@ -90,12 +90,17 @@ def trace_batch(metric, r_obs, alphas, thetas=None, theta_obs=np.pi / 2,
         kerr_kwargs = {}
     else:
         resolved = _kerr_backend(backend, alphas.dtype)
-        # 'auto' two_pass resolves to single-pass: measured on a v5e at
-        # 1024^2, a capped first pass is a net LOSS for one-shot grids
-        # (scripts/sweep_kerr.py) — per-tile early exit already contains
-        # the straggler tail. two_pass=True (used by the animation path)
-        # enables the pass1_steps cap inside the hybrid tracer.
-        use_two_pass = two_pass if two_pass != "auto" else False
+        # 'auto' two_pass is batch-size dependent (both measured on a
+        # v5e): at <= ~1M rays a capped first pass is a net LOSS
+        # (scripts/sweep_kerr.py — per-tile early exit already contains
+        # the stragglers), but at 4k-class batches the finer screen
+        # sampling lands rays ever closer to the polar-axis plane
+        # (L -> 0), whose 1/sin^2 stiffness grinds the full 200k-step
+        # budget and pins whole tiles: two-pass re-traces those few
+        # lanes on narrow tiles instead — measured 15x (11.4 s -> 0.74 s
+        # per 8.3M-ray pass) with bit-identical results.
+        use_two_pass = (two_pass if two_pass != "auto"
+                        else n > 2_000_000)
         if formulation == "mu":
             # Production path: mu-form bulk + theta-form pole/straggler
             # retrace, one jitted program (see trace_rays_kerr_hybrid).
