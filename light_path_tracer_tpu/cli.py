@@ -45,6 +45,11 @@ def _add_render_args(p):
                    choices=["float32", "float64"])
     p.add_argument("--chunk-size", type=int, default=0,
                    help="rays per chunk (0 = whole grid in one dispatch)")
+    p.add_argument("--progress", default="off",
+                   choices=["off", "bar", "live"],
+                   help="chunked-trace progress: tqdm bar or the live "
+                        "ANSI bar with CPU/RSS telemetry (needs "
+                        "--chunk-size)")
     p.add_argument("--no-symmetry", action="store_true",
                    help="disable top/bottom mirror symmetry")
     p.add_argument("--loop-around", action="store_true",
@@ -64,11 +69,13 @@ def _scene_from(args):
 
 def _render_cfg_from(args):
     from light_path_tracer_tpu.utils.config import RenderConfig
+    progress = getattr(args, "progress", "off")
     return RenderConfig(
         dtype=args.dtype,
         chunk_size=args.chunk_size or None,
         use_tb_symmetry=not args.no_symmetry,
-        render_loop_around=getattr(args, "loop_around", False))
+        render_loop_around=getattr(args, "loop_around", False),
+        progress={"off": False, "bar": True, "live": "live"}[progress])
 
 
 def cmd_lens(args) -> int:

@@ -158,12 +158,12 @@ def trace_batch(metric, r_obs, alphas, thetas=None, theta_obs=np.pi / 2,
     t_s = _pad_to(t_s, n_pad, 0.0)
     ar_s = _pad_to(ar_s, n_pad, False)
 
-    starts = range(0, n_pad, chunk_size)
-    if progress:
-        # tqdm chunk progress, as the reference's precompute loops show
-        # (image_lens.py:169-170, 252-253).
-        from tqdm import tqdm
-        starts = tqdm(starts, desc="Tracing per-pixel rays", unit="chunk")
+    # Chunk progress: tqdm (progress=True) as the reference's precompute
+    # loops show (image_lens.py:169-170, 252-253), or the legacy
+    # harness's live ANSI bar with CPU/RSS telemetry (progress="live",
+    # debugging_image_lense.py:175-229 parity).
+    from light_path_tracer_tpu.utils.progress import chunk_iterator
+    starts = chunk_iterator(range(0, n_pad, chunk_size), progress)
 
     fas, nhs, sts = [], [], []
     total_steps = jnp.asarray(0, jnp.int32)

@@ -77,4 +77,7 @@ class RenderConfig:
     use_tb_symmetry: bool = True       # top/bottom mirror when applicable
     render_loop_around: bool = False
     winding_max: int = 65535           # uint16 winding clip (image_lens.py:13)
-    progress: bool = False             # tqdm bars on chunked tracing
+    # Chunked-trace progress: False | True (tqdm) | "live" (in-place
+    # ANSI bar with CPU%% + RSS telemetry, utils/progress.py — the
+    # legacy debugging harness's bar, debugging_image_lense.py:175-229).
+    progress: bool | str = False

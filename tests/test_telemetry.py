@@ -37,3 +37,26 @@ def test_host_telemetry():
 def test_device_memory_shape():
     out = device_memory()
     assert len(out) >= 1   # stats may be None on CPU; keys exist
+
+
+def test_live_bar_renders_and_completes():
+    """LiveBar writes an in-place ANSI line with chunk count, CPU%% and
+    RSS, and terminates with a newline at completion."""
+    import io
+    from light_path_tracer_tpu.utils.progress import LiveBar, chunk_iterator
+
+    buf = io.StringIO()
+    bar = LiveBar(4, desc="Test", stream=buf, min_interval=0.0)
+    for i in range(4):
+        bar.update(i + 1)
+    out = buf.getvalue()
+    assert out.count("\r") == 4
+    assert out.endswith("\n")
+    assert "4/4" in out and "cpu" in out and "MiB" in out
+    assert "[" in out and "#" in out
+
+    # chunk_iterator dispatch: live -> generator, True -> tqdm, False -> iter
+    got = list(chunk_iterator(range(0, 30, 10), False))
+    assert got == [0, 10, 20]
+    got = list(chunk_iterator(range(0, 30, 10), "live"))
+    assert got == [0, 10, 20]
