@@ -110,7 +110,6 @@ def _trace_disk_rays_xla(metric, r_obs, alphas, thetas, theta_obs,
 
     y0, p_t, p_phi, invalid0 = metric.initial_conditions_5d(
         r_obs, alphas, thetas, theta_obs)
-    y0 = metric.state_to_mu(y0)
     status0 = jnp.where(invalid0, INVALID, RUNNING).astype(jnp.int32)
     atol = jnp.full_like(alphas, tols["atol"])
     rtol = jnp.full_like(alphas, tols["rtol"])
@@ -125,7 +124,7 @@ def _trace_disk_rays_xla(metric, r_obs, alphas, thetas, theta_obs,
         max_steps=max_steps,
         disk_plane=(float(r_in), float(disk.r_out), float(np.pi / 2),
                     bool(disk.opaque)),
-        max_disk_hits=disk.max_hits, formulation="mu")
+        max_disk_hits=disk.max_hits)
 
     xi = p_phi  # E = 1 convention: xi = L/E = p_phi
     return status_f, hits["n"], hits["r"], xi, steps

@@ -327,6 +327,22 @@ def dp45_integrate(metric, y0, p_t, p_phi, status0, *, atol, rtol, h_min,
                 # |d mu| = sin(theta) |d theta| <= |d theta|; pole-bound
                 # lanes are rerouted to theta form by the hybrid anyway).
                 mag = jnp.maximum(mag, np.pi / 2)
+            if dtype == jnp.float32:
+                # Increment-aware scale (|y| + |h k|, the classic RK
+                # scaling): in f32 the embedded estimator's own roundoff
+                # is ~eps * h * max_j|k_j|; where the stage derivatives
+                # are huge (the 1/sin^2-stiff polar-axis region:
+                # |dphi| ~ 1e4) that roundoff exceeds atol + rtol|y| and
+                # the controller rejects FOREVER — measured as rays
+                # grinding the full 200k-step budget that a
+                # same-tolerance f64 scalar run finishes in ~58 steps.
+                # Both endpoint stages bound the spike (k1 before it,
+                # k7 = FSAL end stage inside/after it); scaling by them
+                # bounds the roundoff term at ~eps/rtol << 1.
+                # f64 keeps the reference's exact |y|-only scale
+                # (metrics.py:506-514) for bug-for-bug parity.
+                mag = mag + h_eff * jnp.maximum(jnp.abs(k1[i]),
+                                                jnp.abs(k7[i]))
             sc = atol + rtol * mag
             ratio = jnp.where(finite_ok, ei / sc, 0.0)
             err_sq = err_sq + ratio * ratio

@@ -41,7 +41,7 @@ def _trace_tile_kernel(alpha_ref, theta_ref, refine_ref, valid_ref,
                        metric, r_obs, theta_obs, lambda_max, max_steps,
                        event_interp, tols, disk_plane=None,
                        max_disk_hits=2, dynamic_metric=False,
-                       formulation="mu"):
+                       formulation="theta"):
     if dynamic_metric:
         from light_path_tracer_tpu.models.kerr import TracedKerr
         m_ref, a_ref = refs[0], refs[1]
@@ -117,7 +117,7 @@ def trace_rays_kerr_pallas(metric, r_obs, alphas, thetas, theta_obs,
                            interpret: bool = False,
                            return_unconverged: bool = False,
                            dynamic_params=None,
-                           formulation: str = "mu",
+                           formulation: str = "theta",
                            force_invalid=None,
                            precision: str = "fast"):
     """Pallas-fused Kerr batch tracer; drop-in for trace_rays_kerr.
@@ -249,7 +249,7 @@ def trace_rays_kerr_two_pass(metric, r_obs, alphas, thetas, theta_obs,
                              tile_rows: int = DEFAULT_ROWS,
                              interpret: bool = False,
                              dynamic_params=None,
-                             formulation: str = "mu",
+                             formulation: str = "theta",
                              precision: str = "fast"):
     """Straggler-robust tracing: a cheap capped pass over all rays, then a
     full-depth second pass over only the unconverged ones.
@@ -302,7 +302,7 @@ def trace_disk_rays_pallas(metric, r_obs, alphas, thetas, theta_obs,
                            disk_plane, max_disk_hits: int = 2,
                            tile_rows: int = DEFAULT_ROWS,
                            interpret: bool = False,
-                           formulation: str = "mu"):
+                           formulation: str = "theta"):
     """Pallas-fused disk-mode tracer: DP45 + equatorial-crossing recording
     in one kernel. Returns (status, n_hits, (r_hits...), xi, steps) —
     the same contract as disk.trace_disk_rays."""
