@@ -175,18 +175,24 @@ def bench_aa_4k(args):
     n_dev = len(jax.devices())
     metric = make_metric(scene.M, scene.a)
     fov = camera.fov_from_vertical(scene.vertical_fov, dim)
+    # Equatorial mirror symmetry (aa.py module docstring): only rows
+    # 0..H//2 of each AA pass are traced; the delivered image still
+    # carries 4 samples/pixel (bottom rows sample the mirrored offsets).
+    trace_rows = dim[0] // 2 + 1
     alpha, theta = _stacked_grids(metric, scene, cfg, dim, fov,
-                                  aa_offsets(4))
+                                  aa_offsets(4), trace_rows=trace_rows)
     alpha, theta = alpha.ravel(), theta.ravel()
 
     def run(alpha_i):
         res = trace_batch(metric, scene.r_obs, alpha_i, theta,
                           scene.theta_obs, backend=cfg.backend,
                           precision=cfg.precision,
-                          chunk_size=dim[0] * dim[1],
+                          chunk_size=trace_rows * dim[1],
                           sort_by_difficulty=False)
-        img = jnp.where(jnp.isnan(res.final_alpha.reshape(
-            (4,) + dim)), 0.0, 1.0).mean(axis=0)
+        top = jnp.where(jnp.isnan(res.final_alpha.reshape(
+            (4, trace_rows, dim[1]))), 0.0, 1.0).mean(axis=0)
+        n_bottom = dim[0] - trace_rows
+        img = jnp.concatenate([top, top[1:n_bottom + 1][::-1]], axis=0)
         # Actually fetch a value: on this tunnel block_until_ready alone
         # can return before execution (BASELINE.md hygiene note).
         float(img.sum())
@@ -200,8 +206,11 @@ def bench_aa_4k(args):
         dt = time.perf_counter() - t0
         best = dt if best is None else min(best, dt)
     rays = dim[0] * dim[1] * 4
+    traced = int(alpha.size)
     _emit(f"kerr_a{args.spin}_4k_aa4_rays_per_sec", rays / best, "rays/s",
-          seconds_per_frame=round(best, 2), devices=n_dev)
+          seconds_per_frame=round(best, 2), devices=n_dev,
+          traced_rays=traced,
+          traced_rays_per_sec=round(traced / best, 1))
 
 
 def main():

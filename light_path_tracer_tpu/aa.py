@@ -9,6 +9,26 @@ single compile + a single trace dispatch — measured ~4x faster than the
 round-1 per-offset dispatch loop at 4k. Row-sharded over the mesh when
 one is given; averaging happens on device in float32; only the final
 image leaves the chip.
+
+Top/bottom mirror symmetry (the reference's work-halving trick for its
+non-AA path, image_lens.py:218-229) extends to supersampling: when the
+scene is equatorially symmetric (theta_obs = pi/2, psi_y = 0 — the Kerr
+metric is invariant under theta -> pi - theta), only rows 0..H//2 of
+every AA pass are traced and the remaining rows are mirror-filled. A
+bottom pixel's reconstructed sample sits at the *flipped* subpixel
+offset (-dy, dx) — a sample pattern of identical quality (the mirror
+image of the top pattern), and its value is exact by the scene
+symmetry, so the averaged image is a true n-sample AA render at about
+half the traced rays.
+
+Pairing note: the camera convention maps row r to screen coordinate
+y = r - H/2 (reference parity, camera.py), so the optical axis y = 0
+sits ON row H/2 and the physical mirror pairs rows r <-> H - r with
+row 0 unpaired — hence rows 0..H//2 (H//2 + 1 rows) are traced. The
+reference's own non-AA fold instead mirrors about the grid center
+y = -1/2 (rows r <-> H-1-r, image_lens.py:272-276), a one-row
+approximation that pipeline.py reproduces for parity; the AA path uses
+the exact pairing.
 """
 
 from __future__ import annotations
@@ -43,31 +63,68 @@ def aa_offsets(n_samples: int):
     return np.concatenate([_RG4, extra])
 
 
-def _stacked_grids(metric, scene, cfg, resolution, fov, offsets):
-    """Per-offset camera grids stacked on the row axis: (S*H, W)."""
+def _use_tb(metric, scene, cfg) -> bool:
+    """Equatorial mirror symmetry applies (pipeline._use_tb semantics)."""
+    return (cfg.use_tb_symmetry
+            and bool(np.isclose(scene.theta_obs, np.pi / 2))
+            and bool(np.isclose(scene.psi[0], 0.0)))
+
+
+def _stacked_grids(metric, scene, cfg, resolution, fov, offsets,
+                   trace_rows=None):
+    """Per-offset camera grids stacked on the row axis: (S*T, W).
+
+    trace_rows=T limits each pass to its top T rows (the mirror-symmetry
+    path); None means full passes (T = H).
+    """
     dtype = jnp.float64 if cfg.dtype == "float64" else jnp.float32
     alphas, thetas = [], []
     for offset in offsets:
-        alphas.append(camera.build_alpha_lookup(
+        al = camera.build_alpha_lookup(
             resolution, fov, psi=scene.psi, dtype=dtype,
-            pixel_offset=tuple(offset)))
+            pixel_offset=tuple(offset))
+        alphas.append(al if trace_rows is None else al[:trace_rows])
         if not metric.is_spherically_symmetric:
-            thetas.append(camera.build_theta_lookup(
+            th = camera.build_theta_lookup(
                 resolution, fov, psi=scene.psi, dtype=dtype,
-                pixel_offset=tuple(offset)))
+                pixel_offset=tuple(offset))
+            thetas.append(th if trace_rows is None else th[:trace_rows])
     alpha = jnp.concatenate(alphas, axis=0)
     theta = (jnp.concatenate(thetas, axis=0)
              if thetas else None)
     return alpha, theta
 
 
+def _mirror_fill(top, height):
+    """(S, R, W) traced rows 0..R-1 -> (S, H, W) via the equatorial mirror.
+
+    R = H//2 + 1. Bottom row r (r >= R) holds the value traced at row
+    H - r of the SAME pass — physically the sample at subpixel offset
+    (-dy, dx) of this pixel (module docstring pairing note), whose traced
+    value equals it exactly by the scene symmetry.
+    """
+    n_bottom = height - top.shape[1]
+    bottom = top[:, 1:n_bottom + 1][:, ::-1]
+    return jnp.concatenate([top, bottom], axis=1)
+
+
 def _trace_all_passes(metric, scene, cfg, resolution, fov, offsets, mesh):
     """Trace every AA pass in one batch; returns per-pass (S, H, W)
-    final_alpha / winding / status stacks plus the per-pass alpha grids."""
+    alpha / theta / final_alpha / winding / status stacks plus the traced
+    ray count. theta is None for spherically-symmetric metrics.
+
+    Under equatorial mirror symmetry (_use_tb) only rows 0..H//2 of each
+    pass are traced; bottom rows are mirror-filled (module docstring).
+    The returned alpha/theta stacks are rebuilt for the *actual* sample
+    each pixel carries — the flipped-offset (-dy, dx) sample in the
+    bottom rows — so renderers see consistent (position, angle) pairs.
+    """
     n_s = len(offsets)
     height, width = resolution
+    use_tb = _use_tb(metric, scene, cfg)
+    trace_rows = height // 2 + 1 if use_tb else height
     alpha, theta = _stacked_grids(metric, scene, cfg, resolution, fov,
-                                  offsets)
+                                  offsets, trace_rows=trace_rows)
 
     if mesh is not None:
         fa, nh, st = trace_grid_sharded(
@@ -82,7 +139,7 @@ def _trace_all_passes(metric, scene, cfg, resolution, fov, offsets, mesh):
         # device. Natural order keeps chunk == offset.
         chunk = cfg.chunk_size
         if chunk is None and n_s > 1:
-            chunk = height * width
+            chunk = trace_rows * width
         res = trace_batch(
             metric, scene.r_obs, alpha.ravel(),
             None if theta is None else theta.ravel(),
@@ -93,9 +150,40 @@ def _trace_all_passes(metric, scene, cfg, resolution, fov, offsets, mesh):
         nh = res.n_half_orbits.reshape(alpha.shape)
         st = res.status.reshape(alpha.shape)
 
-    shape = (n_s, height, width)
-    return (alpha.reshape(shape), fa.reshape(shape), nh.reshape(shape),
-            st.reshape(shape))
+    shape = (n_s, trace_rows, width)
+    alpha = alpha.reshape(shape)
+    theta = None if theta is None else theta.reshape(shape)
+    fa, nh, st = (x.reshape(shape) for x in (fa, nh, st))
+    if use_tb:
+        fa = _mirror_fill(fa, height)
+        nh = _mirror_fill(nh, height)
+        st = _mirror_fill(st, height)
+        # Angle grids for the renderer: rebuild so bottom rows carry the
+        # angles of the actual (-dy, dx) sample they hold.
+        dtype = jnp.float64 if cfg.dtype == "float64" else jnp.float32
+        alphas, thetas = [], []
+        for offset in offsets:
+            flipped = (-offset[0], offset[1])
+            al_t = camera.build_alpha_lookup(
+                resolution, fov, psi=scene.psi, dtype=dtype,
+                pixel_offset=tuple(offset))
+            al_b = camera.build_alpha_lookup(
+                resolution, fov, psi=scene.psi, dtype=dtype,
+                pixel_offset=flipped)
+            alphas.append(jnp.concatenate(
+                [al_t[:trace_rows], al_b[trace_rows:]], axis=0))
+            if theta is not None:
+                th_t = camera.build_theta_lookup(
+                    resolution, fov, psi=scene.psi, dtype=dtype,
+                    pixel_offset=tuple(offset))
+                th_b = camera.build_theta_lookup(
+                    resolution, fov, psi=scene.psi, dtype=dtype,
+                    pixel_offset=flipped)
+                thetas.append(jnp.concatenate(
+                    [th_t[:trace_rows], th_b[trace_rows:]], axis=0))
+        alpha = jnp.stack(alphas)
+        theta = jnp.stack(thetas) if thetas else None
+    return alpha, theta, fa, nh, st, n_s * trace_rows * width
 
 
 def render_shadow_aa(scene: SceneConfig, resolution,
@@ -112,7 +200,7 @@ def render_shadow_aa(scene: SceneConfig, resolution,
     offsets = aa_offsets(aa_samples)
 
     with timer.stage("precompute") as out:
-        _alpha, fa, _nh, _st = _trace_all_passes(
+        _alpha, _theta, fa, _nh, _st, traced = _trace_all_passes(
             metric, scene, cfg, resolution, fov, offsets, mesh)
         acc = jnp.where(jnp.isnan(fa), 0.0, 1.0).sum(axis=0)
         out.append(acc)
@@ -123,7 +211,7 @@ def render_shadow_aa(scene: SceneConfig, resolution,
     stats = dict(
         alpha_crit=metric.alpha_crit(scene.r_obs, scene.theta_obs),
         total_rays=resolution[0] * resolution[1] * aa_samples,
-        traced_rays=resolution[0] * resolution[1] * aa_samples,
+        traced_rays=traced,
         aa_samples=aa_samples,
         n_devices=1 if mesh is None else int(mesh.devices.size),
         timings=timer.finish())
@@ -146,12 +234,27 @@ def render_scene_aa(scene: SceneConfig, source_image,
 
     acc = jnp.zeros(src.shape, src.dtype)
     with timer.stage("precompute+render") as out:
-        alpha_s, fa_s, nh_s, _st = _trace_all_passes(
+        alpha_s, theta_s, fa_s, nh_s, _st, traced = _trace_all_passes(
             metric, scene, cfg, resolution, fov, offsets, mesh)
+        use_tb = _use_tb(metric, scene, cfg)
         for i, offset in enumerate(offsets):
-            theta = camera.build_theta_lookup(
-                resolution, fov, psi=scene.psi, dtype=dtype,
-                pixel_offset=tuple(offset))
+            # Per-pass theta: spliced by _trace_all_passes so bottom rows
+            # carry the azimuth of the actual (mirrored-offset) sample.
+            if theta_s is not None:
+                theta = theta_s[i]
+            else:
+                theta = camera.build_theta_lookup(
+                    resolution, fov, psi=scene.psi, dtype=dtype,
+                    pixel_offset=tuple(offset))
+                if use_tb:
+                    # Match the mirrored fa: bottom rows hold the
+                    # (-dy, dx) sample — use that sample's azimuth.
+                    rows = resolution[0] // 2 + 1
+                    theta_b = camera.build_theta_lookup(
+                        resolution, fov, psi=scene.psi, dtype=dtype,
+                        pixel_offset=(-offset[0], offset[1]))
+                    theta = jnp.concatenate(
+                        [theta[:rows], theta_b[rows:]], axis=0)
             lensed = render_lensed_image(
                 src, alpha_s[i], fa_s[i], nh_s[i].astype(jnp.uint16),
                 metric.alpha_crit(scene.r_obs), fov,
@@ -163,7 +266,7 @@ def render_scene_aa(scene: SceneConfig, source_image,
     img = (acc / aa_samples).astype(src.dtype)
     stats = dict(
         total_rays=resolution[0] * resolution[1] * aa_samples,
-        traced_rays=resolution[0] * resolution[1] * aa_samples,
+        traced_rays=traced,
         aa_samples=aa_samples,
         n_devices=1 if mesh is None else int(mesh.devices.size),
         timings=timer.finish())

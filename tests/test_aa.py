@@ -50,6 +50,82 @@ def test_shadow_aa_on_mesh_matches_single_device():
     np.testing.assert_array_equal(np.asarray(img_m), np.asarray(img_1))
 
 
+def test_aa_tb_symmetry_exact_single_sample():
+    """aa_samples=1 has offset (0,0) — flip-closed — so the symmetric
+    (half-trace) render must match the full-trace render: the mirrored
+    rows evaluate the physically identical ray, so at most razor-edge
+    critical-curve pixels may flip by integration roundoff."""
+    for height in (24, 25):          # even + odd row counts
+        scene = SceneConfig(M=1.0, a=0.9, r_obs_mult=100.0)
+        img_tb, s_tb = render_shadow_aa(
+            scene, (height, 32), RenderConfig(dtype="float64"),
+            aa_samples=1)
+        img_full, s_full = render_shadow_aa(
+            scene, (height, 32),
+            RenderConfig(dtype="float64", use_tb_symmetry=False),
+            aa_samples=1)
+        img_tb, img_full = np.asarray(img_tb), np.asarray(img_full)
+        assert (img_tb != img_full).mean() <= 1.0 / 256.0
+        assert s_tb["traced_rays"] == (height // 2 + 1) * 32
+        assert s_full["traced_rays"] == height * 32
+        # Mirror-filled rows are exact copies: rows r and H-r identical.
+        rows = height // 2 + 1
+        np.testing.assert_array_equal(
+            img_tb[rows:], img_tb[1:height - rows + 1][::-1])
+
+
+def test_aa_tb_symmetry_close_multi_sample():
+    """With a non-flip-closed pattern (RG4) the bottom half samples at
+    mirrored offsets — an equally-valid 4x pattern: images agree except
+    possibly sub-level coverage differences on boundary pixels."""
+    scene = SceneConfig(M=1.0, a=0.9, r_obs_mult=100.0)
+    img_tb, s_tb = render_shadow_aa(
+        scene, (32, 32), RenderConfig(dtype="float64"), aa_samples=4)
+    img_full, _ = render_shadow_aa(
+        scene, (32, 32),
+        RenderConfig(dtype="float64", use_tb_symmetry=False),
+        aa_samples=4)
+    img_tb, img_full = np.asarray(img_tb), np.asarray(img_full)
+    assert s_tb["traced_rays"] == 17 * 32 * 4
+    # Traced rows are identical.
+    np.testing.assert_allclose(img_tb[:17], img_full[:17], atol=1e-12)
+    # Mirror-filled rows: identical coverage except boundary pixels,
+    # where the two (equally valid) sample patterns may disagree by
+    # coverage quanta; never by a full pixel.
+    diff = np.abs(img_tb[17:] - img_full[17:])
+    assert diff.max() <= 0.5 + 1e-12
+    assert (diff > 1e-12).mean() < 0.05
+
+
+def test_aa_tb_symmetry_skipped_off_equator():
+    scene = SceneConfig(M=1.0, a=0.9, r_obs_mult=100.0,
+                        theta_obs=np.radians(80.0))
+    _img, stats = render_shadow_aa(
+        scene, (16, 16), RenderConfig(dtype="float64"), aa_samples=2)
+    assert stats["traced_rays"] == 16 * 16 * 2   # no halving
+
+
+def test_scene_aa_tb_symmetry_close():
+    """Lensed AA render with mirror symmetry stays close to the full
+    trace on a smooth texture (boundary pixels sample mirrored offsets)."""
+    yy, xx = np.mgrid[0:32, 0:32] / 32.0
+    src = np.stack([np.sin(2 * np.pi * yy), np.cos(2 * np.pi * xx),
+                    yy * xx], axis=-1).astype(np.float32) * 0.5 + 0.5
+    scene = SceneConfig(M=1.0, a=0.9, r_obs_mult=100.0)
+    img_tb, s_tb = render_scene_aa(
+        scene, src, RenderConfig(dtype="float64"), aa_samples=2)
+    img_full, _ = render_scene_aa(
+        scene, src, RenderConfig(dtype="float64", use_tb_symmetry=False),
+        aa_samples=2)
+    img_tb, img_full = np.asarray(img_tb), np.asarray(img_full)
+    assert s_tb["traced_rays"] == 17 * 32 * 2
+    # Identical away from sub-pixel pattern differences; the winding
+    # palette / sentinel pixels can flip whole colors at the photon ring,
+    # so gate the bulk, not the max.
+    close = np.isclose(img_tb, img_full, atol=0.05)
+    assert close.mean() > 0.97
+
+
 def test_scene_aa_render():
     rng = np.random.default_rng(0)
     src = rng.random((32, 48, 3)).astype(np.float32)
