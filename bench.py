@@ -71,7 +71,8 @@ def bench_kerr_headline(args):
     from light_path_tracer_tpu.pipeline import render_shadow
 
     scene = SceneConfig(M=1.0, a=args.spin, r_obs_mult=100.0)
-    cfg = RenderConfig(dtype=args.dtype, chunk_size=None)
+    cfg = RenderConfig(dtype=args.dtype, chunk_size=None,
+                       integrator=args.integrator)
     dim = (args.size, args.size)
 
     def measure():
@@ -219,6 +220,9 @@ def main():
     parser.add_argument("--spin", type=float, default=0.9)
     parser.add_argument("--repeats", type=int, default=3)
     parser.add_argument("--dtype", default="float32")
+    parser.add_argument("--integrator", default="dp45",
+                        choices=["dp45", "dop853"],
+                        help="headline-config Kerr integrator")
     parser.add_argument("--all", action="store_true",
                         help="run every BASELINE.json config")
     args = parser.parse_args()

@@ -89,6 +89,8 @@ def trace_batch(metric, r_obs, alphas, thetas=None, theta_obs=np.pi / 2,
         kerr_fn = trace_rays_kerr_rk4
         kerr_kwargs = {}
     else:
+        if integrator not in ("dp45", "dop853"):
+            raise ValueError(f"unknown integrator {integrator!r}")
         resolved = _kerr_backend(backend, alphas.dtype)
         # 'auto' two_pass is batch-size dependent (both measured on a
         # v5e): at <= ~1M rays a capped first pass is a net LOSS
@@ -110,11 +112,11 @@ def trace_batch(metric, r_obs, alphas, thetas=None, theta_obs=np.pi / 2,
             kerr_kwargs = dict(
                 event_interp=event_interp, backend=resolved,
                 pass1_steps=pass1_steps if use_two_pass else None,
-                precision=precision)
+                precision=precision, method=integrator)
         elif resolved == "pallas":
             kerr_kwargs = dict(event_interp=event_interp,
                                formulation=formulation,
-                               precision=precision)
+                               precision=precision, method=integrator)
             if use_two_pass:
                 from light_path_tracer_tpu.ops.pallas.kerr_trace_kernel \
                     import trace_rays_kerr_two_pass
@@ -128,7 +130,7 @@ def trace_batch(metric, r_obs, alphas, thetas=None, theta_obs=np.pi / 2,
             kerr_fn = trace_rays_kerr
             kerr_kwargs = dict(event_interp=event_interp,
                                formulation=formulation,
-                               precision=precision)
+                               precision=precision, method=integrator)
 
     if chunk_size is None or chunk_size >= n:
         # No difficulty sort here: a measured trade-off. Sorted rays make

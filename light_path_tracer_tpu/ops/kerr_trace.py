@@ -69,11 +69,24 @@ TOLS_PRECISE = {
 
 
 def get_tols(dtype, precision: str = "fast"):
+    """Tolerance preset for a compute dtype.
+
+    precision: "fast" | "precise" | "tol:<x>" — the last sets
+    atol = rtol = x (axis-refine tier x/3, mirroring fast's 3e-5 -> 1e-5
+    ratio), for tolerance sweeps and per-integrator calibration; it stays
+    a plain string so it remains a hashable static jit argument.
+    """
+    dt = jnp.dtype(dtype)
+    if precision.startswith("tol:"):
+        t = float(precision[4:])
+        base = TOLS[dt]
+        return dict(atol=t, rtol=t, atol_ref=t / 3.0, rtol_ref=t / 3.0,
+                    h_min=base["h_min"], tiny_err=base["tiny_err"])
     if precision not in ("fast", "precise"):
-        raise ValueError(
-            f"precision must be 'fast' or 'precise', got {precision!r}")
+        raise ValueError(f"precision must be 'fast', 'precise' or "
+                         f"'tol:<x>', got {precision!r}")
     table = TOLS_PRECISE if precision == "precise" else TOLS
-    return table[jnp.dtype(dtype)]
+    return table[dt]
 
 
 def _wsum(h, ks, cs):
@@ -153,14 +166,15 @@ def _hermite_crossing_frac(r0, r1, fr0, fr1, h, target, frac_linear,
     jax.jit,
     static_argnames=("metric", "r_obs", "theta_obs", "lambda_max",
                      "max_steps", "event_interp", "early_capture",
-                     "formulation", "precision"))
+                     "formulation", "precision", "method"))
 def trace_rays_kerr(metric, r_obs, alphas, thetas, theta_obs,
                     axis_refine, lambda_max: float, max_steps: int = 200000,
                     event_interp: str = "hermite",
                     early_capture: bool = True,
                     formulation: str = "theta",
                     force_invalid=None,
-                    precision: str = "fast"):
+                    precision: str = "fast",
+                    method: str = "dp45"):
     """Trace a batch of Kerr rays adaptively; returns TraceResult.
 
     alphas/thetas: (N,) screen viewing angle / azimuth; theta_obs scalar;
@@ -178,13 +192,14 @@ def trace_rays_kerr(metric, r_obs, alphas, thetas, theta_obs,
     return _trace_rays_kerr_impl(
         metric, r_obs, alphas, thetas, theta_obs, axis_refine,
         lambda_max, max_steps, event_interp, early_capture, formulation,
-        force_invalid, precision)
+        force_invalid, precision, method)
 
 
 def _trace_rays_kerr_impl(metric, r_obs, alphas, thetas, theta_obs,
                           axis_refine, lambda_max, max_steps,
                           event_interp, early_capture, formulation,
-                          force_invalid, precision="fast"):
+                          force_invalid, precision="fast",
+                          method="dp45"):
     """Unjitted body of trace_rays_kerr. `metric` may be a TracedKerr
     with traced (M, a) when called from inside an enclosing jit (the
     recompilation-free parameter-sweep path, sequence.py)."""
@@ -216,7 +231,7 @@ def _trace_rays_kerr_impl(metric, r_obs, alphas, thetas, theta_obs,
         r_capture=r_capture, r_escape=r_escape,
         lambda_max=lambda_max, h_init=max(1.0, 0.01 * float(r_obs)),
         max_steps=max_steps, event_interp=event_interp,
-        r_plunge=r_plunge, formulation=formulation)
+        r_plunge=r_plunge, formulation=formulation, method=method)
     if formulation == "mu":
         y_f = metric.state_from_mu(y_f)
 
@@ -238,8 +253,20 @@ def _trace_rays_kerr_impl(metric, r_obs, alphas, thetas, theta_obs,
 def dp45_integrate(metric, y0, p_t, p_phi, status0, *, atol, rtol, h_min,
                    tiny_err, r_capture, r_escape, lambda_max, h_init,
                    max_steps, event_interp="hermite", disk_plane=None,
-                   max_disk_hits=2, r_plunge=None, formulation="theta"):
-    """The shared lock-step DP45+FSAL integration loop.
+                   max_disk_hits=2, r_plunge=None, formulation="theta",
+                   method="dp45"):
+    """The shared lock-step adaptive integration loop (DP45 or DOP853).
+
+    method selects the embedded Runge-Kutta pair:
+      * "dp45" — Dormand-Prince 4(5) + FSAL, the reference-parity
+        integrator (metrics.py:419-567): 6 RHS evaluations per attempt.
+      * "dop853" — Hairer's 8th-order DOP853 (12 RHS evaluations per
+        attempt + the FSAL end stage, combined 5th/3rd-order error
+        estimator): ~an order more accurate per step, so far fewer
+        steps at equal tolerance — the step-count lever once the
+        per-step kernel is at the VPU roofline (BASELINE.md).
+    Both share the identical accept/reject masking, event interpolation,
+    disk recording, and step control below.
 
     Shape-polymorphic over the ray axis/axes: the XLA path calls it on
     (N,) arrays; the Pallas fused kernel calls it on (R, 128) VMEM tiles.
@@ -297,26 +324,36 @@ def dp45_integrate(metric, y0, p_t, p_phi, status0, *, atol, rtol, h_min,
         h_eff = jnp.minimum(h, lam_max - lam)
         h_eff = jnp.maximum(h_eff, 0.0)
 
-        # -- DP45 stages (k1 via FSAL) --
-        k2 = rhs(_axpy(y, _wsum(h_eff, [k1], [tb.A21])))
-        k3 = rhs(_axpy(y, _wsum(h_eff, [k1, k2], [tb.A31, tb.A32])))
-        k4 = rhs(_axpy(y, _wsum(h_eff, [k1, k2, k3],
-                                [tb.A41, tb.A42, tb.A43])))
-        k5 = rhs(_axpy(y, _wsum(h_eff, [k1, k2, k3, k4],
-                                [tb.A51, tb.A52, tb.A53, tb.A54])))
-        k6 = rhs(_axpy(y, _wsum(h_eff, [k1, k2, k3, k4, k5],
-                                [tb.A61, tb.A62, tb.A63, tb.A64, tb.A65])))
-        y5 = _axpy(y, _wsum(h_eff, [k1, k3, k4, k5, k6],
-                            [tb.B1, tb.B3, tb.B4, tb.B5, tb.B6]))
-        k7 = rhs(y5)
+        # -- RK stages (k1 via FSAL) --
+        if method == "dop853":
+            ks = [k1]
+            for row in tb.D853_A[1:]:
+                incr = _wsum(h_eff, [ks[j] for j, _ in row],
+                             [v for _, v in row])
+                ks.append(rhs(_axpy(y, incr)))
+            y5 = _axpy(y, _wsum(h_eff, [ks[j] for j, _ in tb.D853_B],
+                                [v for _, v in tb.D853_B]))
+            k7 = rhs(y5)          # FSAL end stage (stage 13)
+            ks.append(k7)
+        else:
+            k2 = rhs(_axpy(y, _wsum(h_eff, [k1], [tb.A21])))
+            k3 = rhs(_axpy(y, _wsum(h_eff, [k1, k2], [tb.A31, tb.A32])))
+            k4 = rhs(_axpy(y, _wsum(h_eff, [k1, k2, k3],
+                                    [tb.A41, tb.A42, tb.A43])))
+            k5 = rhs(_axpy(y, _wsum(h_eff, [k1, k2, k3, k4],
+                                    [tb.A51, tb.A52, tb.A53, tb.A54])))
+            k6 = rhs(_axpy(y, _wsum(h_eff, [k1, k2, k3, k4, k5],
+                                    [tb.A61, tb.A62, tb.A63, tb.A64,
+                                     tb.A65])))
+            y5 = _axpy(y, _wsum(h_eff, [k1, k3, k4, k5, k6],
+                                [tb.B1, tb.B3, tb.B4, tb.B5, tb.B6]))
+            k7 = rhs(y5)
 
         finite_ok = _all_finite(y5) & (y5[0] > 0.0)
 
-        # -- embedded error norm over the 5 components --
-        err = _wsum(h_eff, [k1, k3, k4, k5, k6, k7],
-                    [tb.E1, tb.E3, tb.E4, tb.E5, tb.E6, tb.E7])
-        err_sq = jnp.zeros_like(h_eff)
-        for i, (yi, ni, ei) in enumerate(zip(y, y5, err)):
+        # -- per-component error scale (shared by both pairs) --
+        scales = []
+        for i, (yi, ni) in enumerate(zip(y, y5)):
             mag = jnp.maximum(jnp.abs(yi), jnp.abs(ni))
             if formulation == "mu" and i == 1:
                 # mu = cos(theta) spans [-1, 1] while theta sits near
@@ -341,12 +378,59 @@ def dp45_integrate(metric, y0, p_t, p_phi, status0, *, atol, rtol, h_min,
                 # bounds the roundoff term at ~eps/rtol << 1.
                 # f64 keeps the reference's exact |y|-only scale
                 # (metrics.py:506-514) for bug-for-bug parity.
-                mag = mag + h_eff * jnp.maximum(jnp.abs(k1[i]),
-                                                jnp.abs(k7[i]))
-            sc = atol + rtol * mag
-            ratio = jnp.where(finite_ok, ei / sc, 0.0)
-            err_sq = err_sq + ratio * ratio
-        err_norm = jnp.sqrt(err_sq / 5.0)
+                if method == "dop853":
+                    # DOP853's larger steps can hold the whole polar
+                    # derivative spike strictly *inside* the step (and
+                    # its A coefficients reach ~43, amplifying stage
+                    # roundoff), so the endpoint stages alone do not
+                    # bound the estimator roundoff — measured as f32
+                    # lanes grinding the full step budget. Scale by the
+                    # max over ALL stages instead.
+                    kmag = jnp.abs(k1[i])
+                    for kj in ks[1:]:
+                        kmag = jnp.maximum(kmag, jnp.abs(kj[i]))
+                else:
+                    kmag = jnp.maximum(jnp.abs(k1[i]), jnp.abs(k7[i]))
+                mag = mag + h_eff * kmag
+            scales.append(atol + rtol * mag)
+
+        # -- embedded error norm over the 5 components --
+        if method == "dop853":
+            # Hairer's combined 5th/3rd-order estimator (dop853.f):
+            # err = |h| * |e5|^2 / sqrt(|e5|^2 + 0.01 |e3|^2), RMS-scaled.
+            one = jnp.ones_like(h_eff)
+            e5 = _wsum(one, [ks[j] for j, _ in tb.D853_E5],
+                       [v for _, v in tb.D853_E5])
+            e3 = _wsum(one, [ks[j] for j, _ in tb.D853_E3],
+                       [v for _, v in tb.D853_E3])
+            e5_sq = jnp.zeros_like(h_eff)
+            e3_sq = jnp.zeros_like(h_eff)
+            for ei5, ei3, sc in zip(e5, e3, scales):
+                r5 = jnp.where(finite_ok, ei5 / sc, 0.0)
+                r3 = jnp.where(finite_ok, ei3 / sc, 0.0)
+                e5_sq = e5_sq + r5 * r5
+                e3_sq = e3_sq + r3 * r3
+            denom = e5_sq + 0.01 * e3_sq
+            err_norm = (h_eff * e5_sq
+                        / jnp.sqrt(jnp.maximum(5.0 * denom, 1e-30)))
+            # Stage derivatives can overflow to inf in f32 (the huge
+            # A-coefficients probe far from y; near the sin^2 floor the
+            # RHS overflows) while y5 itself stays finite; inf/inf above
+            # is then NaN, which satisfies NEITHER accept nor reject and
+            # freezes the lane at constant h forever (measured: full
+            # 200k-step grinds on ordinary far-field rays). Non-finite
+            # error means the attempt probed garbage: force a hard
+            # reject (inf ** -0.125 = 0, so shrink bottoms at 0.2).
+            err_norm = jnp.where(jnp.isfinite(err_norm), err_norm,
+                                 jnp.asarray(jnp.inf, dtype))
+        else:
+            err = _wsum(h_eff, [k1, k3, k4, k5, k6, k7],
+                        [tb.E1, tb.E3, tb.E4, tb.E5, tb.E6, tb.E7])
+            err_sq = jnp.zeros_like(h_eff)
+            for ei, sc in zip(err, scales):
+                ratio = jnp.where(finite_ok, ei / sc, 0.0)
+                err_sq = err_sq + ratio * ratio
+            err_norm = jnp.sqrt(err_sq / 5.0)
 
         accept = running & finite_ok & (err_norm <= 1.0)
         reject = running & finite_ok & (err_norm > 1.0)
@@ -386,7 +470,10 @@ def dp45_integrate(metric, y0, p_t, p_phi, status0, *, atol, rtol, h_min,
         lam_acc = lam + frac * h_eff
 
         # -- step-size control (one pow serves both shrink and grow) --
-        factor = 0.9 * jnp.maximum(err_norm, 1e-30) ** (-0.2)
+        # Exponent = -1/(error-estimator order + 1): DP45 controls the
+        # 4th-order error (metrics.py:516-522), DOP853 the 7th-order.
+        exponent = -0.125 if method == "dop853" else -0.2
+        factor = 0.9 * jnp.maximum(err_norm, 1e-30) ** exponent
         shrink = jnp.maximum(0.2, factor)
         grow = jnp.where(err_norm < tiny_err, 5.0,
                          jnp.minimum(5.0, factor))
@@ -477,7 +564,8 @@ def dp45_integrate(metric, y0, p_t, p_phi, status0, *, atol, rtol, h_min,
     jax.jit,
     static_argnames=("metric", "r_obs", "theta_obs", "lambda_max",
                      "max_steps", "event_interp", "backend", "s_thresh",
-                     "slots", "pass1_steps", "tile_rows", "precision"))
+                     "slots", "pass1_steps", "tile_rows", "precision",
+                     "method"))
 def trace_rays_kerr_hybrid(metric, r_obs, alphas, thetas, theta_obs,
                            axis_refine, lambda_max: float,
                            max_steps: int = 200000,
@@ -488,7 +576,8 @@ def trace_rays_kerr_hybrid(metric, r_obs, alphas, thetas, theta_obs,
                            pass1_steps: int | None = None,
                            tile_rows: int | None = None,
                            dynamic_params=None,
-                           precision: str = "fast"):
+                           precision: str = "fast",
+                           method: str = "dp45"):
     """Production Kerr tracer: mu-form bulk + theta-form pole fallback.
 
     The rational mu = cos(theta) formulation integrates ~2x faster per
@@ -531,11 +620,11 @@ def trace_rays_kerr_hybrid(metric, r_obs, alphas, thetas, theta_obs,
                 float(lambda_max), steps, event_interp=event_interp,
                 return_unconverged=unconv, dynamic_params=dynamic_params,
                 formulation=form, force_invalid=fi, precision=precision,
-                **kw)
+                method=method, **kw)
         res = _trace_rays_kerr_impl(
             eff_metric, float(r_obs), al, th, float(theta_obs), rf,
             float(lambda_max), steps, event_interp, True, form, fi,
-            precision)
+            precision, method)
         if unconv:
             # The XLA whole-batch loop has no per-tile cap semantics;
             # nothing is left running when it returns.

@@ -41,7 +41,7 @@ def _trace_tile_kernel(alpha_ref, theta_ref, refine_ref, valid_ref,
                        metric, r_obs, theta_obs, lambda_max, max_steps,
                        event_interp, tols, disk_plane=None,
                        max_disk_hits=2, dynamic_metric=False,
-                       formulation="theta"):
+                       formulation="theta", method="dp45"):
     if dynamic_metric:
         from light_path_tracer_tpu.models.kerr import TracedKerr
         m_ref, a_ref = refs[0], refs[1]
@@ -82,7 +82,7 @@ def _trace_tile_kernel(alpha_ref, theta_ref, refine_ref, valid_ref,
         lambda_max=lambda_max, h_init=max(1.0, 0.01 * float(r_obs)),
         max_steps=max_steps, event_interp=event_interp,
         disk_plane=disk_plane, max_disk_hits=max_disk_hits,
-        r_plunge=r_plunge, formulation=formulation)
+        r_plunge=r_plunge, formulation=formulation, method=method)
     if disk_plane is not None:
         y_f, status_f, _lam_f, steps, hits = result
         hitn_out = out_refs[7]
@@ -108,7 +108,8 @@ def _trace_tile_kernel(alpha_ref, theta_ref, refine_ref, valid_ref,
     jax.jit,
     static_argnames=("metric", "r_obs", "theta_obs", "lambda_max",
                      "max_steps", "event_interp", "tile_rows", "interpret",
-                     "return_unconverged", "formulation", "precision"))
+                     "return_unconverged", "formulation", "precision",
+                     "method"))
 def trace_rays_kerr_pallas(metric, r_obs, alphas, thetas, theta_obs,
                            axis_refine, lambda_max: float,
                            max_steps: int = 200000,
@@ -119,7 +120,8 @@ def trace_rays_kerr_pallas(metric, r_obs, alphas, thetas, theta_obs,
                            dynamic_params=None,
                            formulation: str = "theta",
                            force_invalid=None,
-                           precision: str = "fast"):
+                           precision: str = "fast",
+                           method: str = "dp45"):
     """Pallas-fused Kerr batch tracer; drop-in for trace_rays_kerr.
 
     float32 only (the TPU-native precision tier; use the XLA path for
@@ -169,7 +171,7 @@ def trace_rays_kerr_pallas(metric, r_obs, alphas, thetas, theta_obs,
         theta_obs=float(theta_obs), lambda_max=float(lambda_max),
         max_steps=max_steps, event_interp=event_interp, tols=tols,
         dynamic_metric=dynamic_params is not None,
-        formulation=formulation)
+        formulation=formulation, method=method)
 
     block = pl.BlockSpec((tile_rows, LANE), lambda i: (i, 0),
                          memory_space=pltpu.VMEM)
@@ -240,7 +242,8 @@ def trace_rays_kerr_pallas(metric, r_obs, alphas, thetas, theta_obs,
     jax.jit,
     static_argnames=("metric", "r_obs", "theta_obs", "lambda_max",
                      "max_steps", "event_interp", "pass1_steps", "slots",
-                     "tile_rows", "interpret", "formulation", "precision"))
+                     "tile_rows", "interpret", "formulation", "precision",
+                     "method"))
 def trace_rays_kerr_two_pass(metric, r_obs, alphas, thetas, theta_obs,
                              axis_refine, lambda_max: float,
                              max_steps: int = 200000,
@@ -250,7 +253,8 @@ def trace_rays_kerr_two_pass(metric, r_obs, alphas, thetas, theta_obs,
                              interpret: bool = False,
                              dynamic_params=None,
                              formulation: str = "theta",
-                             precision: str = "fast"):
+                             precision: str = "fast",
+                             method: str = "dp45"):
     """Straggler-robust tracing: a cheap capped pass over all rays, then a
     full-depth second pass over only the unconverged ones.
 
@@ -267,7 +271,7 @@ def trace_rays_kerr_two_pass(metric, r_obs, alphas, thetas, theta_obs,
         lambda_max, pass1_steps, event_interp=event_interp,
         tile_rows=tile_rows, interpret=interpret,
         return_unconverged=True, dynamic_params=dynamic_params,
-        formulation=formulation, precision=precision)
+        formulation=formulation, precision=precision, method=method)
 
     n = alphas.shape[0]
     slots = min(slots, n)
@@ -280,7 +284,7 @@ def trace_rays_kerr_two_pass(metric, r_obs, alphas, thetas, theta_obs,
         axis_refine[idx], lambda_max, max_steps,
         event_interp=event_interp, tile_rows=8,
         interpret=interpret, dynamic_params=dynamic_params,
-        formulation=formulation, precision=precision)
+        formulation=formulation, precision=precision, method=method)
 
     take = unconv[idx]
     fa = res1.final_alpha.at[idx].set(

@@ -43,7 +43,10 @@ class RenderConfig:
     """Numerics + performance knobs."""
 
     dtype: str = "float32"             # "float32" | "float64"
-    integrator: str = "dp45"           # "dp45" | "rk4" (Kerr comparison path)
+    # Kerr integrator: "dp45" (reference-parity Dormand-Prince 4(5)),
+    # "dop853" (8th-order Hairer pair — fewer, costlier steps; see
+    # ops/kerr_trace.py), or "rk4" (fixed-step comparison path).
+    integrator: str = "dp45"
     backend: str = "auto"              # "auto" | "xla" | "pallas"
     # "hermite" (more accurate) or "linear" (bug-for-bug reference parity,
     # metrics.py:528-548) boundary-crossing interpolation.

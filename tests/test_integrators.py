@@ -379,3 +379,50 @@ def test_mu_and_theta_formulations_agree():
     assert np.max(d) < 1e-3   # near-critical grazers amplify tolerance
     np.testing.assert_array_equal(np.asarray(r_mu.n_half_orbits)[esc],
                                   np.asarray(r_th.n_half_orbits)[esc])
+
+
+def test_dop853_agrees_with_dp45_f64():
+    """Higher-order pair cross-check: DOP853 and DP45 integrate the same
+    geodesics (both at f64 reference tolerances)."""
+    m = Kerr(M=1.0, a=0.9)
+    ac = m.alpha_crit(R_OBS)
+    rng = np.random.default_rng(11)
+    n = 32
+    alphas = jnp.asarray(
+        np.concatenate([rng.uniform(0.3 * ac, 0.9 * ac, n // 2),
+                        rng.uniform(1.1 * ac, 4.0 * ac, n // 2)]),
+        jnp.float64)
+    thetas = jnp.asarray(rng.uniform(-np.pi, np.pi, n), jnp.float64)
+    refine = jnp.zeros(n, bool)
+    r_dp = trace_rays_kerr(m, R_OBS, alphas, thetas, np.pi / 2, refine,
+                           5000.0, 200000)
+    r_d8 = trace_rays_kerr(m, R_OBS, alphas, thetas, np.pi / 2, refine,
+                           5000.0, 200000, method="dop853")
+    s_dp, s_d8 = np.asarray(r_dp.status), np.asarray(r_d8.status)
+    np.testing.assert_array_equal(s_dp, s_d8)
+    both = s_dp == 1
+    d = np.abs(np.asarray(r_dp.final_alpha)[both]
+               - np.asarray(r_d8.final_alpha)[both])
+    # Agreement is bounded by DP45's own global error at rtol 1e-6.
+    assert np.median(d) < 1e-4
+    assert d.max() < 2e-3
+    # The 8th-order pair must take (a lot) fewer lock-step iterations.
+    assert int(r_d8.n_steps) < int(r_dp.n_steps)
+
+
+def test_dop853_f32_no_nan_freeze():
+    """Regression: f32 DOP853 stage derivatives can overflow to inf with
+    y5 still finite; the resulting NaN error estimate must reject the
+    attempt, not freeze the lane at constant h until max_steps (found as
+    200k-step grinds on these exact rays — ops/kerr_trace.py)."""
+    m = Kerr(M=1.0, a=0.9)
+    alphas = jnp.asarray([0.12012033, 0.05478825, 0.05211393, 0.13118355,
+                          0.24906693, 0.06807395], jnp.float32)
+    thetas = jnp.asarray([2.7104206, -0.48213091, 0.4013553, 2.8982608,
+                          -3.0726397, -2.5031316], jnp.float32)
+    refine = jnp.zeros(6, bool)
+    res = trace_rays_kerr(m, R_OBS, alphas, thetas, np.pi / 2, refine,
+                          5000.0, 20000, method="dop853")
+    # All lanes resolve (no 20k-step exhaustion) to a real outcome.
+    assert int(res.n_steps) < 5000
+    assert set(np.asarray(res.status).tolist()) <= {-1, 1}
