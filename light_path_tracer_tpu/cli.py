@@ -217,9 +217,14 @@ def cmd_disk(args) -> int:
     disk = DiskConfig(r_out=args.r_out,
                       emissivity_index=args.emissivity_q,
                       g_power=args.g_power,
-                      opaque=not args.translucent)
+                      opaque=not args.translucent,
+                      spectrum=args.spectrum, t_peak=args.t_peak)
     img, stats = render_disk(scene, (args.size, args.size), cfg, disk)
-    colored = cm.afmhot(np.asarray(img))[..., :3]
+    if args.spectrum == "blackbody":
+        # Physically colored (linear sRGB): gamma-encode for the PNG.
+        colored = np.clip(np.asarray(img), 0.0, 1.0) ** (1.0 / 2.2)
+    else:
+        colored = cm.afmhot(np.asarray(img))[..., :3]
     mpimg.imsave(args.output, colored)
     t = stats["timings"]
     print(f"Accretion disk: {args.size}x{args.size}, a={args.a}, "
@@ -388,6 +393,13 @@ def build_parser():
     p.add_argument("--emissivity-q", type=float, default=3.0)
     p.add_argument("--g-power", type=float, default=3.0)
     p.add_argument("--translucent", action="store_true")
+    p.add_argument("--spectrum", default="powerlaw",
+                   choices=["powerlaw", "blackbody"],
+                   help="powerlaw: grayscale g^p r^-q (afmhot colormap); "
+                        "blackbody: physical Planck colors at "
+                        "T_obs = g T(r)")
+    p.add_argument("--t-peak", type=float, default=9000.0,
+                   help="blackbody peak disk temperature [K]")
     p.add_argument("--output", default="accretion_disk.png")
     p.set_defaults(fn=cmd_disk)
 

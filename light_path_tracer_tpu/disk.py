@@ -39,11 +39,18 @@ from light_path_tracer_tpu.utils.timing import StageTimer
 class DiskConfig:
     r_out: float = 20.0            # outer edge in units of M
     r_in: float | None = None      # None -> r_isco
-    emissivity_index: float = 3.0  # eps(r) ~ r^-q
-    g_power: float = 3.0           # I_obs = g^p * eps
+    emissivity_index: float = 3.0  # eps(r) ~ r^-q (powerlaw spectrum)
+    g_power: float = 3.0           # I_obs = g^p * eps (powerlaw spectrum)
     opaque: bool = True            # first crossing blocks deeper images
     max_hits: int = 2
     tone_map: str = "asinh"        # "asinh" | "linear" | "sqrt"
+    # "powerlaw": grayscale I = g^p * r^-q (the original config-4 model).
+    # "blackbody": physically colored — Shakura-Sunyaev temperature
+    # profile, T_obs = g * T_em (a shifted Planck spectrum is exactly a
+    # Planck spectrum at the shifted temperature), bolometric intensity
+    # ~ T_obs^4 (the g^4 beaming), chromaticity from utils/color.py.
+    spectrum: str = "powerlaw"
+    t_peak: float = 9000.0         # blackbody: peak disk temperature [K]
 
 
 def r_isco(M: float, a: float, prograde: bool = True) -> float:
@@ -55,6 +62,20 @@ def r_isco(M: float, a: float, prograde: bool = True) -> float:
     sign = -1.0 if prograde else 1.0
     return float(M * (3.0 + z2 + sign * np.sqrt(
         (3.0 - z1) * (3.0 + z1 + 2.0 * z2))))
+
+
+def disk_temperature(r_c, r_in, t_peak):
+    """Shakura-Sunyaev thin-disk effective temperature, batched.
+
+    T(r) ~ [ (1 - sqrt(r_in/r)) / r^3 ]^(1/4) (SS73 zero-torque inner
+    boundary; the fully relativistic Novikov-Thorne factors are a
+    documented simplification), normalized so the profile's maximum —
+    at r = (49/36) r_in — equals t_peak.
+    """
+    x = r_in / jnp.maximum(r_c, r_in)
+    f = x ** 3 * (1.0 - jnp.sqrt(x))
+    f_max = (36.0 / 49.0) ** 3 * (1.0 - 6.0 / 7.0)
+    return t_peak * (jnp.maximum(f, 0.0) / f_max) ** 0.25
 
 
 def keplerian_redshift(M, a, r_c, xi):
@@ -162,25 +183,42 @@ def render_disk(scene: SceneConfig, resolution,
     with timer.stage("render") as out:
         r_in = disk.r_in if disk.r_in is not None else r_isco(
             scene.M, scene.a)
+        color = disk.spectrum == "blackbody"
         intensity = jnp.zeros_like(alpha.ravel())
+        rgb = jnp.zeros(alpha.size * 3, jnp.float32).reshape(-1, 3) \
+            if color else None
         n_slots = 1 if disk.opaque else disk.max_hits
         for slot in range(n_slots):
             hit = n_hits > slot
             r_c = jnp.maximum(r_hits[slot], r_in)
             g = keplerian_redshift(scene.M, scene.a, r_c, xi)
-            eps = (r_c / r_in) ** (-disk.emissivity_index)
-            contrib = jnp.where(hit, g ** disk.g_power * eps, 0.0)
-            intensity = intensity + contrib
+            if color:
+                from light_path_tracer_tpu.utils.color import blackbody_rgb
+                t_obs = g * disk_temperature(r_c, r_in, disk.t_peak)
+                w = jnp.where(hit, (t_obs / disk.t_peak) ** 4, 0.0)
+                rgb = rgb + w[:, None] * blackbody_rgb(t_obs)
+                intensity = intensity + w
+            else:
+                eps = (r_c / r_in) ** (-disk.emissivity_index)
+                contrib = jnp.where(hit, g ** disk.g_power * eps, 0.0)
+                intensity = intensity + contrib
 
-        if disk.tone_map == "asinh":
-            peak = jnp.maximum(jnp.max(intensity), 1e-12)
-            img = jnp.arcsinh(10.0 * intensity / peak) / jnp.arcsinh(10.0)
-        elif disk.tone_map == "sqrt":
-            peak = jnp.maximum(jnp.max(intensity), 1e-12)
-            img = jnp.sqrt(intensity / peak)
+        def tone(x):
+            peak = jnp.maximum(jnp.max(x), 1e-12)
+            if disk.tone_map == "asinh":
+                return jnp.arcsinh(10.0 * x / peak) / jnp.arcsinh(10.0)
+            if disk.tone_map == "sqrt":
+                return jnp.sqrt(x / peak)
+            return x / peak
+
+        if color:
+            # Tone-map the luminance, keep the blackbody chromaticity.
+            lum = tone(intensity)
+            chroma = rgb / jnp.maximum(intensity, 1e-12)[:, None]
+            img = (chroma * lum[:, None]).reshape(
+                resolution + (3,)).astype(jnp.float32)
         else:
-            img = intensity / jnp.maximum(jnp.max(intensity), 1e-12)
-        img = img.reshape(resolution).astype(jnp.float32)
+            img = tone(intensity).reshape(resolution).astype(jnp.float32)
         out.append(img)
 
     stats = dict(

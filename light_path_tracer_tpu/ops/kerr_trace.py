@@ -298,9 +298,15 @@ def dp45_integrate(metric, y0, p_t, p_phi, status0, *, atol, rtol, h_min,
 
     if disk_plane is not None:
         disk_r_in, disk_r_out, theta_plane, disk_opaque = disk_plane
-        # Plane location in the integration coordinate (static float).
-        plane_c = (float(np.cos(theta_plane)) if formulation == "mu"
-                   else float(theta_plane))
+        # Crossing detection runs on cos(theta) in BOTH formulations
+        # (for "mu" the state coordinate IS cos(theta)): a sign change
+        # of cos(theta) - cos(theta_plane) catches the equatorial plane
+        # on every branch of the double-cover chart (theta = +-pi/2,
+        # 3pi/2, ...). The L = 0 center-column rays pass OVER the pole
+        # (theta runs negative) and hit the plane at theta = -pi/2 —
+        # a theta - pi/2 detector misses those crossings entirely
+        # (seen as a dark one-pixel seam down disk renders).
+        plane_c = float(np.cos(theta_plane))
         # "down" flags are carried as 0.0/1.0 in the compute dtype: bool
         # (i1) vectors in a while_loop carry do not lower in Mosaic.
         hits0 = {
@@ -501,8 +507,12 @@ def dp45_integrate(metric, y0, p_t, p_phi, status0, *, atol, rtol, h_min,
             # (up to the event fraction), located with the same
             # interpolant used for events.
             th_prev, th_next = y[1], y_acc[1]
-            d_prev = th_prev - plane_c
-            d_next = th_next - plane_c
+            if formulation == "mu":
+                d_prev = th_prev - plane_c      # state coord IS cos(theta)
+                d_next = th_next - plane_c
+            else:
+                d_prev = jnp.cos(th_prev) - plane_c
+                d_next = jnp.cos(th_next) - plane_c
             # Strict sign change, plus the tangent case of landing exactly
             # on the plane (measure-zero center-column pixels otherwise
             # leave a 1-px seam in disk renders).
@@ -523,12 +533,9 @@ def dp45_integrate(metric, y0, p_t, p_phi, status0, *, atol, rtol, h_min,
                 y_cross = _lerp(y, y_acc, frac_c)
             r_c = y_cross[0]
             in_disk = crossed & (r_c >= disk_r_in) & (r_c <= disk_r_out)
-            # "down" = theta increasing through the plane (+z -> -z); in
-            # mu = cos(theta) coordinates that is mu *decreasing*.
-            if formulation == "mu":
-                going_down = d_next < d_prev
-            else:
-                going_down = d_next > d_prev
+            # "down" = upper hemisphere -> lower (+z -> -z): cos(theta)
+            # decreasing — d is cos-based in both formulations now.
+            going_down = d_next < d_prev
 
             n = hits_out["n"]
             new_r = list(hits_out["r"])

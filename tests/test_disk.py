@@ -100,3 +100,87 @@ def test_disk_pallas_matches_xla():
     assert np.median(d) < 1e-4
     np.testing.assert_allclose(np.asarray(xi_x), np.asarray(xi_p),
                                rtol=1e-6)
+
+
+def test_blackbody_chromaticity_on_planckian_locus():
+    """The Gaussian-fit CMF pipeline lands on the known Planckian locus."""
+    from light_path_tracer_tpu.utils.color import blackbody_chromaticity
+    # (T, x, y) reference points of the CIE 1931 Planckian locus.
+    for T, x_ref, y_ref in [(2000.0, 0.527, 0.413),
+                            (6500.0, 0.3135, 0.3237),
+                            (10000.0, 0.2806, 0.2883)]:
+        x, y = blackbody_chromaticity(T)
+        assert abs(x - x_ref) < 0.01 and abs(y - y_ref) < 0.01
+
+
+def test_blackbody_rgb_monotone_temperature():
+    """Hotter blackbody -> bluer: B/R channel ratio rises with T."""
+    import numpy as np
+    from light_path_tracer_tpu.utils.color import blackbody_rgb
+    rgb = np.asarray(blackbody_rgb(
+        np.array([2000.0, 4000.0, 8000.0, 16000.0, 32000.0])))
+    ratio = rgb[:, 2] / np.maximum(rgb[:, 0], 1e-9)
+    assert np.all(np.diff(ratio) > 0)
+    assert np.isfinite(rgb).all() and (rgb >= 0).all() and (rgb <= 1).all()
+
+
+def test_disk_temperature_profile():
+    import numpy as np
+    import jax.numpy as jnp
+    from light_path_tracer_tpu.disk import disk_temperature
+    r_in = 6.0
+    r = jnp.asarray(np.linspace(6.0, 40.0, 400))
+    T = np.asarray(disk_temperature(r, r_in, 9000.0))
+    assert abs(T.max() - 9000.0) < 2.0           # normalized peak
+    i_peak = T.argmax()
+    assert abs(float(r[i_peak]) - 49.0 / 36.0 * r_in) < 0.2
+    assert T[0] < 1.0                            # zero-torque inner edge
+    assert T[-1] < T[i_peak]                     # outer decline
+
+
+def test_blackbody_disk_render():
+    """Color disk: (H, W, 3), finite, approaching-side (Doppler) brighter
+    AND bluer than the receding side."""
+    import numpy as np
+    scene = SceneConfig(M=1.0, a=0.9, r_obs_mult=100.0,
+                        theta_obs=np.radians(80.0))
+    cfg = RenderConfig(dtype="float64")
+    img, stats = render_disk(scene, (48, 64), cfg,
+                             DiskConfig(spectrum="blackbody"))
+    img = np.asarray(img)
+    assert img.shape == (48, 64, 3)
+    assert np.isfinite(img).all() and img.min() >= 0.0
+    assert stats["disk_pixels"] > 0
+    left = img[:, :32]; right = img[:, 32:]
+    lum_l, lum_r = left.sum(axis=-1).sum(), right.sum(axis=-1).sum()
+    bright, dim = (left, right) if lum_l > lum_r else (right, left)
+    assert (bright.sum() > 1.2 * dim.sum())      # Doppler beaming
+    # Blue fraction higher on the approaching side.
+    bf = lambda s: s[..., 2].sum() / max(s.sum(), 1e-9)
+    assert bf(bright) > bf(dim)
+
+
+def test_center_column_crossings_after_polar_pass():
+    """Regression: the L = 0 center-column rays pass OVER the pole and
+    hit the equatorial plane at theta = -pi/2 (double-cover chart); the
+    cos(theta)-based detector must catch them — a theta - pi/2 detector
+    left a dark one-pixel seam down every disk render."""
+    import numpy as np
+    import jax.numpy as jnp
+    from light_path_tracer_tpu.disk import trace_disk_rays
+    from light_path_tracer_tpu.models.kerr import Kerr
+    from light_path_tracer_tpu import camera
+
+    dim = (48, 49)                  # odd width: col 24 is exactly central
+    m = Kerr(M=1.0, a=0.9)
+    fov = camera.fov_from_vertical(np.radians(40.0), dim)
+    al = camera.build_alpha_lookup(dim, fov, dtype=jnp.float64)
+    th = camera.build_theta_lookup(dim, fov, dtype=jnp.float64)
+    st, nh, rh, xi, steps = trace_disk_rays(
+        m, 100.0, al.ravel(), th.ravel(), np.radians(80.0), 5000.0,
+        200000, DiskConfig(), backend="xla")
+    nh = np.asarray(nh).reshape(dim)
+    hits_per_col = (nh > 0).sum(axis=0)
+    # The central column must see the disk like its neighbors do.
+    assert hits_per_col[24] >= 0.8 * hits_per_col[23]
+    assert hits_per_col[24] >= 0.8 * hits_per_col[25]
