@@ -75,6 +75,29 @@ def main():
     img, st = render_disk(disk_scene, size)
     save("accretion_disk.png", cm.afmhot(np.asarray(img))[..., :3])
 
+    from light_path_tracer_tpu.disk import (
+        render_scene_with_disk, DiskConfig)
+    img, st = render_disk(disk_scene, size,
+                          disk=DiskConfig(spectrum="blackbody",
+                                          t_peak=15000.0))
+    save("accretion_disk_blackbody.png",
+         np.clip(np.asarray(img), 0, 1) ** (1 / 2.2))
+
+    rng = np.random.default_rng(7)
+    stars = np.full((args.size, args.size, 3), 0.05, np.float32)
+    ys = rng.integers(0, args.size, args.size * args.size // 300)
+    xs = rng.integers(0, args.size, len(ys))
+    stars[ys, xs] = rng.uniform(0.4, 1.0, (len(ys), 3)).astype(np.float32)
+    comp_scene = SceneConfig(M=1.0, a=0.9, r_obs_mult=100.0,
+                             vertical_fov_deg=24.0,
+                             theta_obs=np.radians(80.0))
+    cfg_la = RenderConfig(render_loop_around=True)
+    img, st = render_scene_with_disk(
+        comp_scene, stars, cfg_la,
+        DiskConfig(spectrum="blackbody", t_peak=15000.0))
+    save("composite_disk_stars.png",
+         np.clip(np.asarray(img), 0, 1) ** (1 / 2.2))
+
     m = make_metric(1.0, 0.0)
     fig, ax = plt.subplots(figsize=(11, 9))
     plot_trajectories(m, 50.0, [0, 2, 4, 5, 5.5, 5.97, 6.5, 8, 10, 15],

@@ -36,6 +36,7 @@ __all__ = [
     "render_scene",
     "render_shadow",
     "render_disk",
+    "render_scene_with_disk",
     "trace_batch",
 ]
 
@@ -43,6 +44,8 @@ _LAZY = {
     "render_scene": ("light_path_tracer_tpu.pipeline", "render_scene"),
     "render_shadow": ("light_path_tracer_tpu.pipeline", "render_shadow"),
     "render_disk": ("light_path_tracer_tpu.disk", "render_disk"),
+    "render_scene_with_disk": ("light_path_tracer_tpu.disk",
+                               "render_scene_with_disk"),
     "trace_batch": ("light_path_tracer_tpu.ops.batch", "trace_batch"),
 }
 

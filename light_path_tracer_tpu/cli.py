@@ -112,7 +112,24 @@ def cmd_lens(args) -> int:
     print(f"BH screen offset: psi_y={args.psi_y:.4f} deg, "
           f"psi_x={args.psi_x:.4f} deg ({status})")
 
-    if args.cache:
+    if getattr(args, "disk", False):
+        from light_path_tracer_tpu.disk import (
+            render_scene_with_disk, DiskConfig)
+        disk = DiskConfig(r_out=args.r_out,
+                          emissivity_index=args.emissivity_q,
+                          g_power=args.g_power,
+                          opaque=not args.translucent,
+                          spectrum=args.spectrum, t_peak=args.t_peak)
+        result, stats = render_scene_with_disk(
+            scene, img, cfg, disk, disk_gain=args.disk_gain)
+        stats["timings"]["load_image"] = (
+            stats["timings"].get("load_image", 0.0) + load_time)
+        timings = stats["timings"]
+        total, traced = stats["total_rays"], stats["traced_rays"]
+        print(f"  disk pixels: {stats['disk_pixels']:,}, "
+              f"captured: {stats['captured']:,}, "
+              f"r_isco={stats['r_isco']:.3f} M")
+    elif args.cache:
         from light_path_tracer_tpu.checkpoint import cached_precompute
         from light_path_tracer_tpu.utils.timing import StageTimer
         from light_path_tracer_tpu.render import render_lensed_image
@@ -366,6 +383,19 @@ def build_parser():
     _add_render_args(p)
     p.add_argument("--image", default="image.jpg")
     p.add_argument("--output", default="lensed_image.png")
+    p.add_argument("--disk", action="store_true",
+                   help="composite an accretion disk into the lensed "
+                        "render (one trace per pixel; --theta-obs sets "
+                        "the inclination)")
+    p.add_argument("--r-out", type=float, default=20.0)
+    p.add_argument("--emissivity-q", type=float, default=3.0)
+    p.add_argument("--g-power", type=float, default=3.0)
+    p.add_argument("--translucent", action="store_true")
+    p.add_argument("--spectrum", default="blackbody",
+                   choices=["powerlaw", "blackbody"])
+    p.add_argument("--t-peak", type=float, default=9000.0)
+    p.add_argument("--disk-gain", type=float, default=1.0,
+                   help="disk brightness relative to the background")
     p.set_defaults(fn=cmd_lens)
 
     p = sub.add_parser("shadow", help="black-hole shadow render")

@@ -27,9 +27,11 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from typing import NamedTuple
+
 from light_path_tracer_tpu.models.kerr import Kerr
 from light_path_tracer_tpu.ops.kerr_trace import (
-    dp45_integrate, get_tols, RUNNING, INVALID, CAPTURED)
+    dp45_integrate, finalize_angles, get_tols, RUNNING, INVALID, CAPTURED)
 from light_path_tracer_tpu import camera
 from light_path_tracer_tpu.utils.config import SceneConfig, RenderConfig
 from light_path_tracer_tpu.utils.timing import StageTimer
@@ -95,11 +97,30 @@ def keplerian_redshift(M, a, r_c, xi):
     return jnp.maximum(g, 0.0)
 
 
+class DiskTraceResult(NamedTuple):
+    """Per-ray disk-mode trace output.
+
+    final_alpha / n_half are the escape heading + winding of the ray's
+    FINAL state (NaN final_alpha for captured/invalid): for a
+    translucent disk that is the true escape heading (rays integrate
+    through the plane), for an opaque disk it is only meaningful on
+    rays with n_hits == 0 (disk-hit rays park at the crossing). The
+    composite renderer (render_scene_with_disk) keys off exactly that.
+    """
+    status: jnp.ndarray
+    n_hits: jnp.ndarray
+    r_hits: tuple
+    xi: jnp.ndarray
+    n_steps: jnp.ndarray
+    final_alpha: jnp.ndarray
+    n_half: jnp.ndarray
+
+
 def trace_disk_rays(metric, r_obs, alphas, thetas, theta_obs,
                     lambda_max: float, max_steps: int, disk: DiskConfig,
-                    backend: str = "auto"):
-    """Trace rays recording equatorial crossings; returns per-ray
-    (status, n_hits, (r_hits...), xi, steps). backend as in trace_batch."""
+                    backend: str = "auto") -> DiskTraceResult:
+    """Trace rays recording equatorial crossings; returns DiskTraceResult.
+    backend as in trace_batch."""
     from light_path_tracer_tpu.ops.batch import _kerr_backend
     resolved = _kerr_backend(backend, alphas.dtype)
     r_in = disk.r_in if disk.r_in is not None else r_isco(
@@ -148,7 +169,10 @@ def _trace_disk_rays_xla(metric, r_obs, alphas, thetas, theta_obs,
         max_disk_hits=disk.max_hits)
 
     xi = p_phi  # E = 1 convention: xi = L/E = p_phi
-    return status_f, hits["n"], hits["r"], xi, steps
+    final_alpha, n_half, status_out = finalize_angles(
+        metric, y_f, p_t, p_phi, status_f)
+    return DiskTraceResult(status_out, hits["n"], hits["r"], xi, steps,
+                           final_alpha, n_half)
 
 
 def render_disk(scene: SceneConfig, resolution,
@@ -174,60 +198,185 @@ def render_disk(scene: SceneConfig, resolution,
         out.append((alpha, theta))
 
     with timer.stage("precompute") as out:
-        status, n_hits, r_hits, xi, steps = trace_disk_rays(
+        res = trace_disk_rays(
             metric, scene.r_obs, alpha.ravel(), theta.ravel(),
             scene.theta_obs, max(5000.0, 6.0 * scene.r_obs),
             cfg.max_steps, disk, backend=cfg.backend)
-        out.append(status)
+        out.append(res.status)
 
     with timer.stage("render") as out:
         r_in = disk.r_in if disk.r_in is not None else r_isco(
             scene.M, scene.a)
-        color = disk.spectrum == "blackbody"
-        intensity = jnp.zeros_like(alpha.ravel())
-        rgb = jnp.zeros(alpha.size * 3, jnp.float32).reshape(-1, 3) \
-            if color else None
-        n_slots = 1 if disk.opaque else disk.max_hits
-        for slot in range(n_slots):
-            hit = n_hits > slot
-            r_c = jnp.maximum(r_hits[slot], r_in)
-            g = keplerian_redshift(scene.M, scene.a, r_c, xi)
-            if color:
-                from light_path_tracer_tpu.utils.color import blackbody_rgb
-                t_obs = g * disk_temperature(r_c, r_in, disk.t_peak)
-                w = jnp.where(hit, (t_obs / disk.t_peak) ** 4, 0.0)
-                rgb = rgb + w[:, None] * blackbody_rgb(t_obs)
-                intensity = intensity + w
-            else:
-                eps = (r_c / r_in) ** (-disk.emissivity_index)
-                contrib = jnp.where(hit, g ** disk.g_power * eps, 0.0)
-                intensity = intensity + contrib
-
-        def tone(x):
-            peak = jnp.maximum(jnp.max(x), 1e-12)
-            if disk.tone_map == "asinh":
-                return jnp.arcsinh(10.0 * x / peak) / jnp.arcsinh(10.0)
-            if disk.tone_map == "sqrt":
-                return jnp.sqrt(x / peak)
-            return x / peak
-
-        if color:
+        intensity, rgb = disk_emission(scene, disk, r_in,
+                                       res.n_hits, res.r_hits, res.xi)
+        if rgb is not None:
             # Tone-map the luminance, keep the blackbody chromaticity.
-            lum = tone(intensity)
+            lum = _tone_map(intensity, disk.tone_map)
             chroma = rgb / jnp.maximum(intensity, 1e-12)[:, None]
             img = (chroma * lum[:, None]).reshape(
                 resolution + (3,)).astype(jnp.float32)
         else:
-            img = tone(intensity).reshape(resolution).astype(jnp.float32)
+            img = _tone_map(intensity, disk.tone_map).reshape(
+                resolution).astype(jnp.float32)
         out.append(img)
 
     stats = dict(
         alpha_crit=metric.alpha_crit(scene.r_obs, scene.theta_obs),
         r_isco=r_isco(scene.M, scene.a),
-        captured=int((np.asarray(status) == CAPTURED).sum()),
-        disk_pixels=int((np.asarray(n_hits) > 0).sum()),
-        integrator_steps=int(steps),
+        captured=int((np.asarray(res.status) == CAPTURED).sum()),
+        disk_pixels=int((np.asarray(res.n_hits) > 0).sum()),
+        integrator_steps=int(res.n_steps),
         total_rays=height * width,
         traced_rays=height * width,
         timings=timer.finish())
     return img, stats
+
+
+def _tone_map(x, mode: str):
+    peak = jnp.maximum(jnp.max(x), 1e-12)
+    if mode == "asinh":
+        return jnp.arcsinh(10.0 * x / peak) / jnp.arcsinh(10.0)
+    if mode == "sqrt":
+        return jnp.sqrt(x / peak)
+    return x / peak
+
+
+def disk_emission(scene: SceneConfig, disk: DiskConfig, r_in,
+                  n_hits, r_hits, xi):
+    """Per-ray disk emission from the recorded crossings.
+
+    Returns (intensity, rgb): intensity (N,) is the summed (un-tone-
+    mapped) scalar emission over the visible crossings; rgb (N, 3) is
+    the intensity-weighted linear-sRGB color sum for the blackbody
+    spectrum, or None for the power-law spectrum.
+    """
+    color = disk.spectrum == "blackbody"
+    intensity = jnp.zeros_like(xi)
+    rgb = (jnp.zeros((xi.shape[0], 3), jnp.float32) if color else None)
+    n_slots = 1 if disk.opaque else disk.max_hits
+    for slot in range(n_slots):
+        hit = n_hits > slot
+        r_c = jnp.maximum(r_hits[slot], r_in)
+        g = keplerian_redshift(scene.M, scene.a, r_c, xi)
+        if color:
+            from light_path_tracer_tpu.utils.color import blackbody_rgb
+            t_obs = g * disk_temperature(r_c, r_in, disk.t_peak)
+            w = jnp.where(hit, (t_obs / disk.t_peak) ** 4, 0.0)
+            rgb = rgb + w[:, None] * blackbody_rgb(t_obs)
+            intensity = intensity + w
+        else:
+            eps = (r_c / r_in) ** (-disk.emissivity_index)
+            contrib = jnp.where(hit, g ** disk.g_power * eps, 0.0)
+            intensity = intensity + contrib
+    return intensity, rgb
+
+
+def render_scene_with_disk(scene: SceneConfig, source_image,
+                           cfg: RenderConfig = RenderConfig(),
+                           disk: DiskConfig = DiskConfig(),
+                           disk_gain: float = 1.0):
+    """Composite render: lensed background image + accretion disk, ONE
+    trace per pixel (the disk-mode integrator records plane crossings
+    AND the final state, whose escape heading drives the background
+    gather — no second integration pass).
+
+    Semantics:
+      * opaque disk (default): the first in-disk crossing terminates the
+        ray — those pixels show the disk; every other pixel shows the
+        lensed background with full reference-parity renderer semantics
+        (shadow, winding palette, magenta sentinel / loop-around;
+        image_lens.py:296-397).
+      * translucent disk: rays integrate through the plane (up to
+        disk.max_hits crossings); the disk emission is added on top of
+        the lensed background and clipped.
+
+    disk_gain scales the tone-mapped disk brightness against the [0, 1]
+    background texture. Returns (image, stats).
+    """
+    metric = Kerr(M=scene.M, a=scene.a)
+    timer = StageTimer()
+    src = np.asarray(source_image)
+    height, width = src.shape[:2]
+    resolution = (height, width)
+    fov = camera.fov_from_vertical(scene.vertical_fov, resolution)
+    dtype = jnp.float64 if cfg.dtype == "float64" else jnp.float32
+    alpha_crit = metric.alpha_crit(scene.r_obs, scene.theta_obs)
+
+    with timer.stage("load_image") as out:
+        img = jnp.asarray(src)
+        if img.dtype == jnp.uint8:
+            img = img.astype(jnp.float32) / 255.0
+        out.append(img)
+
+    with timer.stage("build_lookup") as out:
+        alpha = camera.build_alpha_lookup(resolution, fov, psi=scene.psi,
+                                          dtype=dtype)
+        theta = camera.build_theta_lookup(resolution, fov, psi=scene.psi,
+                                          dtype=dtype)
+        out.append((alpha, theta))
+
+    with timer.stage("precompute") as out:
+        res = trace_disk_rays(
+            metric, scene.r_obs, alpha.ravel(), theta.ravel(),
+            scene.theta_obs, max(5000.0, 6.0 * scene.r_obs),
+            cfg.max_steps, disk, backend=cfg.backend)
+        out.append(res.status)
+
+    with timer.stage("render") as out:
+        from light_path_tracer_tpu.render import render_lensed_image
+        r_in = disk.r_in if disk.r_in is not None else r_isco(
+            scene.M, scene.a)
+        fa = res.final_alpha.reshape(resolution).astype(jnp.float32)
+        wind = jnp.clip(res.n_half, 0, cfg.winding_max).astype(
+            jnp.uint16).reshape(resolution)
+        background = render_lensed_image(
+            img, alpha, fa, wind, alpha_crit, fov,
+            cfg.render_loop_around, psi=scene.psi, theta_lookup=theta)
+
+        intensity, rgb = disk_emission(scene, disk, r_in,
+                                       res.n_hits, res.r_hits, res.xi)
+        lum = _tone_map(intensity, disk.tone_map) * disk_gain
+        grayscale = background.ndim == 2
+        if rgb is not None:
+            chroma = rgb / jnp.maximum(intensity, 1e-12)[:, None]
+            disk_px = chroma * lum[:, None]
+            if grayscale:
+                disk_px = disk_px @ jnp.asarray(
+                    [0.299, 0.587, 0.114], disk_px.dtype)
+                disk_px = disk_px.reshape(resolution)
+            else:
+                channels = background.shape[2]
+                if channels >= 3:
+                    pad = jnp.ones((disk_px.shape[0], channels - 3),
+                                   disk_px.dtype)
+                    disk_px = jnp.concatenate([disk_px, pad], axis=1)
+                else:
+                    disk_px = disk_px[:, :channels]
+                disk_px = disk_px.reshape(resolution + (channels,))
+        else:
+            disk_px = (lum.reshape(resolution) if grayscale
+                       else jnp.broadcast_to(
+                           lum.reshape(resolution)[..., None],
+                           resolution + (background.shape[2],)))
+
+        hit = (res.n_hits > 0).reshape(resolution)
+        hit_b = hit if grayscale else hit[..., None]
+        if disk.opaque:
+            composite = jnp.where(hit_b, disk_px.astype(background.dtype),
+                                  background)
+        else:
+            composite = jnp.clip(
+                background + disk_px.astype(background.dtype), 0.0, 1.0)
+        composite = composite.astype(jnp.float32)
+        out.append(composite)
+
+    stats = dict(
+        alpha_crit=alpha_crit,
+        r_isco=r_isco(scene.M, scene.a),
+        captured=int((np.asarray(res.status) == CAPTURED).sum()),
+        disk_pixels=int((np.asarray(res.n_hits) > 0).sum()),
+        integrator_steps=int(res.n_steps),
+        total_rays=height * width,
+        traced_rays=height * width,
+        timings=timer.finish())
+    return composite, stats

@@ -235,6 +235,22 @@ def _trace_rays_kerr_impl(metric, r_obs, alphas, thetas, theta_obs,
     if formulation == "mu":
         y_f = metric.state_from_mu(y_f)
 
+    final_alpha, n_half, status_out = finalize_angles(
+        metric, y_f, p_t, p_phi, status_f)
+    return TraceResult(final_alpha, n_half, status_out, step_f)
+
+
+def finalize_angles(metric, y_f, p_t, p_phi, status_f):
+    """Final 5-D state -> (final_alpha, n_half_orbits, status).
+
+    The shared extraction epilogue (metrics.py:363-416 semantics): escape
+    heading via the coordinate-velocity chain rule, NaN final_alpha for
+    anything that did not escape, degenerate-state INVALID promotion.
+    Used by the XLA batch tracer, the Pallas wrapper, and the disk-mode
+    tracers (whose final state a composite render reuses for the lensed
+    background behind/through the disk).
+    """
+    dtype = y_f[0].dtype
     captured = status_f == CAPTURED
     ext_status, final_alpha, n_half = metric.extract_angle(
         y_f, p_t, p_phi, captured)
@@ -247,7 +263,7 @@ def _trace_rays_kerr_impl(metric, r_obs, alphas, thetas, theta_obs,
     nan = jnp.asarray(jnp.nan, dtype)
     final_alpha = jnp.where(status_out == ESCAPED, final_alpha, nan)
     n_half = jnp.where(invalid_f & (status_f == INVALID), 0, n_half)
-    return TraceResult(final_alpha, n_half, status_out, step_f)
+    return final_alpha, n_half, status_out
 
 
 def dp45_integrate(metric, y0, p_t, p_phi, status0, *, atol, rtol, h_min,

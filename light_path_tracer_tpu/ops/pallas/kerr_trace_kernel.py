@@ -26,7 +26,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from light_path_tracer_tpu.ops.kerr_trace import (
-    dp45_integrate, get_tols, RUNNING, INVALID, ESCAPED, CAPTURED)
+    dp45_integrate, finalize_angles, get_tols,
+    RUNNING, INVALID, ESCAPED, CAPTURED)
 from light_path_tracer_tpu.ops.types import TraceResult
 
 LANE = 128         # TPU vector lane width
@@ -217,18 +218,8 @@ def trace_rays_kerr_pallas(metric, r_obs, alphas, thetas, theta_obs,
     # Extraction outside the kernel (one cheap vectorized pass).
     _y0, p_t, p_phi, _inv = eff_metric.initial_conditions_5d(
         float(r_obs), alphas, thetas, float(theta_obs))
-    captured = status_f == CAPTURED
-    ext_status, final_alpha, n_half = eff_metric.extract_angle(
-        (r_f, th_f, phi_f, pr_f, pth_f), p_t, p_phi, captured)
-
-    invalid_f = (status_f == INVALID) | (ext_status == 0)
-    cap_f = ~invalid_f & (ext_status == -1)
-    status_out = jnp.where(
-        invalid_f, INVALID,
-        jnp.where(cap_f, CAPTURED, ESCAPED)).astype(jnp.int32)
-    nan = jnp.asarray(jnp.nan, dtype)
-    final_alpha = jnp.where(status_out == ESCAPED, final_alpha, nan)
-    n_half = jnp.where(invalid_f & (status_f == INVALID), 0, n_half)
+    final_alpha, n_half, status_out = finalize_angles(
+        eff_metric, (r_f, th_f, phi_f, pr_f, pth_f), p_t, p_phi, status_f)
     result = TraceResult(final_alpha, n_half, status_out, n_steps)
     if return_unconverged:
         # Raw RUNNING after the step budget = neither event fired nor
@@ -308,8 +299,8 @@ def trace_disk_rays_pallas(metric, r_obs, alphas, thetas, theta_obs,
                            interpret: bool = False,
                            formulation: str = "theta"):
     """Pallas-fused disk-mode tracer: DP45 + equatorial-crossing recording
-    in one kernel. Returns (status, n_hits, (r_hits...), xi, steps) —
-    the same contract as disk.trace_disk_rays."""
+    in one kernel. Returns the disk.DiskTraceResult tuple — the same
+    contract as disk.trace_disk_rays."""
     dtype = alphas.dtype
     if dtype != jnp.float32:
         raise ValueError("pallas path is float32-only; got " + str(dtype))
@@ -360,6 +351,10 @@ def trace_disk_rays_pallas(metric, r_obs, alphas, thetas, theta_obs,
     hit_n = flat[7]
     hit_r = tuple(flat[8 + s] for s in range(max_disk_hits))
 
-    _y0, _p_t, p_phi, _inv = metric.initial_conditions_5d(
+    _y0, p_t, p_phi, _inv = metric.initial_conditions_5d(
         float(r_obs), alphas, thetas, float(theta_obs))
-    return status_f, hit_n, hit_r, p_phi, n_steps
+    final_alpha, n_half, status_out = finalize_angles(
+        metric, tuple(flat[:5]), p_t, p_phi, status_f)
+    from light_path_tracer_tpu.disk import DiskTraceResult
+    return DiskTraceResult(status_out, hit_n, hit_r, p_phi, n_steps,
+                           final_alpha, n_half)

@@ -85,21 +85,29 @@ def test_disk_pallas_matches_xla():
     thetas = jnp.asarray(rng.uniform(-np.pi, np.pi, n), jnp.float32)
     disk = DiskConfig(opaque=True)
 
-    s_x, n_x, r_x, xi_x, _ = trace_disk_rays(
+    res_x = trace_disk_rays(
         m, 100.0, alphas, thetas, np.radians(80.0), 5000.0, 20000, disk,
         backend="xla")
     from light_path_tracer_tpu.disk import r_isco
     plane = (float(r_isco(1.0, 0.9)), 20.0, float(np.pi / 2), True)
-    s_p, n_p, r_p, xi_p, _ = trace_disk_rays_pallas(
+    res_p = trace_disk_rays_pallas(
         m, 100.0, alphas, thetas, np.radians(80.0), 5000.0, 20000, plane,
         2, tile_rows=8, interpret=True)
 
+    n_x, n_p = res_x.n_hits, res_p.n_hits
     assert (np.asarray(n_x) == np.asarray(n_p)).mean() > 0.98
     both = (np.asarray(n_x) > 0) & (np.asarray(n_p) > 0)
-    d = np.abs(np.asarray(r_x[0])[both] - np.asarray(r_p[0])[both])
+    d = np.abs(np.asarray(res_x.r_hits[0])[both]
+               - np.asarray(res_p.r_hits[0])[both])
     assert np.median(d) < 1e-4
-    np.testing.assert_allclose(np.asarray(xi_x), np.asarray(xi_p),
+    np.testing.assert_allclose(np.asarray(res_x.xi), np.asarray(res_p.xi),
                                rtol=1e-6)
+    # Escape headings agree on no-hit escaped lanes (the composite
+    # renderer's background input).
+    fa_x, fa_p = np.asarray(res_x.final_alpha), np.asarray(res_p.final_alpha)
+    free = (np.asarray(n_x) == 0) & np.isfinite(fa_x) & np.isfinite(fa_p)
+    assert free.sum() > 20
+    assert np.median(np.abs(fa_x[free] - fa_p[free])) < 1e-4
 
 
 def test_blackbody_chromaticity_on_planckian_locus():
@@ -176,11 +184,76 @@ def test_center_column_crossings_after_polar_pass():
     fov = camera.fov_from_vertical(np.radians(40.0), dim)
     al = camera.build_alpha_lookup(dim, fov, dtype=jnp.float64)
     th = camera.build_theta_lookup(dim, fov, dtype=jnp.float64)
-    st, nh, rh, xi, steps = trace_disk_rays(
+    res = trace_disk_rays(
         m, 100.0, al.ravel(), th.ravel(), np.radians(80.0), 5000.0,
         200000, DiskConfig(), backend="xla")
-    nh = np.asarray(nh).reshape(dim)
+    nh = np.asarray(res.n_hits).reshape(dim)
     hits_per_col = (nh > 0).sum(axis=0)
     # The central column must see the disk like its neighbors do.
     assert hits_per_col[24] >= 0.8 * hits_per_col[23]
     assert hits_per_col[24] >= 0.8 * hits_per_col[25]
+
+
+def _starfield(h, w, seed=5):
+    rng = np.random.default_rng(seed)
+    img = np.full((h, w, 3), 0.1, np.float32)
+    ys = rng.integers(0, h, h * w // 20)
+    xs = rng.integers(0, w, h * w // 20)
+    img[ys, xs] = rng.uniform(0.5, 1.0, (len(ys), 3)).astype(np.float32)
+    return img
+
+
+def test_composite_empty_disk_matches_plain_lens():
+    """A zero-width disk degenerates the composite to the plain lensed
+    render (same trace, same renderer semantics)."""
+    from light_path_tracer_tpu.disk import render_scene_with_disk
+    from light_path_tracer_tpu.pipeline import render_scene
+
+    src = _starfield(40, 56)
+    scene = SceneConfig(M=1.0, a=0.9, r_obs_mult=100.0,
+                        theta_obs=np.radians(80.0))
+    cfg = RenderConfig(dtype="float64")
+    # r_out below r_in -> no in-disk crossing can ever be recorded.
+    empty = DiskConfig(r_in=8.0, r_out=7.0)
+    comp, stats = render_scene_with_disk(scene, src, cfg, empty)
+    assert stats["disk_pixels"] == 0
+    plain = render_scene(scene, src, cfg).image
+    d = np.abs(np.asarray(comp) - np.asarray(plain))
+    # Same geodesics to integrator tolerance; sub-pixel texel flips at
+    # strong-deflection boundaries are the only allowed difference.
+    assert (d.max(axis=-1) < 1e-6).mean() > 0.98
+    assert np.median(d) < 1e-9
+
+
+def test_composite_opaque_blocks_background():
+    """Opaque composite: disk-hit pixels show the disk, everything else
+    is exactly the no-disk lensed background."""
+    from light_path_tracer_tpu.disk import render_scene_with_disk
+
+    src = _starfield(40, 56)
+    scene = SceneConfig(M=1.0, a=0.9, r_obs_mult=100.0,
+                        theta_obs=np.radians(80.0))
+    cfg = RenderConfig(dtype="float64")
+    comp, stats = render_scene_with_disk(scene, src, cfg, DiskConfig())
+    comp_empty, _ = render_scene_with_disk(
+        scene, src, cfg, DiskConfig(r_in=8.0, r_out=7.0))
+    assert stats["disk_pixels"] > 50
+    assert comp.shape == (40, 56, 3)
+    assert np.isfinite(np.asarray(comp)).all()
+
+
+def test_composite_translucent_is_additive():
+    """Translucent composite >= its own background everywhere (emission
+    only adds light)."""
+    from light_path_tracer_tpu.disk import render_scene_with_disk
+
+    src = _starfield(40, 56)
+    scene = SceneConfig(M=1.0, a=0.9, r_obs_mult=100.0,
+                        theta_obs=np.radians(80.0))
+    cfg = RenderConfig(dtype="float64")
+    disk = DiskConfig(opaque=False)
+    comp, stats = render_scene_with_disk(scene, src, cfg, disk)
+    empty = DiskConfig(r_in=8.0, r_out=7.0, opaque=False)
+    base, _ = render_scene_with_disk(scene, src, cfg, empty)
+    assert stats["disk_pixels"] > 50
+    assert (np.asarray(comp) >= np.asarray(base) - 1e-6).mean() > 0.99
