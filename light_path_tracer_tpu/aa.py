@@ -67,7 +67,8 @@ def _use_tb(metric, scene, cfg) -> bool:
     """Equatorial mirror symmetry applies (pipeline._use_tb semantics)."""
     return (cfg.use_tb_symmetry
             and bool(np.isclose(scene.theta_obs, np.pi / 2))
-            and bool(np.isclose(scene.psi[0], 0.0)))
+            and bool(np.isclose(scene.psi[0], 0.0))
+            and float(scene.boost[1]) == 0.0)
 
 
 def _stacked_grids(metric, scene, cfg, resolution, fov, offsets,
@@ -81,12 +82,12 @@ def _stacked_grids(metric, scene, cfg, resolution, fov, offsets,
     alphas, thetas = [], []
     for offset in offsets:
         al = camera.build_alpha_lookup(
-            resolution, fov, psi=scene.psi, dtype=dtype,
+            resolution, fov, psi=scene.psi, dtype=dtype, boost=scene.boost,
             pixel_offset=tuple(offset))
         alphas.append(al if trace_rows is None else al[:trace_rows])
         if not metric.is_spherically_symmetric:
             th = camera.build_theta_lookup(
-                resolution, fov, psi=scene.psi, dtype=dtype,
+                resolution, fov, psi=scene.psi, dtype=dtype, boost=scene.boost,
                 pixel_offset=tuple(offset))
             thetas.append(th if trace_rows is None else th[:trace_rows])
     alpha = jnp.concatenate(alphas, axis=0)
@@ -165,19 +166,19 @@ def _trace_all_passes(metric, scene, cfg, resolution, fov, offsets, mesh):
         for offset in offsets:
             flipped = (-offset[0], offset[1])
             al_t = camera.build_alpha_lookup(
-                resolution, fov, psi=scene.psi, dtype=dtype,
+                resolution, fov, psi=scene.psi, dtype=dtype, boost=scene.boost,
                 pixel_offset=tuple(offset))
             al_b = camera.build_alpha_lookup(
-                resolution, fov, psi=scene.psi, dtype=dtype,
+                resolution, fov, psi=scene.psi, dtype=dtype, boost=scene.boost,
                 pixel_offset=flipped)
             alphas.append(jnp.concatenate(
                 [al_t[:trace_rows], al_b[trace_rows:]], axis=0))
             if theta is not None:
                 th_t = camera.build_theta_lookup(
-                    resolution, fov, psi=scene.psi, dtype=dtype,
+                    resolution, fov, psi=scene.psi, dtype=dtype, boost=scene.boost,
                     pixel_offset=tuple(offset))
                 th_b = camera.build_theta_lookup(
-                    resolution, fov, psi=scene.psi, dtype=dtype,
+                    resolution, fov, psi=scene.psi, dtype=dtype, boost=scene.boost,
                     pixel_offset=flipped)
                 thetas.append(jnp.concatenate(
                     [th_t[:trace_rows], th_b[trace_rows:]], axis=0))
@@ -244,14 +245,14 @@ def render_scene_aa(scene: SceneConfig, source_image,
                 theta = theta_s[i]
             else:
                 theta = camera.build_theta_lookup(
-                    resolution, fov, psi=scene.psi, dtype=dtype,
+                    resolution, fov, psi=scene.psi, dtype=dtype, boost=scene.boost,
                     pixel_offset=tuple(offset))
                 if use_tb:
                     # Match the mirrored fa: bottom rows hold the
                     # (-dy, dx) sample — use that sample's azimuth.
                     rows = resolution[0] // 2 + 1
                     theta_b = camera.build_theta_lookup(
-                        resolution, fov, psi=scene.psi, dtype=dtype,
+                        resolution, fov, psi=scene.psi, dtype=dtype, boost=scene.boost,
                         pixel_offset=(-offset[0], offset[1]))
                     theta = jnp.concatenate(
                         [theta[:rows], theta_b[rows:]], axis=0)

@@ -133,6 +133,77 @@ def angles_to_pixel(angles, image_dimension, fov, clip=False, psi=(0.0, 0.0)):
     return (py, px)
 
 
+# ---- relativistic aberration (observer at finite velocity) ----
+
+def aberrate_view(vx, vy, vz, boost):
+    """Special-relativistic aberration of unit VIEW directions (observer
+    toward sky), moving-camera frame -> static frame. Batched jnp.
+
+    `boost` = the camera's 3-velocity in units of c, in camera coords
+    (+x right, +y down, +z forward); |boost| < 1. The photon propagates
+    along -v, so the standard propagation-vector aberration
+
+        k = (k'/gamma + (1 - 1/gamma)(bhat.k') bhat + beta) / (1 + beta.k')
+
+    is applied to k' = -v'. Forward motion (boost = (0,0,b)) squeezes
+    the forward sky toward the +z axis in the camera frame; equivalently
+    this inverse map spreads camera directions outward in the static
+    frame — the black-hole shadow appears SMALLER when flying toward it.
+
+    New capability beyond the reference (which has a static observer
+    only); composes with everything downstream because the tracer only
+    ever sees the static-frame (alpha, theta).
+    """
+    bx, by, bz = (float(boost[0]), float(boost[1]), float(boost[2]))
+    b2 = bx * bx + by * by + bz * bz
+    if b2 >= 1.0:
+        raise ValueError("|boost| must be < 1 (units of c)")
+    if b2 == 0.0:
+        return vx, vy, vz
+    gamma = 1.0 / np.sqrt(1.0 - b2)
+    # k' = -v' (propagation direction in the camera frame).
+    kx, ky, kz = -vx, -vy, -vz
+    bdotk = bx * kx + by * ky + bz * kz
+    coef = (1.0 - 1.0 / gamma) / b2 * bdotk  # (1-1/g)(bhat.k')/|b| along bhat
+    denom = 1.0 + bdotk
+    kx = (kx / gamma + coef * bx + bx) / denom
+    ky = (ky / gamma + coef * by + by) / denom
+    kz = (kz / gamma + coef * bz + bz) / denom
+    # Renormalize (pure roundoff; the map preserves unit length exactly).
+    n = jnp.sqrt(kx * kx + ky * ky + kz * kz)
+    return -kx / n, -ky / n, -kz / n
+
+
+def doppler_lookup(image_dimension, fov, boost, dtype=jnp.float32,
+                   pixel_offset=(0.0, 0.0)):
+    """Per-pixel Doppler factor delta = nu_cam / nu_static, (H, W).
+
+    delta = gamma (1 + beta . v_static) with v_static the static-frame
+    view direction of the pixel (the aberrated one): looking along the
+    motion gives the head-light blueshift sqrt((1+b)/(1-b)). Observed
+    intensities scale as delta**4 (Liouville, I_nu/nu^3 invariant);
+    blackbody temperatures scale as delta.
+    """
+    bx, by, bz = (float(boost[0]), float(boost[1]), float(boost[2]))
+    b2 = bx * bx + by * by + bz * bz
+    vx, vy, vz = _view_grids(image_dimension, fov, dtype, pixel_offset)
+    if b2 == 0.0:
+        return jnp.ones_like(vx * vy)
+    gamma = 1.0 / np.sqrt(1.0 - b2)
+    vx, vy, vz = aberrate_view(vx, vy, vz, boost)
+    return (gamma * (1.0 + bx * vx + by * vy + bz * vz)).astype(dtype)
+
+
+def _view_grids(image_dimension, fov, dtype, pixel_offset=(0.0, 0.0)):
+    """Broadcast unit view-direction component grids (vx, vy, vz)."""
+    x_cam, y_cam = _cam_grids(image_dimension, fov, dtype, pixel_offset)
+    denom = jnp.sqrt(1.0 + x_cam[None, :] ** 2 + y_cam[:, None] ** 2)
+    vx = x_cam[None, :] / denom
+    vy = y_cam[:, None] / denom
+    vz = 1.0 / denom  # (H, W) via broadcast
+    return vx, vy, vz
+
+
 # ---- batched per-pixel grids (jnp) ----
 
 def _cam_grids(image_dimension, fov, dtype, pixel_offset=(0.0, 0.0)):
@@ -147,18 +218,26 @@ def _cam_grids(image_dimension, fov, dtype, pixel_offset=(0.0, 0.0)):
 
 
 def build_alpha_lookup(image_dimension, fov, decimals=None, psi=(0.0, 0.0),
-                       dtype=jnp.float32, pixel_offset=(0.0, 0.0)):
+                       dtype=jnp.float32, pixel_offset=(0.0, 0.0),
+                       boost=None):
     """Per-pixel viewing angle alpha to the BH direction, (H, W).
 
     Parity: image_lens.py:133-152 (one arccos per pixel on broadcasted
     camera grids; optional decimal rounding for binning; float32 out).
+    `boost` (camera 3-velocity, units of c) aberrates each pixel's view
+    direction into the static frame first (aberrate_view).
     """
-    x_cam, y_cam = _cam_grids(image_dimension, fov, dtype, pixel_offset)
-    d = psi_frame(psi).d
-
-    denom = jnp.sqrt(1.0 + x_cam[None, :] ** 2 + y_cam[:, None] ** 2)
-    cos_alpha = (x_cam[None, :] * d[0]
-                 + y_cam[:, None] * d[1] + d[2]) / denom
+    if boost is not None and any(float(b) != 0.0 for b in boost):
+        vx, vy, vz = _view_grids(image_dimension, fov, dtype, pixel_offset)
+        vx, vy, vz = aberrate_view(vx, vy, vz, boost)
+        d = psi_frame(psi).d
+        cos_alpha = vx * d[0] + vy * d[1] + vz * d[2]
+    else:
+        x_cam, y_cam = _cam_grids(image_dimension, fov, dtype, pixel_offset)
+        d = psi_frame(psi).d
+        denom = jnp.sqrt(1.0 + x_cam[None, :] ** 2 + y_cam[:, None] ** 2)
+        cos_alpha = (x_cam[None, :] * d[0]
+                     + y_cam[:, None] * d[1] + d[2]) / denom
     alpha = jnp.arccos(jnp.clip(cos_alpha, -1.0, 1.0))
     if decimals is not None:
         alpha = jnp.round(alpha, decimals)
@@ -166,20 +245,20 @@ def build_alpha_lookup(image_dimension, fov, decimals=None, psi=(0.0, 0.0),
 
 
 def build_theta_lookup(image_dimension, fov, psi=(0.0, 0.0),
-                       dtype=jnp.float32, pixel_offset=(0.0, 0.0)):
+                       dtype=jnp.float32, pixel_offset=(0.0, 0.0),
+                       boost=None):
     """Per-pixel screen azimuth theta about the BH direction, (H, W).
 
     Parity: the theta_pixel construction of image_lens.py:195-208 (and the
     identical theta_lookup in the renderer, image_lens.py:310-317).
+    `boost` as in build_alpha_lookup.
     """
-    x_cam, y_cam = _cam_grids(image_dimension, fov, dtype, pixel_offset)
     frame = psi_frame(psi)
     e_x, e_y = frame.e_x, frame.e_y
 
-    denom = jnp.sqrt(1.0 + x_cam[None, :] ** 2 + y_cam[:, None] ** 2)
-    vx = x_cam[None, :] / denom
-    vy = y_cam[:, None] / denom
-    vz = 1.0 / denom
+    vx, vy, vz = _view_grids(image_dimension, fov, dtype, pixel_offset)
+    if boost is not None and any(float(b) != 0.0 for b in boost):
+        vx, vy, vz = aberrate_view(vx, vy, vz, boost)
     theta = jnp.arctan2(
         vx * e_x[0] + vy * e_x[1] + vz * e_x[2],
         vx * e_y[0] + vy * e_y[1] + vz * e_y[2],

@@ -38,6 +38,11 @@ def _add_scene_args(p):
     p.add_argument("--theta-obs", type=float, default=90.0,
                    help="Observer inclination from the spin axis in deg "
                         "(default: 90 = equatorial)")
+    p.add_argument("--boost", type=float, nargs=3, default=(0.0, 0.0, 0.0),
+                   metavar=("BX", "BY", "BZ"),
+                   help="camera 3-velocity in units of c (camera coords: "
+                        "+x right, +y down, +z toward the BH); aberrates "
+                        "the view and Doppler-shifts the disk")
 
 
 def _add_render_args(p):
@@ -64,7 +69,8 @@ def _scene_from(args):
         M=args.M, a=args.a, r_obs_mult=args.r_obs,
         psi_y=np.radians(args.psi_y), psi_x=np.radians(args.psi_x),
         vertical_fov_deg=args.fov_v,
-        theta_obs=np.radians(getattr(args, "theta_obs", 90.0)))
+        theta_obs=np.radians(getattr(args, "theta_obs", 90.0)),
+        boost=tuple(getattr(args, "boost", (0.0, 0.0, 0.0))))
 
 
 def _render_cfg_from(args):
@@ -149,9 +155,13 @@ def cmd_lens(args) -> int:
             out.append(pre.final_alpha)
         print(f"  lookup cache {'HIT' if hit else 'MISS'}")
         with timer.stage("render") as out:
+            theta_lookup = (camera.build_theta_lookup(
+                (height, width), fov, psi=scene.psi,
+                boost=scene.boost) if scene.boosted else None)
             lensed = render_lensed_image(
                 src, alpha_lookup, pre.final_alpha, pre.winding,
-                alpha_crit, fov, cfg.render_loop_around, psi=scene.psi)
+                alpha_crit, fov, cfg.render_loop_around, psi=scene.psi,
+                theta_lookup=theta_lookup)
             out.append(lensed)
         timings = timer.finish()
         result, total, traced = lensed, pre.total_rays, pre.traced_rays

@@ -192,9 +192,9 @@ def render_disk(scene: SceneConfig, resolution,
 
     with timer.stage("build_lookup") as out:
         alpha = camera.build_alpha_lookup(resolution, fov, psi=scene.psi,
-                                          dtype=dtype)
+                                          dtype=dtype, boost=scene.boost)
         theta = camera.build_theta_lookup(resolution, fov, psi=scene.psi,
-                                          dtype=dtype)
+                                          dtype=dtype, boost=scene.boost)
         out.append((alpha, theta))
 
     with timer.stage("precompute") as out:
@@ -207,8 +207,12 @@ def render_disk(scene: SceneConfig, resolution,
     with timer.stage("render") as out:
         r_in = disk.r_in if disk.r_in is not None else r_isco(
             scene.M, scene.a)
+        dl = (camera.doppler_lookup(resolution, fov, scene.boost,
+                                    dtype=dtype).ravel()
+              if scene.boosted else None)
         intensity, rgb = disk_emission(scene, disk, r_in,
-                                       res.n_hits, res.r_hits, res.xi)
+                                       res.n_hits, res.r_hits, res.xi,
+                                       doppler=dl)
         if rgb is not None:
             # Tone-map the luminance, keep the blackbody chromaticity.
             lum = _tone_map(intensity, disk.tone_map)
@@ -242,13 +246,17 @@ def _tone_map(x, mode: str):
 
 
 def disk_emission(scene: SceneConfig, disk: DiskConfig, r_in,
-                  n_hits, r_hits, xi):
+                  n_hits, r_hits, xi, doppler=None):
     """Per-ray disk emission from the recorded crossings.
 
     Returns (intensity, rgb): intensity (N,) is the summed (un-tone-
     mapped) scalar emission over the visible crossings; rgb (N, 3) is
     the intensity-weighted linear-sRGB color sum for the blackbody
     spectrum, or None for the power-law spectrum.
+
+    doppler: optional per-ray camera Doppler factor delta (moving
+    observer, camera.doppler_lookup); the total shift chains
+    multiplicatively, g_total = delta * g_static.
     """
     color = disk.spectrum == "blackbody"
     intensity = jnp.zeros_like(xi)
@@ -258,6 +266,8 @@ def disk_emission(scene: SceneConfig, disk: DiskConfig, r_in,
         hit = n_hits > slot
         r_c = jnp.maximum(r_hits[slot], r_in)
         g = keplerian_redshift(scene.M, scene.a, r_c, xi)
+        if doppler is not None:
+            g = g * doppler
         if color:
             from light_path_tracer_tpu.utils.color import blackbody_rgb
             t_obs = g * disk_temperature(r_c, r_in, disk.t_peak)
@@ -310,9 +320,9 @@ def render_scene_with_disk(scene: SceneConfig, source_image,
 
     with timer.stage("build_lookup") as out:
         alpha = camera.build_alpha_lookup(resolution, fov, psi=scene.psi,
-                                          dtype=dtype)
+                                          dtype=dtype, boost=scene.boost)
         theta = camera.build_theta_lookup(resolution, fov, psi=scene.psi,
-                                          dtype=dtype)
+                                          dtype=dtype, boost=scene.boost)
         out.append((alpha, theta))
 
     with timer.stage("precompute") as out:
@@ -333,8 +343,12 @@ def render_scene_with_disk(scene: SceneConfig, source_image,
             img, alpha, fa, wind, alpha_crit, fov,
             cfg.render_loop_around, psi=scene.psi, theta_lookup=theta)
 
+        dl = (camera.doppler_lookup(resolution, fov, scene.boost,
+                                    dtype=dtype).ravel()
+              if scene.boosted else None)
         intensity, rgb = disk_emission(scene, disk, r_in,
-                                       res.n_hits, res.r_hits, res.xi)
+                                       res.n_hits, res.r_hits, res.xi,
+                                       doppler=dl)
         lum = _tone_map(intensity, disk.tone_map) * disk_gain
         grayscale = background.ndim == 2
         if rgb is not None:

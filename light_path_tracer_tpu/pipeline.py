@@ -93,9 +93,13 @@ def precompute_final_alpha(scene: SceneConfig, cfg: RenderConfig,
 
 
 def _use_tb(scene: SceneConfig, cfg: RenderConfig) -> bool:
+    # A vertical boost component breaks the up/down mirror symmetry
+    # (x/z components preserve it: aberration is axisymmetric about the
+    # velocity, which then lies in the equatorial symmetry plane).
     return (cfg.use_tb_symmetry
             and bool(np.isclose(scene.theta_obs, np.pi / 2))
-            and bool(np.isclose(scene.psi[0], 0.0)))
+            and bool(np.isclose(scene.psi[0], 0.0))
+            and float(scene.boost[1]) == 0.0)
 
 
 @functools.partial(
@@ -113,7 +117,8 @@ def _precompute_eager(scene: SceneConfig, cfg: RenderConfig,
     height, width = image_dimension
     if alpha_lookup is None:
         alpha_lookup = camera.build_alpha_lookup(
-            image_dimension, fov, psi=scene.psi, dtype=dtype)
+            image_dimension, fov, psi=scene.psi, dtype=dtype,
+            boost=scene.boost)
     alpha = jnp.asarray(alpha_lookup, dtype)
     n_total = height * width
 
@@ -129,14 +134,13 @@ def _precompute_eager(scene: SceneConfig, cfg: RenderConfig,
                                 res.n_steps)
 
     theta_lookup = camera.build_theta_lookup(
-        image_dimension, fov, psi=scene.psi, dtype=dtype)
+        image_dimension, fov, psi=scene.psi, dtype=dtype,
+        boost=scene.boost)
     refine_cols = camera.axis_refine_columns(
         image_dimension, fov, psi=scene.psi,
         refine_frac=cfg.axis_refine_frac)
 
-    use_tb = (cfg.use_tb_symmetry
-              and np.isclose(scene.theta_obs, np.pi / 2)
-              and np.isclose(scene.psi[0], 0.0))
+    use_tb = _use_tb(scene, cfg)
     trace_rows = (height + 1) // 2 if use_tb else height
 
     alpha_t = alpha[:trace_rows, :].ravel()
@@ -193,7 +197,8 @@ def render_scene(scene: SceneConfig, source_image,
 
     with timer.stage("build_lookup") as out:
         alpha_lookup = camera.build_alpha_lookup(
-            (height, width), fov, psi=scene.psi, dtype=_dtype_of(cfg))
+            (height, width), fov, psi=scene.psi, dtype=_dtype_of(cfg),
+            boost=scene.boost)
         out.append(alpha_lookup)
 
     with timer.stage("precompute") as out:
@@ -202,9 +207,16 @@ def render_scene(scene: SceneConfig, source_image,
         out.append((pre.final_alpha, pre.winding))
 
     with timer.stage("render") as out:
+        # The renderer reconstructs escape directions from the SAME
+        # theta grid the tracer saw — under a camera boost that is the
+        # aberrated (static-frame) one.
+        theta_lookup = (camera.build_theta_lookup(
+            (height, width), fov, psi=scene.psi, dtype=_dtype_of(cfg),
+            boost=scene.boost) if scene.boosted else None)
         lensed = render_lensed_image(
             img, alpha_lookup, pre.final_alpha, pre.winding,
-            alpha_crit, fov, cfg.render_loop_around, psi=scene.psi)
+            alpha_crit, fov, cfg.render_loop_around, psi=scene.psi,
+            theta_lookup=theta_lookup)
         out.append(lensed)
 
     timings = timer.finish()
@@ -231,7 +243,8 @@ def render_shadow(scene: SceneConfig, resolution,
     if analytic:
         with timer.stage("render") as out:
             alpha = camera.build_alpha_lookup(
-                resolution, fov, psi=scene.psi, dtype=_dtype_of(cfg))
+                resolution, fov, psi=scene.psi, dtype=_dtype_of(cfg),
+                boost=scene.boost)
             image = jnp.where(alpha < alpha_crit, 0.0, 1.0).astype(
                 jnp.float32)
             out.append(image)

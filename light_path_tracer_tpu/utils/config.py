@@ -24,10 +24,20 @@ class SceneConfig:
     psi_x: float = 0.0                 # BH screen yaw offset [rad]
     vertical_fov_deg: float = 40.0
     theta_obs: float = math.pi / 2     # observer inclination
+    # Camera 3-velocity in units of c, camera coords (+x right, +y down,
+    # +z forward); (0,0,0) = the reference's static observer. Non-zero
+    # aberrates every pixel's view direction into the static frame
+    # before tracing (camera.aberrate_view) and Doppler-shifts observed
+    # intensities/temperatures (camera.doppler_lookup).
+    boost: tuple = (0.0, 0.0, 0.0)
 
     @property
     def psi(self):
         return (self.psi_y, self.psi_x)
+
+    @property
+    def boosted(self) -> bool:
+        return any(float(b) != 0.0 for b in self.boost)
 
     @property
     def r_obs(self) -> float:
