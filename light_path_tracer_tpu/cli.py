@@ -239,13 +239,47 @@ def cmd_disk(args) -> int:
         M=args.M, a=args.a, r_obs_mult=args.r_obs,
         psi_y=np.radians(args.psi_y), psi_x=np.radians(args.psi_x),
         vertical_fov_deg=args.fov_v,
-        theta_obs=np.radians(args.inclination))
+        theta_obs=np.radians(args.inclination),
+        boost=tuple(getattr(args, "boost", (0.0, 0.0, 0.0))))
     cfg = _render_cfg_from(args)
     disk = DiskConfig(r_out=args.r_out,
                       emissivity_index=args.emissivity_q,
                       g_power=args.g_power,
                       opaque=not args.translucent,
                       spectrum=args.spectrum, t_peak=args.t_peak)
+
+    if args.frames > 1:
+        # Hot-spot orbit animation: ONE trace, args.frames re-renders.
+        from PIL import Image
+        from light_path_tracer_tpu.disk import (render_disk_frames,
+                                                HotSpot, keplerian_omega)
+        spot = HotSpot(r0=args.spot_r0, amplitude=args.spot_amplitude)
+        period = 2.0 * np.pi / keplerian_omega(args.M, args.a,
+                                               args.spot_r0)
+        times = [period * args.orbits * i / args.frames
+                 for i in range(args.frames)]
+        frames, stats = render_disk_frames(
+            scene, (args.size, args.size), times, cfg, disk, spot)
+        frames = np.asarray(frames)
+        if args.spectrum == "blackbody":
+            colored = np.clip(frames, 0.0, 1.0) ** (1.0 / 2.2)
+        else:
+            colored = cm.afmhot(frames)[..., :3]
+        pils = [Image.fromarray((np.clip(f, 0, 1)[..., :3] * 255)
+                                .astype(np.uint8)) for f in colored]
+        out = args.output
+        if out.endswith(".png"):
+            out = out[:-4] + ".gif"
+        pils[0].save(out, save_all=True, append_images=pils[1:],
+                     duration=int(1000 / args.fps), loop=0)
+        t = stats["timings"]
+        print(f"Hot-spot orbit: {args.frames} frames "
+              f"({args.orbits} orbit(s), period {period:.1f} M), "
+              f"ONE trace {t.get('precompute', 0.0):.3f}s + "
+              f"render {t.get('render', 0.0):.3f}s")
+        print(f"Saved: {out}")
+        return 0
+
     img, stats = render_disk(scene, (args.size, args.size), cfg, disk)
     if args.spectrum == "blackbody":
         # Physically colored (linear sRGB): gamma-encode for the PNG.
@@ -440,6 +474,15 @@ def build_parser():
                         "T_obs = g T(r)")
     p.add_argument("--t-peak", type=float, default=9000.0,
                    help="blackbody peak disk temperature [K]")
+    p.add_argument("--frames", type=int, default=1,
+                   help=">1: hot-spot orbit animation (GIF) — one trace, "
+                        "N re-rendered frames")
+    p.add_argument("--orbits", type=float, default=1.0,
+                   help="number of spot orbits across the animation")
+    p.add_argument("--spot-r0", type=float, default=6.0,
+                   help="hot-spot orbit radius [M]")
+    p.add_argument("--spot-amplitude", type=float, default=6.0)
+    p.add_argument("--fps", type=float, default=12.0)
     p.add_argument("--output", default="accretion_disk.png")
     p.set_defaults(fn=cmd_disk)
 

@@ -114,6 +114,7 @@ class DiskTraceResult(NamedTuple):
     n_steps: jnp.ndarray
     final_alpha: jnp.ndarray
     n_half: jnp.ndarray
+    phi_hits: tuple = ()   # Boyer-Lindquist azimuth at each crossing
 
 
 def trace_disk_rays(metric, r_obs, alphas, thetas, theta_obs,
@@ -172,7 +173,7 @@ def _trace_disk_rays_xla(metric, r_obs, alphas, thetas, theta_obs,
     final_alpha, n_half, status_out = finalize_angles(
         metric, y_f, p_t, p_phi, status_f)
     return DiskTraceResult(status_out, hits["n"], hits["r"], xi, steps,
-                           final_alpha, n_half)
+                           final_alpha, n_half, hits["phi"])
 
 
 def render_disk(scene: SceneConfig, resolution,
@@ -236,8 +237,10 @@ def render_disk(scene: SceneConfig, resolution,
     return img, stats
 
 
-def _tone_map(x, mode: str):
-    peak = jnp.maximum(jnp.max(x), 1e-12)
+def _tone_map(x, mode: str, peak=None):
+    """peak=None normalizes to this frame's own maximum; sequences pass
+    the global maximum so frames don't flicker."""
+    peak = jnp.maximum(jnp.max(x) if peak is None else peak, 1e-12)
     if mode == "asinh":
         return jnp.arcsinh(10.0 * x / peak) / jnp.arcsinh(10.0)
     if mode == "sqrt":
@@ -245,8 +248,56 @@ def _tone_map(x, mode: str):
     return x / peak
 
 
+def keplerian_omega(M, a, r):
+    """Prograde Keplerian angular velocity Omega = sqrt(M)/(r^1.5 + a sqrt(M))."""
+    sqrtM = np.sqrt(M) if np.isscalar(r) else jnp.sqrt(M)
+    return sqrtM / (r ** 1.5 + a * sqrtM)
+
+
+def hotspot_pattern(spot: "HotSpot", M, a):
+    """Emission-multiplier pattern for an orbiting Gaussian hot spot.
+
+    Returns pattern(r, phi, t) -> multiplier (jax-traceable, batched):
+    a rigid Gaussian blob centered at radius spot.r0, azimuth
+    spot.phi0 + Omega_K(spot.r0) * t (coordinate time t in units of M;
+    light-travel-time delay across the image is a documented
+    simplification). Because the crossing azimuth is recorded per pixel
+    at trace time, frames at any t are pure re-renders of ONE trace.
+    """
+    omega = float(keplerian_omega(M, a, spot.r0))
+
+    def pattern(r, phi, t):
+        dphi = phi - (spot.phi0 + omega * t)
+        # Wrap to [-pi, pi) without mod-of-large-number precision loss
+        # at small t; phi itself stays O(10 rad) for disk crossings.
+        dphi = (dphi + np.pi) % (2.0 * np.pi) - np.pi
+        dr = r - spot.r0
+        blob = jnp.exp(-0.5 * ((dr / spot.sigma_r) ** 2
+                               + (dphi / spot.sigma_phi) ** 2))
+        return 1.0 + spot.amplitude * blob
+
+    return pattern
+
+
+@dataclasses.dataclass(frozen=True)
+class HotSpot:
+    """Orbiting Gaussian brightness feature on the disk surface."""
+    r0: float = 6.0         # orbit radius [M]
+    phi0: float = 0.0       # azimuth at t = 0 [rad]
+    sigma_r: float = 0.6    # radial Gaussian width [M]
+    sigma_phi: float = 0.5  # azimuthal Gaussian width [rad]
+    amplitude: float = 6.0  # peak emission multiplier - 1
+
+    @property
+    def period(self):
+        """Coordinate-time orbital period at r0 (for M=1, a=0 scenes
+        scale by the actual Omega via keplerian_omega)."""
+        return 2.0 * np.pi / keplerian_omega(1.0, 0.0, self.r0)
+
+
 def disk_emission(scene: SceneConfig, disk: DiskConfig, r_in,
-                  n_hits, r_hits, xi, doppler=None):
+                  n_hits, r_hits, xi, doppler=None,
+                  pattern=None, phi_hits=None, t=0.0):
     """Per-ray disk emission from the recorded crossings.
 
     Returns (intensity, rgb): intensity (N,) is the summed (un-tone-
@@ -257,6 +308,10 @@ def disk_emission(scene: SceneConfig, disk: DiskConfig, r_in,
     doppler: optional per-ray camera Doppler factor delta (moving
     observer, camera.doppler_lookup); the total shift chains
     multiplicatively, g_total = delta * g_static.
+
+    pattern: optional surface-brightness multiplier pattern(r, phi, t)
+    (e.g. hotspot_pattern) evaluated at each crossing's recorded
+    (r, phi) — requires phi_hits (DiskTraceResult.phi_hits).
     """
     color = disk.spectrum == "blackbody"
     intensity = jnp.zeros_like(xi)
@@ -268,17 +323,108 @@ def disk_emission(scene: SceneConfig, disk: DiskConfig, r_in,
         g = keplerian_redshift(scene.M, scene.a, r_c, xi)
         if doppler is not None:
             g = g * doppler
+        mult = (pattern(r_c, phi_hits[slot], t)
+                if pattern is not None else 1.0)
         if color:
             from light_path_tracer_tpu.utils.color import blackbody_rgb
             t_obs = g * disk_temperature(r_c, r_in, disk.t_peak)
-            w = jnp.where(hit, (t_obs / disk.t_peak) ** 4, 0.0)
+            w = jnp.where(hit, mult * (t_obs / disk.t_peak) ** 4, 0.0)
             rgb = rgb + w[:, None] * blackbody_rgb(t_obs)
             intensity = intensity + w
         else:
             eps = (r_c / r_in) ** (-disk.emissivity_index)
-            contrib = jnp.where(hit, g ** disk.g_power * eps, 0.0)
+            contrib = jnp.where(hit, mult * g ** disk.g_power * eps, 0.0)
             intensity = intensity + contrib
     return intensity, rgb
+
+
+def render_disk_frames(scene: SceneConfig, resolution, times,
+                       cfg: RenderConfig = RenderConfig(),
+                       disk: DiskConfig = DiskConfig(),
+                       spot: HotSpot = HotSpot()):
+    """Hot-spot animation: ONE geodesic trace, many frames.
+
+    The trace records each crossing's (r, phi); a frame at coordinate
+    time t only re-evaluates the surface-brightness pattern at the
+    advected azimuth and re-gathers — integration cost is paid once for
+    the whole sequence (lensing is static; only the emission pattern
+    moves). Frames share one global tone-map peak so brightness does
+    not flicker.
+
+    Returns (frames (T, H, W) or (T, H, W, 3), stats). `times` are in
+    units of M; one full orbit at spot.r0 is
+    2 pi / keplerian_omega(M, a, r0).
+    """
+    metric = Kerr(M=scene.M, a=scene.a)
+    timer = StageTimer()
+    height, width = resolution
+    fov = camera.fov_from_vertical(scene.vertical_fov, resolution)
+    dtype = jnp.float64 if cfg.dtype == "float64" else jnp.float32
+
+    with timer.stage("build_lookup") as out:
+        alpha = camera.build_alpha_lookup(resolution, fov, psi=scene.psi,
+                                          dtype=dtype, boost=scene.boost)
+        theta = camera.build_theta_lookup(resolution, fov, psi=scene.psi,
+                                          dtype=dtype, boost=scene.boost)
+        out.append((alpha, theta))
+
+    with timer.stage("precompute") as out:
+        res = trace_disk_rays(
+            metric, scene.r_obs, alpha.ravel(), theta.ravel(),
+            scene.theta_obs, max(5000.0, 6.0 * scene.r_obs),
+            cfg.max_steps, disk, backend=cfg.backend)
+        out.append(res.status)
+
+    with timer.stage("render") as out:
+        r_in = disk.r_in if disk.r_in is not None else r_isco(
+            scene.M, scene.a)
+        dl = (camera.doppler_lookup(resolution, fov, scene.boost,
+                                    dtype=dtype).ravel()
+              if scene.boosted else None)
+        pattern = hotspot_pattern(spot, scene.M, scene.a)
+
+        # All frames in ONE dispatch: the emission is elementwise over
+        # rays, so frames vmap over the time axis for free. The trace
+        # arrays enter as jit ARGUMENTS — closing over them would embed
+        # 65k-element constants in the graph, which XLA constant-folds
+        # at compile time for minutes (measured: a >500 s compile for a
+        # 9 ms computation).
+        ts = jnp.asarray(list(times), dtype)
+        color = disk.spectrum == "blackbody"
+
+        @jax.jit
+        def all_frames(ts, n_hits, r_hits, xi, phi_hits, doppler):
+            def emit(t):
+                return disk_emission(scene, disk, r_in, n_hits, r_hits,
+                                     xi, doppler=doppler,
+                                     pattern=pattern, phi_hits=phi_hits,
+                                     t=t)
+
+            intensity, rgb = jax.vmap(emit)(ts)       # (T, N) / (T, N, 3)
+            peak = jnp.max(intensity)                 # global: no flicker
+            lum = _tone_map(intensity, disk.tone_map, peak)
+            if color:
+                chroma = rgb / jnp.maximum(intensity, 1e-12)[..., None]
+                return (chroma * lum[..., None]).reshape(
+                    (ts.shape[0],) + resolution + (3,)).astype(jnp.float32)
+            return lum.reshape((ts.shape[0],) + resolution).astype(
+                jnp.float32)
+
+        frames = all_frames(ts, res.n_hits, res.r_hits, res.xi,
+                            res.phi_hits, dl)
+        out.append(frames)
+
+    stats = dict(
+        r_isco=r_isco(scene.M, scene.a),
+        disk_pixels=int((np.asarray(res.n_hits) > 0).sum()),
+        integrator_steps=int(res.n_steps),
+        n_frames=len(list(times)),
+        orbit_period=2.0 * np.pi / keplerian_omega(scene.M, scene.a,
+                                                   spot.r0),
+        total_rays=height * width,
+        traced_rays=height * width,
+        timings=timer.finish())
+    return frames, stats
 
 
 def render_scene_with_disk(scene: SceneConfig, source_image,

@@ -329,11 +329,14 @@ def dp45_integrate(metric, y0, p_t, p_phi, status0, *, atol, rtol, h_min,
             "n": jnp.zeros(y0[0].shape, jnp.int32),
             "r": tuple(jnp.zeros_like(y0[0])
                        for _ in range(max_disk_hits)),
+            "phi": tuple(jnp.zeros_like(y0[0])
+                         for _ in range(max_disk_hits)),
             "down": tuple(jnp.zeros_like(y0[0])
                           for _ in range(max_disk_hits)),
         }
     else:
-        hits0 = {"n": jnp.zeros((), jnp.int32), "r": (), "down": ()}
+        hits0 = {"n": jnp.zeros((), jnp.int32), "r": (), "phi": (),
+                 "down": ()}
 
     def cond(carry):
         step, y, k1, h, lam, status, hits = carry
@@ -555,14 +558,17 @@ def dp45_integrate(metric, y0, p_t, p_phi, status0, *, atol, rtol, h_min,
 
             n = hits_out["n"]
             new_r = list(hits_out["r"])
+            new_phi = list(hits_out["phi"])
             new_down = list(hits_out["down"])
             down_f = going_down.astype(r_c.dtype)
+            phi_c = y_cross[2]
             for slot in range(max_disk_hits):
                 take = in_disk & (n == slot)
                 new_r[slot] = jnp.where(take, r_c, new_r[slot])
+                new_phi[slot] = jnp.where(take, phi_c, new_phi[slot])
                 new_down[slot] = jnp.where(take, down_f, new_down[slot])
             n = jnp.where(in_disk, jnp.minimum(n + 1, max_disk_hits), n)
-            hits_out = {"n": n, "r": tuple(new_r),
+            hits_out = {"n": n, "r": tuple(new_r), "phi": tuple(new_phi),
                         "down": tuple(new_down)}
             if disk_opaque:
                 # First in-disk crossing terminates the ray: park it at

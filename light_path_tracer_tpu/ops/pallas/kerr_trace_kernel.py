@@ -90,6 +90,7 @@ def _trace_tile_kernel(alpha_ref, theta_ref, refine_ref, valid_ref,
         hitn_out[:] = hits["n"]
         for slot in range(max_disk_hits):
             out_refs[8 + slot][:] = hits["r"][slot]
+            out_refs[8 + max_disk_hits + slot][:] = hits["phi"][slot]
     else:
         y_f, status_f, _lam_f, steps = result
     # NOTE: in mu-formulation the state is written out as
@@ -334,14 +335,14 @@ def trace_disk_rays_pallas(metric, r_obs, alphas, thetas, theta_obs,
     f32 = jax.ShapeDtypeStruct((n_tiles * tile_rows, LANE), dtype)
     i32 = jax.ShapeDtypeStruct((n_tiles * tile_rows, LANE), jnp.int32)
 
-    n_out = 7 + 1 + max_disk_hits
+    n_out = 7 + 1 + 2 * max_disk_hits
     outs = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
         in_specs=[block] * 5,
         out_specs=(block,) * n_out,
         out_shape=(f32, f32, f32, f32, f32, i32, i32, i32)
-        + (f32,) * max_disk_hits,
+        + (f32,) * (2 * max_disk_hits),
         interpret=interpret,
     )(alphas_p, thetas_p, refine_p, valid_p, plunge_p)
 
@@ -350,6 +351,8 @@ def trace_disk_rays_pallas(metric, r_obs, alphas, thetas, theta_obs,
     status_f = flat[5]
     hit_n = flat[7]
     hit_r = tuple(flat[8 + s] for s in range(max_disk_hits))
+    hit_phi = tuple(flat[8 + max_disk_hits + s]
+                    for s in range(max_disk_hits))
 
     _y0, p_t, p_phi, _inv = metric.initial_conditions_5d(
         float(r_obs), alphas, thetas, float(theta_obs))
@@ -357,4 +360,4 @@ def trace_disk_rays_pallas(metric, r_obs, alphas, thetas, theta_obs,
         metric, tuple(flat[:5]), p_t, p_phi, status_f)
     from light_path_tracer_tpu.disk import DiskTraceResult
     return DiskTraceResult(status_out, hit_n, hit_r, p_phi, n_steps,
-                           final_alpha, n_half)
+                           final_alpha, n_half, hit_phi)
