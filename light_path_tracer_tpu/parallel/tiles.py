@@ -106,3 +106,75 @@ def trace_grid_sharded(metric, r_obs, alpha_grid, theta_grid=None,
         fa, nh, st = jax.jit(f)(alpha_p, theta_p, refine_p)
 
     return fa[inv_perm][:H], nh[inv_perm][:H], st[inv_perm][:H]
+
+
+def trace_disk_grid_sharded(metric, r_obs, alpha_grid, theta_grid,
+                            theta_obs, disk, *, mesh: Mesh,
+                            lambda_max=None, max_steps=200000,
+                            backend="auto", layout="stripes"):
+    """Disk-mode trace of an (H, W) grid sharded row-wise over `mesh`.
+
+    Same tile-DP pattern as trace_grid_sharded (each device runs its own
+    lock-step loop over its rows; only the output gather communicates),
+    with the disk-crossing recorder active. Returns a
+    disk.DiskTraceResult whose array fields are (H, W) grids (r_hits /
+    phi_hits stay per-slot tuples of grids; n_steps sums over devices).
+    """
+    from light_path_tracer_tpu.disk import trace_disk_rays, DiskTraceResult
+
+    axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+    H, W = alpha_grid.shape
+    H_pad = ((H + n_dev - 1) // n_dev) * n_dev
+    if lambda_max is None:
+        lambda_max = max(5000.0, 6.0 * float(r_obs))
+
+    if layout == "stripes":
+        perm = np.argsort(np.arange(H_pad) % n_dev, kind="stable")
+    else:
+        perm = np.arange(H_pad)
+    inv_perm = np.argsort(perm)
+
+    def place(grid):
+        return _pad_rows(grid, H_pad)[perm]
+
+    alpha_p, theta_p = place(alpha_grid), place(theta_grid)
+    shard_map = shard_map_fn()
+
+    def per_tile(a, t):
+        res = trace_disk_rays(
+            metric, float(r_obs), a.ravel(), t.ravel(), float(theta_obs),
+            float(lambda_max), max_steps, disk, backend=backend)
+        shaped = DiskTraceResult(
+            res.status.reshape(a.shape),
+            res.n_hits.reshape(a.shape),
+            tuple(r.reshape(a.shape) for r in res.r_hits),
+            res.xi.reshape(a.shape),
+            # Scalar per-device step count -> (1, 1) so the gather can
+            # concatenate it along the tile axis; summed after.
+            jnp.reshape(res.n_steps, (1, 1)),
+            res.final_alpha.reshape(a.shape),
+            res.n_half.reshape(a.shape),
+            tuple(p.reshape(a.shape) for p in res.phi_hits))
+        return shaped
+
+    spec = P(axis, None)
+    out_specs = DiskTraceResult(
+        spec, spec, (spec,) * len(disk_slots(disk)), spec, spec, spec,
+        spec, (spec,) * len(disk_slots(disk)))
+    f = shard_map(per_tile, mesh=mesh, in_specs=(spec, spec),
+                  out_specs=out_specs)
+    res = jax.jit(f)(alpha_p, theta_p)
+
+    def unplace(grid):
+        return grid[inv_perm][:H]
+
+    return DiskTraceResult(
+        unplace(res.status), unplace(res.n_hits),
+        tuple(unplace(r) for r in res.r_hits), unplace(res.xi),
+        jnp.sum(res.n_steps), unplace(res.final_alpha),
+        unplace(res.n_half), tuple(unplace(p) for p in res.phi_hits))
+
+
+def disk_slots(disk) -> range:
+    return range(disk.max_hits)

@@ -91,3 +91,39 @@ def test_graft_entry_contract():
     jax.block_until_ready(out)
 
     mod.dryrun_multichip(8)
+
+
+def test_disk_sharded_equals_single_device():
+    """Disk-mode tile DP: crossings, azimuths, and escape headings match
+    the single-device trace across the mesh."""
+    from light_path_tracer_tpu.disk import trace_disk_rays, DiskConfig
+    from light_path_tracer_tpu.parallel.tiles import trace_disk_grid_sharded
+
+    mesh = make_mesh()
+    dim = (24, 16)
+    alpha = camera.build_alpha_lookup(dim, FOV, dtype=jnp.float64)
+    theta = camera.build_theta_lookup(dim, FOV, dtype=jnp.float64)
+    m = Kerr(M=1.0, a=0.9)
+    disk = DiskConfig()
+    single = trace_disk_rays(m, R_OBS, alpha.ravel(), theta.ravel(),
+                             np.radians(80.0), 5000.0, 200000, disk,
+                             backend="xla")
+    sharded = trace_disk_grid_sharded(m, R_OBS, alpha, theta,
+                                      np.radians(80.0), disk, mesh=mesh,
+                                      backend="xla")
+    np.testing.assert_array_equal(np.asarray(sharded.n_hits),
+                                  np.asarray(single.n_hits).reshape(dim))
+    np.testing.assert_array_equal(np.asarray(sharded.status),
+                                  np.asarray(single.status).reshape(dim))
+    hit = np.asarray(single.n_hits).reshape(dim) > 0
+    assert hit.sum() > 20
+    np.testing.assert_allclose(
+        np.asarray(sharded.r_hits[0])[hit],
+        np.asarray(single.r_hits[0]).reshape(dim)[hit], rtol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(sharded.phi_hits[0])[hit],
+        np.asarray(single.phi_hits[0]).reshape(dim)[hit], rtol=1e-12)
+    esc = np.isfinite(np.asarray(single.final_alpha).reshape(dim))
+    np.testing.assert_allclose(
+        np.asarray(sharded.final_alpha)[esc],
+        np.asarray(single.final_alpha).reshape(dim)[esc], rtol=1e-12)
