@@ -279,6 +279,46 @@ def hotspot_pattern(spot: "HotSpot", M, a):
     return pattern
 
 
+def texture_pattern(tex, r_in, r_out, M, a, shear: bool = True):
+    """Emission-multiplier pattern from a (Nr, Nphi) texture image.
+
+    The texture covers r in [r_in, r_out] (rows, linear) x phi in
+    [0, 2 pi) (columns, periodic). With shear=True each annulus is
+    advected at its OWN Keplerian rate Omega(r) — an initially straight
+    radial stripe winds into a trailing spiral, the classic
+    differential-rotation signature; shear=False rotates the pattern
+    rigidly at Omega(r_in). Bilinear sampling with closed-form indices
+    (no searchsorted — see blackbody_rgb for why).
+
+    Returns pattern(r, phi, t) for disk_emission / render_disk_frames.
+    """
+    tex = jnp.asarray(tex, jnp.float32)
+    n_r, n_phi = tex.shape
+    omega_ref = float(keplerian_omega(M, a, r_in))
+    two_pi = 2.0 * np.pi
+
+    def pattern(r, phi, t):
+        omega = keplerian_omega(M, a, jnp.maximum(r, r_in)) if shear \
+            else omega_ref
+        phi_m = (phi - omega * t) % two_pi
+        pr = jnp.clip((r - r_in) / max(r_out - r_in, 1e-9), 0.0, 1.0) \
+            * (n_r - 1)
+        pp = phi_m / two_pi * n_phi          # periodic axis
+        i0 = jnp.clip(pr.astype(jnp.int32), 0, n_r - 2)
+        j0 = pp.astype(jnp.int32) % n_phi
+        j1 = (j0 + 1) % n_phi
+        fr = (pr - i0.astype(pr.dtype))
+        fp = (pp - jnp.floor(pp))
+        v00 = tex[i0, j0]
+        v01 = tex[i0, j1]
+        v10 = tex[i0 + 1, j0]
+        v11 = tex[i0 + 1, j1]
+        return ((1 - fr) * ((1 - fp) * v00 + fp * v01)
+                + fr * ((1 - fp) * v10 + fp * v11))
+
+    return pattern
+
+
 @dataclasses.dataclass(frozen=True)
 class HotSpot:
     """Orbiting Gaussian brightness feature on the disk surface."""
@@ -341,8 +381,12 @@ def disk_emission(scene: SceneConfig, disk: DiskConfig, r_in,
 def render_disk_frames(scene: SceneConfig, resolution, times,
                        cfg: RenderConfig = RenderConfig(),
                        disk: DiskConfig = DiskConfig(),
-                       spot: HotSpot = HotSpot()):
-    """Hot-spot animation: ONE geodesic trace, many frames.
+                       spot: HotSpot = HotSpot(), pattern=None):
+    """Hot-spot / textured-disk animation: ONE geodesic trace, many frames.
+
+    pattern: optional pattern(r, phi, t) multiplier (texture_pattern for
+    image textures with differential shear); defaults to
+    hotspot_pattern(spot).
 
     The trace records each crossing's (r, phi); a frame at coordinate
     time t only re-evaluates the surface-brightness pattern at the
@@ -381,7 +425,8 @@ def render_disk_frames(scene: SceneConfig, resolution, times,
         dl = (camera.doppler_lookup(resolution, fov, scene.boost,
                                     dtype=dtype).ravel()
               if scene.boosted else None)
-        pattern = hotspot_pattern(spot, scene.M, scene.a)
+        if pattern is None:
+            pattern = hotspot_pattern(spot, scene.M, scene.a)
 
         # All frames in ONE dispatch: the emission is elementwise over
         # rays, so frames vmap over the time axis for free. The trace

@@ -309,3 +309,62 @@ def test_hotspot_orbits_and_is_periodic():
     assert np.abs(frames[1] - frames[0]).max() > 0.05
     # ...and a full orbit is exactly periodic (same trace, same pattern).
     np.testing.assert_allclose(frames[2], frames[0], atol=1e-12)
+
+
+def test_texture_pattern_differential_shear():
+    """A radial stripe painted on the disk winds up: after time t the
+    stripe at the inner edge has advanced further in azimuth than at
+    the outer edge (Omega(r) decreasing) — sampled directly through
+    texture_pattern."""
+    import jax.numpy as jnp
+    from light_path_tracer_tpu.disk import (texture_pattern,
+                                            keplerian_omega)
+    n_r, n_phi = 32, 128
+    tex = np.ones((n_r, n_phi), np.float32)
+    tex[:, :8] = 5.0                     # bright radial stripe at phi~0
+    r_in, r_out = 6.0, 20.0
+    pat = texture_pattern(tex, r_in, r_out, 1.0, 0.0, shear=True)
+
+    t = 30.0
+    phis = jnp.asarray(np.linspace(0.0, 2 * np.pi, 512, endpoint=False))
+
+    def stripe_center(r):
+        vals = np.asarray(pat(jnp.full_like(phis, r), phis, t))
+        return float(phis[vals.argmax()])
+
+    c_in = stripe_center(6.5)
+    c_out = stripe_center(19.0)
+    # Expected: stripe sits at Omega(r) * t (mod 2 pi).
+    for r, c in [(6.5, c_in), (19.0, c_out)]:
+        expect = (float(keplerian_omega(1.0, 0.0, r)) * t) % (2 * np.pi)
+        diff = abs((c - expect + np.pi) % (2 * np.pi) - np.pi)
+        assert diff < 0.15, (r, c, expect)
+    assert c_in != c_out                 # differential, not rigid
+
+    # shear=False rotates rigidly at Omega(r_in): same center everywhere.
+    rigid = texture_pattern(tex, r_in, r_out, 1.0, 0.0, shear=False)
+
+    def rigid_center(r):
+        vals = np.asarray(rigid(jnp.full_like(phis, r), phis, t))
+        return float(phis[vals.argmax()])
+
+    assert abs(rigid_center(6.5) - rigid_center(19.0)) < 0.05
+
+
+def test_textured_disk_frames_render():
+    """render_disk_frames with an image texture: frames differ over time
+    (the spiral winds) and stay finite."""
+    from light_path_tracer_tpu.disk import (render_disk_frames,
+                                            texture_pattern, DiskConfig,
+                                            r_isco)
+    scene = SceneConfig(M=1.0, a=0.9, r_obs_mult=100.0,
+                        theta_obs=np.radians(80.0), vertical_fov_deg=24.0)
+    cfg = RenderConfig(dtype="float64")
+    rng = np.random.default_rng(9)
+    tex = 0.5 + rng.random((16, 64)).astype(np.float32)
+    pat = texture_pattern(tex, r_isco(1.0, 0.9), 20.0, 1.0, 0.9)
+    frames, stats = render_disk_frames(scene, (40, 56), [0.0, 40.0], cfg,
+                                       DiskConfig(), pattern=pat)
+    frames = np.asarray(frames)
+    assert np.isfinite(frames).all() and stats["disk_pixels"] > 50
+    assert np.abs(frames[1] - frames[0]).max() > 0.02
