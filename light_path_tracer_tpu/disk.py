@@ -44,6 +44,7 @@ class DiskConfig:
     emissivity_index: float = 3.0  # eps(r) ~ r^-q (powerlaw spectrum)
     g_power: float = 3.0           # I_obs = g^p * eps (powerlaw spectrum)
     opaque: bool = True            # first crossing blocks deeper images
+    prograde: bool = True          # orbit sense vs the BH spin
     max_hits: int = 2
     tone_map: str = "asinh"        # "asinh" | "linear" | "sqrt"
     # "powerlaw": grayscale I = g^p * r^-q (the original config-4 model).
@@ -80,13 +81,18 @@ def disk_temperature(r_c, r_in, t_peak):
     return t_peak * (jnp.maximum(f, 0.0) / f_max) ** 0.25
 
 
-def keplerian_redshift(M, a, r_c, xi):
-    """g = 1 / (u^t (1 - Omega xi)) for a prograde Keplerian emitter.
+def keplerian_redshift(M, a, r_c, xi, prograde: bool = True):
+    """g = 1 / (u^t (1 - Omega xi)) for a Keplerian circular emitter.
 
     Batched over crossing radii r_c and per-ray xi = L/E.
+    Omega = +-sqrt(M) / (r^1.5 +- a sqrt(M)) (upper signs prograde,
+    lower retrograde — Bardeen-Press-Teukolsky circular orbits).
     """
     sqrtM = jnp.sqrt(M)
-    omega = sqrtM / (r_c ** 1.5 + a * sqrtM)
+    if prograde:
+        omega = sqrtM / (r_c ** 1.5 + a * sqrtM)
+    else:
+        omega = -sqrtM / (r_c ** 1.5 - a * sqrtM)
     # Equatorial covariant metric components.
     g_tt = -(1.0 - 2.0 * M / r_c)
     g_tphi = -2.0 * M * a / r_c
@@ -125,7 +131,7 @@ def trace_disk_rays(metric, r_obs, alphas, thetas, theta_obs,
     from light_path_tracer_tpu.ops.batch import _kerr_backend
     resolved = _kerr_backend(backend, alphas.dtype)
     r_in = disk.r_in if disk.r_in is not None else r_isco(
-        metric.M, metric.a)
+        metric.M, metric.a, disk.prograde)
     plane = (float(r_in), float(disk.r_out), float(np.pi / 2),
              bool(disk.opaque))
     if resolved == "pallas":
@@ -149,7 +155,7 @@ def _trace_disk_rays_xla(metric, r_obs, alphas, thetas, theta_obs,
     dtype = alphas.dtype
     tols = get_tols(dtype)
     r_in = disk.r_in if disk.r_in is not None else r_isco(
-        metric.M, metric.a)
+        metric.M, metric.a, disk.prograde)
 
     y0, p_t, p_phi, invalid0 = metric.initial_conditions_5d(
         r_obs, alphas, thetas, theta_obs)
@@ -207,7 +213,7 @@ def render_disk(scene: SceneConfig, resolution,
 
     with timer.stage("render") as out:
         r_in = disk.r_in if disk.r_in is not None else r_isco(
-            scene.M, scene.a)
+            scene.M, scene.a, disk.prograde)
         dl = (camera.doppler_lookup(resolution, fov, scene.boost,
                                     dtype=dtype).ravel()
               if scene.boosted else None)
@@ -227,7 +233,7 @@ def render_disk(scene: SceneConfig, resolution,
 
     stats = dict(
         alpha_crit=metric.alpha_crit(scene.r_obs, scene.theta_obs),
-        r_isco=r_isco(scene.M, scene.a),
+        r_isco=r_isco(scene.M, scene.a, disk.prograde),
         captured=int((np.asarray(res.status) == CAPTURED).sum()),
         disk_pixels=int((np.asarray(res.n_hits) > 0).sum()),
         integrator_steps=int(res.n_steps),
@@ -248,13 +254,15 @@ def _tone_map(x, mode: str, peak=None):
     return x / peak
 
 
-def keplerian_omega(M, a, r):
-    """Prograde Keplerian angular velocity Omega = sqrt(M)/(r^1.5 + a sqrt(M))."""
+def keplerian_omega(M, a, r, prograde: bool = True):
+    """Keplerian angular velocity Omega = +-sqrt(M)/(r^1.5 +- a sqrt(M))."""
     sqrtM = np.sqrt(M) if np.isscalar(r) else jnp.sqrt(M)
-    return sqrtM / (r ** 1.5 + a * sqrtM)
+    if prograde:
+        return sqrtM / (r ** 1.5 + a * sqrtM)
+    return -sqrtM / (r ** 1.5 - a * sqrtM)
 
 
-def hotspot_pattern(spot: "HotSpot", M, a):
+def hotspot_pattern(spot: "HotSpot", M, a, prograde: bool = True):
     """Emission-multiplier pattern for an orbiting Gaussian hot spot.
 
     Returns pattern(r, phi, t) -> multiplier (jax-traceable, batched):
@@ -264,7 +272,7 @@ def hotspot_pattern(spot: "HotSpot", M, a):
     simplification). Because the crossing azimuth is recorded per pixel
     at trace time, frames at any t are pure re-renders of ONE trace.
     """
-    omega = float(keplerian_omega(M, a, spot.r0))
+    omega = float(keplerian_omega(M, a, spot.r0, prograde))
 
     def pattern(r, phi, t):
         dphi = phi - (spot.phi0 + omega * t)
@@ -279,7 +287,8 @@ def hotspot_pattern(spot: "HotSpot", M, a):
     return pattern
 
 
-def texture_pattern(tex, r_in, r_out, M, a, shear: bool = True):
+def texture_pattern(tex, r_in, r_out, M, a, shear: bool = True,
+                    prograde: bool = True):
     """Emission-multiplier pattern from a (Nr, Nphi) texture image.
 
     The texture covers r in [r_in, r_out] (rows, linear) x phi in
@@ -294,12 +303,12 @@ def texture_pattern(tex, r_in, r_out, M, a, shear: bool = True):
     """
     tex = jnp.asarray(tex, jnp.float32)
     n_r, n_phi = tex.shape
-    omega_ref = float(keplerian_omega(M, a, r_in))
+    omega_ref = float(keplerian_omega(M, a, r_in, prograde))
     two_pi = 2.0 * np.pi
 
     def pattern(r, phi, t):
-        omega = keplerian_omega(M, a, jnp.maximum(r, r_in)) if shear \
-            else omega_ref
+        omega = (keplerian_omega(M, a, jnp.maximum(r, r_in), prograde)
+                 if shear else omega_ref)
         phi_m = (phi - omega * t) % two_pi
         pr = jnp.clip((r - r_in) / max(r_out - r_in, 1e-9), 0.0, 1.0) \
             * (n_r - 1)
@@ -360,7 +369,7 @@ def disk_emission(scene: SceneConfig, disk: DiskConfig, r_in,
     for slot in range(n_slots):
         hit = n_hits > slot
         r_c = jnp.maximum(r_hits[slot], r_in)
-        g = keplerian_redshift(scene.M, scene.a, r_c, xi)
+        g = keplerian_redshift(scene.M, scene.a, r_c, xi, disk.prograde)
         if doppler is not None:
             g = g * doppler
         mult = (pattern(r_c, phi_hits[slot], t)
@@ -421,12 +430,13 @@ def render_disk_frames(scene: SceneConfig, resolution, times,
 
     with timer.stage("render") as out:
         r_in = disk.r_in if disk.r_in is not None else r_isco(
-            scene.M, scene.a)
+            scene.M, scene.a, disk.prograde)
         dl = (camera.doppler_lookup(resolution, fov, scene.boost,
                                     dtype=dtype).ravel()
               if scene.boosted else None)
         if pattern is None:
-            pattern = hotspot_pattern(spot, scene.M, scene.a)
+            pattern = hotspot_pattern(spot, scene.M, scene.a,
+                                      disk.prograde)
 
         # All frames in ONE dispatch: the emission is elementwise over
         # rays, so frames vmap over the time axis for free. The trace
@@ -460,12 +470,12 @@ def render_disk_frames(scene: SceneConfig, resolution, times,
         out.append(frames)
 
     stats = dict(
-        r_isco=r_isco(scene.M, scene.a),
+        r_isco=r_isco(scene.M, scene.a, disk.prograde),
         disk_pixels=int((np.asarray(res.n_hits) > 0).sum()),
         integrator_steps=int(res.n_steps),
         n_frames=len(list(times)),
-        orbit_period=2.0 * np.pi / keplerian_omega(scene.M, scene.a,
-                                                   spot.r0),
+        orbit_period=abs(2.0 * np.pi / keplerian_omega(
+            scene.M, scene.a, spot.r0, disk.prograde)),
         total_rays=height * width,
         traced_rays=height * width,
         timings=timer.finish())
@@ -526,7 +536,7 @@ def render_scene_with_disk(scene: SceneConfig, source_image,
     with timer.stage("render") as out:
         from light_path_tracer_tpu.render import render_lensed_image
         r_in = disk.r_in if disk.r_in is not None else r_isco(
-            scene.M, scene.a)
+            scene.M, scene.a, disk.prograde)
         fa = res.final_alpha.reshape(resolution).astype(jnp.float32)
         wind = jnp.clip(res.n_half, 0, cfg.winding_max).astype(
             jnp.uint16).reshape(resolution)
@@ -577,7 +587,7 @@ def render_scene_with_disk(scene: SceneConfig, source_image,
 
     stats = dict(
         alpha_crit=alpha_crit,
-        r_isco=r_isco(scene.M, scene.a),
+        r_isco=r_isco(scene.M, scene.a, disk.prograde),
         captured=int((np.asarray(res.status) == CAPTURED).sum()),
         disk_pixels=int((np.asarray(res.n_hits) > 0).sum()),
         integrator_steps=int(res.n_steps),

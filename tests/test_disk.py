@@ -368,3 +368,32 @@ def test_textured_disk_frames_render():
     frames = np.asarray(frames)
     assert np.isfinite(frames).all() and stats["disk_pixels"] > 50
     assert np.abs(frames[1] - frames[0]).max() > 0.02
+
+
+def test_retrograde_disk_swaps_doppler_side():
+    """Retrograde orbits approach on the opposite limb: the bright
+    (beamed) half of the image swaps sides, and r_isco moves out
+    (9M at |a|=M vs 1M prograde)."""
+    from light_path_tracer_tpu.disk import keplerian_redshift
+    scene = SceneConfig(M=1.0, a=0.9, r_obs_mult=100.0,
+                        vertical_fov_deg=30.0,
+                        theta_obs=np.radians(80.0))
+    cfg = RenderConfig(dtype="float64")
+    img_p, st_p = render_disk(scene, (32, 48), cfg,
+                              DiskConfig(prograde=True))
+    img_r, st_r = render_disk(scene, (32, 48), cfg,
+                              DiskConfig(prograde=False))
+    assert st_r["r_isco"] > st_p["r_isco"]
+    assert st_r["disk_pixels"] > 0
+
+    def bright_side(im):
+        im = np.asarray(im)
+        return "L" if im[:, :24].sum() > im[:, 24:].sum() else "R"
+
+    assert bright_side(img_p) != bright_side(img_r)
+    # Scalar check: same xi flips its shift sense between the senses.
+    g_p = float(keplerian_redshift(1.0, 0.9, jnp.asarray([10.0]),
+                                   jnp.asarray([4.0]), True)[0])
+    g_r = float(keplerian_redshift(1.0, 0.9, jnp.asarray([10.0]),
+                                   jnp.asarray([4.0]), False)[0])
+    assert (g_p > 1.0) != (g_r > 1.0) or abs(g_p - g_r) > 0.1
