@@ -92,11 +92,12 @@ def main():
                              vertical_fov_deg=24.0,
                              theta_obs=np.radians(80.0))
     cfg_la = RenderConfig(render_loop_around=True)
+    from light_path_tracer_tpu.disk import composite_gamma_encode
     img, st = render_scene_with_disk(
         comp_scene, stars, cfg_la,
         DiskConfig(spectrum="blackbody", t_peak=15000.0))
     save("composite_disk_stars.png",
-         np.clip(np.asarray(img), 0, 1) ** (1 / 2.2))
+         composite_gamma_encode(img, st["disk_mask"]))
 
     m = make_metric(1.0, 0.0)
     fig, ax = plt.subplots(figsize=(11, 9))

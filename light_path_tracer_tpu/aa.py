@@ -64,11 +64,11 @@ def aa_offsets(n_samples: int):
 
 
 def _use_tb(metric, scene, cfg) -> bool:
-    """Equatorial mirror symmetry applies (pipeline._use_tb semantics)."""
-    return (cfg.use_tb_symmetry
-            and bool(np.isclose(scene.theta_obs, np.pi / 2))
-            and bool(np.isclose(scene.psi[0], 0.0))
-            and float(scene.boost[1]) == 0.0)
+    """Equatorial mirror symmetry applies (single source of truth:
+    pipeline._use_tb — a condition added to one copy but not the other
+    would silently mirror-fill rows whose true values differ)."""
+    from light_path_tracer_tpu.pipeline import _use_tb as _pipe_use_tb
+    return _pipe_use_tb(scene, cfg)
 
 
 def _stacked_grids(metric, scene, cfg, resolution, fov, offsets,

@@ -267,16 +267,29 @@ def build_theta_lookup(image_dimension, fov, psi=(0.0, 0.0),
 
 
 def axis_refine_columns(image_dimension, fov, psi=(0.0, 0.0),
-                        refine_frac=0.07):
+                        refine_frac=0.07, boost=None):
     """Boolean (W,) mask of columns near the BH's screen column, where
     tighter integrator tolerances are used (image_lens.py:210-216,
-    Y_AXIS_REFINE_FRAC = 0.07)."""
+    Y_AXIS_REFINE_FRAC = 0.07).
+
+    Under a camera boost, the band is computed in the STATIC frame
+    (where the near-axis L -> 0 rays actually live): each column's
+    center-row view direction is aberrated before measuring its
+    distance to the BH direction's projection.
+    """
     height, width = image_dimension
     fx, _fy = focal_lengths(image_dimension, fov)
     x_cam = (np.arange(width) - width / 2) / fx
     _bh_y, bh_x_cam, in_front = psi_to_cam_projection(psi)
     if not in_front:
         return np.zeros(width, dtype=bool)
+    if boost is not None and any(float(b) != 0.0 for b in boost):
+        denom = np.sqrt(1.0 + x_cam ** 2)
+        vx = jnp.asarray(x_cam / denom)
+        vy = jnp.zeros_like(vx)
+        vz = jnp.asarray(1.0 / denom)
+        wx, _wy, wz = aberrate_view(vx, vy, vz, boost)
+        x_cam = np.asarray(wx / jnp.maximum(wz, 1e-12))
     x_rel = x_cam - bh_x_cam
     x_abs_max = max(float(np.max(np.abs(x_rel))), 1e-12)
     return np.abs(x_rel) <= refine_frac * x_abs_max
@@ -309,15 +322,14 @@ def psi_frame_dynamic(psi_y, psi_x):
 
 
 def build_angle_lookups_dynamic(image_dimension, fov, psi_y, psi_x,
-                                dtype=jnp.float32):
-    """(alpha, theta) per-pixel grids with traced psi scalars."""
-    x_cam, y_cam = _cam_grids(image_dimension, fov, dtype)
+                                dtype=jnp.float32, boost=None):
+    """(alpha, theta) per-pixel grids with traced psi scalars. `boost`
+    (static per-sequence) aberrates the view as in build_alpha_lookup."""
     d, e_x, e_y = psi_frame_dynamic(jnp.asarray(psi_y, dtype),
                                     jnp.asarray(psi_x, dtype))
-    denom = jnp.sqrt(1.0 + x_cam[None, :] ** 2 + y_cam[:, None] ** 2)
-    vx = x_cam[None, :] / denom
-    vy = y_cam[:, None] / denom
-    vz = 1.0 / denom
+    vx, vy, vz = _view_grids(image_dimension, fov, dtype)
+    if boost is not None and any(float(b) != 0.0 for b in boost):
+        vx, vy, vz = aberrate_view(vx, vy, vz, boost)
     cos_alpha = vx * d[0] + vy * d[1] + vz * d[2]
     alpha = jnp.arccos(jnp.clip(cos_alpha, -1.0, 1.0))
     theta = jnp.arctan2(

@@ -119,6 +119,9 @@ def cmd_lens(args) -> int:
           f"psi_x={args.psi_x:.4f} deg ({status})")
 
     if getattr(args, "disk", False):
+        if args.cache:
+            print("  note: --cache is not supported with --disk "
+                  "(composite re-traces); ignoring")
         from light_path_tracer_tpu.disk import (
             render_scene_with_disk, DiskConfig)
         disk = DiskConfig(r_out=args.r_out,
@@ -128,6 +131,13 @@ def cmd_lens(args) -> int:
                           spectrum=args.spectrum, t_peak=args.t_peak)
         result, stats = render_scene_with_disk(
             scene, img, cfg, disk, disk_gain=args.disk_gain)
+        if args.spectrum == "blackbody":
+            # Display-encode the linear-light disk pixels so the
+            # composite matches cmd_disk / showcase output (the
+            # background texture is already display-encoded; only the
+            # disk layer is physical linear radiance).
+            from light_path_tracer_tpu.disk import composite_gamma_encode
+            result = composite_gamma_encode(result, stats["disk_mask"])
         stats["timings"]["load_image"] = (
             stats["timings"].get("load_image", 0.0) + load_time)
         timings = stats["timings"]

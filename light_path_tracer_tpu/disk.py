@@ -590,8 +590,25 @@ def render_scene_with_disk(scene: SceneConfig, source_image,
         r_isco=r_isco(scene.M, scene.a, disk.prograde),
         captured=int((np.asarray(res.status) == CAPTURED).sum()),
         disk_pixels=int((np.asarray(res.n_hits) > 0).sum()),
+        disk_mask=np.asarray(hit),
         integrator_steps=int(res.n_steps),
         total_rays=height * width,
         traced_rays=height * width,
         timings=timer.finish())
     return composite, stats
+
+
+def composite_gamma_encode(image, disk_mask, gamma: float = 2.2):
+    """Display-encode the DISK pixels of a composite for saving.
+
+    The background texture is already display-encoded (it came from an
+    image file); the disk layer is physical linear-light radiance, so
+    only its pixels get the 1/gamma transfer. For translucent disks the
+    masked pixels mix both layers and the encoding is approximate
+    (documented tradeoff; exact for the default opaque disk).
+    """
+    img = jnp.asarray(image)
+    mask = jnp.asarray(disk_mask)
+    enc = jnp.clip(img, 0.0, 1.0) ** (1.0 / gamma)
+    m = mask if img.ndim == 2 else mask[..., None]
+    return jnp.where(m, enc, img)

@@ -561,7 +561,19 @@ def dp45_integrate(metric, y0, p_t, p_phi, status0, *, atol, rtol, h_min,
             new_phi = list(hits_out["phi"])
             new_down = list(hits_out["down"])
             down_f = going_down.astype(r_c.dtype)
+            # PHYSICAL azimuth of the crossing. On the sin(theta) < 0
+            # double-cover branch (over-the-pole rays: theta ran
+            # negative, or past pi) the chart phi is off by pi:
+            # x = r sin(theta) cos(phi), so the physical azimuth is
+            # phi + pi there. Without this, hot-spot/texture patterns
+            # sample the wrong side of the disk on exactly the
+            # center-column pixels the cos-detector fix heals. The mu
+            # chart folds the branch away, so disk mode is theta-only
+            # (enforced at the wrappers).
             phi_c = y_cross[2]
+            if formulation != "mu":
+                phi_c = jnp.where(jnp.sin(y_cross[1]) < 0.0,
+                                  phi_c + np.pi, phi_c)
             for slot in range(max_disk_hits):
                 take = in_disk & (n == slot)
                 new_r[slot] = jnp.where(take, r_c, new_r[slot])

@@ -305,6 +305,11 @@ def trace_disk_rays_pallas(metric, r_obs, alphas, thetas, theta_obs,
     dtype = alphas.dtype
     if dtype != jnp.float32:
         raise ValueError("pallas path is float32-only; got " + str(dtype))
+    if formulation != "theta":
+        # The mu chart folds the theta double cover, losing the branch
+        # needed for the physical crossing azimuth (and this wrapper's
+        # extraction would also need the state_from_mu conversion).
+        raise ValueError("disk mode supports formulation='theta' only")
     tols = get_tols(dtype)
 
     n = alphas.shape[0]

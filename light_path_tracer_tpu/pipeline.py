@@ -138,7 +138,7 @@ def _precompute_eager(scene: SceneConfig, cfg: RenderConfig,
         boost=scene.boost)
     refine_cols = camera.axis_refine_columns(
         image_dimension, fov, psi=scene.psi,
-        refine_frac=cfg.axis_refine_frac)
+        refine_frac=cfg.axis_refine_frac, boost=scene.boost)
 
     use_tb = _use_tb(scene, cfg)
     trace_rows = (height + 1) // 2 if use_tb else height

@@ -28,13 +28,13 @@ from light_path_tracer_tpu.utils.config import SceneConfig, RenderConfig
 @functools.partial(
     jax.jit,
     static_argnames=("metric", "r_obs", "theta_obs", "resolution", "fov",
-                     "max_steps", "shadow_only", "loop_around"))
+                     "max_steps", "shadow_only", "loop_around", "boost"))
 def _render_frame_dynamic(psi_y, psi_x, source_image, *, metric, r_obs,
                           theta_obs, resolution, fov, max_steps,
-                          shadow_only, loop_around):
+                          shadow_only, loop_around, boost=(0.0, 0.0, 0.0)):
     dtype = jnp.float32
     alpha, theta = camera.build_angle_lookups_dynamic(
-        resolution, fov, psi_y, psi_x, dtype=dtype)
+        resolution, fov, psi_y, psi_x, dtype=dtype, boost=boost)
     # Hybrid tracer with the pass1 cap: a single photon-ring grazer can
     # need thousands of adaptive steps; the capped mu-form pass plus the
     # tiny full-depth theta retrace keeps every frame near the median
@@ -93,20 +93,22 @@ def render_sequence(scene: SceneConfig, psi_frames, source_image=None,
             metric=metric, r_obs=float(scene.r_obs),
             theta_obs=float(scene.theta_obs), resolution=resolution,
             fov=fov, max_steps=max_steps, shadow_only=shadow_only,
-            loop_around=cfg.render_loop_around))
+            loop_around=cfg.render_loop_around,
+            boost=tuple(float(b) for b in scene.boost)))
     return frames
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("r_obs", "theta_obs", "resolution", "fov",
-                     "max_steps"))
+                     "max_steps", "boost"))
 def _shadow_frame_param_dynamic(psi_y, psi_x, M, a, *, r_obs, theta_obs,
-                                resolution, fov, max_steps):
+                                resolution, fov, max_steps,
+                                boost=(0.0, 0.0, 0.0)):
     from light_path_tracer_tpu.ops.batch import _kerr_backend
     dtype = jnp.float32
     alpha, theta = camera.build_angle_lookups_dynamic(
-        resolution, fov, psi_y, psi_x, dtype=dtype)
+        resolution, fov, psi_y, psi_x, dtype=dtype, boost=boost)
     placeholder = Kerr(M=1.0, a=0.0)   # API placeholder; params are traced
     # Off-TPU this routes to the XLA path with TracedKerr (compiled speed),
     # not a Pallas interpret-mode emulation.
@@ -134,5 +136,6 @@ def render_param_sequence(scene: SceneConfig, frames, resolution,
             jnp.asarray(psi_x, jnp.float32),
             jnp.asarray(M, jnp.float32), jnp.asarray(a, jnp.float32),
             r_obs=float(scene.r_obs), theta_obs=float(scene.theta_obs),
-            resolution=resolution, fov=fov, max_steps=max_steps))
+            resolution=resolution, fov=fov, max_steps=max_steps,
+            boost=tuple(float(b) for b in scene.boost)))
     return out

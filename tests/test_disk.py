@@ -234,12 +234,28 @@ def test_composite_opaque_blocks_background():
     scene = SceneConfig(M=1.0, a=0.9, r_obs_mult=100.0,
                         theta_obs=np.radians(80.0))
     cfg = RenderConfig(dtype="float64")
-    comp, stats = render_scene_with_disk(scene, src, cfg, DiskConfig())
+    disk = DiskConfig()
+    comp, stats = render_scene_with_disk(scene, src, cfg, disk)
     comp_empty, _ = render_scene_with_disk(
         scene, src, cfg, DiskConfig(r_in=8.0, r_out=7.0))
     assert stats["disk_pixels"] > 50
     assert comp.shape == (40, 56, 3)
     assert np.isfinite(np.asarray(comp)).all()
+    # Non-disk pixels are EXACTLY the no-disk lensed background (same
+    # geodesics; the disk only occludes).
+    from light_path_tracer_tpu.disk import (trace_disk_rays, r_isco,
+                                            DiskConfig as DC)
+    from light_path_tracer_tpu.models.kerr import Kerr
+    from light_path_tracer_tpu import camera as cam
+    fov = cam.fov_from_vertical(scene.vertical_fov, (40, 56))
+    al = cam.build_alpha_lookup((40, 56), fov, dtype=jnp.float64)
+    th = cam.build_theta_lookup((40, 56), fov, dtype=jnp.float64)
+    res = trace_disk_rays(Kerr(M=1.0, a=0.9), scene.r_obs, al.ravel(),
+                          th.ravel(), scene.theta_obs, 5000.0,
+                          cfg.max_steps, disk, backend="xla")
+    free = (np.asarray(res.n_hits).reshape(40, 56) == 0)
+    d = np.abs(np.asarray(comp) - np.asarray(comp_empty))
+    assert (d.max(axis=-1)[free] < 1e-6).mean() > 0.98
 
 
 def test_composite_translucent_is_additive():
@@ -397,3 +413,38 @@ def test_retrograde_disk_swaps_doppler_side():
     g_r = float(keplerian_redshift(1.0, 0.9, jnp.asarray([10.0]),
                                    jnp.asarray([4.0]), False)[0])
     assert (g_p > 1.0) != (g_r > 1.0) or abs(g_p - g_r) > 0.1
+
+
+def test_center_column_phi_is_physical_azimuth():
+    """Regression (review finding): over-the-pole rays cross the plane
+    on the sin(theta) < 0 chart branch where chart-phi is off by pi
+    from the physical azimuth. The recorder must store the PHYSICAL
+    azimuth, so phi varies continuously across the central column
+    instead of jumping by ~pi."""
+    import jax.numpy as jnp
+    from light_path_tracer_tpu.disk import trace_disk_rays, DiskConfig
+    from light_path_tracer_tpu.models.kerr import Kerr
+    from light_path_tracer_tpu import camera
+
+    dim = (48, 49)                  # odd width: col 24 is exactly central
+    m = Kerr(M=1.0, a=0.9)
+    fov = camera.fov_from_vertical(np.radians(40.0), dim)
+    al = camera.build_alpha_lookup(dim, fov, dtype=jnp.float64)
+    th = camera.build_theta_lookup(dim, fov, dtype=jnp.float64)
+    res = trace_disk_rays(m, 100.0, al.ravel(), th.ravel(),
+                          np.radians(80.0), 5000.0, 200000, DiskConfig(),
+                          backend="xla")
+    nh = np.asarray(res.n_hits).reshape(dim)
+    phi = np.asarray(res.phi_hits[0]).reshape(dim)
+
+    def wrapped(a, b):
+        return np.abs((a - b + np.pi) % (2 * np.pi) - np.pi)
+
+    rows = np.where((nh[:, 23] > 0) & (nh[:, 24] > 0) & (nh[:, 25] > 0))[0]
+    assert len(rows) > 5
+    jump_l = wrapped(phi[rows, 24], phi[rows, 23])
+    jump_r = wrapped(phi[rows, 24], phi[rows, 25])
+    # Continuous to within a few pixel-widths of azimuth; a chart-branch
+    # bug makes these ~pi.
+    assert np.median(jump_l) < 0.3 and np.median(jump_r) < 0.3
+    assert jump_l.max() < 1.0 and jump_r.max() < 1.0
