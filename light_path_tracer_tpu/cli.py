@@ -256,6 +256,9 @@ def cmd_disk(args) -> int:
                       emissivity_index=args.emissivity_q,
                       g_power=args.g_power,
                       opaque=not args.translucent,
+                      prograde=not args.retrograde,
+                      tilt=np.radians(args.tilt),
+                      tilt_azimuth=np.radians(args.tilt_azimuth),
                       spectrum=args.spectrum, t_peak=args.t_peak)
 
     if args.frames > 1:
@@ -477,6 +480,14 @@ def build_parser():
     p.add_argument("--emissivity-q", type=float, default=3.0)
     p.add_argument("--g-power", type=float, default=3.0)
     p.add_argument("--translucent", action="store_true")
+    p.add_argument("--retrograde", action="store_true",
+                   help="retrograde disk orbits (ISCO moves out, "
+                        "Doppler limb swaps)")
+    p.add_argument("--tilt", type=float, default=0.0,
+                   help="disk tilt from the equator [deg] (XLA path; "
+                        "emitter model approximate for tilted Kerr)")
+    p.add_argument("--tilt-azimuth", type=float, default=0.0,
+                   help="azimuth of the tilted disk's line of nodes [deg]")
     p.add_argument("--spectrum", default="powerlaw",
                    choices=["powerlaw", "blackbody"],
                    help="powerlaw: grayscale g^p r^-q (afmhot colormap); "

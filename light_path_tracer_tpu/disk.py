@@ -45,6 +45,17 @@ class DiskConfig:
     g_power: float = 3.0           # I_obs = g^p * eps (powerlaw spectrum)
     opaque: bool = True            # first crossing blocks deeper images
     prograde: bool = True          # orbit sense vs the BH spin
+    # Misaligned (tilted) disk: inclination of the disk plane from the
+    # equator [rad] and the azimuth of its line of nodes [rad]. The
+    # crossing GEOMETRY is exact; the EMITTER model keeps the
+    # equatorial Keplerian Omega/redshift formulas at the crossing
+    # radius — exact for tilt=0, exact for a=0 at any tilt (spherical
+    # symmetry), approximate for tilted Kerr disks (ignores
+    # frame-dragging misalignment, O(a sin(tilt)) in the shift; real
+    # tilted Kerr disks also precess — Lense-Thirring — which a static
+    # image does not show). XLA backend only (atan2 in Mosaic).
+    tilt: float = 0.0
+    tilt_azimuth: float = 0.0
     max_hits: int = 2
     tone_map: str = "asinh"        # "asinh" | "linear" | "sqrt"
     # "powerlaw": grayscale I = g^p * r^-q (the original config-4 model).
@@ -54,6 +65,19 @@ class DiskConfig:
     # ~ T_obs^4 (the g^4 beaming), chromaticity from utils/color.py.
     spectrum: str = "powerlaw"
     t_peak: float = 9000.0         # blackbody: peak disk temperature [K]
+
+
+def disk_basis(tilt: float, tilt_azimuth: float):
+    """(normal, e1, e2) of the disk plane: columns of R_z(lam) R_x(tilt)
+    acting on (z, x, y). tilt=0 gives n=z, e1=x, e2=y — the recorded
+    in-plane azimuth then equals the chart azimuth."""
+    si, ci = np.sin(tilt), np.cos(tilt)
+    sl, cl = np.sin(tilt_azimuth), np.cos(tilt_azimuth)
+    n = (si * sl, -si * cl, ci)
+    e1 = (cl, sl, 0.0)
+    e2 = (-sl * ci, cl * ci, si)
+    return (tuple(map(float, n)), tuple(map(float, e1)),
+            tuple(map(float, e2)))
 
 
 def r_isco(M: float, a: float, prograde: bool = True) -> float:
@@ -120,7 +144,8 @@ class DiskTraceResult(NamedTuple):
     n_steps: jnp.ndarray
     final_alpha: jnp.ndarray
     n_half: jnp.ndarray
-    phi_hits: tuple = ()   # Boyer-Lindquist azimuth at each crossing
+    phi_hits: tuple = ()   # in-plane azimuth at each crossing (physical)
+    xi_hits: tuple = ()    # tilted disks: n.L/E at each crossing
 
 
 def trace_disk_rays(metric, r_obs, alphas, thetas, theta_obs,
@@ -130,6 +155,10 @@ def trace_disk_rays(metric, r_obs, alphas, thetas, theta_obs,
     backend as in trace_batch."""
     from light_path_tracer_tpu.ops.batch import _kerr_backend
     resolved = _kerr_backend(backend, alphas.dtype)
+    if disk.tilt != 0.0:
+        # Tilted-plane recording needs atan2 inside the hot loop, which
+        # Mosaic does not lower — route to the XLA path.
+        resolved = "xla"
     r_in = disk.r_in if disk.r_in is not None else r_isco(
         metric.M, metric.a, disk.prograde)
     plane = (float(r_in), float(disk.r_out), float(np.pi / 2),
@@ -173,13 +202,15 @@ def _trace_disk_rays_xla(metric, r_obs, alphas, thetas, theta_obs,
         max_steps=max_steps,
         disk_plane=(float(r_in), float(disk.r_out), float(np.pi / 2),
                     bool(disk.opaque)),
-        max_disk_hits=disk.max_hits)
+        max_disk_hits=disk.max_hits,
+        disk_normal=(disk_basis(disk.tilt, disk.tilt_azimuth)
+                     if disk.tilt != 0.0 else None))
 
     xi = p_phi  # E = 1 convention: xi = L/E = p_phi
     final_alpha, n_half, status_out = finalize_angles(
         metric, y_f, p_t, p_phi, status_f)
     return DiskTraceResult(status_out, hits["n"], hits["r"], xi, steps,
-                           final_alpha, n_half, hits["phi"])
+                           final_alpha, n_half, hits["phi"], hits["xi"])
 
 
 def render_disk(scene: SceneConfig, resolution,
@@ -219,7 +250,7 @@ def render_disk(scene: SceneConfig, resolution,
               if scene.boosted else None)
         intensity, rgb = disk_emission(scene, disk, r_in,
                                        res.n_hits, res.r_hits, res.xi,
-                                       doppler=dl)
+                                       doppler=dl, xi_hits=res.xi_hits)
         if rgb is not None:
             # Tone-map the luminance, keep the blackbody chromaticity.
             lum = _tone_map(intensity, disk.tone_map)
@@ -346,7 +377,7 @@ class HotSpot:
 
 def disk_emission(scene: SceneConfig, disk: DiskConfig, r_in,
                   n_hits, r_hits, xi, doppler=None,
-                  pattern=None, phi_hits=None, t=0.0):
+                  pattern=None, phi_hits=None, t=0.0, xi_hits=()):
     """Per-ray disk emission from the recorded crossings.
 
     Returns (intensity, rgb): intensity (N,) is the summed (un-tone-
@@ -369,7 +400,12 @@ def disk_emission(scene: SceneConfig, disk: DiskConfig, r_in,
     for slot in range(n_slots):
         hit = n_hits > slot
         r_c = jnp.maximum(r_hits[slot], r_in)
-        g = keplerian_redshift(scene.M, scene.a, r_c, xi, disk.prograde)
+        # Tilted disks: the emitter orbits about the disk normal, so
+        # the Doppler term needs the ray's angular momentum about n
+        # recorded at THIS crossing, not the conserved L_z.
+        xi_slot = xi_hits[slot] if len(xi_hits) > slot else xi
+        g = keplerian_redshift(scene.M, scene.a, r_c, xi_slot,
+                               disk.prograde)
         if doppler is not None:
             g = g * doppler
         mult = (pattern(r_c, phi_hits[slot], t)
@@ -448,12 +484,13 @@ def render_disk_frames(scene: SceneConfig, resolution, times,
         color = disk.spectrum == "blackbody"
 
         @jax.jit
-        def all_frames(ts, n_hits, r_hits, xi, phi_hits, doppler):
+        def all_frames(ts, n_hits, r_hits, xi, phi_hits, doppler,
+                       xi_hits):
             def emit(t):
                 return disk_emission(scene, disk, r_in, n_hits, r_hits,
                                      xi, doppler=doppler,
                                      pattern=pattern, phi_hits=phi_hits,
-                                     t=t)
+                                     t=t, xi_hits=xi_hits)
 
             intensity, rgb = jax.vmap(emit)(ts)       # (T, N) / (T, N, 3)
             peak = jnp.max(intensity)                 # global: no flicker
@@ -466,7 +503,7 @@ def render_disk_frames(scene: SceneConfig, resolution, times,
                 jnp.float32)
 
         frames = all_frames(ts, res.n_hits, res.r_hits, res.xi,
-                            res.phi_hits, dl)
+                            res.phi_hits, dl, res.xi_hits)
         out.append(frames)
 
     stats = dict(
@@ -549,7 +586,7 @@ def render_scene_with_disk(scene: SceneConfig, source_image,
               if scene.boosted else None)
         intensity, rgb = disk_emission(scene, disk, r_in,
                                        res.n_hits, res.r_hits, res.xi,
-                                       doppler=dl)
+                                       doppler=dl, xi_hits=res.xi_hits)
         lum = _tone_map(intensity, disk.tone_map) * disk_gain
         grayscale = background.ndim == 2
         if rgb is not None:

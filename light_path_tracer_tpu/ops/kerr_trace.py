@@ -270,7 +270,7 @@ def dp45_integrate(metric, y0, p_t, p_phi, status0, *, atol, rtol, h_min,
                    tiny_err, r_capture, r_escape, lambda_max, h_init,
                    max_steps, event_interp="hermite", disk_plane=None,
                    max_disk_hits=2, r_plunge=None, formulation="theta",
-                   method="dp45"):
+                   method="dp45", disk_normal=None):
     """The shared lock-step adaptive integration loop (DP45 or DOP853).
 
     method selects the embedded Runge-Kutta pair:
@@ -312,6 +312,24 @@ def dp45_integrate(metric, y0, p_t, p_phi, status0, *, atol, rtol, h_min,
     h0 = jnp.full_like(y0[0], h_init)
     lam0 = jnp.zeros_like(y0[0])
 
+    if disk_normal is not None:
+        # Tilted disk: plane through the origin with static unit normal
+        # n and in-plane basis (e1, e2); the detector runs on the
+        # scale-free s = n . xhat(theta, phi), and the recorded azimuth
+        # is the in-plane atan2(xhat.e2, xhat.e1) — both already
+        # physical on the double-cover chart (xhat carries sin(theta)'s
+        # sign). theta-form only (the mu chart folds the branch), and
+        # XLA-path only (atan2 does not lower in Mosaic).
+        if formulation == "mu":
+            raise ValueError("tilted disk requires formulation='theta'")
+        (_nx, _ny, _nz), _e1, _e2 = disk_normal
+
+        def _plane_s(th, ph):
+            sth, cth = jnp.sin(th), jnp.cos(th)
+            sph, cph = jnp.sin(ph), jnp.cos(ph)
+            return (_nx * sth * cph + _ny * sth * sph + _nz * cth,
+                    (sth * cph, sth * sph, cth))
+
     if disk_plane is not None:
         disk_r_in, disk_r_out, theta_plane, disk_opaque = disk_plane
         # Crossing detection runs on cos(theta) in BOTH formulations
@@ -333,10 +351,16 @@ def dp45_integrate(metric, y0, p_t, p_phi, status0, *, atol, rtol, h_min,
                          for _ in range(max_disk_hits)),
             "down": tuple(jnp.zeros_like(y0[0])
                           for _ in range(max_disk_hits)),
+            # Tilted mode records the ray's angular momentum about the
+            # disk normal at each crossing (the emitter Doppler needs
+            # xi_n = n.L/E, not the conserved L_z).
+            "xi": (tuple(jnp.zeros_like(y0[0])
+                         for _ in range(max_disk_hits))
+                   if disk_normal is not None else ()),
         }
     else:
         hits0 = {"n": jnp.zeros((), jnp.int32), "r": (), "phi": (),
-                 "down": ()}
+                 "down": (), "xi": ()}
 
     def cond(carry):
         step, y, k1, h, lam, status, hits = carry
@@ -526,7 +550,10 @@ def dp45_integrate(metric, y0, p_t, p_phi, status0, *, atol, rtol, h_min,
             # (up to the event fraction), located with the same
             # interpolant used for events.
             th_prev, th_next = y[1], y_acc[1]
-            if formulation == "mu":
+            if disk_normal is not None:
+                d_prev, _ = _plane_s(th_prev, y[2])
+                d_next, _ = _plane_s(th_next, y_acc[2])
+            elif formulation == "mu":
                 d_prev = th_prev - plane_c      # state coord IS cos(theta)
                 d_next = th_next - plane_c
             else:
@@ -560,6 +587,7 @@ def dp45_integrate(metric, y0, p_t, p_phi, status0, *, atol, rtol, h_min,
             new_r = list(hits_out["r"])
             new_phi = list(hits_out["phi"])
             new_down = list(hits_out["down"])
+            new_xi = list(hits_out["xi"])
             down_f = going_down.astype(r_c.dtype)
             # PHYSICAL azimuth of the crossing. On the sin(theta) < 0
             # double-cover branch (over-the-pole rays: theta ran
@@ -570,18 +598,42 @@ def dp45_integrate(metric, y0, p_t, p_phi, status0, *, atol, rtol, h_min,
             # center-column pixels the cos-detector fix heals. The mu
             # chart folds the branch away, so disk mode is theta-only
             # (enforced at the wrappers).
-            phi_c = y_cross[2]
-            if formulation != "mu":
-                phi_c = jnp.where(jnp.sin(y_cross[1]) < 0.0,
-                                  phi_c + np.pi, phi_c)
+            if disk_normal is not None:
+                _s_c, (xh, yh, zh) = _plane_s(y_cross[1], y_cross[2])
+                u1 = xh * _e1[0] + yh * _e1[1] + zh * _e1[2]
+                u2 = xh * _e2[0] + yh * _e2[1] + zh * _e2[2]
+                phi_c = jnp.arctan2(u2, u1)
+                # n.L from the crossing state: the standard canonical
+                # angular-momentum components
+                #   L_x = -sin(phi) p_theta - cot(theta) cos(phi) p_phi
+                #   L_y =  cos(phi) p_theta - cot(theta) sin(phi) p_phi
+                #   L_z =  p_phi
+                # (exactly conserved for a = 0; the flat-embedding
+                # projection for tilted Kerr — DiskConfig.tilt docs).
+                th_c, ph_c, pth_c = y_cross[1], y_cross[2], y_cross[4]
+                sth_c = jnp.sin(th_c)
+                cot_c = jnp.cos(th_c) / jnp.where(
+                    jnp.abs(sth_c) < 1e-12,
+                    jnp.asarray(1e-12, sth_c.dtype), sth_c)
+                sph_c, cph_c = jnp.sin(ph_c), jnp.cos(ph_c)
+                lx = -sph_c * pth_c - cot_c * cph_c * p_phi
+                ly = cph_c * pth_c - cot_c * sph_c * p_phi
+                xi_c = _nx * lx + _ny * ly + _nz * p_phi
+            else:
+                phi_c = y_cross[2]
+                if formulation != "mu":
+                    phi_c = jnp.where(jnp.sin(y_cross[1]) < 0.0,
+                                      phi_c + np.pi, phi_c)
             for slot in range(max_disk_hits):
                 take = in_disk & (n == slot)
                 new_r[slot] = jnp.where(take, r_c, new_r[slot])
                 new_phi[slot] = jnp.where(take, phi_c, new_phi[slot])
                 new_down[slot] = jnp.where(take, down_f, new_down[slot])
+                if disk_normal is not None:
+                    new_xi[slot] = jnp.where(take, xi_c, new_xi[slot])
             n = jnp.where(in_disk, jnp.minimum(n + 1, max_disk_hits), n)
             hits_out = {"n": n, "r": tuple(new_r), "phi": tuple(new_phi),
-                        "down": tuple(new_down)}
+                        "down": tuple(new_down), "xi": tuple(new_xi)}
             if disk_opaque:
                 # First in-disk crossing terminates the ray: park it at
                 # the crossing point with ESCAPED-like bookkeeping left

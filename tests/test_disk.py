@@ -448,3 +448,45 @@ def test_center_column_phi_is_physical_azimuth():
     # bug makes these ~pi.
     assert np.median(jump_l) < 0.3 and np.median(jump_r) < 0.3
     assert jump_l.max() < 1.0 and jump_r.max() < 1.0
+
+
+def test_tilted_disk_schwarzschild_rotation_equivalence():
+    """a=0 oracle: by spherical symmetry, a disk tilted by iota with
+    line of nodes at lam=pi/2 (the rotation axis lies in the observer's
+    x-z plane) viewed from theta_obs equals the EQUATORIAL disk viewed
+    from theta_obs - iota (sign fixed by the R_z(lam) R_x(iota) basis
+    convention, disk.disk_basis)."""
+    iota = np.radians(12.0)
+    theta_obs = np.radians(75.0)
+    cfg = RenderConfig(dtype="float64")
+    base = dict(M=1.0, a=0.0, r_obs_mult=100.0, vertical_fov_deg=30.0)
+    img_tilt, st_t = render_disk(
+        SceneConfig(**base, theta_obs=theta_obs), (36, 48), cfg,
+        DiskConfig(tilt=iota, tilt_azimuth=np.pi / 2))
+    img_rot, st_r = render_disk(
+        SceneConfig(**base, theta_obs=theta_obs - iota), (36, 48), cfg,
+        DiskConfig())
+    assert st_t["disk_pixels"] > 50
+    # Same hit geometry up to integrator tolerance: images agree on
+    # nearly every pixel (boundary pixels may flip).
+    d = np.abs(np.asarray(img_tilt) - np.asarray(img_rot))
+    assert (d < 1e-3).mean() > 0.97
+    assert np.median(d) < 1e-6
+    assert d.max() < 0.05      # residual = boundary pixels, not physics
+
+
+def test_tilted_kerr_disk_renders():
+    """Tilted Kerr disk: finite, nonempty, differs from the equatorial
+    render, and tilt=0 reproduces the equatorial path exactly."""
+    scene = SceneConfig(M=1.0, a=0.9, r_obs_mult=100.0,
+                        vertical_fov_deg=30.0,
+                        theta_obs=np.radians(80.0))
+    cfg = RenderConfig(dtype="float64")
+    img_eq, _ = render_disk(scene, (32, 48), cfg, DiskConfig())
+    img_eq0, _ = render_disk(scene, (32, 48), cfg, DiskConfig(tilt=0.0))
+    np.testing.assert_array_equal(np.asarray(img_eq), np.asarray(img_eq0))
+    img_t, st = render_disk(scene, (32, 48), cfg,
+                            DiskConfig(tilt=np.radians(20.0)))
+    assert st["disk_pixels"] > 50
+    assert np.isfinite(np.asarray(img_t)).all()
+    assert np.abs(np.asarray(img_t) - np.asarray(img_eq)).max() > 0.05
