@@ -1,0 +1,253 @@
+"""Render serving: compile-once, serve-many HTTP endpoint.
+
+Production-deployment layer beyond the reference (which is batch-only,
+image_lens.py:518-535): a lightweight stdlib HTTP server that keeps the
+TPU program warm across requests. The first request of each distinct
+compiled signature (mode, resolution, metric kind, dtype, static knobs)
+pays the XLA compile; every later request with the same signature —
+any psi / M / a / boost / disk parameters — reuses it, so steady-state
+latency is the kernel time plus device->host readback. The animation
+modes additionally reuse the recompilation-free traced-parameter
+programs (sequence.py), so even (M, a) sweeps never recompile.
+
+Protocol (JSON over HTTP, no external deps):
+
+    POST /render
+        {"mode": "shadow" | "lens" | "disk" | "composite",
+         "scene":  {... SceneConfig fields, angles in DEGREES ...},
+         "render": {... RenderConfig fields ...},
+         "disk":   {... DiskConfig fields (disk/composite modes) ...},
+         "size": [H, W]                 (shadow/disk; lens uses image),
+         "image_b64": "<base64 PNG/NPY>" (lens/composite background),
+         "format": "png" | "npy"}
+    -> 200, body = rendered image (PNG bytes or .npy array), headers
+       X-Render-Seconds / X-Cache (warm|cold).
+
+    GET /healthz  -> {"ok": true, "devices": N, "platform": "..."}
+    GET /stats    -> per-signature request counts + timing summary
+
+Run:  python -m light_path_tracer_tpu.serve --port 8080
+Test: tests/test_serve.py drives a live server end-to-end in-process.
+
+Threading model: requests serialize through one render lock — the TPU
+is a single shared accelerator and JAX dispatch is not thread-safe per
+device; concurrency should come from horizontal replicas (one process
+per chip), matching the tile-DP design (parallel/).
+"""
+
+from __future__ import annotations
+
+import base64
+import io
+import json
+import math
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+from light_path_tracer_tpu.utils.config import SceneConfig, RenderConfig
+
+_DEG_FIELDS = {"psi_y", "psi_x", "theta_obs"}          # degrees in JSON
+_DISK_DEG_FIELDS = {"tilt", "tilt_azimuth"}
+
+
+def _scene_from_json(d: dict) -> SceneConfig:
+    kw = {}
+    for key, val in (d or {}).items():
+        if key == "boost":
+            kw[key] = tuple(float(v) for v in val)
+        elif key in _DEG_FIELDS:
+            kw[key] = math.radians(float(val))
+        else:
+            kw[key] = val
+    return SceneConfig(**kw)
+
+
+def _render_cfg_from_json(d: dict) -> RenderConfig:
+    return RenderConfig(**(d or {}))
+
+
+def _disk_cfg_from_json(d: dict):
+    from light_path_tracer_tpu.disk import DiskConfig
+    kw = dict(d or {})
+    for key in _DISK_DEG_FIELDS:
+        if key in kw:
+            kw[key] = math.radians(float(kw[key]))
+    return DiskConfig(**kw)
+
+
+def _decode_image(b64: str) -> np.ndarray:
+    raw = base64.b64decode(b64)
+    if raw[:6] == b"\x93NUMPY":
+        return np.load(io.BytesIO(raw), allow_pickle=False)
+    import matplotlib.image as mpimg
+    return mpimg.imread(io.BytesIO(raw), format="png")
+
+
+def _encode_image(img: np.ndarray, fmt: str) -> tuple[bytes, str]:
+    img = np.asarray(img)
+    if fmt == "npy":
+        buf = io.BytesIO()
+        np.save(buf, img, allow_pickle=False)
+        return buf.getvalue(), "application/octet-stream"
+    import matplotlib.image as mpimg
+    buf = io.BytesIO()
+    mpimg.imsave(buf, np.clip(img, 0.0, 1.0), format="png",
+                 **({} if img.ndim == 3 else
+                    {"cmap": "gray", "vmin": 0, "vmax": 1}))
+    return buf.getvalue(), "image/png"
+
+
+class RenderService:
+    """Mode dispatch + warm-signature accounting (transport-agnostic)."""
+
+    def __init__(self):
+        self._lock = threading.Lock()
+        self._signatures: dict[str, dict] = {}
+
+    def signature(self, mode, scene: SceneConfig, cfg: RenderConfig,
+                  size, disk) -> str:
+        """The compiled-program identity: static argnums only. psi, M,
+        a, boost are traced-or-refolded per call by the pipelines, but
+        M/a/psi DO enter compiled constants in the static paths — the
+        honest signature is everything except the background image."""
+        return json.dumps([mode, list(size or ()), repr(scene),
+                           repr(cfg), repr(disk)], sort_keys=True)
+
+    def render(self, mode: str, scene: SceneConfig, cfg: RenderConfig,
+               size=None, source_image=None, disk=None):
+        """Returns (image ndarray, seconds, cache 'warm'|'cold')."""
+        sig = self.signature(mode, scene, cfg, size, disk)
+        with self._lock:
+            entry = self._signatures.setdefault(
+                sig, {"count": 0, "total_s": 0.0, "mode": mode})
+            warm = entry["count"] > 0
+            t0 = time.perf_counter()
+            if mode == "shadow":
+                from light_path_tracer_tpu.pipeline import render_shadow
+                img, _stats = render_shadow(scene, tuple(size), cfg)
+            elif mode == "lens":
+                from light_path_tracer_tpu.pipeline import render_scene
+                img = render_scene(scene, source_image, cfg).image
+            elif mode == "disk":
+                from light_path_tracer_tpu.disk import render_disk
+                img, _stats = render_disk(scene, tuple(size), cfg, disk)
+            elif mode == "composite":
+                from light_path_tracer_tpu.disk import (
+                    render_scene_with_disk, composite_gamma_encode)
+                img, stats = render_scene_with_disk(
+                    scene, source_image, cfg, disk)
+                if disk.spectrum == "blackbody":
+                    img = composite_gamma_encode(img, stats["disk_mask"])
+            else:
+                raise ValueError(f"unknown mode {mode!r}")
+            img = np.asarray(img)
+            dt = time.perf_counter() - t0
+            entry["count"] += 1
+            entry["total_s"] += dt
+        return img, dt, ("warm" if warm else "cold")
+
+    def stats(self) -> dict:
+        with self._lock:
+            return {
+                "signatures": len(self._signatures),
+                "requests": sum(e["count"]
+                                for e in self._signatures.values()),
+                "per_signature": [
+                    {"mode": e["mode"], "count": e["count"],
+                     "mean_s": e["total_s"] / max(e["count"], 1)}
+                    for e in self._signatures.values()],
+            }
+
+
+def make_server(host: str = "127.0.0.1", port: int = 0,
+                service: RenderService | None = None):
+    """Build (but don't start) the HTTP server; port=0 picks a free one."""
+    svc = service or RenderService()
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *args):           # quiet by default
+            pass
+
+        def _reply(self, code, body: bytes, ctype: str, extra=()):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            for key, val in extra:
+                self.send_header(key, val)
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _reply_json(self, code, obj):
+            self._reply(code, json.dumps(obj).encode(),
+                        "application/json")
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                import jax
+                devs = jax.devices()
+                self._reply_json(200, {"ok": True, "devices": len(devs),
+                                       "platform": devs[0].platform})
+            elif self.path == "/stats":
+                self._reply_json(200, svc.stats())
+            else:
+                self._reply_json(404, {"error": "unknown path"})
+
+        def do_POST(self):
+            if self.path != "/render":
+                self._reply_json(404, {"error": "unknown path"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", "0"))
+                req = json.loads(self.rfile.read(length) or b"{}")
+                mode = req.get("mode", "shadow")
+                scene = _scene_from_json(req.get("scene", {}))
+                cfg = _render_cfg_from_json(req.get("render", {}))
+                disk = (_disk_cfg_from_json(req.get("disk", {}))
+                        if mode in ("disk", "composite") else None)
+                src = (_decode_image(req["image_b64"])
+                       if mode in ("lens", "composite") else None)
+                size = req.get("size", [256, 256])
+                img, dt, cache = svc.render(mode, scene, cfg, size=size,
+                                            source_image=src, disk=disk)
+                body, ctype = _encode_image(img, req.get("format", "png"))
+                self._reply(200, body, ctype,
+                            extra=[("X-Render-Seconds", f"{dt:.4f}"),
+                                   ("X-Cache", cache)])
+            except Exception as exc:            # noqa: BLE001 — to client
+                self._reply_json(400, {"error": f"{type(exc).__name__}: "
+                                                f"{exc}"})
+
+    server = ThreadingHTTPServer((host, port), Handler)
+    server.service = svc
+    return server
+
+
+def main(argv=None) -> int:
+    import argparse
+    parser = argparse.ArgumentParser(
+        description="light_path_tracer_tpu render server")
+    parser.add_argument("--host", default="127.0.0.1")
+    parser.add_argument("--port", type=int, default=8080)
+    args = parser.parse_args(argv)
+
+    from light_path_tracer_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
+    server = make_server(args.host, args.port)
+    host, port = server.server_address[:2]
+    print(f"render server on http://{host}:{port} "
+          f"(POST /render, GET /healthz /stats)")
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.server_close()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

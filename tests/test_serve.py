@@ -1,0 +1,133 @@
+"""Render-server tests: live HTTP round trips against an in-process
+server (stdlib only), covering warm-cache reuse, every mode, and error
+handling."""
+
+import base64
+import io
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+from light_path_tracer_tpu.serve import make_server, RenderService
+
+
+@pytest.fixture(scope="module")
+def server_url():
+    server = make_server(port=0)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    host, port = server.server_address[:2]
+    yield f"http://{host}:{port}", server
+    server.shutdown()
+    server.server_close()
+
+
+def _post(url, payload):
+    req = urllib.request.Request(
+        url + "/render", data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req) as resp:
+        return resp.status, resp.read(), dict(resp.headers)
+
+
+def _npy(body: bytes) -> np.ndarray:
+    return np.load(io.BytesIO(body), allow_pickle=False)
+
+
+def test_healthz(server_url):
+    url, _server = server_url
+    with urllib.request.urlopen(url + "/healthz") as resp:
+        health = json.loads(resp.read())
+    assert health["ok"] and health["devices"] >= 1
+
+
+def test_shadow_roundtrip_and_warm_cache(server_url):
+    url, _server = server_url
+    payload = {"mode": "shadow", "size": [48, 48], "format": "npy",
+               "scene": {"a": 0.9, "theta_obs": 90.0},
+               "render": {"dtype": "float64"}}
+    status, body, hdr = _post(url, payload)
+    assert status == 200 and hdr["X-Cache"] == "cold"
+    img = _npy(body)
+    assert img.shape == (48, 48)
+    assert (img == 0.0).sum() > 10          # shadow present
+
+    # Same signature again: warm, and typically much faster.
+    status2, body2, hdr2 = _post(url, payload)
+    assert status2 == 200 and hdr2["X-Cache"] == "warm"
+    np.testing.assert_array_equal(_npy(body2), img)
+
+    # Stats reflect both requests on one signature.
+    with urllib.request.urlopen(url + "/stats") as resp:
+        stats = json.loads(resp.read())
+    shadow_sigs = [s for s in stats["per_signature"]
+                   if s["mode"] == "shadow"]
+    assert any(s["count"] >= 2 for s in shadow_sigs)
+
+
+def test_lens_and_composite_roundtrip(server_url):
+    url, _server = server_url
+    rng = np.random.default_rng(2)
+    src = rng.uniform(0.1, 0.9, (32, 40, 3)).astype(np.float32)
+    buf = io.BytesIO()
+    np.save(buf, src, allow_pickle=False)
+    b64 = base64.b64encode(buf.getvalue()).decode()
+
+    status, body, _hdr = _post(url, {
+        "mode": "lens", "format": "npy", "image_b64": b64,
+        "scene": {"a": 0.9, "theta_obs": 80.0},
+        "render": {"dtype": "float64"}})
+    assert status == 200
+    assert _npy(body).shape == (32, 40, 3)
+
+    status, body, _hdr = _post(url, {
+        "mode": "composite", "format": "npy", "image_b64": b64,
+        "scene": {"a": 0.9, "theta_obs": 80.0},
+        "render": {"dtype": "float64"},
+        "disk": {"spectrum": "blackbody"}})
+    assert status == 200
+    comp = _npy(body)
+    assert comp.shape == (32, 40, 3) and np.isfinite(comp).all()
+
+
+def test_disk_png_roundtrip(server_url):
+    url, _server = server_url
+    status, body, hdr = _post(url, {
+        "mode": "disk", "size": [32, 32], "format": "png",
+        "scene": {"a": 0.9, "theta_obs": 80.0},
+        "render": {"dtype": "float64"}})
+    assert status == 200
+    assert hdr["Content-Type"] == "image/png"
+    assert body[:8] == b"\x89PNG\r\n\x1a\n"
+
+
+def test_bad_request_is_400_not_crash(server_url):
+    url, _server = server_url
+    req = urllib.request.Request(
+        url + "/render", data=json.dumps({"mode": "nope"}).encode(),
+        headers={"Content-Type": "application/json"})
+    try:
+        urllib.request.urlopen(req)
+        raised = False
+    except urllib.error.HTTPError as err:
+        raised = True
+        assert err.code == 400
+        assert b"error" in err.read()
+    assert raised
+    # Server still healthy afterwards.
+    with urllib.request.urlopen(url + "/healthz") as resp:
+        assert json.loads(resp.read())["ok"]
+
+
+def test_scene_degrees_and_boost_parsing():
+    svc = RenderService()
+    from light_path_tracer_tpu.serve import _scene_from_json
+    scene = _scene_from_json({"a": 0.5, "theta_obs": 80.0,
+                              "psi_x": 2.0, "boost": [0, 0, 0.3]})
+    assert np.isclose(scene.theta_obs, np.radians(80.0))
+    assert np.isclose(scene.psi_x, np.radians(2.0))
+    assert scene.boost == (0.0, 0.0, 0.3)
+    assert svc.stats()["requests"] == 0
