@@ -259,6 +259,7 @@ def cmd_disk(args) -> int:
                       prograde=not args.retrograde,
                       tilt=np.radians(args.tilt),
                       tilt_azimuth=np.radians(args.tilt_azimuth),
+                      warp_radius=args.warp_radius or None,
                       spectrum=args.spectrum, t_peak=args.t_peak)
 
     if args.frames > 1:
@@ -488,6 +489,10 @@ def build_parser():
                         "emitter model approximate for tilted Kerr)")
     p.add_argument("--tilt-azimuth", type=float, default=0.0,
                    help="azimuth of the tilted disk's line of nodes [deg]")
+    p.add_argument("--warp-radius", type=float, default=0.0,
+                   help="Bardeen-Petterson warp radius [M]: inner disk "
+                        "aligns with the equator, outer keeps --tilt "
+                        "(0 = flat tilted plane)")
     p.add_argument("--spectrum", default="powerlaw",
                    choices=["powerlaw", "blackbody"],
                    help="powerlaw: grayscale g^p r^-q (afmhot colormap); "

@@ -56,6 +56,13 @@ class DiskConfig:
     # image does not show). XLA backend only (atan2 in Mosaic).
     tilt: float = 0.0
     tilt_azimuth: float = 0.0
+    # Warped (Bardeen-Petterson) disk: inner regions align with the
+    # equator under Lense-Thirring torque while the outer disk keeps
+    # the tilt — modeled as the smooth profile
+    #   iota(r) = tilt / (1 + (warp_radius / r)^4),
+    # i.e. iota -> 0 well inside warp_radius and -> tilt outside.
+    # None = flat tilted plane. Same emitter caveats as `tilt`.
+    warp_radius: float | None = None
     max_hits: int = 2
     tone_map: str = "asinh"        # "asinh" | "linear" | "sqrt"
     # "powerlaw": grayscale I = g^p * r^-q (the original config-4 model).
@@ -78,6 +85,27 @@ def disk_basis(tilt: float, tilt_azimuth: float):
     e2 = (-sl * ci, cl * ci, si)
     return (tuple(map(float, n)), tuple(map(float, e1)),
             tuple(map(float, e2)))
+
+
+def warped_basis(tilt: float, tilt_azimuth: float, warp_radius: float,
+                 power: float = 4.0):
+    """Radius-dependent disk basis for a Bardeen-Petterson warp:
+    iota(r) = tilt / (1 + (warp_radius/r)^power), same R_z(lam) R_x
+    convention as disk_basis. Returns a jax-traceable callable
+    r -> ((n), (e1), (e2)) for dp45_integrate(disk_normal=...)."""
+    sl, cl = float(np.sin(tilt_azimuth)), float(np.cos(tilt_azimuth))
+
+    def basis(r):
+        iota = tilt / (1.0 + (warp_radius / jnp.maximum(r, 1e-6))
+                       ** power)
+        si, ci = jnp.sin(iota), jnp.cos(iota)
+        zero = jnp.zeros_like(si)
+        n = (si * sl, -si * cl, ci)
+        e1 = (cl + zero, sl + zero, zero)
+        e2 = (-sl * ci, cl * ci, si)
+        return n, e1, e2
+
+    return basis
 
 
 def r_isco(M: float, a: float, prograde: bool = True) -> float:
@@ -155,9 +183,9 @@ def trace_disk_rays(metric, r_obs, alphas, thetas, theta_obs,
     backend as in trace_batch."""
     from light_path_tracer_tpu.ops.batch import _kerr_backend
     resolved = _kerr_backend(backend, alphas.dtype)
-    if disk.tilt != 0.0:
-        # Tilted-plane recording needs atan2 inside the hot loop, which
-        # Mosaic does not lower — route to the XLA path.
+    if disk.tilt != 0.0 or disk.warp_radius is not None:
+        # Tilted/warped recording needs atan2 inside the hot loop,
+        # which Mosaic does not lower — route to the XLA path.
         resolved = "xla"
     r_in = disk.r_in if disk.r_in is not None else r_isco(
         metric.M, metric.a, disk.prograde)
@@ -203,8 +231,11 @@ def _trace_disk_rays_xla(metric, r_obs, alphas, thetas, theta_obs,
         disk_plane=(float(r_in), float(disk.r_out), float(np.pi / 2),
                     bool(disk.opaque)),
         max_disk_hits=disk.max_hits,
-        disk_normal=(disk_basis(disk.tilt, disk.tilt_azimuth)
-                     if disk.tilt != 0.0 else None))
+        disk_normal=(
+            warped_basis(disk.tilt, disk.tilt_azimuth, disk.warp_radius)
+            if disk.warp_radius is not None
+            else (disk_basis(disk.tilt, disk.tilt_azimuth)
+                  if disk.tilt != 0.0 else None)))
 
     xi = p_phi  # E = 1 convention: xi = L/E = p_phi
     final_alpha, n_half, status_out = finalize_angles(

@@ -313,21 +313,29 @@ def dp45_integrate(metric, y0, p_t, p_phi, status0, *, atol, rtol, h_min,
     lam0 = jnp.zeros_like(y0[0])
 
     if disk_normal is not None:
-        # Tilted disk: plane through the origin with static unit normal
-        # n and in-plane basis (e1, e2); the detector runs on the
-        # scale-free s = n . xhat(theta, phi), and the recorded azimuth
-        # is the in-plane atan2(xhat.e2, xhat.e1) — both already
-        # physical on the double-cover chart (xhat carries sin(theta)'s
-        # sign). theta-form only (the mu chart folds the branch), and
-        # XLA-path only (atan2 does not lower in Mosaic).
+        # Tilted disk: surface through the origin with unit normal n
+        # and in-plane basis (e1, e2) — either a static
+        # ((n), (e1), (e2)) tuple (flat tilted plane) or a callable
+        # r -> ((n), (e1), (e2)) (warped disk: radius-dependent tilt,
+        # e.g. Bardeen-Petterson). The detector runs on the scale-free
+        # s = n(r) . xhat(theta, phi), and the recorded azimuth is the
+        # in-plane atan2(xhat.e2, xhat.e1) — both already physical on
+        # the double-cover chart (xhat carries sin(theta)'s sign).
+        # theta-form only (the mu chart folds the branch), and XLA-path
+        # only (atan2 does not lower in Mosaic).
         if formulation == "mu":
             raise ValueError("tilted disk requires formulation='theta'")
-        (_nx, _ny, _nz), _e1, _e2 = disk_normal
+        if callable(disk_normal):
+            _basis_at = disk_normal
+        else:
+            _const_basis = disk_normal
+            _basis_at = lambda r: _const_basis
 
-        def _plane_s(th, ph):
+        def _plane_s(th, ph, r):
+            (nx, ny, nz), _, _ = _basis_at(r)
             sth, cth = jnp.sin(th), jnp.cos(th)
             sph, cph = jnp.sin(ph), jnp.cos(ph)
-            return (_nx * sth * cph + _ny * sth * sph + _nz * cth,
+            return (nx * sth * cph + ny * sth * sph + nz * cth,
                     (sth * cph, sth * sph, cth))
 
     if disk_plane is not None:
@@ -551,8 +559,8 @@ def dp45_integrate(metric, y0, p_t, p_phi, status0, *, atol, rtol, h_min,
             # interpolant used for events.
             th_prev, th_next = y[1], y_acc[1]
             if disk_normal is not None:
-                d_prev, _ = _plane_s(th_prev, y[2])
-                d_next, _ = _plane_s(th_next, y_acc[2])
+                d_prev, _ = _plane_s(th_prev, y[2], y[0])
+                d_next, _ = _plane_s(th_next, y_acc[2], y_acc[0])
             elif formulation == "mu":
                 d_prev = th_prev - plane_c      # state coord IS cos(theta)
                 d_next = th_next - plane_c
@@ -599,7 +607,9 @@ def dp45_integrate(metric, y0, p_t, p_phi, status0, *, atol, rtol, h_min,
             # chart folds the branch away, so disk mode is theta-only
             # (enforced at the wrappers).
             if disk_normal is not None:
-                _s_c, (xh, yh, zh) = _plane_s(y_cross[1], y_cross[2])
+                _s_c, (xh, yh, zh) = _plane_s(y_cross[1], y_cross[2],
+                                              y_cross[0])
+                (_nx, _ny, _nz), _e1, _e2 = _basis_at(y_cross[0])
                 u1 = xh * _e1[0] + yh * _e1[1] + zh * _e1[2]
                 u2 = xh * _e2[0] + yh * _e2[1] + zh * _e2[2]
                 phi_c = jnp.arctan2(u2, u1)

@@ -490,3 +490,34 @@ def test_tilted_kerr_disk_renders():
     assert st["disk_pixels"] > 50
     assert np.isfinite(np.asarray(img_t)).all()
     assert np.abs(np.asarray(img_t) - np.asarray(img_eq)).max() > 0.05
+
+
+def test_warped_disk_limits_and_renders():
+    """Warped disk: warp_radius -> 0 reproduces the flat tilted plane,
+    a huge warp_radius reproduces the equatorial disk, and an
+    intermediate warp differs from both (the Bardeen-Petterson shape)."""
+    scene = SceneConfig(M=1.0, a=0.9, r_obs_mult=100.0,
+                        vertical_fov_deg=30.0,
+                        theta_obs=np.radians(80.0))
+    cfg = RenderConfig(dtype="float64")
+    tilt = np.radians(25.0)
+
+    img_flat_tilt, _ = render_disk(scene, (32, 48), cfg,
+                                   DiskConfig(tilt=tilt))
+    img_w0, _ = render_disk(scene, (32, 48), cfg,
+                            DiskConfig(tilt=tilt, warp_radius=1e-6))
+    d = np.abs(np.asarray(img_w0) - np.asarray(img_flat_tilt))
+    assert (d < 1e-3).mean() > 0.99
+
+    img_eq, _ = render_disk(scene, (32, 48), cfg, DiskConfig())
+    img_winf, _ = render_disk(scene, (32, 48), cfg,
+                              DiskConfig(tilt=tilt, warp_radius=1e5))
+    d = np.abs(np.asarray(img_winf) - np.asarray(img_eq))
+    assert (d < 1e-2).mean() > 0.95
+
+    img_mid, st = render_disk(scene, (32, 48), cfg,
+                              DiskConfig(tilt=tilt, warp_radius=10.0))
+    assert st["disk_pixels"] > 50
+    assert np.isfinite(np.asarray(img_mid)).all()
+    assert np.abs(np.asarray(img_mid) - np.asarray(img_flat_tilt)).max() > 0.03
+    assert np.abs(np.asarray(img_mid) - np.asarray(img_eq)).max() > 0.03
