@@ -191,3 +191,75 @@ def cached_precompute(scene: SceneConfig, cfg: RenderConfig,
     if store is not None:
         store.clear()
     return pre, False
+
+
+# ---- Orbax-backed render-session checkpoints ----
+
+def save_session(directory: str, scene: SceneConfig, cfg: RenderConfig,
+                 pre, image_dimension, fov) -> str:
+    """Persist a full render session with Orbax (docs/ROADMAP item).
+
+    The traced tables go through orbax-checkpoint's StandardCheckpointer
+    (atomic directory commit, versioned on-disk format, async-capable —
+    the production checkpointing stack for TPU workloads); the scene /
+    render configuration and the cache key ride alongside as JSON, so a
+    restore can verify it matches the requesting configuration.
+
+    Complements the npz whole-table cache (`cached_precompute`): use
+    sessions when the artifact should be a durable, self-describing
+    directory rather than an opportunistic cache entry.
+    """
+    import orbax.checkpoint as ocp
+
+    directory = os.path.abspath(directory)
+    key = cache_key(scene, cfg, image_dimension, fov)
+    arrays = {
+        "final_alpha": np.asarray(pre.final_alpha, np.float32),
+        "winding": np.asarray(pre.winding, np.uint16),
+    }
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(os.path.join(directory, "tables"), arrays, force=True)
+    meta = {
+        "key": key,
+        "scene": dataclasses.asdict(scene),
+        "render": dataclasses.asdict(cfg),
+        "dim": list(image_dimension),
+        "fov": [float(f) for f in fov],
+        "total_rays": int(pre.total_rays),
+        "traced_rays": int(pre.traced_rays),
+        "integrator_steps": int(pre.steps),
+    }
+    with open(os.path.join(directory, "session.json"), "w") as fh:
+        json.dump(meta, fh, indent=2, sort_keys=True)
+    return key
+
+
+def load_session(directory: str, scene: SceneConfig | None = None,
+                 cfg: RenderConfig | None = None,
+                 image_dimension=None, fov=None):
+    """Restore an Orbax render session; returns (PrecomputeResult, meta).
+
+    When scene/cfg/dim/fov are given, the stored cache key must match —
+    a mismatch raises instead of silently serving stale physics.
+    """
+    import orbax.checkpoint as ocp
+    from light_path_tracer_tpu.pipeline import PrecomputeResult
+
+    directory = os.path.abspath(directory)
+    with open(os.path.join(directory, "session.json")) as fh:
+        meta = json.load(fh)
+    if scene is not None:
+        expect = cache_key(scene, cfg, image_dimension, fov)
+        if expect != meta["key"]:
+            raise ValueError(
+                f"session key mismatch: stored {meta['key']}, "
+                f"requested {expect} — the session was produced by a "
+                f"different scene/render configuration")
+    with ocp.StandardCheckpointer() as ckptr:
+        arrays = ckptr.restore(os.path.join(directory, "tables"))
+    pre = PrecomputeResult(
+        jnp.asarray(arrays["final_alpha"]),
+        jnp.asarray(np.asarray(arrays["winding"]).astype(np.uint16)),
+        meta["total_rays"], meta["traced_rays"],
+        meta["integrator_steps"])
+    return pre, meta

@@ -137,3 +137,42 @@ def test_resume_requires_chunking():
     cfg = RenderConfig(chunk_size=None)
     with pytest.raises(ValueError, match="chunk_size"):
         cached_precompute(scene, cfg, (8, 8), (0.1, 0.1), resume=True)
+
+
+def test_orbax_session_roundtrip(tmp_path):
+    """Orbax render-session save/restore: tables round-trip exactly and
+    a mismatched configuration is refused."""
+    import numpy as np
+    from light_path_tracer_tpu.utils.config import SceneConfig, RenderConfig
+    from light_path_tracer_tpu import camera
+    from light_path_tracer_tpu.pipeline import precompute_final_alpha
+    from light_path_tracer_tpu.checkpoint import save_session, load_session
+
+    scene = SceneConfig(M=1.0, a=0.9, r_obs_mult=100.0)
+    cfg = RenderConfig(dtype="float64")
+    dim = (16, 20)
+    fov = camera.fov_from_vertical(scene.vertical_fov, dim)
+    pre = precompute_final_alpha(scene, cfg, dim, fov)
+
+    sess = tmp_path / "session"
+    key = save_session(str(sess), scene, cfg, pre, dim, fov)
+    assert (sess / "session.json").exists()
+
+    pre2, meta = load_session(str(sess), scene, cfg, dim, fov)
+    assert meta["key"] == key
+    np.testing.assert_array_equal(np.asarray(pre2.final_alpha),
+                                  np.asarray(pre.final_alpha,
+                                             np.float32))
+    np.testing.assert_array_equal(np.asarray(pre2.winding),
+                                  np.asarray(pre.winding))
+    assert pre2.total_rays == pre.total_rays
+
+    # A different scene must be refused.
+    other = SceneConfig(M=1.0, a=0.5, r_obs_mult=100.0)
+    import pytest
+    with pytest.raises(ValueError, match="mismatch"):
+        load_session(str(sess), other, cfg, dim, fov)
+
+    # Restore without verification still works.
+    pre3, _ = load_session(str(sess))
+    assert np.asarray(pre3.final_alpha).shape == dim
