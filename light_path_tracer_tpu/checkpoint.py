@@ -249,6 +249,10 @@ def load_session(directory: str, scene: SceneConfig | None = None,
     with open(os.path.join(directory, "session.json")) as fh:
         meta = json.load(fh)
     if scene is not None:
+        if cfg is None or image_dimension is None or fov is None:
+            raise ValueError(
+                "key verification needs scene, cfg, image_dimension "
+                "AND fov (or none of them for an unverified restore)")
         expect = cache_key(scene, cfg, image_dimension, fov)
         if expect != meta["key"]:
             raise ValueError(

@@ -268,8 +268,8 @@ def cmd_disk(args) -> int:
         from light_path_tracer_tpu.disk import (render_disk_frames,
                                                 HotSpot, keplerian_omega)
         spot = HotSpot(r0=args.spot_r0, amplitude=args.spot_amplitude)
-        period = 2.0 * np.pi / keplerian_omega(args.M, args.a,
-                                               args.spot_r0)
+        period = abs(2.0 * np.pi / keplerian_omega(
+            args.M, args.a, args.spot_r0, not args.retrograde))
         times = [period * args.orbits * i / args.frames
                  for i in range(args.frames)]
         frames, stats = render_disk_frames(

@@ -622,9 +622,15 @@ def dp45_integrate(metric, y0, p_t, p_phi, status0, *, atol, rtol, h_min,
                 # projection for tilted Kerr — DiskConfig.tilt docs).
                 th_c, ph_c, pth_c = y_cross[1], y_cross[2], y_cross[4]
                 sth_c = jnp.sin(th_c)
-                cot_c = jnp.cos(th_c) / jnp.where(
+                # Sign-PRESERVING clamp: replacing a tiny negative
+                # sin(theta) with +eps would flip the sign of cot and
+                # hence of the recorded xi on near-pole crossings.
+                sth_safe = jnp.where(
                     jnp.abs(sth_c) < 1e-12,
-                    jnp.asarray(1e-12, sth_c.dtype), sth_c)
+                    jnp.where(sth_c < 0.0, -1e-12, 1e-12).astype(
+                        sth_c.dtype),
+                    sth_c)
+                cot_c = jnp.cos(th_c) / sth_safe
                 sph_c, cph_c = jnp.sin(ph_c), jnp.cos(ph_c)
                 lx = -sph_c * pth_c - cot_c * cph_c * p_phi
                 ly = cph_c * pth_c - cot_c * sph_c * p_phi

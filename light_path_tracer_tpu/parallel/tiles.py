@@ -141,6 +141,12 @@ def trace_disk_grid_sharded(metric, r_obs, alpha_grid, theta_grid,
     alpha_p, theta_p = place(alpha_grid), place(theta_grid)
     shard_map = shard_map_fn()
 
+    # Tilted/warped disks also record per-crossing angular momentum
+    # (xi_hits) — dropping it here would silently compute the Doppler
+    # about the wrong axis downstream.
+    tilted = disk.tilt != 0.0 or disk.warp_radius is not None
+    n_xi = disk.max_hits if tilted else 0
+
     def per_tile(a, t):
         res = trace_disk_rays(
             metric, float(r_obs), a.ravel(), t.ravel(), float(theta_obs),
@@ -155,13 +161,14 @@ def trace_disk_grid_sharded(metric, r_obs, alpha_grid, theta_grid,
             jnp.reshape(res.n_steps, (1, 1)),
             res.final_alpha.reshape(a.shape),
             res.n_half.reshape(a.shape),
-            tuple(p.reshape(a.shape) for p in res.phi_hits))
+            tuple(p.reshape(a.shape) for p in res.phi_hits),
+            tuple(x.reshape(a.shape) for x in res.xi_hits))
         return shaped
 
     spec = P(axis, None)
     out_specs = DiskTraceResult(
         spec, spec, (spec,) * len(disk_slots(disk)), spec, spec, spec,
-        spec, (spec,) * len(disk_slots(disk)))
+        spec, (spec,) * len(disk_slots(disk)), (spec,) * n_xi)
     f = shard_map(per_tile, mesh=mesh, in_specs=(spec, spec),
                   out_specs=out_specs)
     res = jax.jit(f)(alpha_p, theta_p)
@@ -173,7 +180,8 @@ def trace_disk_grid_sharded(metric, r_obs, alpha_grid, theta_grid,
         unplace(res.status), unplace(res.n_hits),
         tuple(unplace(r) for r in res.r_hits), unplace(res.xi),
         jnp.sum(res.n_steps), unplace(res.final_alpha),
-        unplace(res.n_half), tuple(unplace(p) for p in res.phi_hits))
+        unplace(res.n_half), tuple(unplace(p) for p in res.phi_hits),
+        tuple(unplace(x) for x in res.xi_hits))
 
 
 def disk_slots(disk) -> range:

@@ -3,12 +3,13 @@
 Production-deployment layer beyond the reference (which is batch-only,
 image_lens.py:518-535): a lightweight stdlib HTTP server that keeps the
 TPU program warm across requests. The first request of each distinct
-compiled signature (mode, resolution, metric kind, dtype, static knobs)
-pays the XLA compile; every later request with the same signature —
-any psi / M / a / boost / disk parameters — reuses it, so steady-state
-latency is the kernel time plus device->host readback. The animation
-modes additionally reuse the recompilation-free traced-parameter
-programs (sequence.py), so even (M, a) sweeps never recompile.
+signature — the FULL (mode, size, scene, render, disk) configuration;
+scene parameters like M/a/psi are static argnums in the jitted
+pipelines, so changing them compiles a new program — pays the XLA
+compile; every later identical-signature request reuses it (measured
+14 s cold / 0.11 s warm for a 256^2 Kerr shadow on a v5e). Parameter
+sweeps that must not recompile should use the traced-parameter
+sequence API (sequence.render_param_sequence) directly.
 
 Protocol (JSON over HTTP, no external deps):
 
@@ -75,6 +76,10 @@ def _disk_cfg_from_json(d: dict):
     for key in _DISK_DEG_FIELDS:
         if key in kw:
             kw[key] = math.radians(float(kw[key]))
+    if not kw.get("warp_radius"):
+        # 0 means "flat plane" at the API boundary (CLI parity); None
+        # internally, so an untilted disk keeps the fast Pallas path.
+        kw.pop("warp_radius", None)
     return DiskConfig(**kw)
 
 
@@ -199,26 +204,57 @@ def make_server(host: str = "127.0.0.1", port: int = 0,
             if self.path != "/render":
                 self._reply_json(404, {"error": "unknown path"})
                 return
+            replied = False
             try:
-                length = int(self.headers.get("Content-Length", "0"))
-                req = json.loads(self.rfile.read(length) or b"{}")
-                mode = req.get("mode", "shadow")
-                scene = _scene_from_json(req.get("scene", {}))
-                cfg = _render_cfg_from_json(req.get("render", {}))
-                disk = (_disk_cfg_from_json(req.get("disk", {}))
-                        if mode in ("disk", "composite") else None)
-                src = (_decode_image(req["image_b64"])
-                       if mode in ("lens", "composite") else None)
-                size = req.get("size", [256, 256])
-                img, dt, cache = svc.render(mode, scene, cfg, size=size,
-                                            source_image=src, disk=disk)
-                body, ctype = _encode_image(img, req.get("format", "png"))
+                # Request decode: anything wrong here is the CLIENT's
+                # error -> 400.
+                try:
+                    length = int(self.headers.get("Content-Length", "0"))
+                    req = json.loads(self.rfile.read(length) or b"{}")
+                    mode = req.get("mode", "shadow")
+                    if mode not in ("shadow", "lens", "disk",
+                                    "composite"):
+                        raise ValueError(f"unknown mode {mode!r}")
+                    scene = _scene_from_json(req.get("scene", {}))
+                    cfg = _render_cfg_from_json(req.get("render", {}))
+                    disk = (_disk_cfg_from_json(req.get("disk", {}))
+                            if mode in ("disk", "composite") else None)
+                    src = (_decode_image(req["image_b64"])
+                           if mode in ("lens", "composite") else None)
+                    size = req.get("size", [256, 256])
+                except Exception as exc:        # noqa: BLE001 — client
+                    self._reply_json(400, {"error":
+                                           f"{type(exc).__name__}: {exc}"})
+                    replied = True
+                    return
+                # Render failures (compile error, OOM, bugs) are OURS
+                # -> 500, so monitoring doesn't classify outages as bad
+                # requests.
+                try:
+                    img, dt, cache = svc.render(
+                        mode, scene, cfg, size=size, source_image=src,
+                        disk=disk)
+                    body, ctype = _encode_image(img,
+                                                req.get("format", "png"))
+                except Exception as exc:        # noqa: BLE001 — server
+                    self._reply_json(500, {"error":
+                                           f"{type(exc).__name__}: {exc}"})
+                    replied = True
+                    return
+                replied = True
                 self._reply(200, body, ctype,
                             extra=[("X-Render-Seconds", f"{dt:.4f}"),
                                    ("X-Cache", cache)])
-            except Exception as exc:            # noqa: BLE001 — to client
-                self._reply_json(400, {"error": f"{type(exc).__name__}: "
-                                                f"{exc}"})
+            except (BrokenPipeError, ConnectionResetError):
+                # Client went away mid-reply: nothing to send and no
+                # second reply on a half-written socket.
+                pass
+            except Exception:
+                if not replied:
+                    try:
+                        self._reply_json(500, {"error": "internal"})
+                    except OSError:
+                        pass
 
     server = ThreadingHTTPServer((host, port), Handler)
     server.service = svc
