@@ -182,6 +182,20 @@ def cmd_lens(args) -> int:
         result = out.image
         total, traced = out.precompute.total_rays, out.precompute.traced_rays
 
+    if getattr(args, "rings", False) and not getattr(args, "disk", False):
+        import os
+        from light_path_tracer_tpu.pipeline import render_scene_rings
+        layers, _full, rstats = render_scene_rings(
+            scene, img, cfg, max_order=args.max_order)
+        stem, ext = os.path.splitext(args.output)
+        labels = ([f"order{k}" for k in range(args.max_order)]
+                  + [f"order{args.max_order}plus", "shadow"])
+        for layer, label in zip(np.asarray(layers), labels):
+            mpimg.imsave(f"{stem}_{label}{ext}",
+                         np.clip(layer, 0.0, 1.0))
+        for label, count in rstats["order_pixels"].items():
+            print(f"  {label:<12} {count:>10,} px")
+
     t0 = time.perf_counter()
     mpimg.imsave(args.output, np.clip(np.asarray(result), 0.0, 1.0))
     timings["save_image"] = time.perf_counter() - t0
@@ -454,6 +468,10 @@ def build_parser():
     p.add_argument("--t-peak", type=float, default=9000.0)
     p.add_argument("--disk-gain", type=float, default=1.0,
                    help="disk brightness relative to the background")
+    p.add_argument("--rings", action="store_true",
+                   help="also write the lensed image split by photon-"
+                        "ring order (direct / 1st lensed / n-th ring)")
+    p.add_argument("--max-order", type=int, default=3)
     p.set_defaults(fn=cmd_lens)
 
     p = sub.add_parser("shadow", help="black-hole shadow render")

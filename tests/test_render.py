@@ -126,3 +126,25 @@ def test_ring_decomposition_partitions_image():
     c = np.asarray(comp)
     assert (c[np.isnan(fa)] == 0.0).all()                      # black
     assert (c[esc & (wind == 0)] == 0.85).all()                # gray
+
+
+def test_render_scene_rings_layers_partition_image():
+    """Lensed ring decomposition: the order layers are disjoint and sum
+    back to the full lensed image."""
+    import numpy as np
+    from light_path_tracer_tpu.utils.config import SceneConfig, RenderConfig
+    from light_path_tracer_tpu.pipeline import render_scene_rings
+
+    rng = np.random.default_rng(4)
+    src = rng.uniform(0.1, 0.9, (32, 40, 3)).astype(np.float32)
+    scene = SceneConfig(M=1.0, a=0.9, r_obs_mult=100.0)
+    layers, full, stats = render_scene_rings(
+        scene, src, RenderConfig(dtype="float64"), max_order=2)
+    layers, full = np.asarray(layers), np.asarray(full)
+    assert layers.shape == (4, 32, 40, 3)
+    np.testing.assert_allclose(layers.sum(axis=0), full, atol=1e-6)
+    # Disjoint: at most one layer nonzero per pixel (shadow layer is 0).
+    nonzero = (layers.sum(axis=-1) > 0).sum(axis=0)
+    assert nonzero.max() <= 1
+    assert stats["order_pixels"]["order_0"] > 100
+    assert stats["order_pixels"]["order_1"] > 0
