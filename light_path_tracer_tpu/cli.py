@@ -308,7 +308,13 @@ def cmd_disk(args) -> int:
         print(f"Saved: {out}")
         return 0
 
-    img, stats = render_disk(scene, (args.size, args.size), cfg, disk)
+    if args.aa > 1:
+        from light_path_tracer_tpu.disk import render_disk_aa
+        img, stats = render_disk_aa(scene, (args.size, args.size), cfg,
+                                    disk, aa_samples=args.aa)
+        stats.setdefault("captured", 0)
+    else:
+        img, stats = render_disk(scene, (args.size, args.size), cfg, disk)
     if args.spectrum == "blackbody":
         # Physically colored (linear sRGB): gamma-encode for the PNG.
         colored = np.clip(np.asarray(img), 0.0, 1.0) ** (1.0 / 2.2)
@@ -527,6 +533,9 @@ def build_parser():
                    help="hot-spot orbit radius [M]")
     p.add_argument("--spot-amplitude", type=float, default=6.0)
     p.add_argument("--fps", type=float, default=12.0)
+    p.add_argument("--aa", type=int, default=1,
+                   help="jittered AA samples per pixel (disk edges / "
+                        "photon ring)")
     p.add_argument("--output", default="accretion_disk.png")
     p.set_defaults(fn=cmd_disk)
 

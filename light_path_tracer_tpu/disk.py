@@ -680,3 +680,82 @@ def composite_gamma_encode(image, disk_mask, gamma: float = 2.2):
     enc = jnp.clip(img, 0.0, 1.0) ** (1.0 / gamma)
     m = mask if img.ndim == 2 else mask[..., None]
     return jnp.where(m, enc, img)
+
+
+def render_disk_aa(scene: SceneConfig, resolution,
+                   cfg: RenderConfig = RenderConfig(),
+                   disk: DiskConfig = DiskConfig(),
+                   aa_samples: int = 4):
+    """Anti-aliased disk render: jittered subpixel passes averaged in
+    LINEAR emission space (before tone mapping — averaging after would
+    bias the compressive asinh curve), then tone-mapped once.
+
+    The disk's inner edge, the lensed secondary image, and the photon
+    ring are the sharp features that alias at low resolution; aa.py's
+    rotated-grid offsets (aa_offsets) give them smooth coverage. All
+    passes trace in ONE stacked dispatch.
+    """
+    from light_path_tracer_tpu.aa import aa_offsets
+
+    metric = Kerr(M=scene.M, a=scene.a)
+    timer = StageTimer()
+    height, width = resolution
+    fov = camera.fov_from_vertical(scene.vertical_fov, resolution)
+    dtype = jnp.float64 if cfg.dtype == "float64" else jnp.float32
+    offsets = aa_offsets(aa_samples)
+    n_s = len(offsets)
+
+    with timer.stage("build_lookup") as out:
+        alphas, thetas = [], []
+        for offset in offsets:
+            alphas.append(camera.build_alpha_lookup(
+                resolution, fov, psi=scene.psi, dtype=dtype,
+                boost=scene.boost, pixel_offset=tuple(offset)))
+            thetas.append(camera.build_theta_lookup(
+                resolution, fov, psi=scene.psi, dtype=dtype,
+                boost=scene.boost, pixel_offset=tuple(offset)))
+        alpha = jnp.stack(alphas)
+        theta = jnp.stack(thetas)
+        out.append((alpha, theta))
+
+    with timer.stage("precompute") as out:
+        res = trace_disk_rays(
+            metric, scene.r_obs, alpha.ravel(), theta.ravel(),
+            scene.theta_obs, max(5000.0, 6.0 * scene.r_obs),
+            cfg.max_steps, disk, backend=cfg.backend)
+        out.append(res.status)
+
+    with timer.stage("render") as out:
+        r_in = disk.r_in if disk.r_in is not None else r_isco(
+            scene.M, scene.a, disk.prograde)
+        dl = None
+        if scene.boosted:
+            dl = jnp.stack([camera.doppler_lookup(
+                resolution, fov, scene.boost, dtype=dtype,
+                pixel_offset=tuple(off)) for off in offsets]).ravel()
+        intensity, rgb = disk_emission(scene, disk, r_in, res.n_hits,
+                                       res.r_hits, res.xi, doppler=dl,
+                                       xi_hits=res.xi_hits)
+        # Average the passes in linear space, then tone-map.
+        intensity = intensity.reshape(n_s, height * width).mean(axis=0)
+        if rgb is not None:
+            rgb = rgb.reshape(n_s, height * width, 3).mean(axis=0)
+            lum = _tone_map(intensity, disk.tone_map)
+            chroma = rgb / jnp.maximum(intensity, 1e-12)[:, None]
+            img = (chroma * lum[:, None]).reshape(
+                resolution + (3,)).astype(jnp.float32)
+        else:
+            img = _tone_map(intensity, disk.tone_map).reshape(
+                resolution).astype(jnp.float32)
+        out.append(img)
+
+    stats = dict(
+        r_isco=r_isco(scene.M, scene.a, disk.prograde),
+        disk_pixels=int((np.asarray(res.n_hits).reshape(n_s, -1) > 0)
+                        .any(axis=0).sum()),
+        integrator_steps=int(res.n_steps),
+        aa_samples=n_s,
+        total_rays=n_s * height * width,
+        traced_rays=n_s * height * width,
+        timings=timer.finish())
+    return img, stats

@@ -136,3 +136,31 @@ def test_scene_aa_render():
     assert img.shape == src.shape
     assert np.isfinite(img).all()
     assert stats["aa_samples"] == 2
+
+
+def test_disk_aa_smooths_inner_edge():
+    """AA disk render: same gross structure as the 1-sample render but
+    with strictly more intermediate (partial-coverage) pixel values on
+    the sharp disk boundary."""
+    import numpy as np
+    from light_path_tracer_tpu.utils.config import SceneConfig, RenderConfig
+    from light_path_tracer_tpu.disk import (render_disk, render_disk_aa,
+                                            DiskConfig)
+
+    scene = SceneConfig(M=1.0, a=0.9, r_obs_mult=100.0,
+                        vertical_fov_deg=24.0,
+                        theta_obs=np.radians(80.0))
+    cfg = RenderConfig(dtype="float64")
+    img1, st1 = render_disk(scene, (40, 56), cfg, DiskConfig())
+    img4, st4 = render_disk_aa(scene, (40, 56), cfg, DiskConfig(),
+                               aa_samples=4)
+    img1, img4 = np.asarray(img1), np.asarray(img4)
+    assert st4["aa_samples"] == 4 and st4["traced_rays"] == 4 * 40 * 56
+    assert np.isfinite(img4).all()
+    # Bulk agrees (same scene)...
+    assert np.abs(img4 - img1).mean() < 0.05
+    # ...but the boundary gains partial-coverage values: count pixels
+    # that are neither near-zero nor near the local max.
+    def partial(im):
+        return ((im > 0.02) & (im < 0.35)).sum()
+    assert partial(img4) > partial(img1)
