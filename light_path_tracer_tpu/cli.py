@@ -118,10 +118,14 @@ def cmd_lens(args) -> int:
     print(f"BH screen offset: psi_y={args.psi_y:.4f} deg, "
           f"psi_x={args.psi_x:.4f} deg ({status})")
 
+    ring_tables = None
     if getattr(args, "disk", False):
         if args.cache:
             print("  note: --cache is not supported with --disk "
                   "(composite re-traces); ignoring")
+        if getattr(args, "rings", False):
+            print("  note: --rings is not supported with --disk; "
+                  "ignoring")
         from light_path_tracer_tpu.disk import (
             render_scene_with_disk, DiskConfig)
         disk = DiskConfig(r_out=args.r_out,
@@ -175,25 +179,28 @@ def cmd_lens(args) -> int:
             out.append(lensed)
         timings = timer.finish()
         result, total, traced = lensed, pre.total_rays, pre.traced_rays
+        ring_tables = (pre.final_alpha, pre.winding)
     else:
         out = render_scene(scene, img, cfg)
         out.timings["load_image"] += load_time
         timings = out.timings
         result = out.image
         total, traced = out.precompute.total_rays, out.precompute.traced_rays
+        ring_tables = (out.precompute.final_alpha, out.precompute.winding)
 
-    if getattr(args, "rings", False) and not getattr(args, "disk", False):
+    if getattr(args, "rings", False) and ring_tables is not None:
+        # Decomposition reuses THIS render's lookup tables — no second
+        # trace (review finding: the old path re-rendered everything).
         import os
-        from light_path_tracer_tpu.pipeline import render_scene_rings
-        layers, _full, rstats = render_scene_rings(
-            scene, img, cfg, max_order=args.max_order)
+        from light_path_tracer_tpu.pipeline import lensed_ring_layers
+        layers, order_pixels = lensed_ring_layers(
+            ring_tables[0], ring_tables[1], result,
+            max_order=args.max_order)
         stem, ext = os.path.splitext(args.output)
-        labels = ([f"order{k}" for k in range(args.max_order)]
-                  + [f"order{args.max_order}plus", "shadow"])
-        for layer, label in zip(np.asarray(layers), labels):
-            mpimg.imsave(f"{stem}_{label}{ext}",
+        for layer, label in zip(np.asarray(layers), order_pixels):
+            mpimg.imsave(f"{stem}_{label.replace('_', '')}{ext}",
                          np.clip(layer, 0.0, 1.0))
-        for label, count in rstats["order_pixels"].items():
+        for label, count in order_pixels.items():
             print(f"  {label:<12} {count:>10,} px")
 
     t0 = time.perf_counter()
@@ -312,7 +319,6 @@ def cmd_disk(args) -> int:
         from light_path_tracer_tpu.disk import render_disk_aa
         img, stats = render_disk_aa(scene, (args.size, args.size), cfg,
                                     disk, aa_samples=args.aa)
-        stats.setdefault("captured", 0)
     else:
         img, stats = render_disk(scene, (args.size, args.size), cfg, disk)
     if args.spectrum == "blackbody":

@@ -282,15 +282,7 @@ def render_disk(scene: SceneConfig, resolution,
         intensity, rgb = disk_emission(scene, disk, r_in,
                                        res.n_hits, res.r_hits, res.xi,
                                        doppler=dl, xi_hits=res.xi_hits)
-        if rgb is not None:
-            # Tone-map the luminance, keep the blackbody chromaticity.
-            lum = _tone_map(intensity, disk.tone_map)
-            chroma = rgb / jnp.maximum(intensity, 1e-12)[:, None]
-            img = (chroma * lum[:, None]).reshape(
-                resolution + (3,)).astype(jnp.float32)
-        else:
-            img = _tone_map(intensity, disk.tone_map).reshape(
-                resolution).astype(jnp.float32)
+        img = _finish_image(intensity, rgb, resolution, disk.tone_map)
         out.append(img)
 
     stats = dict(
@@ -303,6 +295,20 @@ def render_disk(scene: SceneConfig, resolution,
         traced_rays=height * width,
         timings=timer.finish())
     return img, stats
+
+
+def _finish_image(intensity, rgb, resolution, tone_map: str):
+    """Shared emission -> image finish: tone-map the luminance, keep the
+    blackbody chromaticity (rgb is None for the power-law spectrum).
+    One implementation for render_disk / render_disk_aa so the paths
+    cannot diverge."""
+    if rgb is not None:
+        lum = _tone_map(intensity, tone_map)
+        chroma = rgb / jnp.maximum(intensity, 1e-12)[:, None]
+        return (chroma * lum[:, None]).reshape(
+            resolution + (3,)).astype(jnp.float32)
+    return _tone_map(intensity, tone_map).reshape(
+        resolution).astype(jnp.float32)
 
 
 def _tone_map(x, mode: str, peak=None):
@@ -706,16 +712,11 @@ def render_disk_aa(scene: SceneConfig, resolution,
     n_s = len(offsets)
 
     with timer.stage("build_lookup") as out:
-        alphas, thetas = [], []
-        for offset in offsets:
-            alphas.append(camera.build_alpha_lookup(
-                resolution, fov, psi=scene.psi, dtype=dtype,
-                boost=scene.boost, pixel_offset=tuple(offset)))
-            thetas.append(camera.build_theta_lookup(
-                resolution, fov, psi=scene.psi, dtype=dtype,
-                boost=scene.boost, pixel_offset=tuple(offset)))
-        alpha = jnp.stack(alphas)
-        theta = jnp.stack(thetas)
+        from light_path_tracer_tpu.aa import _stacked_grids
+        # Shared per-offset grid builder (aa.py); Kerr is never
+        # spherically symmetric here so theta always comes back.
+        alpha, theta = _stacked_grids(metric, scene, cfg, resolution,
+                                      fov, offsets)
         out.append((alpha, theta))
 
     with timer.stage("precompute") as out:
@@ -740,19 +741,14 @@ def render_disk_aa(scene: SceneConfig, resolution,
         intensity = intensity.reshape(n_s, height * width).mean(axis=0)
         if rgb is not None:
             rgb = rgb.reshape(n_s, height * width, 3).mean(axis=0)
-            lum = _tone_map(intensity, disk.tone_map)
-            chroma = rgb / jnp.maximum(intensity, 1e-12)[:, None]
-            img = (chroma * lum[:, None]).reshape(
-                resolution + (3,)).astype(jnp.float32)
-        else:
-            img = _tone_map(intensity, disk.tone_map).reshape(
-                resolution).astype(jnp.float32)
+        img = _finish_image(intensity, rgb, resolution, disk.tone_map)
         out.append(img)
 
     stats = dict(
         r_isco=r_isco(scene.M, scene.a, disk.prograde),
         disk_pixels=int((np.asarray(res.n_hits).reshape(n_s, -1) > 0)
                         .any(axis=0).sum()),
+        captured=int((np.asarray(res.status) == CAPTURED).sum()),
         integrator_steps=int(res.n_steps),
         aa_samples=n_s,
         total_rays=n_s * height * width,

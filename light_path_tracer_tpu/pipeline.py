@@ -310,9 +310,9 @@ def render_rings(scene: SceneConfig, resolution,
             pre.final_alpha, pre.winding, max_order=max_order)
         out.append(composite)
 
+    from light_path_tracer_tpu.render import ring_labels
     counts = np.asarray(masks.sum(axis=(1, 2)))
-    labels = ([f"order_{k}" for k in range(max_order)]
-              + [f"order_ge_{max_order}", "shadow"])
+    labels = ring_labels(max_order)
     metric = make_metric(scene.M, scene.a)
     stats = dict(
         alpha_crit=metric.alpha_crit(scene.r_obs, scene.theta_obs),
@@ -322,35 +322,43 @@ def render_rings(scene: SceneConfig, resolution,
     return masks, composite, stats
 
 
+def lensed_ring_layers(final_alpha, winding, image, max_order: int = 3):
+    """Split a rendered lensed image into photon-ring-order layers.
+
+    Works from the lookup tables an existing render already has —
+    zero extra tracing. Returns (layers (max_order+2, H, W[, C]),
+    order_pixels dict); layers are disjoint and sum to `image` exactly
+    on non-shadow pixels.
+    """
+    from light_path_tracer_tpu.render import (ring_decomposition,
+                                              ring_labels)
+    masks, _ = ring_decomposition(final_alpha, winding,
+                                  max_order=max_order)
+    lensed = jnp.asarray(image)
+    expand = (lambda m: m) if lensed.ndim == 2 else (lambda m: m[..., None])
+    layers = jnp.stack([jnp.where(expand(m), lensed, 0.0) for m in masks])
+    counts = np.asarray(masks.sum(axis=tuple(range(1, masks.ndim))))
+    order_pixels = {lab: int(c)
+                    for lab, c in zip(ring_labels(max_order), counts)}
+    return layers, order_pixels
+
+
 def render_scene_rings(scene: SceneConfig, source_image,
                        cfg: RenderConfig = RenderConfig(),
                        max_order: int = 3):
     """Photon-ring decomposition of a LENSED render: the full lensed
     image split by winding order (direct image, first lensed image,
-    n-th photon ring) — each order's image is the lensed render with
-    every other order's pixels zeroed. One trace serves all orders
-    (the per-pixel winding already exists in the lookup tables).
+    n-th photon ring). One trace serves all orders (the per-pixel
+    winding already exists in the lookup tables). Beyond the reference
+    (which folds every order into one image); the EHT-style use is
+    isolating the exponentially thinner higher-order rings.
 
-    Returns (images (max_order+2, H, W, C) float32 — orders
-    0..max_order-1, ">= max_order", then the residual shadow layer —
-    the full lensed image, and stats). Beyond the reference (which
-    folds every order into one image); the EHT-style use is isolating
-    the exponentially thinner higher-order rings.
+    Returns (layers, full lensed image, stats).
     """
-    from light_path_tracer_tpu.render import ring_decomposition
-
     out = render_scene(scene, source_image, cfg)
-    masks, _ = ring_decomposition(out.precompute.final_alpha,
-                                  out.precompute.winding,
-                                  max_order=max_order)
-    lensed = jnp.asarray(out.image)
-    expand = (lambda m: m) if lensed.ndim == 2 else (lambda m: m[..., None])
-    layers = jnp.stack([jnp.where(expand(m), lensed, 0.0) for m in masks])
-
-    counts = np.asarray(masks.sum(axis=tuple(range(1, masks.ndim))))
-    labels = ([f"order_{k}" for k in range(max_order)]
-              + [f"order_ge_{max_order}", "shadow"])
-    stats = dict(order_pixels={lab: int(c)
-                               for lab, c in zip(labels, counts)},
-                 alpha_crit=out.alpha_crit, timings=out.timings)
+    layers, order_pixels = lensed_ring_layers(
+        out.precompute.final_alpha, out.precompute.winding, out.image,
+        max_order=max_order)
+    stats = dict(order_pixels=order_pixels, alpha_crit=out.alpha_crit,
+                 timings=out.timings)
     return layers, out.image, stats

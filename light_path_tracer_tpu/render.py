@@ -163,6 +163,14 @@ def render_lensed_image(source_image, alpha_lookup, final_alpha_lookup,
         (height, width), tuple(fov), tuple(psi), bool(render_loop_around))
 
 
+def ring_labels(max_order: int):
+    """Canonical layer labels for ring_decomposition's output order —
+    the ONE source for every consumer (pipeline stats, CLI filenames);
+    zip() against mismatched ad-hoc lists silently mislabels layers."""
+    return ([f"order_{k}" for k in range(max_order)]
+            + [f"order_ge_{max_order}", "shadow"])
+
+
 def ring_decomposition(final_alpha, winding, max_order: int = 3):
     """Separate an image by photon-ring order (winding half-orbits).
 
