@@ -133,8 +133,14 @@ def cmd_lens(args) -> int:
                           g_power=args.g_power,
                           opaque=not args.translucent,
                           spectrum=args.spectrum, t_peak=args.t_peak)
-        result, stats = render_scene_with_disk(
-            scene, img, cfg, disk, disk_gain=args.disk_gain)
+        if getattr(args, "aa", 1) > 1:
+            from light_path_tracer_tpu.disk import render_scene_with_disk_aa
+            result, stats = render_scene_with_disk_aa(
+                scene, img, cfg, disk, disk_gain=args.disk_gain,
+                aa_samples=args.aa)
+        else:
+            result, stats = render_scene_with_disk(
+                scene, img, cfg, disk, disk_gain=args.disk_gain)
         if args.spectrum == "blackbody":
             # Display-encode the linear-light disk pixels so the
             # composite matches cmd_disk / showcase output (the
@@ -480,6 +486,8 @@ def build_parser():
     p.add_argument("--t-peak", type=float, default=9000.0)
     p.add_argument("--disk-gain", type=float, default=1.0,
                    help="disk brightness relative to the background")
+    p.add_argument("--aa", type=int, default=1,
+                   help="composite AA samples per pixel (with --disk)")
     p.add_argument("--rings", action="store_true",
                    help="also write the lensed image split by photon-"
                         "ring order (direct / 1st lensed / n-th ring)")

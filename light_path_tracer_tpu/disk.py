@@ -559,7 +559,8 @@ def render_disk_frames(scene: SceneConfig, resolution, times,
 def render_scene_with_disk(scene: SceneConfig, source_image,
                            cfg: RenderConfig = RenderConfig(),
                            disk: DiskConfig = DiskConfig(),
-                           disk_gain: float = 1.0):
+                           disk_gain: float = 1.0,
+                           pixel_offset=(0.0, 0.0)):
     """Composite render: lensed background image + accretion disk, ONE
     trace per pixel (the disk-mode integrator records plane crossings
     AND the final state, whose escape heading drives the background
@@ -595,9 +596,11 @@ def render_scene_with_disk(scene: SceneConfig, source_image,
 
     with timer.stage("build_lookup") as out:
         alpha = camera.build_alpha_lookup(resolution, fov, psi=scene.psi,
-                                          dtype=dtype, boost=scene.boost)
+                                          dtype=dtype, boost=scene.boost,
+                                          pixel_offset=tuple(pixel_offset))
         theta = camera.build_theta_lookup(resolution, fov, psi=scene.psi,
-                                          dtype=dtype, boost=scene.boost)
+                                          dtype=dtype, boost=scene.boost,
+                                          pixel_offset=tuple(pixel_offset))
         out.append((alpha, theta))
 
     with timer.stage("precompute") as out:
@@ -619,8 +622,9 @@ def render_scene_with_disk(scene: SceneConfig, source_image,
             cfg.render_loop_around, psi=scene.psi, theta_lookup=theta)
 
         dl = (camera.doppler_lookup(resolution, fov, scene.boost,
-                                    dtype=dtype).ravel()
-              if scene.boosted else None)
+                                    dtype=dtype,
+                                    pixel_offset=tuple(pixel_offset))
+              .ravel() if scene.boosted else None)
         intensity, rgb = disk_emission(scene, disk, r_in,
                                        res.n_hits, res.r_hits, res.xi,
                                        doppler=dl, xi_hits=res.xi_hits)
@@ -755,3 +759,39 @@ def render_disk_aa(scene: SceneConfig, resolution,
         traced_rays=n_s * height * width,
         timings=timer.finish())
     return img, stats
+
+
+def render_scene_with_disk_aa(scene: SceneConfig, source_image,
+                              cfg: RenderConfig = RenderConfig(),
+                              disk: DiskConfig = DiskConfig(),
+                              disk_gain: float = 1.0,
+                              aa_samples: int = 4):
+    """Anti-aliased composite (lensed background + disk): average of
+    jittered-subpixel composites — a box filter over subpixel samples,
+    which is exactly pixel-coverage AA for the hard disk/shadow edges.
+    Each pass shares the compiled programs (identical shapes), so cost
+    is aa_samples x the warm per-pass time. Returns (image, stats of
+    the last pass + aa bookkeeping).
+    """
+    from light_path_tracer_tpu.aa import aa_offsets
+
+    offsets = aa_offsets(aa_samples)
+    acc = None
+    stats = None
+    mask = None
+    for off in offsets:
+        img, stats = render_scene_with_disk(
+            scene, source_image, cfg, disk, disk_gain=disk_gain,
+            pixel_offset=tuple(off))
+        acc = img if acc is None else acc + img
+        mask = (stats["disk_mask"] if mask is None
+                else mask | stats["disk_mask"])
+    out = (acc / len(offsets)).astype(jnp.float32)
+    stats = dict(stats)
+    stats["aa_samples"] = len(offsets)
+    stats["total_rays"] = stats["total_rays"] * len(offsets)
+    stats["traced_rays"] = stats["traced_rays"] * len(offsets)
+    # For display encoding: a pixel counts as disk if ANY pass hit it.
+    stats["disk_mask"] = mask
+    stats["disk_pixels"] = int(np.asarray(mask).sum())
+    return out, stats

@@ -164,3 +164,31 @@ def test_disk_aa_smooths_inner_edge():
     def partial(im):
         return ((im > 0.02) & (im < 0.35)).sum()
     assert partial(img4) > partial(img1)
+
+
+def test_composite_aa_smooths_and_matches_bulk():
+    import numpy as np
+    from light_path_tracer_tpu.utils.config import SceneConfig, RenderConfig
+    from light_path_tracer_tpu.disk import (render_scene_with_disk,
+                                            render_scene_with_disk_aa,
+                                            DiskConfig)
+    # Smooth background: a noise texture would make the comparison
+    # meaningless (any subpixel shift resamples a random texel —
+    # BASELINE.md "f32 gate" finding 2).
+    yy, xx = np.mgrid[0:36, 0:48].astype(np.float32)
+    src = np.stack([0.5 + 0.4 * np.sin(yy / 8.0),
+                    0.5 + 0.4 * np.cos(xx / 9.0),
+                    0.5 + 0.2 * np.sin((xx + yy) / 11.0)],
+                   axis=-1).astype(np.float32)
+    scene = SceneConfig(M=1.0, a=0.9, r_obs_mult=100.0,
+                        theta_obs=np.radians(80.0))
+    cfg = RenderConfig(dtype="float64")
+    img1, st1 = render_scene_with_disk(scene, src, cfg, DiskConfig())
+    img4, st4 = render_scene_with_disk_aa(scene, src, cfg, DiskConfig(),
+                                          aa_samples=4)
+    img1, img4 = np.asarray(img1), np.asarray(img4)
+    assert st4["aa_samples"] == 4
+    assert st4["disk_pixels"] >= st1["disk_pixels"]
+    assert np.isfinite(img4).all()
+    assert np.abs(img4 - img1).mean() < 0.08   # same scene in bulk
+    assert np.abs(img4 - img1).max() > 0.05    # boundaries smoothed
