@@ -135,13 +135,16 @@ def cmd_lens(args) -> int:
                           spectrum=args.spectrum, t_peak=args.t_peak)
         if getattr(args, "aa", 1) > 1:
             from light_path_tracer_tpu.disk import render_scene_with_disk_aa
+            # Per-pass display encoding BEFORE the average — exact AA
+            # in display space (see render_scene_with_disk_aa docs).
             result, stats = render_scene_with_disk_aa(
                 scene, img, cfg, disk, disk_gain=args.disk_gain,
-                aa_samples=args.aa)
+                aa_samples=args.aa, display_encode=True)
         else:
             result, stats = render_scene_with_disk(
                 scene, img, cfg, disk, disk_gain=args.disk_gain)
-        if args.spectrum == "blackbody":
+        if args.spectrum == "blackbody" and not stats.get(
+                "display_encoded"):
             # Display-encode the linear-light disk pixels so the
             # composite matches cmd_disk / showcase output (the
             # background texture is already display-encoded; only the
@@ -186,6 +189,16 @@ def cmd_lens(args) -> int:
         timings = timer.finish()
         result, total, traced = lensed, pre.total_rays, pre.traced_rays
         ring_tables = (pre.final_alpha, pre.winding)
+    elif getattr(args, "aa", 1) > 1:
+        from light_path_tracer_tpu.aa import render_scene_aa
+        result, astats = render_scene_aa(scene, img, cfg,
+                                         aa_samples=args.aa)
+        astats["timings"]["load_image"] = (
+            astats["timings"].get("load_image", 0.0) + load_time)
+        timings = astats["timings"]
+        total, traced = astats["total_rays"], astats["traced_rays"]
+        if getattr(args, "rings", False):
+            print("  note: --rings is not supported with --aa; ignoring")
     else:
         out = render_scene(scene, img, cfg)
         out.timings["load_image"] += load_time
@@ -220,6 +233,12 @@ def cmd_lens(args) -> int:
     return 0
 
 
+def _scene_metric_alpha_crit(scene):
+    from light_path_tracer_tpu.models import make_metric
+    return make_metric(scene.M, scene.a).alpha_crit(scene.r_obs,
+                                                    scene.theta_obs)
+
+
 def cmd_shadow(args) -> int:
     """Shadow render (black_hole_shadow.py parity + integrated mode)."""
     import os
@@ -248,17 +267,30 @@ def cmd_shadow(args) -> int:
         print(f"Saved: {args.output} (+ {len(labels)} per-order masks)")
         return 0
 
-    img, stats = render_shadow(scene, (args.size, args.size), cfg,
-                               analytic=args.analytic)
+    if getattr(args, "aa", 1) > 1:
+        from light_path_tracer_tpu.aa import render_shadow_aa
+        if args.analytic:
+            print("  note: --aa applies to the integrated shadow; "
+                  "ignoring --analytic")
+        img, stats = render_shadow_aa(scene, (args.size, args.size), cfg,
+                                      aa_samples=args.aa)
+        stats.setdefault("alpha_crit", _scene_metric_alpha_crit(scene))
+    else:
+        img, stats = render_shadow(scene, (args.size, args.size), cfg,
+                                   analytic=args.analytic)
     mpimg.imsave(args.output, np.asarray(img), cmap="gray", vmin=0, vmax=1)
     t = stats["timings"]
-    mode = "analytic threshold" if args.analytic else "integrated"
+    mode = ("analytic threshold" if args.analytic
+            else (f"integrated, {stats['aa_samples']}x AA"
+                  if stats.get("aa_samples", 1) > 1 else "integrated"))
+    # AA timings report one fused precompute+render stage.
+    trace_t = t.get("precompute", t.get("precompute+render", 0.0))
     print(f"Shadow ({mode}): {args.size}x{args.size}, "
           f"alpha_crit={np.degrees(stats['alpha_crit']):.4f} deg, "
-          f"precompute {t.get('precompute', 0.0):.3f}s, "
+          f"precompute {trace_t:.3f}s, "
           f"render {t.get('render', 0.0):.3f}s")
     if stats.get("traced_rays"):
-        print(f"  {stats['traced_rays'] / max(t.get('precompute', 1e-12), 1e-12):,.0f} rays/s")
+        print(f"  {stats['traced_rays'] / max(trace_t, 1e-12):,.0f} rays/s")
     print(f"Saved: {args.output}")
     return 0
 
@@ -495,6 +527,9 @@ def build_parser():
     p.set_defaults(fn=cmd_lens)
 
     p = sub.add_parser("shadow", help="black-hole shadow render")
+    p.add_argument("--aa", type=int, default=1,
+                   help="jittered AA samples per pixel (smooth shadow "
+                        "boundary)")
     _add_scene_args(p)
     _add_render_args(p)
     p.add_argument("--size", type=int, default=800)

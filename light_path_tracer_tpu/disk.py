@@ -765,33 +765,55 @@ def render_scene_with_disk_aa(scene: SceneConfig, source_image,
                               cfg: RenderConfig = RenderConfig(),
                               disk: DiskConfig = DiskConfig(),
                               disk_gain: float = 1.0,
-                              aa_samples: int = 4):
+                              aa_samples: int = 4,
+                              display_encode: bool = False):
     """Anti-aliased composite (lensed background + disk): average of
-    jittered-subpixel composites — a box filter over subpixel samples,
-    which is exactly pixel-coverage AA for the hard disk/shadow edges.
-    Each pass shares the compiled programs (identical shapes), so cost
-    is aa_samples x the warm per-pass time. Returns (image, stats of
-    the last pass + aa bookkeeping).
+    jittered-subpixel composites.
+
+    The average runs in DISPLAY space, not linear emission space (cf.
+    render_disk_aa): the composite is display-referred — its background
+    half is an already-encoded texture — and each single pass's pixel is
+    PURELY disk or purely background, so encoding each pass first
+    (display_encode=True, for blackbody spectra) and then averaging is
+    exact pixel-coverage AA of what the screen shows. Averaging before
+    a whole-image encode would double-encode the background fraction of
+    partially-covered edge pixels (bright fringes on the silhouette).
+
+    Quality path: one trace dispatch per pass (compiled once, reused by
+    every pass) — cost is aa_samples x the warm per-pass time; stats
+    aggregate over ALL passes (timings summed), so derived throughput
+    numbers stay honest. Returns (image, stats).
     """
     from light_path_tracer_tpu.aa import aa_offsets
 
     offsets = aa_offsets(aa_samples)
     acc = None
-    stats = None
     mask = None
+    agg = None
     for off in offsets:
         img, stats = render_scene_with_disk(
             scene, source_image, cfg, disk, disk_gain=disk_gain,
             pixel_offset=tuple(off))
+        if display_encode and disk.spectrum == "blackbody":
+            img = composite_gamma_encode(img, stats["disk_mask"])
         acc = img if acc is None else acc + img
         mask = (stats["disk_mask"] if mask is None
                 else mask | stats["disk_mask"])
+        if agg is None:
+            agg = dict(stats)
+            agg["timings"] = dict(stats["timings"])
+        else:
+            agg["captured"] += stats["captured"]
+            agg["integrator_steps"] += stats["integrator_steps"]
+            for key, val in stats["timings"].items():
+                agg["timings"][key] = agg["timings"].get(key, 0.0) + val
     out = (acc / len(offsets)).astype(jnp.float32)
-    stats = dict(stats)
-    stats["aa_samples"] = len(offsets)
-    stats["total_rays"] = stats["total_rays"] * len(offsets)
-    stats["traced_rays"] = stats["traced_rays"] * len(offsets)
-    # For display encoding: a pixel counts as disk if ANY pass hit it.
-    stats["disk_mask"] = mask
-    stats["disk_pixels"] = int(np.asarray(mask).sum())
-    return out, stats
+    agg["aa_samples"] = len(offsets)
+    agg["total_rays"] = agg["total_rays"] * len(offsets)
+    agg["traced_rays"] = agg["traced_rays"] * len(offsets)
+    agg["display_encoded"] = bool(display_encode
+                                  and disk.spectrum == "blackbody")
+    # For any later encoding: a pixel counts as disk if ANY pass hit it.
+    agg["disk_mask"] = mask
+    agg["disk_pixels"] = int(np.asarray(mask).sum())
+    return out, agg

@@ -73,3 +73,26 @@ def test_cli_ray_and_plot(workdir):
     rc = main(["plot", "--angles", "4,8", "--r-obs", "50",
                "--output", "p.png"])
     assert rc == 0 and os.path.exists("p.png")
+
+
+def test_cli_shadow_aa(workdir):
+    rc = main(["shadow", "--size", "32", "--a", "0.9", "--aa", "2",
+               "--dtype", "float64", "--output", "saa.png"])
+    assert rc == 0 and os.path.exists("saa.png")
+
+
+def test_cli_lens_aa(workdir):
+    src = np.full((24, 32, 3), 0.4, np.float32)
+    mpimg.imsave("bg.png", src)
+    rc = main(["lens", "--image", "bg.png", "--a", "0.9", "--aa", "2",
+               "--dtype", "float64", "--output", "laa.png"])
+    assert rc == 0 and os.path.exists("laa.png")
+
+
+def test_cli_composite_aa(workdir):
+    src = np.full((24, 32, 3), 0.4, np.float32)
+    mpimg.imsave("bg.png", src)
+    rc = main(["lens", "--image", "bg.png", "--a", "0.9", "--theta-obs",
+               "80", "--disk", "--aa", "2", "--dtype", "float64",
+               "--output", "caa.png"])
+    assert rc == 0 and os.path.exists("caa.png")
