@@ -131,3 +131,48 @@ def test_scene_degrees_and_boost_parsing():
     assert np.isclose(scene.psi_x, np.radians(2.0))
     assert scene.boost == (0.0, 0.0, 0.3)
     assert svc.stats()["requests"] == 0
+
+
+def test_png_background_decode(server_url):
+    """PNG (not npy) background images decode through the same endpoint."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.image as mpimg
+    rng = np.random.default_rng(8)
+    src = rng.uniform(0.2, 0.8, (24, 30, 3)).astype(np.float32)
+    buf = io.BytesIO()
+    mpimg.imsave(buf, src, format="png")
+    b64 = base64.b64encode(buf.getvalue()).decode()
+    url, _server = server_url
+    status, body, _hdr = _post(url, {
+        "mode": "lens", "format": "npy", "image_b64": b64,
+        "scene": {"a": 0.9}, "render": {"dtype": "float64"}})
+    assert status == 200
+    out = _npy(body)
+    assert out.shape[0] == 24 and out.shape[1] == 30
+
+
+def test_server_error_taxonomy(server_url):
+    """Bad client input -> 400; internal render failure -> 500."""
+    url, _server = server_url
+    # Unknown scene field -> 400 (client error).
+    req = urllib.request.Request(
+        url + "/render",
+        data=json.dumps({"mode": "shadow",
+                         "scene": {"nonsense_field": 1}}).encode(),
+        headers={"Content-Type": "application/json"})
+    try:
+        urllib.request.urlopen(req)
+        assert False, "expected HTTPError"
+    except urllib.error.HTTPError as err:
+        assert err.code == 400
+    # Valid decode but failing render (negative resolution) -> 500.
+    req = urllib.request.Request(
+        url + "/render",
+        data=json.dumps({"mode": "shadow", "size": [-4, 0]}).encode(),
+        headers={"Content-Type": "application/json"})
+    try:
+        urllib.request.urlopen(req)
+        assert False, "expected HTTPError"
+    except urllib.error.HTTPError as err:
+        assert err.code == 500
