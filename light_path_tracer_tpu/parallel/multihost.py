@@ -161,3 +161,91 @@ def trace_grid_multihost(metric, r_obs, alpha_grid, theta_grid=None,
         fa, nh, st = (np.asarray(x) for x in (fa, nh, st))
 
     return fa[inv_perm][:H], nh[inv_perm][:H], st[inv_perm][:H]
+
+
+def trace_disk_grid_multihost(metric, r_obs, alpha_grid, theta_grid,
+                              theta_obs, disk, *, mesh: Mesh | None = None,
+                              lambda_max=None, max_steps=200000,
+                              backend="auto", layout="stripes"):
+    """Disk-mode trace over a global (multi-process) mesh.
+
+    Same recipe as trace_grid_multihost (every host builds the full
+    camera grids locally, devices integrate their own rows, one final
+    allgather) with the disk-crossing recorder active. Returns a
+    disk.DiskTraceResult of host numpy arrays — (H, W) grids, identical
+    on every process; n_steps sums over devices.
+    """
+    from light_path_tracer_tpu.disk import trace_disk_rays, DiskTraceResult
+
+    if mesh is None:
+        mesh = make_global_mesh()
+    axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+    shard_map = shard_map_fn()
+    if lambda_max is None:
+        lambda_max = max(5000.0, 6.0 * float(r_obs))
+
+    alpha_grid = np.asarray(alpha_grid)
+    H, W = alpha_grid.shape
+    H_pad = ((H + n_dev - 1) // n_dev) * n_dev
+    if layout == "stripes":
+        perm = np.argsort(np.arange(H_pad) % n_dev, kind="stable")
+    else:
+        perm = np.arange(H_pad)
+    inv_perm = np.argsort(perm)
+    sharding = NamedSharding(mesh, P(axis, None))
+
+    def place(grid, dtype):
+        g = np.asarray(grid, dtype)
+        if H_pad > H:
+            g = np.concatenate(
+                [g, np.broadcast_to(g[-1:], (H_pad - H,) + g.shape[1:])])
+        g = g[perm]
+        return jax.make_array_from_callback(
+            g.shape, sharding, lambda idx: g[idx])
+
+    alpha_p = place(alpha_grid, alpha_grid.dtype)
+    theta_p = place(theta_grid, alpha_grid.dtype)
+
+    tilted = disk.tilt != 0.0 or disk.warp_radius is not None
+    n_xi = disk.max_hits if tilted else 0
+
+    def per_tile(a, t):
+        res = trace_disk_rays(
+            metric, float(r_obs), a.ravel(), t.ravel(), float(theta_obs),
+            float(lambda_max), max_steps, disk, backend=backend)
+        return DiskTraceResult(
+            res.status.reshape(a.shape),
+            res.n_hits.reshape(a.shape),
+            tuple(r.reshape(a.shape) for r in res.r_hits),
+            res.xi.reshape(a.shape),
+            jnp.reshape(res.n_steps, (1, 1)),
+            res.final_alpha.reshape(a.shape),
+            res.n_half.reshape(a.shape),
+            tuple(p.reshape(a.shape) for p in res.phi_hits),
+            tuple(x.reshape(a.shape) for x in res.xi_hits))
+
+    spec = P(axis, None)
+    out_specs = DiskTraceResult(
+        spec, spec, (spec,) * disk.max_hits, spec, spec, spec, spec,
+        (spec,) * disk.max_hits, (spec,) * n_xi)
+    f = shard_map(per_tile, mesh=mesh, in_specs=(spec, spec),
+                  out_specs=out_specs)
+    res = jax.jit(f)(alpha_p, theta_p)
+
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        gather = lambda x: np.asarray(
+            multihost_utils.process_allgather(x, tiled=True))
+    else:
+        gather = np.asarray
+
+    def unplace(grid):
+        return gather(grid)[inv_perm][:H]
+
+    return DiskTraceResult(
+        unplace(res.status), unplace(res.n_hits),
+        tuple(unplace(r) for r in res.r_hits), unplace(res.xi),
+        int(np.sum(gather(res.n_steps))), unplace(res.final_alpha),
+        unplace(res.n_half), tuple(unplace(p) for p in res.phi_hits),
+        tuple(unplace(x) for x in res.xi_hits))

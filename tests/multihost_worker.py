@@ -52,6 +52,16 @@ def main():
 
     np.save(out_path, fa)
     np.save(out_path.replace(".npy", "_status.npy"), st)
+
+    # Disk-mode trace over the same global mesh (crossing recorder on).
+    from light_path_tracer_tpu.parallel.multihost import (
+        trace_disk_grid_multihost)
+    from light_path_tracer_tpu.disk import DiskConfig
+    dres = trace_disk_grid_multihost(
+        Kerr(M=1.0, a=0.9), 100.0, alpha, theta, np.radians(80.0),
+        DiskConfig(), mesh=mesh, max_steps=20000, backend="xla")
+    np.save(out_path.replace(".npy", "_diskn.npy"), dres.n_hits)
+    np.save(out_path.replace(".npy", "_diskr.npy"), dres.r_hits[0])
     print(f"worker {proc_id} done", flush=True)
 
 

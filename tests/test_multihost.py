@@ -83,3 +83,25 @@ def test_two_process_render_matches_single_process(tmp_path):
     np.testing.assert_allclose(fa0[both], np.asarray(fa_ref)[both],
                                rtol=0, atol=1e-12)
     assert (np.isnan(fa0) == np.isnan(np.asarray(fa_ref))).all()
+
+    # Disk-mode trace: both processes agree, and match the
+    # single-process sharded disk trace.
+    dn0 = np.load(outs[0].replace(".npy", "_diskn.npy"))
+    dn1 = np.load(outs[1].replace(".npy", "_diskn.npy"))
+    np.testing.assert_array_equal(dn0, dn1)
+    dr0 = np.load(outs[0].replace(".npy", "_diskr.npy"))
+
+    from light_path_tracer_tpu.parallel.tiles import trace_disk_grid_sharded
+    from light_path_tracer_tpu.disk import DiskConfig
+    dim = (16, 16)
+    fov = camera.fov_from_vertical(np.radians(40.0), dim)
+    alpha = camera.build_alpha_lookup(dim, fov, dtype=jnp.float64)
+    theta = camera.build_theta_lookup(dim, fov, dtype=jnp.float64)
+    ref = trace_disk_grid_sharded(
+        Kerr(M=1.0, a=0.9), 100.0, alpha, theta, np.radians(80.0),
+        DiskConfig(), mesh=make_mesh(8), max_steps=20000, backend="xla")
+    np.testing.assert_array_equal(dn0, np.asarray(ref.n_hits))
+    hit = dn0 > 0
+    assert hit.sum() > 5
+    np.testing.assert_allclose(dr0[hit], np.asarray(ref.r_hits[0])[hit],
+                               rtol=0, atol=1e-12)
