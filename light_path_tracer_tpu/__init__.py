@@ -36,7 +36,11 @@ __all__ = [
     "render_scene",
     "render_shadow",
     "render_disk",
+    "render_disk_aa",
+    "render_disk_frames",
     "render_scene_with_disk",
+    "render_scene_with_disk_aa",
+    "render_scene_rings",
     "trace_batch",
 ]
 
@@ -46,6 +50,13 @@ _LAZY = {
     "render_disk": ("light_path_tracer_tpu.disk", "render_disk"),
     "render_scene_with_disk": ("light_path_tracer_tpu.disk",
                                "render_scene_with_disk"),
+    "render_disk_aa": ("light_path_tracer_tpu.disk", "render_disk_aa"),
+    "render_disk_frames": ("light_path_tracer_tpu.disk",
+                           "render_disk_frames"),
+    "render_scene_with_disk_aa": ("light_path_tracer_tpu.disk",
+                                  "render_scene_with_disk_aa"),
+    "render_scene_rings": ("light_path_tracer_tpu.pipeline",
+                           "render_scene_rings"),
     "trace_batch": ("light_path_tracer_tpu.ops.batch", "trace_batch"),
 }
 
