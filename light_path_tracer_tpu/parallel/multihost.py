@@ -207,28 +207,11 @@ def trace_disk_grid_multihost(metric, r_obs, alpha_grid, theta_grid,
     alpha_p = place(alpha_grid, alpha_grid.dtype)
     theta_p = place(theta_grid, alpha_grid.dtype)
 
-    tilted = disk.tilt != 0.0 or disk.warp_radius is not None
-    n_xi = disk.max_hits if tilted else 0
-
-    def per_tile(a, t):
-        res = trace_disk_rays(
-            metric, float(r_obs), a.ravel(), t.ravel(), float(theta_obs),
-            float(lambda_max), max_steps, disk, backend=backend)
-        return DiskTraceResult(
-            res.status.reshape(a.shape),
-            res.n_hits.reshape(a.shape),
-            tuple(r.reshape(a.shape) for r in res.r_hits),
-            res.xi.reshape(a.shape),
-            jnp.reshape(res.n_steps, (1, 1)),
-            res.final_alpha.reshape(a.shape),
-            res.n_half.reshape(a.shape),
-            tuple(p.reshape(a.shape) for p in res.phi_hits),
-            tuple(x.reshape(a.shape) for x in res.xi_hits))
-
+    from light_path_tracer_tpu.parallel.tiles import disk_per_tile
+    per_tile, out_specs = disk_per_tile(metric, r_obs, theta_obs,
+                                        lambda_max, max_steps, disk,
+                                        backend, axis)
     spec = P(axis, None)
-    out_specs = DiskTraceResult(
-        spec, spec, (spec,) * disk.max_hits, spec, spec, spec, spec,
-        (spec,) * disk.max_hits, (spec,) * n_xi)
     f = shard_map(per_tile, mesh=mesh, in_specs=(spec, spec),
                   out_specs=out_specs)
     res = jax.jit(f)(alpha_p, theta_p)

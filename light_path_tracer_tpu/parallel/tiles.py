@@ -141,34 +141,10 @@ def trace_disk_grid_sharded(metric, r_obs, alpha_grid, theta_grid,
     alpha_p, theta_p = place(alpha_grid), place(theta_grid)
     shard_map = shard_map_fn()
 
-    # Tilted/warped disks also record per-crossing angular momentum
-    # (xi_hits) — dropping it here would silently compute the Doppler
-    # about the wrong axis downstream.
-    tilted = disk.tilt != 0.0 or disk.warp_radius is not None
-    n_xi = disk.max_hits if tilted else 0
-
-    def per_tile(a, t):
-        res = trace_disk_rays(
-            metric, float(r_obs), a.ravel(), t.ravel(), float(theta_obs),
-            float(lambda_max), max_steps, disk, backend=backend)
-        shaped = DiskTraceResult(
-            res.status.reshape(a.shape),
-            res.n_hits.reshape(a.shape),
-            tuple(r.reshape(a.shape) for r in res.r_hits),
-            res.xi.reshape(a.shape),
-            # Scalar per-device step count -> (1, 1) so the gather can
-            # concatenate it along the tile axis; summed after.
-            jnp.reshape(res.n_steps, (1, 1)),
-            res.final_alpha.reshape(a.shape),
-            res.n_half.reshape(a.shape),
-            tuple(p.reshape(a.shape) for p in res.phi_hits),
-            tuple(x.reshape(a.shape) for x in res.xi_hits))
-        return shaped
-
+    per_tile, out_specs = disk_per_tile(metric, r_obs, theta_obs,
+                                        lambda_max, max_steps, disk,
+                                        backend, axis)
     spec = P(axis, None)
-    out_specs = DiskTraceResult(
-        spec, spec, (spec,) * len(disk_slots(disk)), spec, spec, spec,
-        spec, (spec,) * len(disk_slots(disk)), (spec,) * n_xi)
     f = shard_map(per_tile, mesh=mesh, in_specs=(spec, spec),
                   out_specs=out_specs)
     res = jax.jit(f)(alpha_p, theta_p)
@@ -186,3 +162,44 @@ def trace_disk_grid_sharded(metric, r_obs, alpha_grid, theta_grid,
 
 def disk_slots(disk) -> range:
     return range(disk.max_hits)
+
+
+def disk_per_tile(metric, r_obs, theta_obs, lambda_max, max_steps, disk,
+                  backend, axis):
+    """(per_tile fn, shard_map out_specs) for disk-mode tile DP — the
+    ONE definition of the DiskTraceResult tile pytree, shared by the
+    single-host (trace_disk_grid_sharded) and multi-host
+    (multihost.trace_disk_grid_multihost) paths so the 9-field
+    construction cannot diverge. Tilted/warped disks also carry
+    per-crossing angular momentum (xi_hits) — dropping it would
+    silently compute the Doppler about the wrong axis downstream.
+    """
+    from light_path_tracer_tpu.disk import trace_disk_rays, DiskTraceResult
+
+    tilted = disk.tilt != 0.0 or disk.warp_radius is not None
+    n_xi = disk.max_hits if tilted else 0
+
+    def per_tile(a, t):
+        res = trace_disk_rays(
+            metric, float(r_obs), a.ravel(), t.ravel(), float(theta_obs),
+            float(lambda_max), max_steps, disk, backend=backend)
+        return DiskTraceResult(
+            res.status.reshape(a.shape),
+            res.n_hits.reshape(a.shape),
+            tuple(r.reshape(a.shape) for r in res.r_hits),
+            res.xi.reshape(a.shape),
+            # Scalar per-device step count -> (1, 1) so the gather can
+            # concatenate it along the tile axis; summed after. NOTE:
+            # includes the padded duplicate rows' work when H is not
+            # divisible by the device count — telemetry, not physics.
+            jnp.reshape(res.n_steps, (1, 1)),
+            res.final_alpha.reshape(a.shape),
+            res.n_half.reshape(a.shape),
+            tuple(p.reshape(a.shape) for p in res.phi_hits),
+            tuple(x.reshape(a.shape) for x in res.xi_hits))
+
+    spec = P(axis, None)
+    out_specs = DiskTraceResult(
+        spec, spec, (spec,) * disk.max_hits, spec, spec, spec, spec,
+        (spec,) * disk.max_hits, (spec,) * n_xi)
+    return per_tile, out_specs

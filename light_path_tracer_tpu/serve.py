@@ -222,6 +222,13 @@ def make_server(host: str = "127.0.0.1", port: int = 0,
                     src = (_decode_image(req["image_b64"])
                            if mode in ("lens", "composite") else None)
                     size = req.get("size", [256, 256])
+                    if mode in ("shadow", "disk"):
+                        if (len(size) != 2
+                                or any(int(v) <= 0 for v in size)):
+                            raise ValueError(
+                                f"size must be two positive ints, "
+                                f"got {size!r}")
+                        size = [int(v) for v in size]
                 except Exception as exc:        # noqa: BLE001 — client
                     self._reply_json(400, {"error":
                                            f"{type(exc).__name__}: {exc}"})

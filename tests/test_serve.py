@@ -155,24 +155,41 @@ def test_png_background_decode(server_url):
 def test_server_error_taxonomy(server_url):
     """Bad client input -> 400; internal render failure -> 500."""
     url, _server = server_url
-    # Unknown scene field -> 400 (client error).
-    req = urllib.request.Request(
-        url + "/render",
-        data=json.dumps({"mode": "shadow",
-                         "scene": {"nonsense_field": 1}}).encode(),
-        headers={"Content-Type": "application/json"})
+    # Unknown scene field and invalid size are CLIENT errors -> 400.
+    for bad in ({"mode": "shadow", "scene": {"nonsense_field": 1}},
+                {"mode": "shadow", "size": [-4, 0]}):
+        req = urllib.request.Request(
+            url + "/render", data=json.dumps(bad).encode(),
+            headers={"Content-Type": "application/json"})
+        try:
+            urllib.request.urlopen(req)
+            assert False, "expected HTTPError"
+        except urllib.error.HTTPError as err:
+            assert err.code == 400, bad
+
+    # A genuine render-side failure -> 500 (separate server whose
+    # service is broken, standing in for compile errors / device OOM).
+    from light_path_tracer_tpu.serve import make_server
+
+    class BrokenService(RenderService):
+        def render(self, *a, **kw):
+            raise RuntimeError("device exploded")
+
+    srv = make_server(port=0, service=BrokenService())
+    th = threading.Thread(target=srv.serve_forever, daemon=True)
+    th.start()
     try:
-        urllib.request.urlopen(req)
-        assert False, "expected HTTPError"
-    except urllib.error.HTTPError as err:
-        assert err.code == 400
-    # Valid decode but failing render (negative resolution) -> 500.
-    req = urllib.request.Request(
-        url + "/render",
-        data=json.dumps({"mode": "shadow", "size": [-4, 0]}).encode(),
-        headers={"Content-Type": "application/json"})
-    try:
-        urllib.request.urlopen(req)
-        assert False, "expected HTTPError"
-    except urllib.error.HTTPError as err:
-        assert err.code == 500
+        host, port = srv.server_address[:2]
+        req = urllib.request.Request(
+            f"http://{host}:{port}/render",
+            data=json.dumps({"mode": "shadow", "size": [8, 8]}).encode(),
+            headers={"Content-Type": "application/json"})
+        try:
+            urllib.request.urlopen(req)
+            assert False, "expected HTTPError"
+        except urllib.error.HTTPError as err:
+            assert err.code == 500
+            assert b"device exploded" in err.read()
+    finally:
+        srv.shutdown()
+        srv.server_close()
