@@ -260,7 +260,7 @@ def render_scene_aa(scene: SceneConfig, source_image,
                 src, alpha_s[i], fa_s[i], nh_s[i].astype(jnp.uint16),
                 metric.alpha_crit(scene.r_obs), fov,
                 cfg.render_loop_around, psi=scene.psi,
-                theta_lookup=theta)
+                theta_lookup=theta, sampling=cfg.sampling)
             acc = acc + lensed
         out.append(acc)
 

@@ -61,6 +61,18 @@ def _add_render_args(p):
                    help="wrap out-of-FOV source samples (legacy mode)")
     p.add_argument("--cache", action="store_true",
                    help="cache traced lookup tables in lookup_cache/")
+    p.add_argument("--precision", default="fast",
+                   choices=["fast", "precise", "gate"],
+                   help="f32 tolerance tier: fast (throughput), precise, "
+                        "or gate (passes the image-RMSE<1e-3 acceptance "
+                        "gate; ~2x fast's step count)")
+    p.add_argument("--integrator", default="dp45",
+                   choices=["dp45", "dop853", "rk4"],
+                   help="Kerr integrator (dp45 = reference-parity "
+                        "adaptive default)")
+    p.add_argument("--bilinear", action="store_true",
+                   help="bilinear background-texture sampling (smoother "
+                        "than the reference's nearest-texel gather)")
 
 
 def _scene_from(args):
@@ -81,6 +93,10 @@ def _render_cfg_from(args):
         chunk_size=args.chunk_size or None,
         use_tb_symmetry=not args.no_symmetry,
         render_loop_around=getattr(args, "loop_around", False),
+        precision=getattr(args, "precision", "fast"),
+        integrator=getattr(args, "integrator", "dp45"),
+        sampling="bilinear" if getattr(args, "bilinear", False)
+                 else "nearest",
         progress={"off": False, "bar": True, "live": "live"}[progress])
 
 
@@ -159,6 +175,9 @@ def cmd_lens(args) -> int:
               f"captured: {stats['captured']:,}, "
               f"r_isco={stats['r_isco']:.3f} M")
     elif args.cache:
+        if getattr(args, "aa", 1) > 1:
+            print("  note: --aa is not supported with --cache "
+                  "(the cache stores one non-jittered lookup); ignoring")
         from light_path_tracer_tpu.checkpoint import cached_precompute
         from light_path_tracer_tpu.utils.timing import StageTimer
         from light_path_tracer_tpu.render import render_lensed_image
@@ -184,7 +203,7 @@ def cmd_lens(args) -> int:
             lensed = render_lensed_image(
                 src, alpha_lookup, pre.final_alpha, pre.winding,
                 alpha_crit, fov, cfg.render_loop_around, psi=scene.psi,
-                theta_lookup=theta_lookup)
+                theta_lookup=theta_lookup, sampling=cfg.sampling)
             out.append(lensed)
         timings = timer.finish()
         result, total, traced = lensed, pre.total_rays, pre.traced_rays

@@ -178,9 +178,17 @@ class DiskTraceResult(NamedTuple):
 
 def trace_disk_rays(metric, r_obs, alphas, thetas, theta_obs,
                     lambda_max: float, max_steps: int, disk: DiskConfig,
-                    backend: str = "auto") -> DiskTraceResult:
+                    backend: str = "auto", precision: str = "fast",
+                    method: str = "dp45") -> DiskTraceResult:
     """Trace rays recording equatorial crossings; returns DiskTraceResult.
-    backend as in trace_batch."""
+    backend / precision as in trace_batch; method = "dp45" | "dop853"
+    (the crossing recorder needs the adaptive shared loop, so the
+    fixed-step "rk4" comparison integrator is not available here)."""
+    if method not in ("dp45", "dop853"):
+        raise ValueError(
+            f"disk mode supports integrator 'dp45' or 'dop853' (the "
+            f"crossing recorder lives in the adaptive loop), got "
+            f"{method!r}")
     from light_path_tracer_tpu.ops.batch import _kerr_backend
     resolved = _kerr_backend(backend, alphas.dtype)
     if disk.tilt != 0.0 or disk.warp_radius is not None:
@@ -196,21 +204,23 @@ def trace_disk_rays(metric, r_obs, alphas, thetas, theta_obs,
             trace_disk_rays_pallas)
         return trace_disk_rays_pallas(
             metric, float(r_obs), alphas, thetas, float(theta_obs),
-            float(lambda_max), max_steps, plane, disk.max_hits)
+            float(lambda_max), max_steps, plane, disk.max_hits,
+            precision=precision, method=method)
     return _trace_disk_rays_xla(
         metric, float(r_obs), alphas, thetas, float(theta_obs),
-        float(lambda_max), max_steps, disk)
+        float(lambda_max), max_steps, disk, precision, method)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("metric", "r_obs", "theta_obs", "lambda_max",
-                     "max_steps", "disk"))
+                     "max_steps", "disk", "precision", "method"))
 def _trace_disk_rays_xla(metric, r_obs, alphas, thetas, theta_obs,
                          lambda_max: float, max_steps: int,
-                         disk: DiskConfig):
+                         disk: DiskConfig, precision: str = "fast",
+                         method: str = "dp45"):
     dtype = alphas.dtype
-    tols = get_tols(dtype)
+    tols = get_tols(dtype, precision)
     r_in = disk.r_in if disk.r_in is not None else r_isco(
         metric.M, metric.a, disk.prograde)
 
@@ -231,6 +241,7 @@ def _trace_disk_rays_xla(metric, r_obs, alphas, thetas, theta_obs,
         disk_plane=(float(r_in), float(disk.r_out), float(np.pi / 2),
                     bool(disk.opaque)),
         max_disk_hits=disk.max_hits,
+        method=method,
         disk_normal=(
             warped_basis(disk.tilt, disk.tilt_azimuth, disk.warp_radius)
             if disk.warp_radius is not None
@@ -270,7 +281,8 @@ def render_disk(scene: SceneConfig, resolution,
         res = trace_disk_rays(
             metric, scene.r_obs, alpha.ravel(), theta.ravel(),
             scene.theta_obs, max(5000.0, 6.0 * scene.r_obs),
-            cfg.max_steps, disk, backend=cfg.backend)
+            cfg.max_steps, disk, backend=cfg.backend,
+            precision=cfg.precision, method=cfg.integrator)
         out.append(res.status)
 
     with timer.stage("render") as out:
@@ -313,13 +325,44 @@ def _finish_image(intensity, rgb, resolution, tone_map: str):
 
 def _tone_map(x, mode: str, peak=None):
     """peak=None normalizes to this frame's own maximum; sequences pass
-    the global maximum so frames don't flicker."""
+    the global maximum so frames don't flicker. peak may be an array
+    broadcastable against x (per-pass peaks in the stacked AA path)."""
     peak = jnp.maximum(jnp.max(x) if peak is None else peak, 1e-12)
     if mode == "asinh":
         return jnp.arcsinh(10.0 * x / peak) / jnp.arcsinh(10.0)
     if mode == "sqrt":
         return jnp.sqrt(x / peak)
     return x / peak
+
+
+def _disk_pixels(lum, intensity, rgb, resolution, grayscale: bool,
+                 channels):
+    """Tone-mapped disk layer shaped like the background image.
+
+    Shared by the composite renderer and its stacked-AA variant so the
+    two paths cannot diverge: blackbody chromaticity (rgb is not None)
+    keeps the per-ray chroma and carries the tone-mapped luminance;
+    power-law emission broadcasts grayscale luminance over the
+    background's channel count (alpha channels padded to 1).
+    """
+    if rgb is not None:
+        chroma = rgb / jnp.maximum(intensity, 1e-12)[:, None]
+        disk_px = chroma * lum[:, None]
+        if grayscale:
+            return (disk_px @ jnp.asarray([0.299, 0.587, 0.114],
+                                          disk_px.dtype)
+                    ).reshape(resolution)
+        if channels >= 3:
+            pad = jnp.ones((disk_px.shape[0], channels - 3),
+                           disk_px.dtype)
+            disk_px = jnp.concatenate([disk_px, pad], axis=1)
+        else:
+            disk_px = disk_px[:, :channels]
+        return disk_px.reshape(resolution + (channels,))
+    if grayscale:
+        return lum.reshape(resolution)
+    return jnp.broadcast_to(lum.reshape(resolution)[..., None],
+                            resolution + (channels,))
 
 
 def keplerian_omega(M, a, r, prograde: bool = True):
@@ -484,6 +527,9 @@ def render_disk_frames(scene: SceneConfig, resolution, times,
     metric = Kerr(M=scene.M, a=scene.a)
     timer = StageTimer()
     height, width = resolution
+    # Materialize once: a generator argument would be exhausted by the
+    # first list() and silently report n_frames=0 in stats.
+    times = list(times)
     fov = camera.fov_from_vertical(scene.vertical_fov, resolution)
     dtype = jnp.float64 if cfg.dtype == "float64" else jnp.float32
 
@@ -498,7 +544,8 @@ def render_disk_frames(scene: SceneConfig, resolution, times,
         res = trace_disk_rays(
             metric, scene.r_obs, alpha.ravel(), theta.ravel(),
             scene.theta_obs, max(5000.0, 6.0 * scene.r_obs),
-            cfg.max_steps, disk, backend=cfg.backend)
+            cfg.max_steps, disk, backend=cfg.backend,
+            precision=cfg.precision, method=cfg.integrator)
         out.append(res.status)
 
     with timer.stage("render") as out:
@@ -517,7 +564,7 @@ def render_disk_frames(scene: SceneConfig, resolution, times,
         # 65k-element constants in the graph, which XLA constant-folds
         # at compile time for minutes (measured: a >500 s compile for a
         # 9 ms computation).
-        ts = jnp.asarray(list(times), dtype)
+        ts = jnp.asarray(times, dtype)
         color = disk.spectrum == "blackbody"
 
         @jax.jit
@@ -547,7 +594,7 @@ def render_disk_frames(scene: SceneConfig, resolution, times,
         r_isco=r_isco(scene.M, scene.a, disk.prograde),
         disk_pixels=int((np.asarray(res.n_hits) > 0).sum()),
         integrator_steps=int(res.n_steps),
-        n_frames=len(list(times)),
+        n_frames=len(times),
         orbit_period=abs(2.0 * np.pi / keplerian_omega(
             scene.M, scene.a, spot.r0, disk.prograde)),
         total_rays=height * width,
@@ -607,7 +654,8 @@ def render_scene_with_disk(scene: SceneConfig, source_image,
         res = trace_disk_rays(
             metric, scene.r_obs, alpha.ravel(), theta.ravel(),
             scene.theta_obs, max(5000.0, 6.0 * scene.r_obs),
-            cfg.max_steps, disk, backend=cfg.backend)
+            cfg.max_steps, disk, backend=cfg.backend,
+            precision=cfg.precision, method=cfg.integrator)
         out.append(res.status)
 
     with timer.stage("render") as out:
@@ -619,8 +667,14 @@ def render_scene_with_disk(scene: SceneConfig, source_image,
             jnp.uint16).reshape(resolution)
         background = render_lensed_image(
             img, alpha, fa, wind, alpha_crit, fov,
-            cfg.render_loop_around, psi=scene.psi, theta_lookup=theta)
+            cfg.render_loop_around, psi=scene.psi, theta_lookup=theta,
+            sampling=cfg.sampling)
 
+        # Boost: delta applies to the PHYSICAL disk layer only (delta^4
+        # intensity, delta temperature). The background texture is
+        # display-referred — it gets aberration (baked into the lookups
+        # above) but no delta^4 scaling (docs/physics.md "Relativistic
+        # observer").
         dl = (camera.doppler_lookup(resolution, fov, scene.boost,
                                     dtype=dtype,
                                     pixel_offset=tuple(pixel_offset))
@@ -630,27 +684,9 @@ def render_scene_with_disk(scene: SceneConfig, source_image,
                                        doppler=dl, xi_hits=res.xi_hits)
         lum = _tone_map(intensity, disk.tone_map) * disk_gain
         grayscale = background.ndim == 2
-        if rgb is not None:
-            chroma = rgb / jnp.maximum(intensity, 1e-12)[:, None]
-            disk_px = chroma * lum[:, None]
-            if grayscale:
-                disk_px = disk_px @ jnp.asarray(
-                    [0.299, 0.587, 0.114], disk_px.dtype)
-                disk_px = disk_px.reshape(resolution)
-            else:
-                channels = background.shape[2]
-                if channels >= 3:
-                    pad = jnp.ones((disk_px.shape[0], channels - 3),
-                                   disk_px.dtype)
-                    disk_px = jnp.concatenate([disk_px, pad], axis=1)
-                else:
-                    disk_px = disk_px[:, :channels]
-                disk_px = disk_px.reshape(resolution + (channels,))
-        else:
-            disk_px = (lum.reshape(resolution) if grayscale
-                       else jnp.broadcast_to(
-                           lum.reshape(resolution)[..., None],
-                           resolution + (background.shape[2],)))
+        disk_px = _disk_pixels(
+            lum, intensity, rgb, resolution, grayscale,
+            None if grayscale else background.shape[2])
 
         hit = (res.n_hits > 0).reshape(resolution)
         hit_b = hit if grayscale else hit[..., None]
@@ -727,7 +763,8 @@ def render_disk_aa(scene: SceneConfig, resolution,
         res = trace_disk_rays(
             metric, scene.r_obs, alpha.ravel(), theta.ravel(),
             scene.theta_obs, max(5000.0, 6.0 * scene.r_obs),
-            cfg.max_steps, disk, backend=cfg.backend)
+            cfg.max_steps, disk, backend=cfg.backend,
+            precision=cfg.precision, method=cfg.integrator)
         out.append(res.status)
 
     with timer.stage("render") as out:
@@ -761,12 +798,36 @@ def render_disk_aa(scene: SceneConfig, resolution,
     return img, stats
 
 
+def _concat_disk_results(results):
+    """Concatenate per-pass DiskTraceResults along the ray axis (the
+    hit tuples slot-wise; n_steps summed)."""
+    first = results[0]
+
+    def cat(get):
+        return jnp.concatenate([get(r) for r in results])
+
+    return DiskTraceResult(
+        status=cat(lambda r: r.status),
+        n_hits=cat(lambda r: r.n_hits),
+        r_hits=tuple(cat(lambda r, i=i: r.r_hits[i])
+                     for i in range(len(first.r_hits))),
+        xi=cat(lambda r: r.xi),
+        n_steps=sum(r.n_steps for r in results),
+        final_alpha=cat(lambda r: r.final_alpha),
+        n_half=cat(lambda r: r.n_half),
+        phi_hits=tuple(cat(lambda r, i=i: r.phi_hits[i])
+                       for i in range(len(first.phi_hits))),
+        xi_hits=tuple(cat(lambda r, i=i: r.xi_hits[i])
+                      for i in range(len(first.xi_hits))))
+
+
 def render_scene_with_disk_aa(scene: SceneConfig, source_image,
                               cfg: RenderConfig = RenderConfig(),
                               disk: DiskConfig = DiskConfig(),
                               disk_gain: float = 1.0,
                               aa_samples: int = 4,
-                              display_encode: bool = False):
+                              display_encode: bool = False,
+                              stacked: bool = True):
     """Anti-aliased composite (lensed background + disk): average of
     jittered-subpixel composites.
 
@@ -779,11 +840,148 @@ def render_scene_with_disk_aa(scene: SceneConfig, source_image,
     a whole-image encode would double-encode the background fraction of
     partially-covered edge pixels (bright fringes on the silhouette).
 
-    Quality path: one trace dispatch per pass (compiled once, reused by
-    every pass) — cost is aa_samples x the warm per-pass time; stats
-    aggregate over ALL passes (timings summed), so derived throughput
-    numbers stay honest. Returns (image, stats).
+    stacked=True (default): the aa.py stacked-pass pattern — every
+    offset's rays traced through ONE compiled kernel in pass-sized
+    dispatches, emission/render/average all on device, one readback.
+    stacked=False keeps the per-offset full-pipeline loop (the original
+    quality path, retained as the equivalence oracle — each pass pays
+    its own lookup build, render and readback). Per-pass semantics are
+    identical: per-pass tone-map peak, display-space average, disk-hit
+    mask union. Returns (image, stats).
     """
+    if stacked:
+        return _render_scene_with_disk_aa_stacked(
+            scene, source_image, cfg, disk, disk_gain, aa_samples,
+            display_encode)
+    return _render_scene_with_disk_aa_loop(
+        scene, source_image, cfg, disk, disk_gain, aa_samples,
+        display_encode)
+
+
+def _render_scene_with_disk_aa_stacked(scene, source_image, cfg, disk,
+                                       disk_gain, aa_samples,
+                                       display_encode):
+    """Stacked-pass composite AA (see render_scene_with_disk_aa)."""
+    from light_path_tracer_tpu.aa import aa_offsets
+    from light_path_tracer_tpu.render import render_lensed_image
+
+    metric = Kerr(M=scene.M, a=scene.a)
+    timer = StageTimer()
+    src = np.asarray(source_image)
+    height, width = src.shape[:2]
+    resolution = (height, width)
+    fov = camera.fov_from_vertical(scene.vertical_fov, resolution)
+    dtype = jnp.float64 if cfg.dtype == "float64" else jnp.float32
+    alpha_crit = metric.alpha_crit(scene.r_obs, scene.theta_obs)
+    offsets = aa_offsets(aa_samples)
+    n_s = len(offsets)
+    n_px = height * width
+
+    with timer.stage("load_image") as out:
+        img = jnp.asarray(src)
+        if img.dtype == jnp.uint8:
+            img = img.astype(jnp.float32) / 255.0
+        out.append(img)
+
+    with timer.stage("build_lookup") as out:
+        alphas = jnp.stack([camera.build_alpha_lookup(
+            resolution, fov, psi=scene.psi, dtype=dtype,
+            boost=scene.boost, pixel_offset=tuple(off))
+            for off in offsets])
+        thetas = jnp.stack([camera.build_theta_lookup(
+            resolution, fov, psi=scene.psi, dtype=dtype,
+            boost=scene.boost, pixel_offset=tuple(off))
+            for off in offsets])
+        out.append((alphas, thetas))
+
+    with timer.stage("precompute") as out:
+        # One pass-sized dispatch per offset: identical shapes share one
+        # compiled kernel, and single dispatches stay under the size
+        # where very large ones (> ~10M rays) have faulted the device
+        # (aa.py._trace_all_passes uses the same chunking).
+        results = [trace_disk_rays(
+            metric, scene.r_obs, alphas[s].ravel(), thetas[s].ravel(),
+            scene.theta_obs, max(5000.0, 6.0 * scene.r_obs),
+            cfg.max_steps, disk, backend=cfg.backend,
+            precision=cfg.precision, method=cfg.integrator)
+            for s in range(n_s)]
+        res = _concat_disk_results(results)
+        out.append(res.status)
+
+    with timer.stage("render") as out:
+        r_in = disk.r_in if disk.r_in is not None else r_isco(
+            scene.M, scene.a, disk.prograde)
+        # Boost: delta^4 applies to the physical disk layer only; the
+        # display-referred background gets aberration via the lookups
+        # (docs/physics.md "Relativistic observer").
+        dl = (jnp.stack([camera.doppler_lookup(
+            resolution, fov, scene.boost, dtype=dtype,
+            pixel_offset=tuple(off)) for off in offsets]).ravel()
+            if scene.boosted else None)
+        intensity, rgb = disk_emission(scene, disk, r_in,
+                                       res.n_hits, res.r_hits, res.xi,
+                                       doppler=dl, xi_hits=res.xi_hits)
+        # Per-pass tone-map peak — identical to the loop path, where
+        # each pass normalizes to its own maximum.
+        peaks = intensity.reshape(n_s, n_px).max(axis=1, keepdims=True)
+        lum = (_tone_map(intensity.reshape(n_s, n_px), disk.tone_map,
+                         peaks) * disk_gain).reshape(-1)
+        grayscale = img.ndim == 2
+        channels = None if grayscale else img.shape[2]
+        hit = (res.n_hits > 0).reshape(n_s, height, width)
+        encode = bool(display_encode and disk.spectrum == "blackbody")
+        acc = None
+        for s in range(n_s):
+            sl = slice(s * n_px, (s + 1) * n_px)
+            fa = res.final_alpha[sl].reshape(resolution).astype(
+                jnp.float32)
+            wind = jnp.clip(res.n_half[sl], 0, cfg.winding_max).astype(
+                jnp.uint16).reshape(resolution)
+            background = render_lensed_image(
+                img, alphas[s], fa, wind, alpha_crit, fov,
+                cfg.render_loop_around, psi=scene.psi,
+                theta_lookup=thetas[s], sampling=cfg.sampling)
+            disk_px = _disk_pixels(
+                lum[sl], intensity[sl],
+                None if rgb is None else rgb[sl],
+                resolution, grayscale, channels)
+            hit_b = hit[s] if grayscale else hit[s][..., None]
+            if disk.opaque:
+                comp = jnp.where(hit_b, disk_px.astype(background.dtype),
+                                 background)
+            else:
+                comp = jnp.clip(
+                    background + disk_px.astype(background.dtype),
+                    0.0, 1.0)
+            comp = comp.astype(jnp.float32)
+            if encode:
+                comp = composite_gamma_encode(comp, hit[s])
+            acc = comp if acc is None else acc + comp
+        image = (acc / n_s).astype(jnp.float32)
+        out.append(image)
+
+    mask = np.asarray(hit.any(axis=0))
+    stats = dict(
+        alpha_crit=alpha_crit,
+        r_isco=r_isco(scene.M, scene.a, disk.prograde),
+        captured=int((np.asarray(res.status) == CAPTURED).sum()),
+        disk_pixels=int(mask.sum()),
+        disk_mask=mask,
+        integrator_steps=int(res.n_steps),
+        aa_samples=n_s,
+        total_rays=n_s * n_px,
+        traced_rays=n_s * n_px,
+        display_encoded=bool(display_encode
+                             and disk.spectrum == "blackbody"),
+        timings=timer.finish())
+    return image, stats
+
+
+def _render_scene_with_disk_aa_loop(scene, source_image, cfg, disk,
+                                    disk_gain, aa_samples,
+                                    display_encode):
+    """Per-offset full-pipeline composite AA (equivalence oracle for the
+    stacked path; see render_scene_with_disk_aa)."""
     from light_path_tracer_tpu.aa import aa_offsets
 
     offsets = aa_offsets(aa_samples)

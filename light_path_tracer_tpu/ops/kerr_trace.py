@@ -42,8 +42,8 @@ CAPTURED = -1
 INVALID = 0
 
 # Tolerance presets: (atol, rtol) normal / axis-refined. float64 matches
-# the reference (metrics.py:431-432). Two float32 tiers, calibrated by a
-# tolerance sweep on the 1024^2 Kerr a=0.9 workload (BASELINE.md "f32
+# the reference (metrics.py:431-432). Three float32 tiers, calibrated by
+# a tolerance sweep on the 1024^2 Kerr a=0.9 workload (BASELINE.md "f32
 # gate"): final-alpha RMSE vs the f64 oracle is 2.6e-4 / 1.25e-4 /
 # 5.6e-5 / 3.0e-5 rad at atol=rtol = 3e-5 / 1e-5 / 3e-6 / 1e-6, at
 # +0/+10/+22/+44% steps — no f32 roundoff floor anywhere in this range.
@@ -51,6 +51,21 @@ INVALID = 0
 #     with 4x margin.
 #   * "precise" (3e-6): ~2e-3 image RMSE on mid-frequency textures at
 #     ~20% throughput cost (full analysis in BASELINE.md).
+#   * "gate" (f32: 1e-6, f64: 1e-7): the acceptance-gate tier.
+#     - float32 at atol 1e-6 is the knee of the f32 sweep (2.1e-5-rad
+#       MEDIAN final-alpha error at only ~12% cost on the straggler-
+#       bound 1024^2 grid) but a broad f32 error floor leaves the
+#       non-chaotic image RMSE at 1.5e-3 — best-f32, still short of
+#       the 1e-3 north star (GATE_r03.jsonl, r03 diagnostic: the
+#       residual is spread over ordinary weak-deflection pixels, NOT
+#       the photon ring, so no band re-trace can fix it).
+#     - float64 at atol 1e-7 (between the f32 knee and the reference's
+#       1e-8) PASSES the image gate with margin on the TPU's emulated
+#       f64 path — the documented north-star configuration is
+#       RenderConfig(dtype="float64", precision="gate"); its tolerance
+#       differs from the f64 oracle's reference tolerances, so the
+#       recorded pass is a genuine two-run measurement, not the same
+#       computation on two backends.
 TOLS = {
     jnp.dtype(jnp.float64): dict(atol=1e-8, rtol=1e-6,
                                  atol_ref=1e-10, rtol_ref=1e-8,
@@ -67,11 +82,20 @@ TOLS_PRECISE = {
                                  h_min=1e-7, tiny_err=1e-9),
 }
 
+TOLS_GATE = {
+    jnp.dtype(jnp.float64): dict(atol=1e-7, rtol=1e-7,
+                                 atol_ref=3e-8, rtol_ref=3e-8,
+                                 h_min=1e-12, tiny_err=1e-10),
+    jnp.dtype(jnp.float32): dict(atol=1e-6, rtol=1e-6,
+                                 atol_ref=3e-7, rtol_ref=3e-7,
+                                 h_min=1e-7, tiny_err=1e-9),
+}
+
 
 def get_tols(dtype, precision: str = "fast"):
     """Tolerance preset for a compute dtype.
 
-    precision: "fast" | "precise" | "tol:<x>" — the last sets
+    precision: "fast" | "precise" | "gate" | "tol:<x>" — the last sets
     atol = rtol = x (axis-refine tier x/3, mirroring fast's 3e-5 -> 1e-5
     ratio), for tolerance sweeps and per-integrator calibration; it stays
     a plain string so it remains a hashable static jit argument.
@@ -82,11 +106,11 @@ def get_tols(dtype, precision: str = "fast"):
         base = TOLS[dt]
         return dict(atol=t, rtol=t, atol_ref=t / 3.0, rtol_ref=t / 3.0,
                     h_min=base["h_min"], tiny_err=base["tiny_err"])
-    if precision not in ("fast", "precise"):
-        raise ValueError(f"precision must be 'fast', 'precise' or "
-                         f"'tol:<x>', got {precision!r}")
-    table = TOLS_PRECISE if precision == "precise" else TOLS
-    return table[dt]
+    tables = {"fast": TOLS, "precise": TOLS_PRECISE, "gate": TOLS_GATE}
+    if precision not in tables:
+        raise ValueError(f"precision must be 'fast', 'precise', 'gate' "
+                         f"or 'tol:<x>', got {precision!r}")
+    return tables[precision][dt]
 
 
 def _wsum(h, ks, cs):

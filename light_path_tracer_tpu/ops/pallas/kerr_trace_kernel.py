@@ -298,7 +298,9 @@ def trace_disk_rays_pallas(metric, r_obs, alphas, thetas, theta_obs,
                            disk_plane, max_disk_hits: int = 2,
                            tile_rows: int = DEFAULT_ROWS,
                            interpret: bool = False,
-                           formulation: str = "theta"):
+                           formulation: str = "theta",
+                           precision: str = "fast",
+                           method: str = "dp45"):
     """Pallas-fused disk-mode tracer: DP45 + equatorial-crossing recording
     in one kernel. Returns the disk.DiskTraceResult tuple — the same
     contract as disk.trace_disk_rays."""
@@ -310,7 +312,7 @@ def trace_disk_rays_pallas(metric, r_obs, alphas, thetas, theta_obs,
         # needed for the physical crossing azimuth (and this wrapper's
         # extraction would also need the state_from_mu conversion).
         raise ValueError("disk mode supports formulation='theta' only")
-    tols = get_tols(dtype)
+    tols = get_tols(dtype, precision)
 
     n = alphas.shape[0]
     tile = tile_rows * LANE
@@ -333,7 +335,7 @@ def trace_disk_rays_pallas(metric, r_obs, alphas, thetas, theta_obs,
         theta_obs=float(theta_obs), lambda_max=float(lambda_max),
         max_steps=max_steps, event_interp="hermite", tols=tols,
         disk_plane=disk_plane, max_disk_hits=max_disk_hits,
-        formulation=formulation)
+        formulation=formulation, method=method)
 
     block = pl.BlockSpec((tile_rows, LANE), lambda i: (i, 0),
                          memory_space=pltpu.VMEM)

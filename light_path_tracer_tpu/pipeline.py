@@ -216,7 +216,7 @@ def render_scene(scene: SceneConfig, source_image,
         lensed = render_lensed_image(
             img, alpha_lookup, pre.final_alpha, pre.winding,
             alpha_crit, fov, cfg.render_loop_around, psi=scene.psi,
-            theta_lookup=theta_lookup)
+            theta_lookup=theta_lookup, sampling=cfg.sampling)
         out.append(lensed)
 
     timings = timer.finish()

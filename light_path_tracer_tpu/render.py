@@ -42,19 +42,56 @@ _LUMA = np.array([0.299, 0.587, 0.114], dtype=np.float32)
 
 @functools.partial(
     jax.jit,
-    static_argnames=("image_dimension", "fov", "psi", "render_loop_around"))
+    static_argnames=("image_dimension", "fov", "psi", "render_loop_around",
+                     "sampling"))
 def _render_kernel(source_image, theta_lookup, final_alpha_lookup,
                    winding_lookup, image_dimension, fov, psi,
-                   render_loop_around):
+                   render_loop_around, sampling="nearest"):
     frame = psi_frame(psi)
     return _render_core(source_image, theta_lookup, final_alpha_lookup,
                         winding_lookup, frame.d, frame.e_x, frame.e_y,
-                        image_dimension, fov, render_loop_around)
+                        image_dimension, fov, render_loop_around,
+                        sampling)
+
+
+def _bilinear_gather(src_flat, px, py, height, width, channels, wrap):
+    """Bilinear texture fetch at continuous source coordinates.
+
+    Texel i's center sits at coordinate i (the nearest rule is rint), so
+    the unit cell is [i, i+1) with weight px - floor(px). wrap=True
+    (loop-around mode) wraps corners modulo the image; otherwise corners
+    clamp to the edge (the out-of-bounds CLASSIFICATION stays the
+    nearest-rule sentinel in the caller, so only in-bounds smoothing
+    changes vs nearest sampling).
+    """
+    x0 = jnp.floor(px)
+    y0 = jnp.floor(py)
+    tx = (px - x0)[..., None]
+    ty = (py - y0)[..., None]
+    x0 = x0.astype(jnp.int32)
+    y0 = y0.astype(jnp.int32)
+
+    def at(yy, xx):
+        if wrap:
+            yy = jnp.mod(yy, height)
+            xx = jnp.mod(xx, width)
+        else:
+            yy = jnp.clip(yy, 0, height - 1)
+            xx = jnp.clip(xx, 0, width - 1)
+        return src_flat[yy * width + xx]
+
+    v00 = at(y0, x0)
+    v01 = at(y0, x0 + 1)
+    v10 = at(y0 + 1, x0)
+    v11 = at(y0 + 1, x0 + 1)
+    top = v00 * (1.0 - tx) + v01 * tx
+    bot = v10 * (1.0 - tx) + v11 * tx
+    return (top * (1.0 - ty) + bot * ty).astype(src_flat.dtype)
 
 
 def _render_core(source_image, theta_lookup, final_alpha_lookup,
                  winding_lookup, d, e_x, e_y, image_dimension, fov,
-                 render_loop_around):
+                 render_loop_around, sampling="nearest"):
     """Renderer body with the camera frame vectors as (possibly traced)
     values — shared by the static-psi kernel and the animation path."""
     height, width = image_dimension
@@ -104,23 +141,37 @@ def _render_core(source_image, theta_lookup, final_alpha_lookup,
         # i.e. sample the image-center pixel (image_lens.py:354-365).
         x_cam = jnp.where(front, src_vx / vz_safe, 0.0)
         y_cam = jnp.where(front, src_vy / vz_safe, 0.0)
-        src_x = jnp.rint(x_cam * fx + width / 2).astype(jnp.int32)
-        src_y = jnp.rint(y_cam * fy + height / 2).astype(jnp.int32)
-        src_x = jnp.mod(src_x, width)
-        src_y = jnp.mod(src_y, height)
+        px = x_cam * fx + width / 2
+        py = y_cam * fy + height / 2
+        src_x = jnp.mod(jnp.rint(px).astype(jnp.int32), width)
+        src_y = jnp.mod(jnp.rint(py).astype(jnp.int32), height)
         in_bounds = jnp.ones_like(front)
     else:
         x_cam = src_vx / vz_safe
         y_cam = src_vy / vz_safe
-        src_x = jnp.rint(x_cam * fx + width / 2).astype(jnp.int32)
-        src_y = jnp.rint(y_cam * fy + height / 2).astype(jnp.int32)
+        px = x_cam * fx + width / 2
+        py = y_cam * fy + height / 2
+        src_x = jnp.rint(px).astype(jnp.int32)
+        src_y = jnp.rint(py).astype(jnp.int32)
         in_bounds = (front
                      & (src_y >= 0) & (src_y < height)
                      & (src_x >= 0) & (src_x < width))
 
-    flat_idx = (jnp.clip(src_y, 0, height - 1) * width
-                + jnp.clip(src_x, 0, width - 1))
-    texture = src.reshape(height * width, channels)[flat_idx]  # (H, W, C)
+    src_flat = src.reshape(height * width, channels)
+    if sampling == "bilinear":
+        # Continuous gather: image error then tracks angle error instead
+        # of plateauing at the nearest-texel flip floor (BASELINE.md
+        # "image gate"). The in_bounds/sentinel CLASSIFICATION above
+        # stays the nearest rule for parity.
+        texture = _bilinear_gather(src_flat, px, py, height, width,
+                                   channels, wrap=render_loop_around)
+    else:
+        if sampling != "nearest":
+            raise ValueError(f"sampling must be 'nearest' or "
+                             f"'bilinear', got {sampling!r}")
+        flat_idx = (jnp.clip(src_y, 0, height - 1) * width
+                    + jnp.clip(src_x, 0, width - 1))
+        texture = src_flat[flat_idx]  # (H, W, C)
 
     # Magenta sentinel (image_lens.py:381-393): R=1 (plus B=1 when the
     # source has >= 3 channels); scalar 1.0 for grayscale.
@@ -142,12 +193,15 @@ def _render_core(source_image, theta_lookup, final_alpha_lookup,
 def render_lensed_image(source_image, alpha_lookup, final_alpha_lookup,
                         winding_lookup, alpha_crit, fov,
                         render_loop_around=False, psi=(0.0, 0.0),
-                        theta_lookup=None):
+                        theta_lookup=None, sampling="nearest"):
     """Render the lensed output image from precomputed lookup tables.
 
     Signature parity: image_lens.py:296-298 (alpha_lookup and alpha_crit
     are accepted for compatibility; the renderer needs theta, which it
     derives from the camera grids unless `theta_lookup` is supplied).
+    sampling: "nearest" (reference parity, image_lens.py:119-120) or
+    "bilinear" (continuous texture gather — smoother images, and image
+    error tracks ray-angle accuracy instead of the texel-flip floor).
     """
     height, width = source_image.shape[:2]
     if theta_lookup is None:
@@ -160,7 +214,8 @@ def render_lensed_image(source_image, alpha_lookup, final_alpha_lookup,
     return _render_kernel(
         jnp.asarray(source_image), theta_lookup,
         jnp.asarray(final_alpha_lookup), jnp.asarray(winding_lookup),
-        (height, width), tuple(fov), tuple(psi), bool(render_loop_around))
+        (height, width), tuple(fov), tuple(psi), bool(render_loop_around),
+        str(sampling))
 
 
 def ring_labels(max_order: int):

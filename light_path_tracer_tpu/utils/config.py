@@ -67,10 +67,18 @@ class RenderConfig:
     # rational transcendental-free RHS + theta-form pole retrace via
     # trace_rays_kerr_hybrid).
     formulation: str = "theta"
-    # f32 tolerance tier: "fast" (atol 3e-5; the throughput tier) or
-    # "precise" (3e-6; ~5.6e-5-rad final-alpha RMSE at ~20% cost —
-    # BASELINE.md "f32 gate"). float64 always uses reference tolerances.
+    # Tolerance tier: "fast" (f32 atol 3e-5; the throughput tier),
+    # "precise" (f32 3e-6; ~5.6e-5-rad final-alpha RMSE at ~20% cost),
+    # or "gate" (f32 1e-6 = best-f32; f64 1e-7). The configuration that
+    # PASSES the image-RMSE<1e-3 acceptance gate is dtype="float64" +
+    # precision="gate" (GATE_r03.jsonl; ops/kerr_trace.py TOLS_GATE).
+    # float64 "fast"/"precise" use reference tolerances.
     precision: str = "fast"
+    # Background-texture sampling: "nearest" (reference parity,
+    # image_lens.py:119-120 rint) or "bilinear" (continuous gather —
+    # smoother lensed images; image error tracks angle accuracy instead
+    # of the nearest-texel flip floor, BASELINE.md "image gate").
+    sampling: str = "nearest"
     max_steps: int = 200000            # adaptive-step bound (metrics.py:452)
     phi_max: float = 50.0              # Schwarzschild orbit bound
     h_max: float = 0.05                # Schwarzschild fixed step

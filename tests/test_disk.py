@@ -521,3 +521,89 @@ def test_warped_disk_limits_and_renders():
     assert np.isfinite(np.asarray(img_mid)).all()
     assert np.abs(np.asarray(img_mid) - np.asarray(img_flat_tilt)).max() > 0.03
     assert np.abs(np.asarray(img_mid) - np.asarray(img_eq)).max() > 0.03
+
+
+def test_composite_aa_stacked_matches_loop():
+    """The stacked-pass composite AA (one compiled trace kernel, all
+    offsets) must reproduce the per-offset loop path exactly — same
+    per-pass tone-map peaks, display-space average, mask union."""
+    from light_path_tracer_tpu.disk import render_scene_with_disk_aa
+
+    src = _starfield(32, 40)
+    scene = SceneConfig(M=1.0, a=0.9, r_obs_mult=100.0,
+                        theta_obs=np.radians(80.0))
+    cfg = RenderConfig(dtype="float64", backend="xla")
+    disk = DiskConfig(r_out=15.0)
+    img_s, st_s = render_scene_with_disk_aa(
+        scene, src, cfg, disk, aa_samples=2, stacked=True)
+    img_l, st_l = render_scene_with_disk_aa(
+        scene, src, cfg, disk, aa_samples=2, stacked=False)
+    assert np.allclose(np.asarray(img_s), np.asarray(img_l), atol=1e-6)
+    assert np.array_equal(st_s["disk_mask"], st_l["disk_mask"])
+    assert st_s["captured"] == st_l["captured"]
+    assert st_s["integrator_steps"] == st_l["integrator_steps"]
+    assert st_s["total_rays"] == st_l["total_rays"]
+
+
+def test_composite_aa_stacked_blackbody_encode_matches_loop():
+    """Stacked == loop with the blackbody spectrum + per-pass display
+    encoding (the CLI quality path) and a translucent disk."""
+    from light_path_tracer_tpu.disk import render_scene_with_disk_aa
+
+    src = _starfield(24, 32)
+    scene = SceneConfig(M=1.0, a=0.9, r_obs_mult=100.0,
+                        theta_obs=np.radians(80.0))
+    cfg = RenderConfig(dtype="float64", backend="xla")
+    disk = DiskConfig(r_out=12.0, spectrum="blackbody", opaque=False)
+    img_s, st_s = render_scene_with_disk_aa(
+        scene, src, cfg, disk, aa_samples=2, display_encode=True,
+        stacked=True)
+    img_l, st_l = render_scene_with_disk_aa(
+        scene, src, cfg, disk, aa_samples=2, display_encode=True,
+        stacked=False)
+    assert np.allclose(np.asarray(img_s), np.asarray(img_l), atol=1e-6)
+    assert st_s["display_encoded"] and st_l["display_encoded"]
+    assert np.array_equal(st_s["disk_mask"], st_l["disk_mask"])
+
+
+def test_disk_integrator_config_plumbed():
+    """RenderConfig.integrator reaches the disk tracer: dop853 runs and
+    agrees with dp45; the fixed-step rk4 comparison path (no crossing
+    recorder) raises instead of being silently ignored."""
+    import pytest
+    from light_path_tracer_tpu.disk import render_disk
+
+    scene = SceneConfig(M=1.0, a=0.9, r_obs_mult=100.0,
+                        theta_obs=np.radians(80.0))
+    img45, st45 = render_disk(
+        scene, (24, 32), RenderConfig(dtype="float64", backend="xla"))
+    img853, st853 = render_disk(
+        scene, (24, 32), RenderConfig(dtype="float64", backend="xla",
+                                      integrator="dop853"))
+    assert st853["disk_pixels"] == st45["disk_pixels"]
+    d = np.abs(np.asarray(img853) - np.asarray(img45))
+    # Same physics at each integrator's own tolerance; the asinh tone
+    # map normalizes to each frame's own peak, so allow small global
+    # drift and a few crossing-radius-sensitive pixels.
+    assert np.median(d) < 1e-3
+    assert (d < 1e-2).mean() > 0.97, d.max()
+    # Different integrator actually ran: the step counts differ.
+    assert st853["integrator_steps"] != st45["integrator_steps"]
+    with pytest.raises(ValueError, match="dp45.*dop853|integrator"):
+        render_disk(scene, (24, 32),
+                    RenderConfig(dtype="float64", backend="xla",
+                                 integrator="rk4"))
+
+
+def test_disk_frames_accepts_generator_times():
+    """A generator `times` argument is materialized once — frames AND
+    stats see all of it (regression: stats used to re-iterate it)."""
+    from light_path_tracer_tpu.disk import render_disk_frames
+
+    scene = SceneConfig(M=1.0, a=0.9, r_obs_mult=100.0,
+                        theta_obs=np.radians(80.0))
+    frames, stats = render_disk_frames(
+        scene, (16, 24), (t for t in [0.0, 25.0, 50.0]),
+        RenderConfig(dtype="float64", backend="xla"))
+    assert frames.shape[0] == 3
+    assert stats["n_frames"] == 3

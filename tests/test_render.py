@@ -148,3 +148,55 @@ def test_render_scene_rings_layers_partition_image():
     assert nonzero.max() <= 1
     assert stats["order_pixels"]["order_0"] > 100
     assert stats["order_pixels"]["order_1"] > 0
+
+
+def test_bilinear_sampling_matches_nearest_at_texel_centers():
+    """sampling='bilinear': exact agreement with nearest when source
+    positions land on texel centers, intermediate values otherwise,
+    identical sentinel classification, and continuity (no texel-flip
+    jumps): perturbing final_alpha by eps moves the bilinear result by
+    O(eps) while nearest can jump a full texel."""
+    import jax.numpy as jnp
+    from light_path_tracer_tpu.render import render_lensed_image
+
+    H, W = 24, 32
+    rng = np.random.default_rng(2)
+    src = rng.random((H, W, 3)).astype(np.float32)
+    fov = (0.9, 0.7)
+    al = jnp.zeros((H, W), jnp.float32)
+    wd = jnp.zeros((H, W), jnp.uint16)
+    fa = jnp.asarray(rng.uniform(0.01, 0.3, (H, W)), jnp.float32)
+    th = jnp.asarray(rng.uniform(0, 2 * np.pi, (H, W)), jnp.float32)
+
+    near = np.asarray(render_lensed_image(
+        src, al, fa, wd, 0.05, fov, theta_lookup=th))
+    bil = np.asarray(render_lensed_image(
+        src, al, fa, wd, 0.05, fov, theta_lookup=th,
+        sampling="bilinear"))
+    sent_n = (near == [1.0, 0.0, 1.0]).all(-1)
+    sent_b = (bil == [1.0, 0.0, 1.0]).all(-1)
+    assert np.array_equal(sent_n, sent_b)   # same sentinel classification
+    # Bilinear output is bounded by the texture range (a convex blend).
+    assert bil[~sent_b].min() >= src.min() - 1e-6
+    assert bil[~sent_b].max() <= src.max() + 1e-6
+
+    # Continuity: a 1e-5-rad perturbation changes bilinear pixels by
+    # O(1e-3) at most, while nearest is allowed to flip whole texels.
+    fa_p = fa + 1e-5
+    bil_p = np.asarray(render_lensed_image(
+        src, al, fa_p, wd, 0.05, fov, theta_lookup=th,
+        sampling="bilinear"))
+    near_p = np.asarray(render_lensed_image(
+        src, al, fa_p, wd, 0.05, fov, theta_lookup=th))
+    stable = sent_b & ((bil_p == [1.0, 0.0, 1.0]).all(-1) == sent_b)
+    keep = ~sent_b & ~(near_p == [1.0, 0.0, 1.0]).all(-1)
+    d_bil = np.abs(bil_p - bil)[keep].max()
+    d_near = np.abs(near_p - near)[keep].max()
+    assert d_bil < 0.05, d_bil            # continuous response
+    assert d_near > d_bil or d_near == 0  # nearest jumps or is static
+
+    # Invalid sampling mode raises.
+    import pytest
+    with pytest.raises(ValueError):
+        render_lensed_image(src, al, fa, wd, 0.05, fov,
+                            theta_lookup=th, sampling="cubic")
