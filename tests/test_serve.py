@@ -193,3 +193,95 @@ def test_server_error_taxonomy(server_url):
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def _post_raw(url, payload):
+    """POST that surfaces non-2xx statuses instead of raising."""
+    import urllib.error
+    req = urllib.request.Request(
+        url + "/render", data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"})
+    try:
+        with urllib.request.urlopen(req) as resp:
+            return resp.status, resp.read(), dict(resp.headers)
+    except urllib.error.HTTPError as err:
+        return err.code, err.read(), dict(err.headers)
+
+
+@pytest.fixture()
+def busy_server():
+    """Server whose render lock is HELD (simulating a long render in
+    flight) with a tiny queue — the overload/deadline/liveness story."""
+    svc = RenderService(max_queue=1, default_deadline_s=0.2)
+    server = make_server(port=0, service=svc)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    host, port = server.server_address[:2]
+    assert svc._lock.acquire(timeout=1.0)   # occupy the "running" slot
+    yield f"http://{host}:{port}", svc
+    svc._lock.release()
+    server.shutdown()
+    server.server_close()
+
+
+def test_deadline_exceeded_is_503(busy_server):
+    """A request stuck behind a long render gets 503 deadline exceeded
+    within its deadline, not an indefinite hang."""
+    url, _svc = busy_server
+    import time as _time
+    t0 = _time.perf_counter()
+    status, body, _ = _post_raw(url, {"mode": "shadow",
+                                      "size": [16, 16],
+                                      "deadline_s": 0.1})
+    waited = _time.perf_counter() - t0
+    assert status == 503
+    assert json.loads(body)["error"] == "deadline exceeded"
+    assert waited < 5.0
+
+
+def test_queue_overflow_is_503_with_retry_after(busy_server):
+    """Beyond max_queue waiting requests, new ones are rejected
+    IMMEDIATELY (503 overloaded + Retry-After) instead of piling up."""
+    url, svc = busy_server
+    results = []
+
+    def waiter():
+        results.append(_post_raw(url, {"mode": "shadow",
+                                       "size": [16, 16],
+                                       "deadline_s": 3.0}))
+
+    # Fill the queue (max_queue=1) with one long-deadline waiter...
+    t = threading.Thread(target=waiter)
+    t.start()
+    for _ in range(100):
+        with svc._meta:
+            if svc._waiting >= 1:
+                break
+        threading.Event().wait(0.02)
+    assert svc.stats()["waiting"] >= 1
+    # ...then the next request must bounce instantly.
+    status, body, headers = _post_raw(url, {"mode": "shadow",
+                                            "size": [16, 16]})
+    assert status == 503
+    assert json.loads(body)["error"] == "overloaded"
+    assert headers.get("Retry-After") == "1"
+    # Release the lock so the queued waiter can finish cleanly.
+    svc._lock.release()
+    t.join(timeout=30)
+    assert svc._lock.acquire(timeout=5.0)   # re-acquire for teardown
+    assert not t.is_alive()
+    assert results and results[0][0] in (200, 503)
+
+
+def test_healthz_responsive_while_render_lock_held(busy_server):
+    """/healthz and /stats never touch the render lock: liveness
+    probes answer fast even while a long render runs."""
+    url, _svc = busy_server
+    import time as _time
+    t0 = _time.perf_counter()
+    with urllib.request.urlopen(url + "/healthz") as resp:
+        ok = json.loads(resp.read())["ok"]
+    with urllib.request.urlopen(url + "/stats") as resp:
+        stats = json.loads(resp.read())
+    assert ok and stats["max_queue"] == 1
+    assert _time.perf_counter() - t0 < 2.0
