@@ -372,7 +372,25 @@ def cmd_disk(args) -> int:
         print(f"Saved: {out}")
         return 0
 
-    if args.aa > 1:
+    if getattr(args, "disk2", False):
+        # Second independent disk plane, traced in the SAME integration
+        # (multi-plane recorder, ops/kerr_trace.py extra_disks).
+        from light_path_tracer_tpu.disk import render_multi_disk
+        if args.aa > 1:
+            print("  note: --aa is not supported with --disk2; ignoring")
+        disk2 = DiskConfig(
+            r_in=args.disk2_r_in or None, r_out=args.disk2_r_out,
+            emissivity_index=args.emissivity_q, g_power=args.g_power,
+            opaque=not args.disk2_translucent,
+            prograde=not args.retrograde,
+            tilt=np.radians(args.disk2_tilt),
+            tilt_azimuth=np.radians(args.disk2_tilt_azimuth),
+            spectrum=args.spectrum, t_peak=args.t_peak)
+        img, stats = render_multi_disk(scene, (args.size, args.size),
+                                       cfg, [disk, disk2])
+        print(f"  two disks: per-plane pixels "
+              f"{stats['disk_pixels_per_plane']}")
+    elif args.aa > 1:
         from light_path_tracer_tpu.disk import render_disk_aa
         img, stats = render_disk_aa(scene, (args.size, args.size), cfg,
                                     disk, aa_samples=args.aa)
@@ -604,6 +622,16 @@ def build_parser():
     p.add_argument("--aa", type=int, default=1,
                    help="jittered AA samples per pixel (disk edges / "
                         "photon ring)")
+    p.add_argument("--disk2", action="store_true",
+                   help="add a second independent disk plane, traced in "
+                        "the same integration (multi-plane recorder)")
+    p.add_argument("--disk2-r-in", type=float, default=0.0,
+                   help="second disk inner radius [M] (0 = ISCO)")
+    p.add_argument("--disk2-r-out", type=float, default=30.0)
+    p.add_argument("--disk2-tilt", type=float, default=25.0,
+                   help="second disk tilt from the equator [deg]")
+    p.add_argument("--disk2-tilt-azimuth", type=float, default=0.0)
+    p.add_argument("--disk2-translucent", action="store_true")
     p.add_argument("--output", default="accretion_disk.png")
     p.set_defaults(fn=cmd_disk)
 

@@ -255,6 +255,167 @@ def _trace_disk_rays_xla(metric, r_obs, alphas, thetas, theta_obs,
                            final_alpha, n_half, hits["phi"], hits["xi"])
 
 
+def _plane_of(disk: DiskConfig, metric) -> tuple:
+    r_in = disk.r_in if disk.r_in is not None else r_isco(
+        metric.M, metric.a, disk.prograde)
+    return (float(r_in), float(disk.r_out), float(np.pi / 2),
+            bool(disk.opaque))
+
+
+def _normal_of(disk: DiskConfig):
+    if disk.warp_radius is not None:
+        return warped_basis(disk.tilt, disk.tilt_azimuth,
+                            disk.warp_radius)
+    if disk.tilt != 0.0:
+        return disk_basis(disk.tilt, disk.tilt_azimuth)
+    return None
+
+
+def trace_disk_rays_multi(metric, r_obs, alphas, thetas, theta_obs,
+                          lambda_max: float, max_steps: int,
+                          disks, precision: str = "fast",
+                          method: str = "dp45"):
+    """Trace rays recording crossings of SEVERAL independent disk
+    planes in ONE integration (multi-plane disks — e.g. an equatorial
+    disk plus a tilted outer ring; no reference counterpart).
+
+    Returns a tuple of DiskTraceResult, one per disk, sharing the
+    ray's status / final heading / step count. A ray terminates at its
+    first in-disk crossing of any OPAQUE plane (so later planes behind
+    it are correctly occluded); translucent planes record up to
+    max(max_hits) crossings each. XLA path only (the per-plane sign
+    tracks use the shared adaptive loop's recorder,
+    ops/kerr_trace.py dp45_integrate(extra_disks=...)).
+    """
+    if method not in ("dp45", "dop853"):
+        raise ValueError(
+            f"disk mode supports integrator 'dp45' or 'dop853', got "
+            f"{method!r}")
+    return _trace_disk_rays_multi_xla(
+        metric, float(r_obs), alphas, thetas, float(theta_obs),
+        float(lambda_max), max_steps, tuple(disks), precision, method)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("metric", "r_obs", "theta_obs", "lambda_max",
+                     "max_steps", "disks", "precision", "method"))
+def _trace_disk_rays_multi_xla(metric, r_obs, alphas, thetas, theta_obs,
+                               lambda_max: float, max_steps: int,
+                               disks: tuple, precision: str = "fast",
+                               method: str = "dp45"):
+    dtype = alphas.dtype
+    tols = get_tols(dtype, precision)
+    max_hits = max(d.max_hits for d in disks)
+    planes = [(_plane_of(d, metric), _normal_of(d)) for d in disks]
+
+    y0, p_t, p_phi, invalid0 = metric.initial_conditions_5d(
+        r_obs, alphas, thetas, theta_obs)
+    status0 = jnp.where(invalid0, INVALID, RUNNING).astype(jnp.int32)
+    atol = jnp.full_like(alphas, tols["atol"])
+    rtol = jnp.full_like(alphas, tols["rtol"])
+
+    y_f, status_f, _lam, steps, hits = dp45_integrate(
+        metric, y0, p_t, p_phi, status0,
+        atol=atol, rtol=rtol, h_min=jnp.asarray(tols["h_min"], dtype),
+        tiny_err=tols["tiny_err"],
+        r_capture=jnp.asarray(metric.capture_radius(), dtype),
+        r_escape=jnp.asarray(r_obs * 2.0, dtype),
+        lambda_max=lambda_max, h_init=max(1.0, 0.01 * float(r_obs)),
+        max_steps=max_steps, method=method,
+        disk_plane=planes[0][0], disk_normal=planes[0][1],
+        max_disk_hits=max_hits,
+        extra_disks=tuple(planes[1:]))
+
+    xi = p_phi  # E = 1 convention
+    final_alpha, n_half, status_out = finalize_angles(
+        metric, y_f, p_t, p_phi, status_f)
+    tracks = [
+        {k: hits[k] for k in ("n", "r", "phi", "down", "xi")}]
+    tracks += list(hits.get("extra", ()))
+    return tuple(
+        DiskTraceResult(status_out, t["n"], t["r"], xi, steps,
+                        final_alpha, n_half, t["phi"], t["xi"])
+        for t in tracks)
+
+
+def render_multi_disk(scene: SceneConfig, resolution,
+                      cfg: RenderConfig = RenderConfig(),
+                      disks=(DiskConfig(),)):
+    """Render several independent disks (e.g. equatorial + tilted) in
+    ONE trace; returns (image, stats).
+
+    Emission is additive across planes (each with its own r_in,
+    emissivity, spectrum parameters — all planes must share the
+    spectrum TYPE and tone map); opaque planes occlude planes crossed
+    later along the ray, because the shared trace terminates there.
+    Single-plane limit: render_multi_disk([d]) == render_disk(d).
+    """
+    disks = tuple(disks)
+    if len({d.spectrum for d in disks}) != 1:
+        raise ValueError("all disks must share a spectrum type")
+    if len({d.tone_map for d in disks}) != 1:
+        raise ValueError("all disks must share a tone_map")
+    metric = Kerr(M=scene.M, a=scene.a)
+    timer = StageTimer()
+    height, width = resolution
+    fov = camera.fov_from_vertical(scene.vertical_fov, resolution)
+    dtype = jnp.float64 if cfg.dtype == "float64" else jnp.float32
+
+    with timer.stage("build_lookup") as out:
+        alpha = camera.build_alpha_lookup(resolution, fov, psi=scene.psi,
+                                          dtype=dtype, boost=scene.boost)
+        theta = camera.build_theta_lookup(resolution, fov, psi=scene.psi,
+                                          dtype=dtype, boost=scene.boost)
+        out.append((alpha, theta))
+
+    with timer.stage("precompute") as out:
+        results = trace_disk_rays_multi(
+            metric, scene.r_obs, alpha.ravel(), theta.ravel(),
+            scene.theta_obs, max(5000.0, 6.0 * scene.r_obs),
+            cfg.max_steps, disks, precision=cfg.precision,
+            method=cfg.integrator)
+        out.append(results[0].status)
+
+    with timer.stage("render") as out:
+        dl = (camera.doppler_lookup(resolution, fov, scene.boost,
+                                    dtype=dtype).ravel()
+              if scene.boosted else None)
+        intensity = None
+        rgb = None
+        for disk, res in zip(disks, results):
+            r_in = disk.r_in if disk.r_in is not None else r_isco(
+                scene.M, scene.a, disk.prograde)
+            inten_p, rgb_p = disk_emission(
+                scene, disk, r_in, res.n_hits, res.r_hits, res.xi,
+                doppler=dl, xi_hits=res.xi_hits)
+            intensity = inten_p if intensity is None else (
+                intensity + inten_p)
+            if rgb_p is not None:
+                rgb = rgb_p if rgb is None else rgb + rgb_p
+        img = _finish_image(intensity, rgb, resolution,
+                            disks[0].tone_map)
+        out.append(img)
+
+    res0 = results[0]
+    any_hit = np.zeros(height * width, bool)
+    for res in results:
+        any_hit |= np.asarray(res.n_hits) > 0
+    stats = dict(
+        alpha_crit=metric.alpha_crit(scene.r_obs, scene.theta_obs),
+        r_isco=r_isco(scene.M, scene.a, disks[0].prograde),
+        captured=int((np.asarray(res0.status) == CAPTURED).sum()),
+        disk_pixels=int(any_hit.sum()),
+        disk_pixels_per_plane=[int((np.asarray(r.n_hits) > 0).sum())
+                               for r in results],
+        integrator_steps=int(res0.n_steps),
+        n_disks=len(disks),
+        total_rays=height * width,
+        traced_rays=height * width,
+        timings=timer.finish())
+    return img, stats
+
+
 def render_disk(scene: SceneConfig, resolution,
                 cfg: RenderConfig = RenderConfig(),
                 disk: DiskConfig = DiskConfig()):

@@ -292,7 +292,7 @@ def dp45_integrate(metric, y0, p_t, p_phi, status0, *, atol, rtol, h_min,
                    tiny_err, r_capture, r_escape, lambda_max, h_init,
                    max_steps, event_interp="hermite", disk_plane=None,
                    max_disk_hits=2, r_plunge=None, formulation="theta",
-                   method="dp45", disk_normal=None):
+                   method="dp45", disk_normal=None, extra_disks=None):
     """The shared lock-step adaptive integration loop (DP45 or DOP853).
 
     method selects the embedded Runge-Kutta pair:
@@ -314,7 +314,12 @@ def dp45_integrate(metric, y0, p_t, p_phi, status0, *, atol, rtol, h_min,
     crossing radii per ray (the accretion-disk extension: BASELINE.json
     config 4 — the reference has no disk). With opaque=True the ray
     terminates at its first in-disk crossing (status stays as-is; the
-    hit record marks the pixel).
+    hit record marks the pixel). `extra_disks` appends further
+    independent planes — a sequence of ((r_in, r_out, theta_plane,
+    opaque), normal_or_None) — each recorded on its own sign track
+    under hits["extra"] (multi-plane disks: several disks in ONE
+    trace); a ray terminates at its first in-disk crossing of any
+    OPAQUE plane.
 
     formulation: 'theta' integrates the reference-parity state
     [r, theta, phi, p_r, p_theta] via metric.rhs5; 'mu' integrates
@@ -334,34 +339,34 @@ def dp45_integrate(metric, y0, p_t, p_phi, status0, *, atol, rtol, h_min,
     h0 = jnp.full_like(y0[0], h_init)
     lam0 = jnp.zeros_like(y0[0])
 
-    if disk_normal is not None:
-        # Tilted disk: surface through the origin with unit normal n
-        # and in-plane basis (e1, e2) — either a static
-        # ((n), (e1), (e2)) tuple (flat tilted plane) or a callable
-        # r -> ((n), (e1), (e2)) (warped disk: radius-dependent tilt,
-        # e.g. Bardeen-Petterson). The detector runs on the scale-free
-        # s = n(r) . xhat(theta, phi), and the recorded azimuth is the
-        # in-plane atan2(xhat.e2, xhat.e1) — both already physical on
-        # the double-cover chart (xhat carries sin(theta)'s sign).
-        # theta-form only (the mu chart folds the branch), and XLA-path
-        # only (atan2 does not lower in Mosaic).
-        if formulation == "mu":
-            raise ValueError("tilted disk requires formulation='theta'")
-        if callable(disk_normal):
-            _basis_at = disk_normal
-        else:
-            _const_basis = disk_normal
-            _basis_at = lambda r: _const_basis
-
-        def _plane_s(th, ph, r):
-            (nx, ny, nz), _, _ = _basis_at(r)
-            sth, cth = jnp.sin(th), jnp.cos(th)
-            sph, cph = jnp.sin(ph), jnp.cos(ph)
-            return (nx * sth * cph + ny * sth * sph + nz * cth,
-                    (sth * cph, sth * sph, cth))
+    def _as_basis_fn(nrm):
+        """Tilted-disk surface normal: a static ((n), (e1), (e2)) tuple
+        (flat tilted plane) or a callable r -> ((n), (e1), (e2))
+        (warped disk: radius-dependent tilt, e.g. Bardeen-Petterson).
+        The detector runs on the scale-free s = n(r) . xhat(theta, phi)
+        and the recorded azimuth is the in-plane atan2(xhat.e2,
+        xhat.e1) — both already physical on the double-cover chart
+        (xhat carries sin(theta)'s sign). theta-form only (the mu chart
+        folds the branch), and XLA-path only (atan2 does not lower in
+        Mosaic). None = equatorial plane (cos-theta detector)."""
+        if nrm is None:
+            return None
+        if callable(nrm):
+            return nrm
+        return lambda r, _c=nrm: _c
 
     if disk_plane is not None:
-        disk_r_in, disk_r_out, theta_plane, disk_opaque = disk_plane
+        # One or more independent disk planes in ONE trace: plane 0 is
+        # (disk_plane, disk_normal); extra_disks appends further
+        # ((r_in, r_out, theta_plane, opaque), normal) tracks, each with
+        # its own max_disk_hits crossing slots (multi-plane disks — no
+        # reference counterpart).
+        _planes = [(disk_plane, disk_normal)] + [
+            (pl, nrm) for pl, nrm in (extra_disks or ())]
+        if (formulation == "mu"
+                and any(nrm is not None for _pl, nrm in _planes)):
+            raise ValueError("tilted disk requires formulation='theta'")
+        _basis_fns = [_as_basis_fn(nrm) for _pl, nrm in _planes]
         # Crossing detection runs on cos(theta) in BOTH formulations
         # (for "mu" the state coordinate IS cos(theta)): a sign change
         # of cos(theta) - cos(theta_plane) catches the equatorial plane
@@ -370,24 +375,31 @@ def dp45_integrate(metric, y0, p_t, p_phi, status0, *, atol, rtol, h_min,
         # (theta runs negative) and hit the plane at theta = -pi/2 —
         # a theta - pi/2 detector misses those crossings entirely
         # (seen as a dark one-pixel seam down disk renders).
-        plane_c = float(np.cos(theta_plane))
+        _plane_cs = [float(np.cos(pl[2])) for pl, _nrm in _planes]
+
         # "down" flags are carried as 0.0/1.0 in the compute dtype: bool
         # (i1) vectors in a while_loop carry do not lower in Mosaic.
-        hits0 = {
-            "n": jnp.zeros(y0[0].shape, jnp.int32),
-            "r": tuple(jnp.zeros_like(y0[0])
-                       for _ in range(max_disk_hits)),
-            "phi": tuple(jnp.zeros_like(y0[0])
-                         for _ in range(max_disk_hits)),
-            "down": tuple(jnp.zeros_like(y0[0])
-                          for _ in range(max_disk_hits)),
-            # Tilted mode records the ray's angular momentum about the
-            # disk normal at each crossing (the emitter Doppler needs
-            # xi_n = n.L/E, not the conserved L_z).
-            "xi": (tuple(jnp.zeros_like(y0[0])
-                         for _ in range(max_disk_hits))
-                   if disk_normal is not None else ()),
-        }
+        def _track0(has_xi):
+            return {
+                "n": jnp.zeros(y0[0].shape, jnp.int32),
+                "r": tuple(jnp.zeros_like(y0[0])
+                           for _ in range(max_disk_hits)),
+                "phi": tuple(jnp.zeros_like(y0[0])
+                             for _ in range(max_disk_hits)),
+                "down": tuple(jnp.zeros_like(y0[0])
+                              for _ in range(max_disk_hits)),
+                # Tilted mode records the ray's angular momentum about
+                # the disk normal at each crossing (the emitter Doppler
+                # needs xi_n = n.L/E, not the conserved L_z).
+                "xi": (tuple(jnp.zeros_like(y0[0])
+                             for _ in range(max_disk_hits))
+                       if has_xi else ()),
+            }
+
+        hits0 = _track0(_basis_fns[0] is not None)
+        if len(_planes) > 1:
+            hits0["extra"] = tuple(
+                _track0(b is not None) for b in _basis_fns[1:])
     else:
         hits0 = {"n": jnp.zeros((), jnp.int32), "r": (), "phi": (),
                  "down": (), "xi": ()}
@@ -576,110 +588,147 @@ def dp45_integrate(metric, y0, p_t, p_phi, status0, *, atol, rtol, h_min,
 
         hits_out = hits
         if disk_plane is not None:
-            # Equatorial-plane crossing on the accepted step segment
+            # Per-plane crossing detection on the accepted step segment
             # (up to the event fraction), located with the same
             # interpolant used for events.
-            th_prev, th_next = y[1], y_acc[1]
-            if disk_normal is not None:
-                d_prev, _ = _plane_s(th_prev, y[2], y[0])
-                d_next, _ = _plane_s(th_next, y_acc[2], y_acc[0])
-            elif formulation == "mu":
-                d_prev = th_prev - plane_c      # state coord IS cos(theta)
-                d_next = th_next - plane_c
-            else:
-                d_prev = jnp.cos(th_prev) - plane_c
-                d_next = jnp.cos(th_next) - plane_c
-            # Strict sign change, plus the tangent case of landing exactly
-            # on the plane (measure-zero center-column pixels otherwise
-            # leave a 1-px seam in disk renders).
-            crossed = upd & ((d_prev * d_next < 0.0)
-                             | ((d_next == 0.0) & (d_prev != 0.0)))
-            den = jnp.where(d_next == d_prev, 1.0, d_next - d_prev)
-            frac_c = jnp.clip(-d_prev / den, 0.0, 1.0)
-            if event_interp == "hermite":
-                # k7 is the derivative at y5 (the un-shortened endpoint);
-                # when a capture/escape event shortened this same step
-                # (y_acc != y5), Hermite with k7 would be inconsistent —
-                # fall back to linear on those (rare) lanes.
-                y_cross_h = _hermite_eval(y, y_acc, k1, k7,
-                                          frac * h_eff, frac_c)
-                y_cross = _select(cap | esc, _lerp(y, y_acc, frac_c),
-                                  y_cross_h)
-            else:
-                y_cross = _lerp(y, y_acc, frac_c)
-            r_c = y_cross[0]
-            in_disk = crossed & (r_c >= disk_r_in) & (r_c <= disk_r_out)
-            # "down" = upper hemisphere -> lower (+z -> -z): cos(theta)
-            # decreasing — d is cos-based in both formulations now.
-            going_down = d_next < d_prev
+            def _record(track, plane, basis_fn, plane_c):
+                """One plane's sign track -> (new track, y_cross,
+                first_hit mask)."""
+                r_in_p, r_out_p, _th_p, _opq = plane
 
-            n = hits_out["n"]
-            new_r = list(hits_out["r"])
-            new_phi = list(hits_out["phi"])
-            new_down = list(hits_out["down"])
-            new_xi = list(hits_out["xi"])
-            down_f = going_down.astype(r_c.dtype)
-            # PHYSICAL azimuth of the crossing. On the sin(theta) < 0
-            # double-cover branch (over-the-pole rays: theta ran
-            # negative, or past pi) the chart phi is off by pi:
-            # x = r sin(theta) cos(phi), so the physical azimuth is
-            # phi + pi there. Without this, hot-spot/texture patterns
-            # sample the wrong side of the disk on exactly the
-            # center-column pixels the cos-detector fix heals. The mu
-            # chart folds the branch away, so disk mode is theta-only
-            # (enforced at the wrappers).
-            if disk_normal is not None:
-                _s_c, (xh, yh, zh) = _plane_s(y_cross[1], y_cross[2],
-                                              y_cross[0])
-                (_nx, _ny, _nz), _e1, _e2 = _basis_at(y_cross[0])
-                u1 = xh * _e1[0] + yh * _e1[1] + zh * _e1[2]
-                u2 = xh * _e2[0] + yh * _e2[1] + zh * _e2[2]
-                phi_c = jnp.arctan2(u2, u1)
-                # n.L from the crossing state: the standard canonical
-                # angular-momentum components
-                #   L_x = -sin(phi) p_theta - cot(theta) cos(phi) p_phi
-                #   L_y =  cos(phi) p_theta - cot(theta) sin(phi) p_phi
-                #   L_z =  p_phi
-                # (exactly conserved for a = 0; the flat-embedding
-                # projection for tilted Kerr — DiskConfig.tilt docs).
-                th_c, ph_c, pth_c = y_cross[1], y_cross[2], y_cross[4]
-                sth_c = jnp.sin(th_c)
-                # Sign-PRESERVING clamp: replacing a tiny negative
-                # sin(theta) with +eps would flip the sign of cot and
-                # hence of the recorded xi on near-pole crossings.
-                sth_safe = jnp.where(
-                    jnp.abs(sth_c) < 1e-12,
-                    jnp.where(sth_c < 0.0, -1e-12, 1e-12).astype(
-                        sth_c.dtype),
-                    sth_c)
-                cot_c = jnp.cos(th_c) / sth_safe
-                sph_c, cph_c = jnp.sin(ph_c), jnp.cos(ph_c)
-                lx = -sph_c * pth_c - cot_c * cph_c * p_phi
-                ly = cph_c * pth_c - cot_c * sph_c * p_phi
-                xi_c = _nx * lx + _ny * ly + _nz * p_phi
-            else:
-                phi_c = y_cross[2]
-                if formulation != "mu":
-                    phi_c = jnp.where(jnp.sin(y_cross[1]) < 0.0,
-                                      phi_c + np.pi, phi_c)
-            for slot in range(max_disk_hits):
-                take = in_disk & (n == slot)
-                new_r[slot] = jnp.where(take, r_c, new_r[slot])
-                new_phi[slot] = jnp.where(take, phi_c, new_phi[slot])
-                new_down[slot] = jnp.where(take, down_f, new_down[slot])
-                if disk_normal is not None:
-                    new_xi[slot] = jnp.where(take, xi_c, new_xi[slot])
-            n = jnp.where(in_disk, jnp.minimum(n + 1, max_disk_hits), n)
-            hits_out = {"n": n, "r": tuple(new_r), "phi": tuple(new_phi),
-                        "down": tuple(new_down), "xi": tuple(new_xi)}
-            if disk_opaque:
-                # First in-disk crossing terminates the ray: park it at
-                # the crossing point with ESCAPED-like bookkeeping left
-                # to the caller (hit record identifies disk pixels).
-                stop = in_disk & (hits_out["n"] == 1) & (status_out == RUNNING)
-                y_out = _select(stop, y_cross, y_out)
-                status_out = jnp.where(stop, ESCAPED,
-                                       status_out).astype(jnp.int32)
+                def dval(ys):
+                    if basis_fn is None:
+                        if formulation == "mu":
+                            return ys[1] - plane_c  # state IS cos(theta)
+                        return jnp.cos(ys[1]) - plane_c
+                    (nx, ny, nz), _e1, _e2 = basis_fn(ys[0])
+                    sth, cth = jnp.sin(ys[1]), jnp.cos(ys[1])
+                    sph, cph = jnp.sin(ys[2]), jnp.cos(ys[2])
+                    return nx * sth * cph + ny * sth * sph + nz * cth
+
+                d_prev = dval(y)
+                d_next = dval(y_acc)
+                # Strict sign change, plus the tangent case of landing
+                # exactly on the plane (measure-zero center-column
+                # pixels otherwise leave a 1-px seam in disk renders).
+                crossed = upd & ((d_prev * d_next < 0.0)
+                                 | ((d_next == 0.0) & (d_prev != 0.0)))
+                den = jnp.where(d_next == d_prev, 1.0, d_next - d_prev)
+                frac_c = jnp.clip(-d_prev / den, 0.0, 1.0)
+                if event_interp == "hermite":
+                    # k7 is the derivative at y5 (the un-shortened
+                    # endpoint); when a capture/escape event shortened
+                    # this same step (y_acc != y5), Hermite with k7
+                    # would be inconsistent — fall back to linear on
+                    # those (rare) lanes.
+                    y_cross_h = _hermite_eval(y, y_acc, k1, k7,
+                                              frac * h_eff, frac_c)
+                    y_cross = _select(cap | esc,
+                                      _lerp(y, y_acc, frac_c),
+                                      y_cross_h)
+                else:
+                    y_cross = _lerp(y, y_acc, frac_c)
+                r_c = y_cross[0]
+                in_disk = crossed & (r_c >= r_in_p) & (r_c <= r_out_p)
+                # "down" = upper hemisphere -> lower (+z -> -z):
+                # cos(theta) decreasing — d is cos-based in both
+                # formulations.
+                going_down = d_next < d_prev
+                down_f = going_down.astype(r_c.dtype)
+
+                # PHYSICAL azimuth of the crossing. On the
+                # sin(theta) < 0 double-cover branch (over-the-pole
+                # rays: theta ran negative, or past pi) the chart phi
+                # is off by pi: x = r sin(theta) cos(phi), so the
+                # physical azimuth is phi + pi there. Without this,
+                # hot-spot/texture patterns sample the wrong side of
+                # the disk on exactly the center-column pixels the
+                # cos-detector fix heals. The mu chart folds the branch
+                # away, so disk mode is theta-only (enforced at the
+                # wrappers).
+                if basis_fn is not None:
+                    (nx_c, ny_c, nz_c), e1_c, e2_c = basis_fn(y_cross[0])
+                    sth, cth = jnp.sin(y_cross[1]), jnp.cos(y_cross[1])
+                    sph, cph = jnp.sin(y_cross[2]), jnp.cos(y_cross[2])
+                    xh, yh, zh = sth * cph, sth * sph, cth
+                    u1 = xh * e1_c[0] + yh * e1_c[1] + zh * e1_c[2]
+                    u2 = xh * e2_c[0] + yh * e2_c[1] + zh * e2_c[2]
+                    phi_c = jnp.arctan2(u2, u1)
+                    # n.L from the crossing state: the standard
+                    # canonical angular-momentum components
+                    #  L_x = -sin(phi) p_theta - cot(theta) cos(phi) p_phi
+                    #  L_y =  cos(phi) p_theta - cot(theta) sin(phi) p_phi
+                    #  L_z =  p_phi
+                    # (exactly conserved for a = 0; the flat-embedding
+                    # projection for tilted Kerr — DiskConfig.tilt docs).
+                    th_c, ph_c, pth_c = y_cross[1], y_cross[2], y_cross[4]
+                    sth_c = jnp.sin(th_c)
+                    # Sign-PRESERVING clamp: replacing a tiny negative
+                    # sin(theta) with +eps would flip the sign of cot
+                    # and hence of the recorded xi on near-pole
+                    # crossings.
+                    sth_safe = jnp.where(
+                        jnp.abs(sth_c) < 1e-12,
+                        jnp.where(sth_c < 0.0, -1e-12, 1e-12).astype(
+                            sth_c.dtype),
+                        sth_c)
+                    cot_c = jnp.cos(th_c) / sth_safe
+                    sph_c, cph_c = jnp.sin(ph_c), jnp.cos(ph_c)
+                    lx = -sph_c * pth_c - cot_c * cph_c * p_phi
+                    ly = cph_c * pth_c - cot_c * sph_c * p_phi
+                    xi_c = nx_c * lx + ny_c * ly + nz_c * p_phi
+                else:
+                    phi_c = y_cross[2]
+                    xi_c = None
+                    if formulation != "mu":
+                        phi_c = jnp.where(jnp.sin(y_cross[1]) < 0.0,
+                                          phi_c + np.pi, phi_c)
+
+                n = track["n"]
+                new_r = list(track["r"])
+                new_phi = list(track["phi"])
+                new_down = list(track["down"])
+                new_xi = list(track["xi"])
+                for slot in range(max_disk_hits):
+                    take = in_disk & (n == slot)
+                    new_r[slot] = jnp.where(take, r_c, new_r[slot])
+                    new_phi[slot] = jnp.where(take, phi_c, new_phi[slot])
+                    new_down[slot] = jnp.where(take, down_f,
+                                               new_down[slot])
+                    if xi_c is not None:
+                        new_xi[slot] = jnp.where(take, xi_c, new_xi[slot])
+                n = jnp.where(in_disk, jnp.minimum(n + 1, max_disk_hits),
+                              n)
+                new_track = {"n": n, "r": tuple(new_r),
+                             "phi": tuple(new_phi),
+                             "down": tuple(new_down), "xi": tuple(new_xi)}
+                first_hit = in_disk & (n == 1)
+                return new_track, y_cross, first_hit
+
+            tracks = [{k: hits[k]
+                       for k in ("n", "r", "phi", "down", "xi")}]
+            tracks += list(hits.get("extra", ()))
+            new_tracks = []
+            # Opaque termination: the ray parks at its FIRST in-disk
+            # crossing of any opaque plane (list order breaks the
+            # measure-zero tie of two planes crossed in one step; a
+            # translucent plane never terminates).
+            stopped = jnp.zeros_like(upd)
+            for (plane, _nrm), bfn, pc, track in zip(
+                    _planes, _basis_fns, _plane_cs, tracks):
+                new_track, y_cross_p, first_hit = _record(
+                    track, plane, bfn, pc)
+                new_tracks.append(new_track)
+                if plane[3]:  # opaque
+                    stop = (first_hit & (status_out == RUNNING)
+                            & ~stopped)
+                    y_out = _select(stop, y_cross_p, y_out)
+                    status_out = jnp.where(stop, ESCAPED,
+                                           status_out).astype(jnp.int32)
+                    stopped = stopped | stop
+            hits_out = dict(new_tracks[0])
+            if len(new_tracks) > 1:
+                hits_out["extra"] = tuple(new_tracks[1:])
 
         return step + 1, y_out, k1_out, h_new, lam_out, status_out, hits_out
 

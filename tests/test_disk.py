@@ -607,3 +607,76 @@ def test_disk_frames_accepts_generator_times():
         RenderConfig(dtype="float64", backend="xla"))
     assert frames.shape[0] == 3
     assert stats["n_frames"] == 3
+
+
+def test_multi_disk_single_plane_limit():
+    """render_multi_disk([d]) reproduces render_disk(d) exactly (same
+    trace, same emission path)."""
+    from light_path_tracer_tpu.disk import render_multi_disk
+
+    scene = SceneConfig(M=1.0, a=0.9, r_obs_mult=100.0,
+                        theta_obs=np.radians(80.0))
+    cfg = RenderConfig(dtype="float64", backend="xla")
+    img1, st1 = render_disk(scene, (32, 48), cfg, DiskConfig())
+    imgM, stM = render_multi_disk(scene, (32, 48), cfg, [DiskConfig()])
+    assert np.array_equal(np.asarray(img1), np.asarray(imgM))
+    assert stM["disk_pixels"] == st1["disk_pixels"]
+    assert stM["n_disks"] == 1
+
+
+def test_multi_disk_two_planes_equatorial_plus_tilted():
+    """Equatorial inner disk + tilted translucent outer ring in ONE
+    trace: both planes record pixels; the second plane's empty limit
+    (r_out < r_in) degenerates to the single-disk image."""
+    from light_path_tracer_tpu.disk import render_multi_disk
+
+    scene = SceneConfig(M=1.0, a=0.9, r_obs_mult=100.0,
+                        theta_obs=np.radians(80.0))
+    cfg = RenderConfig(dtype="float64", backend="xla")
+    inner = DiskConfig(r_out=10.0)
+    ring = DiskConfig(r_in=12.0, r_out=20.0, tilt=np.radians(25.0),
+                      opaque=False)
+    img2, st2 = render_multi_disk(scene, (32, 48), cfg, [inner, ring])
+    assert st2["n_disks"] == 2
+    n_inner, n_ring = st2["disk_pixels_per_plane"]
+    assert n_inner > 10 and n_ring > 10
+    assert st2["disk_pixels"] <= n_inner + n_ring
+    assert np.isfinite(np.asarray(img2)).all()
+
+    # Empty second plane -> the two-plane path equals the single-plane
+    # image (the extra sign track records nothing).
+    empty = DiskConfig(r_in=8.0, r_out=7.0, opaque=False)
+    img_e, st_e = render_multi_disk(scene, (32, 48), cfg,
+                                    [inner, empty])
+    img_1, _ = render_multi_disk(scene, (32, 48), cfg, [inner])
+    assert st_e["disk_pixels_per_plane"][1] == 0
+    assert np.allclose(np.asarray(img_e), np.asarray(img_1), atol=1e-12)
+
+
+def test_multi_disk_opaque_occludes_second_plane():
+    """An opaque near disk terminates rays, so a translucent far plane
+    records FEWER crossings than when traced alone (occlusion via the
+    shared trace)."""
+    from light_path_tracer_tpu.disk import render_multi_disk
+
+    scene = SceneConfig(M=1.0, a=0.9, r_obs_mult=100.0,
+                        theta_obs=np.radians(80.0))
+    cfg = RenderConfig(dtype="float64", backend="xla")
+    near = DiskConfig(r_out=15.0, opaque=True)
+    far = DiskConfig(r_in=3.0, r_out=15.0, tilt=np.radians(40.0),
+                     opaque=False)
+    _img, st_both = render_multi_disk(scene, (32, 48), cfg, [near, far])
+    _img2, st_alone = render_multi_disk(scene, (32, 48), cfg, [far])
+    blocked = st_both["disk_pixels_per_plane"][1]
+    alone = st_alone["disk_pixels_per_plane"][0]
+    assert blocked < alone, (blocked, alone)
+
+
+def test_multi_disk_validates_mixed_spectra():
+    import pytest
+    from light_path_tracer_tpu.disk import render_multi_disk
+
+    scene = SceneConfig(M=1.0, a=0.9)
+    with pytest.raises(ValueError, match="spectrum"):
+        render_multi_disk(scene, (8, 8), RenderConfig(dtype="float64"),
+                          [DiskConfig(), DiskConfig(spectrum="blackbody")])
