@@ -128,10 +128,25 @@ def _trace_all_passes(metric, scene, cfg, resolution, fov, offsets, mesh):
                                   offsets, trace_rows=trace_rows)
 
     if mesh is not None:
-        fa, nh, st = trace_grid_sharded(
-            metric, scene.r_obs, alpha, theta,
-            theta_obs=scene.theta_obs, mesh=mesh,
-            max_steps=cfg.max_steps)
+        import jax
+        if jax.process_count() > 1:
+            # Global (multi-process) mesh: every process passes the same
+            # full grids; devices trace their own rows; one allgather
+            # assembles identical results on every host
+            # (parallel/multihost.py — config 5 multi-host).
+            from light_path_tracer_tpu.parallel.multihost import (
+                trace_grid_multihost)
+            fa, nh, st = trace_grid_multihost(
+                metric, scene.r_obs, np.asarray(alpha),
+                None if theta is None else np.asarray(theta),
+                theta_obs=scene.theta_obs, mesh=mesh,
+                max_steps=cfg.max_steps, backend=cfg.backend)
+            fa, nh, st = (jnp.asarray(x) for x in (fa, nh, st))
+        else:
+            fa, nh, st = trace_grid_sharded(
+                metric, scene.r_obs, alpha, theta,
+                theta_obs=scene.theta_obs, mesh=mesh,
+                max_steps=cfg.max_steps)
     else:
         # One pass-sized chunk per dispatch: all chunks share one
         # compiled kernel (identical shapes — the round-1 per-offset

@@ -284,12 +284,17 @@ def axis_refine_columns(image_dimension, fov, psi=(0.0, 0.0),
     if not in_front:
         return np.zeros(width, dtype=bool)
     if boost is not None and any(float(b) != 0.0 for b in boost):
+        # jnp throughout: this branch runs inside jitted pipelines
+        # (pipeline._render_scene_fused), where a np.asarray() on the
+        # traced aberration result would fail.
         denom = np.sqrt(1.0 + x_cam ** 2)
         vx = jnp.asarray(x_cam / denom)
         vy = jnp.zeros_like(vx)
         vz = jnp.asarray(1.0 / denom)
         wx, _wy, wz = aberrate_view(vx, vy, vz, boost)
-        x_cam = np.asarray(wx / jnp.maximum(wz, 1e-12))
+        x_rel = wx / jnp.maximum(wz, 1e-12) - bh_x_cam
+        x_abs_max = jnp.maximum(jnp.max(jnp.abs(x_rel)), 1e-12)
+        return jnp.abs(x_rel) <= refine_frac * x_abs_max
     x_rel = x_cam - bh_x_cam
     x_abs_max = max(float(np.max(np.abs(x_rel))), 1e-12)
     return np.abs(x_rel) <= refine_frac * x_abs_max

@@ -75,6 +75,39 @@ def _add_render_args(p):
                         "than the reference's nearest-texel gather)")
 
 
+def _add_multihost_args(p):
+    p.add_argument("--multihost", action="store_true",
+                   help="run this render over a jax.distributed global "
+                        "mesh (every chip of every process); start one "
+                        "CLI process per host")
+    p.add_argument("--coordinator", default=None,
+                   help="coordinator address host:port (omit on real "
+                        "TPU pods — auto-detected)")
+    p.add_argument("--num-processes", type=int, default=None,
+                   help="total process count (omit to auto-detect)")
+    p.add_argument("--process-id", type=int, default=None,
+                   help="this process's id, 0..N-1 (omit to "
+                        "auto-detect)")
+    p.add_argument("--init-timeout", type=float, default=60.0,
+                   help="seconds to wait for the full cluster to join "
+                        "before failing with a clear error")
+
+
+def _multihost_mesh(args):
+    """Global mesh for a --multihost run (initialize happened in main)."""
+    from light_path_tracer_tpu.parallel.multihost import make_global_mesh
+    import jax
+    mesh = make_global_mesh()
+    print(f"multihost: process {jax.process_index()}/"
+          f"{jax.process_count()}, {mesh.devices.size} global devices")
+    return mesh
+
+
+def _is_proc0() -> bool:
+    import jax
+    return jax.process_index() == 0
+
+
 def _scene_from(args):
     from light_path_tracer_tpu.utils.config import SceneConfig
     return SceneConfig(
@@ -135,7 +168,21 @@ def cmd_lens(args) -> int:
           f"psi_x={args.psi_x:.4f} deg ({status})")
 
     ring_tables = None
-    if getattr(args, "disk", False):
+    if getattr(args, "multihost", False):
+        from light_path_tracer_tpu.aa import render_scene_aa
+        for flag, note in (("disk", "--disk"), ("cache", "--cache"),
+                           ("rings", "--rings")):
+            if getattr(args, flag, False):
+                print(f"  note: {note} is not supported with "
+                      f"--multihost; ignoring")
+        result, astats = render_scene_aa(
+            scene, img, cfg, aa_samples=max(getattr(args, "aa", 1), 1),
+            mesh=_multihost_mesh(args))
+        astats["timings"]["load_image"] = (
+            astats["timings"].get("load_image", 0.0) + load_time)
+        timings = astats["timings"]
+        total, traced = astats["total_rays"], astats["traced_rays"]
+    elif getattr(args, "disk", False):
         if args.cache:
             print("  note: --cache is not supported with --disk "
                   "(composite re-traces); ignoring")
@@ -242,7 +289,8 @@ def cmd_lens(args) -> int:
             print(f"  {label:<12} {count:>10,} px")
 
     t0 = time.perf_counter()
-    mpimg.imsave(args.output, np.clip(np.asarray(result), 0.0, 1.0))
+    if _is_proc0():
+        mpimg.imsave(args.output, np.clip(np.asarray(result), 0.0, 1.0))
     timings["save_image"] = time.perf_counter() - t0
     timings["total"] = timings.get("total", 0.0) + timings["save_image"]
 
@@ -286,7 +334,16 @@ def cmd_shadow(args) -> int:
         print(f"Saved: {args.output} (+ {len(labels)} per-order masks)")
         return 0
 
-    if getattr(args, "aa", 1) > 1:
+    if getattr(args, "multihost", False):
+        from light_path_tracer_tpu.aa import render_shadow_aa
+        if args.analytic:
+            print("  note: --multihost shadow is the integrated mode; "
+                  "ignoring --analytic")
+        img, stats = render_shadow_aa(scene, (args.size, args.size), cfg,
+                                      aa_samples=max(args.aa, 1),
+                                      mesh=_multihost_mesh(args))
+        stats.setdefault("alpha_crit", _scene_metric_alpha_crit(scene))
+    elif getattr(args, "aa", 1) > 1:
         from light_path_tracer_tpu.aa import render_shadow_aa
         if args.analytic:
             print("  note: --aa applies to the integrated shadow; "
@@ -297,7 +354,9 @@ def cmd_shadow(args) -> int:
     else:
         img, stats = render_shadow(scene, (args.size, args.size), cfg,
                                    analytic=args.analytic)
-    mpimg.imsave(args.output, np.asarray(img), cmap="gray", vmin=0, vmax=1)
+    if _is_proc0():
+        mpimg.imsave(args.output, np.asarray(img), cmap="gray",
+                     vmin=0, vmax=1)
     t = stats["timings"]
     mode = ("analytic threshold" if args.analytic
             else (f"integrated, {stats['aa_samples']}x AA"
@@ -372,7 +431,19 @@ def cmd_disk(args) -> int:
         print(f"Saved: {out}")
         return 0
 
-    if getattr(args, "disk2", False):
+    if getattr(args, "multihost", False):
+        from light_path_tracer_tpu.disk import render_disk_multihost
+        for flag, note in (("disk2", "--disk2"),):
+            if getattr(args, flag, False):
+                print(f"  note: {note} is not supported with "
+                      f"--multihost; ignoring")
+        if args.aa > 1:
+            print("  note: --aa is not supported with --multihost disk; "
+                  "ignoring")
+        img, stats = render_disk_multihost(
+            scene, (args.size, args.size), cfg, disk,
+            mesh=_multihost_mesh(args))
+    elif getattr(args, "disk2", False):
         # Second independent disk plane, traced in the SAME integration
         # (multi-plane recorder, ops/kerr_trace.py extra_disks).
         from light_path_tracer_tpu.disk import render_multi_disk
@@ -401,7 +472,8 @@ def cmd_disk(args) -> int:
         colored = np.clip(np.asarray(img), 0.0, 1.0) ** (1.0 / 2.2)
     else:
         colored = cm.afmhot(np.asarray(img))[..., :3]
-    mpimg.imsave(args.output, colored)
+    if _is_proc0():
+        mpimg.imsave(args.output, colored)
     t = stats["timings"]
     print(f"Accretion disk: {args.size}x{args.size}, a={args.a}, "
           f"inclination {args.inclination} deg, "
@@ -561,6 +633,7 @@ def build_parser():
                    help="also write the lensed image split by photon-"
                         "ring order (direct / 1st lensed / n-th ring)")
     p.add_argument("--max-order", type=int, default=3)
+    _add_multihost_args(p)
     p.set_defaults(fn=cmd_lens)
 
     p = sub.add_parser("shadow", help="black-hole shadow render")
@@ -578,6 +651,7 @@ def build_parser():
     p.add_argument("--max-order", type=int, default=3,
                    help="highest photon-ring order to separate")
     p.add_argument("--output", default="black_hole_shadow.png")
+    _add_multihost_args(p)
     p.set_defaults(fn=cmd_shadow)
 
     p = sub.add_parser("disk", help="accretion-disk render (redshift + "
@@ -633,6 +707,7 @@ def build_parser():
     p.add_argument("--disk2-tilt-azimuth", type=float, default=0.0)
     p.add_argument("--disk2-translucent", action="store_true")
     p.add_argument("--output", default="accretion_disk.png")
+    _add_multihost_args(p)
     p.set_defaults(fn=cmd_disk)
 
     p = sub.add_parser("animate", help="camera-pan animation (GIF), "
@@ -665,10 +740,19 @@ def build_parser():
 
 
 def main(argv=None) -> int:
-    from light_path_tracer_tpu.utils.cache import enable_compilation_cache
-    enable_compilation_cache()
     parser = build_parser()
     args = parser.parse_args(argv)
+    if getattr(args, "multihost", False):
+        # Must run before ANY other JAX call in this process.
+        from light_path_tracer_tpu.parallel.multihost import (
+            initialize_multihost)
+        initialize_multihost(
+            coordinator_address=args.coordinator,
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+            timeout_s=args.init_timeout)
+    from light_path_tracer_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     if not getattr(args, "fn", None):
         parser.print_help()
         return 2

@@ -179,11 +179,17 @@ class DiskTraceResult(NamedTuple):
 def trace_disk_rays(metric, r_obs, alphas, thetas, theta_obs,
                     lambda_max: float, max_steps: int, disk: DiskConfig,
                     backend: str = "auto", precision: str = "fast",
-                    method: str = "dp45") -> DiskTraceResult:
+                    method: str = "dp45", two_pass="auto",
+                    pass1_steps: int = 512) -> DiskTraceResult:
     """Trace rays recording equatorial crossings; returns DiskTraceResult.
     backend / precision as in trace_batch; method = "dp45" | "dop853"
     (the crossing recorder needs the adaptive shared loop, so the
-    fixed-step "rk4" comparison integrator is not available here)."""
+    fixed-step "rk4" comparison integrator is not available here).
+    two_pass: straggler containment on the Pallas path ("auto" = ON:
+    unlike the shadow grid, disk workloads are routinely rendered from
+    jittered/AA grids whose near-axis L -> 0 lanes pin whole tiles —
+    measured 20x at 1024^2 with a quarter-pixel offset, and the capped
+    first pass costs <10% even on aligned grids; BASELINE.md)."""
     if method not in ("dp45", "dop853"):
         raise ValueError(
             f"disk mode supports integrator 'dp45' or 'dop853' (the "
@@ -200,6 +206,15 @@ def trace_disk_rays(metric, r_obs, alphas, thetas, theta_obs,
     plane = (float(r_in), float(disk.r_out), float(np.pi / 2),
              bool(disk.opaque))
     if resolved == "pallas":
+        use_two = two_pass if two_pass != "auto" else True
+        if use_two:
+            from light_path_tracer_tpu.ops.pallas.kerr_trace_kernel \
+                import trace_disk_rays_two_pass
+            return trace_disk_rays_two_pass(
+                metric, float(r_obs), alphas, thetas, float(theta_obs),
+                float(lambda_max), max_steps, plane, disk.max_hits,
+                pass1_steps=pass1_steps, precision=precision,
+                method=method)
         from light_path_tracer_tpu.ops.pallas.kerr_trace_kernel import (
             trace_disk_rays_pallas)
         return trace_disk_rays_pallas(
@@ -416,6 +431,67 @@ def render_multi_disk(scene: SceneConfig, resolution,
     return img, stats
 
 
+def render_disk_multihost(scene: SceneConfig, resolution,
+                          cfg: RenderConfig, disk: DiskConfig, mesh):
+    """Disk render over a global (multi-process) mesh.
+
+    The trace shards pixel rows across every device of every process
+    (parallel/multihost.trace_disk_grid_multihost); the cheap emission
+    + tone map then run redundantly on every host from the gathered
+    crossing records, so each process holds the identical image.
+    Returns (image, stats).
+    """
+    from light_path_tracer_tpu.parallel.multihost import (
+        trace_disk_grid_multihost)
+
+    metric = Kerr(M=scene.M, a=scene.a)
+    timer = StageTimer()
+    height, width = resolution
+    fov = camera.fov_from_vertical(scene.vertical_fov, resolution)
+    dtype = jnp.float64 if cfg.dtype == "float64" else jnp.float32
+
+    with timer.stage("build_lookup") as out:
+        alpha = camera.build_alpha_lookup(resolution, fov, psi=scene.psi,
+                                          dtype=dtype, boost=scene.boost)
+        theta = camera.build_theta_lookup(resolution, fov, psi=scene.psi,
+                                          dtype=dtype, boost=scene.boost)
+        out.append((alpha, theta))
+
+    with timer.stage("precompute") as out:
+        res = trace_disk_grid_multihost(
+            metric, scene.r_obs, np.asarray(alpha), np.asarray(theta),
+            scene.theta_obs, disk, mesh=mesh, max_steps=cfg.max_steps,
+            backend="xla")
+        out.append(jnp.asarray(res.n_hits))
+
+    with timer.stage("render") as out:
+        r_in = disk.r_in if disk.r_in is not None else r_isco(
+            scene.M, scene.a, disk.prograde)
+        dl = (camera.doppler_lookup(resolution, fov, scene.boost,
+                                    dtype=dtype).ravel()
+              if scene.boosted else None)
+        intensity, rgb = disk_emission(
+            scene, disk, r_in,
+            jnp.asarray(res.n_hits).ravel(),
+            tuple(jnp.asarray(r).ravel() for r in res.r_hits),
+            jnp.asarray(res.xi).ravel(), doppler=dl,
+            xi_hits=tuple(jnp.asarray(x).ravel() for x in res.xi_hits))
+        img = _finish_image(intensity, rgb, resolution, disk.tone_map)
+        out.append(img)
+
+    stats = dict(
+        alpha_crit=metric.alpha_crit(scene.r_obs, scene.theta_obs),
+        r_isco=r_isco(scene.M, scene.a, disk.prograde),
+        captured=int((np.asarray(res.status) == CAPTURED).sum()),
+        disk_pixels=int((np.asarray(res.n_hits) > 0).sum()),
+        integrator_steps=int(res.n_steps),
+        n_devices=int(mesh.devices.size),
+        total_rays=height * width,
+        traced_rays=height * width,
+        timings=timer.finish())
+    return img, stats
+
+
 def render_disk(scene: SceneConfig, resolution,
                 cfg: RenderConfig = RenderConfig(),
                 disk: DiskConfig = DiskConfig()):
@@ -443,7 +519,8 @@ def render_disk(scene: SceneConfig, resolution,
             metric, scene.r_obs, alpha.ravel(), theta.ravel(),
             scene.theta_obs, max(5000.0, 6.0 * scene.r_obs),
             cfg.max_steps, disk, backend=cfg.backend,
-            precision=cfg.precision, method=cfg.integrator)
+            precision=cfg.precision, method=cfg.integrator,
+            two_pass=cfg.two_pass, pass1_steps=cfg.pass1_steps)
         out.append(res.status)
 
     with timer.stage("render") as out:
@@ -706,7 +783,8 @@ def render_disk_frames(scene: SceneConfig, resolution, times,
             metric, scene.r_obs, alpha.ravel(), theta.ravel(),
             scene.theta_obs, max(5000.0, 6.0 * scene.r_obs),
             cfg.max_steps, disk, backend=cfg.backend,
-            precision=cfg.precision, method=cfg.integrator)
+            precision=cfg.precision, method=cfg.integrator,
+            two_pass=cfg.two_pass, pass1_steps=cfg.pass1_steps)
         out.append(res.status)
 
     with timer.stage("render") as out:
@@ -816,7 +894,8 @@ def render_scene_with_disk(scene: SceneConfig, source_image,
             metric, scene.r_obs, alpha.ravel(), theta.ravel(),
             scene.theta_obs, max(5000.0, 6.0 * scene.r_obs),
             cfg.max_steps, disk, backend=cfg.backend,
-            precision=cfg.precision, method=cfg.integrator)
+            precision=cfg.precision, method=cfg.integrator,
+            two_pass=cfg.two_pass, pass1_steps=cfg.pass1_steps)
         out.append(res.status)
 
     with timer.stage("render") as out:
@@ -925,7 +1004,8 @@ def render_disk_aa(scene: SceneConfig, resolution,
             metric, scene.r_obs, alpha.ravel(), theta.ravel(),
             scene.theta_obs, max(5000.0, 6.0 * scene.r_obs),
             cfg.max_steps, disk, backend=cfg.backend,
-            precision=cfg.precision, method=cfg.integrator)
+            precision=cfg.precision, method=cfg.integrator,
+            two_pass=cfg.two_pass, pass1_steps=cfg.pass1_steps)
         out.append(res.status)
 
     with timer.stage("render") as out:
@@ -1064,7 +1144,8 @@ def _render_scene_with_disk_aa_stacked(scene, source_image, cfg, disk,
             metric, scene.r_obs, alphas[s].ravel(), thetas[s].ravel(),
             scene.theta_obs, max(5000.0, 6.0 * scene.r_obs),
             cfg.max_steps, disk, backend=cfg.backend,
-            precision=cfg.precision, method=cfg.integrator)
+            precision=cfg.precision, method=cfg.integrator,
+            two_pass=cfg.two_pass, pass1_steps=cfg.pass1_steps)
             for s in range(n_s)]
         res = _concat_disk_results(results)
         out.append(res.status)

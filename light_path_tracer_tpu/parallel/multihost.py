@@ -33,23 +33,44 @@ from light_path_tracer_tpu.parallel.mesh import shard_map_fn
 def initialize_multihost(coordinator_address: str | None = None,
                          num_processes: int | None = None,
                          process_id: int | None = None,
-                         local_device_ids=None):
+                         local_device_ids=None,
+                         timeout_s: float | None = None):
     """Join (or start, for process 0) the jax.distributed control plane.
 
     Must run before any other JAX call in the process. On real
     multi-host TPU pods the arguments are auto-detected from the
     environment and may all be None; for the CPU test recipe pass them
     explicitly. Idempotent: repeated calls are ignored.
+
+    timeout_s bounds the wait for the full cluster to join (default:
+    jax's own 300 s); a missing peer then fails HERE with a clear
+    RuntimeError instead of hanging into the first collective. Failure
+    AFTER initialization: the coordinator heartbeat detects a dead
+    process and shuts the remaining ones down with a "peer disconnect"
+    error at their next collective (the final image allgather — the
+    hot loop itself is collective-free, so a render in flight runs its
+    local shards to completion first). docs/scaling.md "Multi-host
+    failure behavior".
     """
+    kwargs = {}
+    if timeout_s is not None:
+        kwargs["initialization_timeout"] = int(timeout_s)
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id,
-            local_device_ids=local_device_ids)
+            local_device_ids=local_device_ids, **kwargs)
     except RuntimeError as exc:   # already initialized
         if "already" not in str(exc).lower():
-            raise
+            raise TimeoutError(
+                f"jax.distributed initialization failed "
+                f"(coordinator={coordinator_address!r}, "
+                f"num_processes={num_processes}, "
+                f"process_id={process_id}): {exc}. Check that every "
+                f"process started with the same --coordinator and a "
+                f"distinct --process-id, and that the coordinator port "
+                f"is reachable.") from exc
 
 
 def make_global_mesh(axis_name: str = "tiles") -> Mesh:

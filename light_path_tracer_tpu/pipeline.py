@@ -109,6 +109,47 @@ def _precompute_fused(scene, cfg, image_dimension, fov):
     return pre.final_alpha, pre.winding, pre.integrator_steps
 
 
+@functools.partial(
+    jax.jit, static_argnames=("scene", "cfg", "image_dimension", "fov"))
+def _render_scene_fused(scene, cfg, image_dimension, fov, img):
+    """The ENTIRE lens pipeline — camera grids, trace, symmetry fold,
+    and the texture-gather render — as ONE jitted program.
+
+    One dispatch and one device->host readback per frame (at save):
+    round-2 profiling showed the 512^2 staged path spending >= 85% of
+    the frame outside the trace, dominated by per-stage sync round
+    trips over the TPU tunnel (~28 ms each). The background image
+    enters as a traced ARGUMENT (closing over it would constant-fold
+    megabytes through XLA — measured minutes of compile elsewhere).
+    Returns (lensed, alpha_lookup, final_alpha, winding, steps).
+    """
+    from light_path_tracer_tpu.render import _render_core
+    dtype = _dtype_of(cfg)
+    alpha_lookup = camera.build_alpha_lookup(
+        image_dimension, fov, psi=scene.psi, dtype=dtype,
+        boost=scene.boost)
+    pre = _precompute_eager(scene, cfg, image_dimension, fov,
+                            alpha_lookup)
+    # Renderer theta grid: same convention as the staged path — the
+    # aberrated (static-frame) grid in compute dtype when boosted, the
+    # plain f32 grid otherwise (render_lensed_image's default).
+    if scene.boosted:
+        theta_r = camera.build_theta_lookup(
+            image_dimension, fov, psi=scene.psi, dtype=dtype,
+            boost=scene.boost)
+    else:
+        theta_r = camera.build_theta_lookup(
+            image_dimension, fov, psi=scene.psi,
+            dtype=pre.final_alpha.dtype)
+    frame = camera.psi_frame(scene.psi)
+    lensed = _render_core(img, theta_r, pre.final_alpha, pre.winding,
+                          frame.d, frame.e_x, frame.e_y,
+                          image_dimension, fov, cfg.render_loop_around,
+                          cfg.sampling)
+    return (lensed, alpha_lookup, pre.final_alpha, pre.winding,
+            pre.integrator_steps)
+
+
 def _precompute_eager(scene: SceneConfig, cfg: RenderConfig,
                       image_dimension, fov, alpha_lookup=None,
                       chunk_store=None) -> PrecomputeResult:
@@ -181,7 +222,14 @@ def _precompute_eager(scene: SceneConfig, cfg: RenderConfig,
 
 def render_scene(scene: SceneConfig, source_image,
                  cfg: RenderConfig = RenderConfig()) -> RenderOutput:
-    """Full lensed render of `source_image` (the image_lens.main pipeline)."""
+    """Full lensed render of `source_image` (the image_lens.main pipeline).
+
+    Default path: the whole pipeline is ONE fused XLA program
+    (_render_scene_fused) — one dispatch, one readback at save; the
+    per-stage breakdown collapses into the "precompute" timing (the
+    gather render is a few percent of it). Chunked / progress-reporting
+    runs fall back to the staged path with true per-stage timings.
+    """
     metric = make_metric(scene.M, scene.a)
     timer = StageTimer()
 
@@ -194,6 +242,28 @@ def render_scene(scene: SceneConfig, source_image,
         if img.dtype == jnp.uint8:
             img = img.astype(jnp.float32) / 255.0
         out.append(img)
+
+    whole_grid = cfg.chunk_size is None or (
+        cfg.chunk_size >= height * width)
+    if whole_grid and not cfg.progress:
+        with timer.stage("precompute") as out:
+            (lensed, alpha_lookup, fa, wind,
+             steps) = _render_scene_fused(scene, cfg, (height, width),
+                                          tuple(fov), img)
+            out.append(lensed)
+        use_tb = _use_tb(scene, cfg)
+        traced = (height if (metric.is_spherically_symmetric
+                             or not use_tb)
+                  else (height + 1) // 2) * width
+        pre = PrecomputeResult(fa, wind, height * width, traced, steps)
+        timings = timer.finish()
+        # One program = one timing: lookup build and render are fused
+        # into "precompute"; keep the stage keys for the benchmark
+        # summary contract (print_benchmark_summary).
+        timings.setdefault("build_lookup", 0.0)
+        timings.setdefault("render", 0.0)
+        return RenderOutput(lensed, alpha_lookup, pre, alpha_crit,
+                            timings, scene, cfg)
 
     with timer.stage("build_lookup") as out:
         alpha_lookup = camera.build_alpha_lookup(

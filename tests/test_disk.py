@@ -680,3 +680,58 @@ def test_multi_disk_validates_mixed_spectra():
     with pytest.raises(ValueError, match="spectrum"):
         render_multi_disk(scene, (8, 8), RenderConfig(dtype="float64"),
                           [DiskConfig(), DiskConfig(spectrum="blackbody")])
+
+
+def test_disk_pallas_accepts_precision_and_method():
+    """Regression: precision/method reach the Pallas disk kernel as
+    STATIC jit args (a plain string arg raised TypeError in r3)."""
+    from light_path_tracer_tpu.models import Kerr
+    from light_path_tracer_tpu.disk import r_isco
+    from light_path_tracer_tpu.ops.pallas.kerr_trace_kernel import (
+        trace_disk_rays_pallas)
+
+    m = Kerr(M=1.0, a=0.9)
+    alphas = jnp.asarray(np.linspace(0.02, 0.1, 16), jnp.float32)
+    thetas = jnp.asarray(np.linspace(-2.0, 2.0, 16), jnp.float32)
+    plane = (float(r_isco(1.0, 0.9)), 20.0, float(np.pi / 2), True)
+    res = trace_disk_rays_pallas(
+        m, 100.0, alphas, thetas, np.radians(80.0), 5000.0, 5000, plane,
+        2, tile_rows=4, interpret=True, precision="precise",
+        method="dp45")
+    assert int(np.asarray(res.n_steps)) > 0
+
+
+def test_disk_two_pass_matches_single_pass():
+    """Pallas disk two-pass straggler containment (interpret mode)
+    reproduces the single-pass results: statuses, hit records, and
+    escape headings; only lanes still RUNNING after pass 1 are
+    re-traced, from scratch, at full depth."""
+    from light_path_tracer_tpu.models import Kerr
+    from light_path_tracer_tpu.disk import r_isco
+    from light_path_tracer_tpu.ops.pallas.kerr_trace_kernel import (
+        trace_disk_rays_pallas, trace_disk_rays_two_pass)
+
+    m = Kerr(M=1.0, a=0.9)
+    rng = np.random.default_rng(8)
+    n = 200
+    alphas = jnp.asarray(rng.uniform(0.01, 0.12, n), jnp.float32)
+    thetas = jnp.asarray(rng.uniform(-np.pi, np.pi, n), jnp.float32)
+    plane = (float(r_isco(1.0, 0.9)), 20.0, float(np.pi / 2), True)
+
+    r1 = trace_disk_rays_pallas(
+        m, 100.0, alphas, thetas, np.radians(80.0), 5000.0, 20000,
+        plane, 2, tile_rows=8, interpret=True)
+    r2 = trace_disk_rays_two_pass(
+        m, 100.0, alphas, thetas, np.radians(80.0), 5000.0, 20000,
+        plane, 2, pass1_steps=64, tile_rows=8, interpret=True)
+
+    assert (np.asarray(r1.status) == np.asarray(r2.status)).mean() > 0.99
+    assert (np.asarray(r1.n_hits) == np.asarray(r2.n_hits)).mean() > 0.99
+    hit = (np.asarray(r1.n_hits) > 0) & (np.asarray(r2.n_hits) > 0)
+    assert hit.sum() > 10
+    np.testing.assert_allclose(
+        np.asarray(r1.r_hits[0])[hit], np.asarray(r2.r_hits[0])[hit],
+        atol=1e-3)
+    fa1, fa2 = np.asarray(r1.final_alpha), np.asarray(r2.final_alpha)
+    free = np.isfinite(fa1) & np.isfinite(fa2)
+    assert np.median(np.abs(fa1[free] - fa2[free])) < 1e-5

@@ -158,3 +158,25 @@ def test_invalid_rays_surface_as_shadow():
                          jnp.zeros(2, bool), 5000.0, 200000)
     assert int(r2.status[1]) == 1
     assert np.isfinite(float(r2.final_alpha[1]))
+
+
+def test_fused_lens_path_matches_staged():
+    """render_scene's default single-program fused path (camera grids +
+    trace + fold + render in ONE dispatch) is exact against the staged
+    chunked path, including boosted and off-axis scenes."""
+    rng = np.random.default_rng(1)
+    src = rng.random((24, 32, 3)).astype(np.float32)
+    for scene in (SceneConfig(a=0.9),
+                  SceneConfig(a=0.9, boost=(0.0, 0.0, 0.2)),
+                  SceneConfig(a=0.9, psi_y=np.radians(3.0))):
+        fused = render_scene(scene, src, RenderConfig(dtype="float64"))
+        staged = render_scene(scene, src,
+                              RenderConfig(dtype="float64",
+                                           chunk_size=256))
+        np.testing.assert_allclose(np.asarray(fused.image),
+                                   np.asarray(staged.image), atol=1e-12)
+        np.testing.assert_allclose(np.asarray(fused.alpha_lookup),
+                                   np.asarray(staged.alpha_lookup),
+                                   atol=1e-12)
+        assert (fused.precompute.traced_rays
+                == staged.precompute.traced_rays)
