@@ -174,6 +174,36 @@ def aberrate_view(vx, vy, vz, boost):
     return -kx / n, -ky / n, -kz / n
 
 
+def aberrate_view_dynamic(vx, vy, vz, bx, by, bz):
+    """aberrate_view with TRACED boost scalars (flyby sequences).
+
+    Same propagation-vector map, but (bx, by, bz) are jnp scalars inside
+    an enclosing jit, so one compiled program serves a whole boost ramp.
+    Safe at b = 0 (the 0/0 in the bhat projection is guarded and the
+    identity map is selected), so a ramp may start from rest. |b| >= 1
+    cannot raise under trace; callers validate host-side.
+    """
+    dtype = vx.dtype
+    bx = jnp.asarray(bx, dtype)
+    by = jnp.asarray(by, dtype)
+    bz = jnp.asarray(bz, dtype)
+    b2 = bx * bx + by * by + bz * bz
+    tiny = jnp.asarray(1e-30, dtype)
+    gamma = 1.0 / jnp.sqrt(jnp.maximum(1.0 - b2, tiny))
+    kx, ky, kz = -vx, -vy, -vz
+    bdotk = bx * kx + by * ky + bz * kz
+    coef = (1.0 - 1.0 / gamma) / jnp.maximum(b2, tiny) * bdotk
+    denom = 1.0 + bdotk
+    akx = (kx / gamma + coef * bx + bx) / denom
+    aky = (ky / gamma + coef * by + by) / denom
+    akz = (kz / gamma + coef * bz + bz) / denom
+    n = jnp.sqrt(akx * akx + aky * aky + akz * akz)
+    moving = b2 > 0.0
+    return (jnp.where(moving, -akx / n, vx),
+            jnp.where(moving, -aky / n, vy),
+            jnp.where(moving, -akz / n, vz))
+
+
 def doppler_lookup(image_dimension, fov, boost, dtype=jnp.float32,
                    pixel_offset=(0.0, 0.0)):
     """Per-pixel Doppler factor delta = nu_cam / nu_static, (H, W).
@@ -327,13 +357,18 @@ def psi_frame_dynamic(psi_y, psi_x):
 
 
 def build_angle_lookups_dynamic(image_dimension, fov, psi_y, psi_x,
-                                dtype=jnp.float32, boost=None):
+                                dtype=jnp.float32, boost=None,
+                                boost_dynamic=None):
     """(alpha, theta) per-pixel grids with traced psi scalars. `boost`
-    (static per-sequence) aberrates the view as in build_alpha_lookup."""
+    (static per-sequence) aberrates the view as in build_alpha_lookup;
+    `boost_dynamic` = traced (bx, by, bz) scalars instead (flyby
+    sequences — one compiled program over a whole boost ramp)."""
     d, e_x, e_y = psi_frame_dynamic(jnp.asarray(psi_y, dtype),
                                     jnp.asarray(psi_x, dtype))
     vx, vy, vz = _view_grids(image_dimension, fov, dtype)
-    if boost is not None and any(float(b) != 0.0 for b in boost):
+    if boost_dynamic is not None:
+        vx, vy, vz = aberrate_view_dynamic(vx, vy, vz, *boost_dynamic)
+    elif boost is not None and any(float(b) != 0.0 for b in boost):
         vx, vy, vz = aberrate_view(vx, vy, vz, boost)
     cos_alpha = vx * d[0] + vy * d[1] + vz * d[2]
     alpha = jnp.arccos(jnp.clip(cos_alpha, -1.0, 1.0))

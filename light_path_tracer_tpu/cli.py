@@ -487,33 +487,56 @@ def cmd_disk(args) -> int:
 
 
 def cmd_animate(args) -> int:
-    """Camera-pan sequence -> animated GIF (traced-psi fast path)."""
+    """Camera-pan or flyby sequence -> animated GIF (traced fast path)."""
     import time
     import numpy as np
     from PIL import Image
-    from light_path_tracer_tpu.sequence import render_sequence
+    from light_path_tracer_tpu.sequence import render_flyby, render_sequence
 
     scene = _scene_from(args)
-    pan = np.radians(args.pan_deg)
-    psis = [(scene.psi_y, scene.psi_x - pan / 2 + pan * i /
-             max(args.frames - 1, 1)) for i in range(args.frames)]
+    n_frames = max(args.frames, 1)
 
     src = None
     if args.image:
         import matplotlib.image as mpimg
         src = mpimg.imread(args.image)
 
+    if args.flyby:
+        # Approach animation: observer radius ramps r0 -> r1 (units of
+        # M) while a forward boost ramps 0 -> --boost-to; radius AND
+        # boost ride the traced carry, so the whole approach is one
+        # compiled program (sequence.render_flyby).
+        try:
+            r0, r1 = (float(x) for x in args.flyby.split(":"))
+        except ValueError:
+            print(f"error: --flyby expects R0:R1 (units of M), got "
+                  f"{args.flyby!r}")
+            return 2
+        ts = [i / max(n_frames - 1, 1) for i in range(n_frames)]
+        fly_frames = [(scene.psi_y, scene.psi_x,
+                       (r0 + (r1 - r0) * t) * scene.M,
+                       (0.0, 0.0, args.boost_to * t)) for t in ts]
+
+        def render(fr):
+            return render_flyby(scene, fr, source_image=src,
+                                resolution=(args.size, args.size))
+    else:
+        pan = np.radians(args.pan_deg)
+        fly_frames = [(scene.psi_y, scene.psi_x - pan / 2 + pan * i /
+                       max(n_frames - 1, 1)) for i in range(n_frames)]
+
+        def render(fr):
+            return render_sequence(scene, fr, source_image=src,
+                                   resolution=(args.size, args.size))
+
     t0 = time.perf_counter()
-    frames = render_sequence(scene, psis[:1], source_image=src,
-                             resolution=(args.size, args.size))
-    first = np.asarray(frames[0])
+    first = np.asarray(render(fly_frames[:1])[0])
     t_compile = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    rest = render_sequence(scene, psis[1:], source_image=src,
-                           resolution=(args.size, args.size))
+    rest = render(fly_frames[1:])
     imgs = [first] + [np.asarray(f) for f in rest]
-    dt = (time.perf_counter() - t0) / max(len(psis) - 1, 1)
+    dt = (time.perf_counter() - t0) / max(n_frames - 1, 1)
 
     def to_pil(a):
         a = np.clip(a, 0.0, 1.0)
@@ -717,6 +740,13 @@ def build_parser():
     p.add_argument("--frames", type=int, default=24)
     p.add_argument("--pan-deg", type=float, default=2.0,
                    help="total horizontal pan across the sequence")
+    p.add_argument("--flyby", default=None, metavar="R0:R1",
+                   help="approach animation instead of a pan: observer "
+                        "radius ramps R0 -> R1 (units of M) with radius "
+                        "and boost in the traced carry (one compile)")
+    p.add_argument("--boost-to", type=float, default=0.0,
+                   help="with --flyby: forward boost ramps 0 -> this "
+                        "(units of c; shadow shrinks by aberration)")
     p.add_argument("--image", default=None,
                    help="background image (default: shadow-only frames)")
     p.add_argument("--fps", type=int, default=12)

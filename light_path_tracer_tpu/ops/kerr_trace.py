@@ -217,6 +217,17 @@ def trace_rays_kerr(metric, r_obs, alphas, thetas, theta_obs,
         force_invalid, precision, method)
 
 
+def _h_init_for(r_obs, dtype):
+    """Initial step size max(1, r_obs/100) — traced-safe: in flyby
+    sequences (sequence.render_flyby) r_obs is a jnp scalar inside an
+    enclosing jit, so the Python max()/float() of the static path would
+    fail on the tracer."""
+    if isinstance(r_obs, (int, float, np.floating, np.integer)):
+        return max(1.0, 0.01 * float(r_obs))
+    return jnp.maximum(jnp.asarray(1.0, dtype),
+                       0.01 * jnp.asarray(r_obs, dtype))
+
+
 def _trace_rays_kerr_impl(metric, r_obs, alphas, thetas, theta_obs,
                           axis_refine, lambda_max, max_steps,
                           event_interp, early_capture, formulation,
@@ -251,7 +262,7 @@ def _trace_rays_kerr_impl(metric, r_obs, alphas, thetas, theta_obs,
         metric, y0, p_t, p_phi, status0,
         atol=atol, rtol=rtol, h_min=h_min, tiny_err=tiny_err,
         r_capture=r_capture, r_escape=r_escape,
-        lambda_max=lambda_max, h_init=max(1.0, 0.01 * float(r_obs)),
+        lambda_max=lambda_max, h_init=_h_init_for(r_obs, dtype),
         max_steps=max_steps, event_interp=event_interp,
         r_plunge=r_plunge, formulation=formulation, method=method)
     if formulation == "mu":
@@ -776,7 +787,11 @@ def trace_rays_kerr_hybrid(metric, r_obs, alphas, thetas, theta_obs,
 
     All inside one jitted program. backend: 'xla' | 'pallas'.
     dynamic_params: optional traced (M, a) — metric is then a placeholder
-    (recompilation-free parameter sweeps; works on both backends).
+    (recompilation-free parameter sweeps; works on both backends) — or
+    traced (M, a, r_obs): the observer radius joins the traced carry too
+    (flyby/approach sequences; the static `r_obs` argument is then only
+    a compile-key placeholder, but `lambda_max` must still bound the
+    LARGEST radius of the sweep, e.g. max(5000, 6 * r_obs_max)).
     Falls back to pure theta form when the observer is nearly polar
     (sin(theta_obs) < 0.1: most of the grid would be pole-risk anyway).
     """
@@ -789,6 +804,9 @@ def trace_rays_kerr_hybrid(metric, r_obs, alphas, thetas, theta_obs,
             jnp.asarray(dynamic_params[1], alphas.dtype))
     else:
         eff_metric = metric
+    dyn_r = dynamic_params is not None and len(dynamic_params) >= 3
+    eff_r_obs = (jnp.asarray(dynamic_params[2], alphas.dtype) if dyn_r
+                 else float(r_obs))
 
     def run(al, th, rf, form, steps, fi=None, unconv=False, rows=None):
         if backend == "pallas":
@@ -802,7 +820,7 @@ def trace_rays_kerr_hybrid(metric, r_obs, alphas, thetas, theta_obs,
                 formulation=form, force_invalid=fi, precision=precision,
                 method=method, **kw)
         res = _trace_rays_kerr_impl(
-            eff_metric, float(r_obs), al, th, float(theta_obs), rf,
+            eff_metric, eff_r_obs, al, th, float(theta_obs), rf,
             float(lambda_max), steps, event_interp, True, form, fi,
             precision, method)
         if unconv:
@@ -819,7 +837,7 @@ def trace_rays_kerr_hybrid(metric, r_obs, alphas, thetas, theta_obs,
 
     n = int(alphas.shape[0])
     risk = eff_metric.pole_risk(
-        float(r_obs), alphas, thetas, float(theta_obs), s_thresh)
+        eff_r_obs, alphas, thetas, float(theta_obs), s_thresh)
     if slots is None:
         # Sized for the default s_thresh: measured risk fraction at
         # s_thresh=1e-3 is ~1.6% of an equatorial-observer grid; n//32

@@ -26,7 +26,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from light_path_tracer_tpu.ops.kerr_trace import (
-    dp45_integrate, finalize_angles, get_tols,
+    dp45_integrate, finalize_angles, get_tols, _h_init_for,
     RUNNING, INVALID, ESCAPED, CAPTURED)
 from light_path_tracer_tpu.ops.types import TraceResult
 
@@ -42,11 +42,18 @@ def _trace_tile_kernel(alpha_ref, theta_ref, refine_ref, valid_ref,
                        metric, r_obs, theta_obs, lambda_max, max_steps,
                        event_interp, tols, disk_plane=None,
                        max_disk_hits=2, dynamic_metric=False,
-                       formulation="theta", method="dp45"):
+                       dynamic_r=False, formulation="theta",
+                       method="dp45"):
     if dynamic_metric:
         from light_path_tracer_tpu.models.kerr import TracedKerr
         m_ref, a_ref = refs[0], refs[1]
-        out_refs = refs[2:]
+        n_scalar = 2
+        if dynamic_r:
+            # Flyby sequences: the observer radius rides SMEM too, so a
+            # whole approach animation reuses one compiled kernel.
+            r_obs = refs[2][0, 0]
+            n_scalar = 3
+        out_refs = refs[n_scalar:]
         metric = TracedKerr(m_ref[0, 0], a_ref[0, 0])
     else:
         out_refs = refs
@@ -80,7 +87,7 @@ def _trace_tile_kernel(alpha_ref, theta_ref, refine_ref, valid_ref,
         tiny_err=tols["tiny_err"],
         r_capture=jnp.asarray(metric.capture_radius(), dtype),
         r_escape=jnp.asarray(r_obs * 2.0, dtype),
-        lambda_max=lambda_max, h_init=max(1.0, 0.01 * float(r_obs)),
+        lambda_max=lambda_max, h_init=_h_init_for(r_obs, dtype),
         max_steps=max_steps, event_interp=event_interp,
         disk_plane=disk_plane, max_disk_hits=max_disk_hits,
         r_plunge=r_plunge, formulation=formulation, method=method)
@@ -134,7 +141,9 @@ def trace_rays_kerr_pallas(metric, r_obs, alphas, thetas, theta_obs,
     dynamic_params: optional traced (M, a) jnp scalars — the metric
     parameters enter the kernel through SMEM instead of being folded into
     compiled constants, so spin/mass sweeps reuse one compiled program
-    (`metric` is then only an API placeholder).
+    (`metric` is then only an API placeholder) — or traced (M, a, r_obs)
+    for flyby sequences (the static `r_obs` is then only a placeholder;
+    `lambda_max` must bound the largest radius of the sweep).
     """
     dtype = alphas.dtype
     if dtype != jnp.float32:
@@ -147,6 +156,9 @@ def trace_rays_kerr_pallas(metric, r_obs, alphas, thetas, theta_obs,
             jnp.asarray(dynamic_params[1], dtype))
     else:
         eff_metric = metric
+    dyn_r = dynamic_params is not None and len(dynamic_params) >= 3
+    eff_r_obs = (jnp.asarray(dynamic_params[2], dtype) if dyn_r
+                 else float(r_obs))
 
     n = alphas.shape[0]
     tile = tile_rows * LANE
@@ -172,7 +184,7 @@ def trace_rays_kerr_pallas(metric, r_obs, alphas, thetas, theta_obs,
         _trace_tile_kernel, metric=metric, r_obs=float(r_obs),
         theta_obs=float(theta_obs), lambda_max=float(lambda_max),
         max_steps=max_steps, event_interp=event_interp, tols=tols,
-        dynamic_metric=dynamic_params is not None,
+        dynamic_metric=dynamic_params is not None, dynamic_r=dyn_r,
         formulation=formulation, method=method)
 
     block = pl.BlockSpec((tile_rows, LANE), lambda i: (i, 0),
@@ -181,7 +193,7 @@ def trace_rays_kerr_pallas(metric, r_obs, alphas, thetas, theta_obs,
     i32 = jax.ShapeDtypeStruct((n_tiles * tile_rows, LANE), jnp.int32)
 
     plunge = eff_metric.plunge_radii(
-        float(r_obs), alphas, thetas, float(theta_obs)).astype(dtype)
+        eff_r_obs, alphas, thetas, float(theta_obs)).astype(dtype)
     plunge_p = pad(plunge, 0.0).reshape(n_tiles * tile_rows, LANE)
 
     in_specs = [block, block, block, block, block]
@@ -189,11 +201,11 @@ def trace_rays_kerr_pallas(metric, r_obs, alphas, thetas, theta_obs,
     if dynamic_params is not None:
         scalar_spec = pl.BlockSpec((1, 1), lambda i: (0, 0),
                                    memory_space=pltpu.SMEM)
-        in_specs += [scalar_spec, scalar_spec]
-        inputs += (jnp.reshape(jnp.asarray(dynamic_params[0], dtype),
-                               (1, 1)),
-                   jnp.reshape(jnp.asarray(dynamic_params[1], dtype),
-                               (1, 1)))
+        n_scalar = 3 if dyn_r else 2
+        in_specs += [scalar_spec] * n_scalar
+        inputs += tuple(
+            jnp.reshape(jnp.asarray(dynamic_params[k], dtype), (1, 1))
+            for k in range(n_scalar))
 
     outs = pl.pallas_call(
         kernel,
@@ -218,7 +230,7 @@ def trace_rays_kerr_pallas(metric, r_obs, alphas, thetas, theta_obs,
 
     # Extraction outside the kernel (one cheap vectorized pass).
     _y0, p_t, p_phi, _inv = eff_metric.initial_conditions_5d(
-        float(r_obs), alphas, thetas, float(theta_obs))
+        eff_r_obs, alphas, thetas, float(theta_obs))
     final_alpha, n_half, status_out = finalize_angles(
         eff_metric, (r_f, th_f, phi_f, pr_f, pth_f), p_t, p_phi, status_f)
     result = TraceResult(final_alpha, n_half, status_out, n_steps)

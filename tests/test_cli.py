@@ -96,3 +96,18 @@ def test_cli_composite_aa(workdir):
                "80", "--disk", "--aa", "2", "--dtype", "float64",
                "--output", "caa.png"])
     assert rc == 0 and os.path.exists("caa.png")
+
+
+def test_cli_animate_flyby(workdir):
+    """`animate --flyby R0:R1 --boost-to B` writes a GIF; the traced
+    (r_obs, boost) carry makes every frame after the first one
+    dispatch (sequence.render_flyby)."""
+    rc = main(["animate", "--a", "0.9", "--size", "24", "--frames", "3",
+               "--flyby", "100:40", "--boost-to", "0.3",
+               "--output", "fly.gif"])
+    assert rc == 0 and os.path.exists("fly.gif")
+
+
+def test_cli_animate_flyby_bad_spec(workdir):
+    assert main(["animate", "--size", "16", "--frames", "2",
+                 "--flyby", "oops"]) == 2

@@ -92,3 +92,87 @@ def test_param_sequence_spin_sweep():
     # The sweep actually changes the image (shadow grows/shifts with a).
     assert not np.array_equal(np.asarray(frames[0]),
                               np.asarray(frames[2]))
+
+
+def test_flyby_shadow_approach():
+    """render_flyby: (r_obs, boost) in the traced carry — one compile
+    for an approach; shadow grows as the observer closes in, shrinks
+    under forward boost (aberration), and the rest frame matches
+    render_sequence exactly."""
+    from light_path_tracer_tpu.sequence import (
+        render_flyby, _flyby_frame_dynamic)
+
+    scene = SceneConfig(M=1.0, a=0.9, r_obs_mult=100.0)
+    frames = render_flyby(
+        scene,
+        [(100.0, (0, 0, 0.0)), (60.0, (0, 0, 0.0)),
+         (30.0, (0, 0, 0.0)), (30.0, (0, 0, 0.5))],
+        resolution=(48, 48))
+    assert _flyby_frame_dynamic._cache_size() == 1   # one compile total
+    px = [int((1.0 - np.asarray(f)).sum()) for f in frames]
+    # Approach grows the apparent shadow monotonically...
+    assert px[0] < px[1] < px[2]
+    # ...and flying toward it at 0.5c shrinks it back (aberration).
+    assert px[3] < px[2]
+
+    # Rest-frame flyby frame == the psi-sequence path (shared kernel,
+    # traced params exercised vs folded constants).
+    seq = render_sequence(scene, [(0.0, 0.0)], resolution=(48, 48))
+    assert np.array_equal(np.asarray(frames[0]), np.asarray(seq[0]))
+
+
+def test_flyby_lensed_and_psi_override():
+    """Lensed flyby frames: finite, vary along the approach, and accept
+    per-frame psi in the 4-tuple form."""
+    from light_path_tracer_tpu.sequence import render_flyby
+
+    rng = np.random.default_rng(1)
+    src = rng.random((32, 40, 3)).astype(np.float32)
+    scene = SceneConfig(M=1.0, a=0.6, r_obs_mult=100.0)
+    frames = render_flyby(
+        scene,
+        [(0.0, 0.0, 100.0, (0, 0, 0.0)),
+         (0.01, 0.0, 50.0, (0, 0, 0.3))],
+        source_image=src)
+    assert len(frames) == 2
+    for f in frames:
+        img = np.asarray(f)
+        assert img.shape == src.shape
+        assert np.isfinite(img).all()
+    assert not np.array_equal(np.asarray(frames[0]),
+                              np.asarray(frames[1]))
+
+
+def test_flyby_rejects_superluminal():
+    from light_path_tracer_tpu.sequence import render_flyby
+    scene = SceneConfig()
+    try:
+        render_flyby(scene, [(100.0, (0, 0, 1.0))], resolution=(8, 8))
+    except ValueError as e:
+        assert "boost" in str(e)
+    else:
+        raise AssertionError("|boost|>=1 must raise")
+
+
+def test_dynamic_boost_camera_matches_static():
+    """aberrate_view_dynamic == aberrate_view (traced vs host boost)."""
+    dim = (24, 32)
+    fov = camera.fov_from_vertical(np.radians(35.0), dim)
+    boost = (0.1, -0.2, 0.3)
+    a_s, t_s = camera.build_angle_lookups_dynamic(
+        dim, fov, 0.05, -0.03, dtype=jnp.float64, boost=boost)
+    a_d, t_d = camera.build_angle_lookups_dynamic(
+        dim, fov, 0.05, -0.03, dtype=jnp.float64,
+        boost_dynamic=tuple(jnp.asarray(b, jnp.float64) for b in boost))
+    np.testing.assert_allclose(np.asarray(a_d), np.asarray(a_s),
+                               atol=1e-12)
+    np.testing.assert_allclose(np.asarray(t_d), np.asarray(t_s),
+                               atol=1e-12)
+    # b = 0 is exact passthrough (the guarded 0/0 selects identity).
+    a0, t0 = camera.build_angle_lookups_dynamic(
+        dim, fov, 0.05, -0.03, dtype=jnp.float64)
+    ad0, td0 = camera.build_angle_lookups_dynamic(
+        dim, fov, 0.05, -0.03, dtype=jnp.float64,
+        boost_dynamic=(jnp.float64(0), jnp.float64(0), jnp.float64(0)))
+    np.testing.assert_array_equal(np.asarray(ad0), np.asarray(a0))
+    np.testing.assert_array_equal(np.asarray(td0), np.asarray(t0))
