@@ -165,3 +165,68 @@ def test_pallas_dynamic_r_obs_matches_static():
     # compound over the ~1e2-step integrations.
     d = np.abs(fs[esc] - fd[esc])
     assert np.percentile(d, 99) < 1e-4 and d.max() < 1e-3
+
+
+def test_pallas_dop853_matches_xla():
+    """The opt-in dop853 integrator through the Pallas tile kernel
+    (interpret mode) agrees with the XLA path — the shared
+    dp45_integrate body's method='dop853' branch lowers in the kernel
+    context too (stage loop, combined 5th/3rd error estimator)."""
+    m = Kerr(M=1.0, a=0.9)
+    ac = m.alpha_crit(R_OBS)
+    rng = np.random.default_rng(5)
+    n = 256
+    alphas = jnp.asarray(rng.uniform(0.3 * ac, 4 * ac, n), jnp.float32)
+    thetas = jnp.asarray(rng.uniform(-np.pi, np.pi, n), jnp.float32)
+    refine = jnp.zeros(n, bool)
+
+    rp = trace_rays_kerr_pallas(
+        m, R_OBS, alphas, thetas, np.pi / 2, refine, 5000.0, 20000,
+        interpret=True, method="dop853")
+    rx = trace_rays_kerr(
+        m, R_OBS, alphas, thetas, np.pi / 2, refine, 5000.0, 20000,
+        method="dop853")
+    sp, sx = np.asarray(rp.status), np.asarray(rx.status)
+    assert (sp == sx).mean() > 0.99
+    assert int(rp.n_steps) > 0
+    both = (sp == 1) & (sx == 1)
+    alb = np.asarray(alphas)
+    stable = both & (np.abs(alb - ac) > 0.05 * ac)
+    d = np.abs(np.asarray(rp.final_alpha)[stable]
+               - np.asarray(rx.final_alpha)[stable])
+    assert np.percentile(d, 99) < 1e-3
+
+
+def test_pallas_mu_formulation_matches_theta():
+    """The opt-in transcendental-free mu formulation through the Pallas
+    kernel (the hybrid tracer's pass-1 configuration): same geodesics
+    as the theta form away from the polar axis."""
+    m = Kerr(M=1.0, a=0.9)
+    ac = m.alpha_crit(R_OBS)
+    rng = np.random.default_rng(7)
+    n = 256
+    alphas = jnp.asarray(rng.uniform(0.3 * ac, 4 * ac, n), jnp.float32)
+    # Azimuths away from the screen column over the pole (|cos| ~ 1
+    # -> |L| large enough that no ray approaches the axis).
+    thetas = jnp.asarray(
+        rng.uniform(0.35 * np.pi, 0.65 * np.pi, n)
+        * np.where(rng.random(n) < 0.5, 1.0, -1.0), jnp.float32)
+    risk = np.asarray(m.pole_risk(R_OBS, alphas, thetas, np.pi / 2,
+                                  1e-3))
+    assert not risk.any()    # the sample avoids the mu-form's bad set
+    refine = jnp.zeros(n, bool)
+
+    r_mu = trace_rays_kerr_pallas(
+        m, R_OBS, alphas, thetas, np.pi / 2, refine, 5000.0, 20000,
+        interpret=True, formulation="mu")
+    r_th = trace_rays_kerr_pallas(
+        m, R_OBS, alphas, thetas, np.pi / 2, refine, 5000.0, 20000,
+        interpret=True, formulation="theta")
+    s_mu, s_th = np.asarray(r_mu.status), np.asarray(r_th.status)
+    assert (s_mu == s_th).mean() > 0.99
+    both = (s_mu == 1) & (s_th == 1)
+    alb = np.asarray(alphas)
+    stable = both & (np.abs(alb - ac) > 0.05 * ac)
+    d = np.abs(np.asarray(r_mu.final_alpha)[stable]
+               - np.asarray(r_th.final_alpha)[stable])
+    assert np.percentile(d, 99) < 1e-3
