@@ -41,6 +41,8 @@ __all__ = [
     "render_scene_with_disk",
     "render_scene_with_disk_aa",
     "render_scene_rings",
+    "render_shadow_adaptive",
+    "render_scene_adaptive",
     "trace_batch",
 ]
 
@@ -57,6 +59,10 @@ _LAZY = {
                                   "render_scene_with_disk_aa"),
     "render_scene_rings": ("light_path_tracer_tpu.pipeline",
                            "render_scene_rings"),
+    "render_shadow_adaptive": ("light_path_tracer_tpu.adaptive",
+                               "render_shadow_adaptive"),
+    "render_scene_adaptive": ("light_path_tracer_tpu.adaptive",
+                              "render_scene_adaptive"),
     "trace_batch": ("light_path_tracer_tpu.ops.batch", "trace_batch"),
 }
 

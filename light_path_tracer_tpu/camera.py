@@ -296,6 +296,42 @@ def build_theta_lookup(image_dimension, fov, psi=(0.0, 0.0),
     return theta.astype(dtype)
 
 
+def pixel_angles_at(py, px, image_dimension, fov, psi=(0.0, 0.0),
+                    dtype=jnp.float32, pixel_offset=(0.0, 0.0),
+                    boost=None):
+    """Batched (alpha, theta) at arbitrary pixel coordinates.
+
+    `py`/`px` are integer or float arrays of pixel row/column indices;
+    returns (alpha, theta) arrays of the same shape. Same math — and the
+    same operation order, so values match the grid builders exactly — as
+    build_alpha_lookup / build_theta_lookup, evaluated at scattered
+    pixels instead of the full (H, W) grid: the adaptive-AA refinement
+    path traces extra subpixel samples only at edge pixels gathered by
+    top_k. Scalar parity anchor: pixel_to_angles (image_lens.py:72-126).
+    """
+    height, width = image_dimension
+    fx, fy = focal_lengths(image_dimension, fov)
+    oy, ox = pixel_offset
+    x_cam = (jnp.asarray(px).astype(dtype) - width / 2 + ox) / fx
+    y_cam = (jnp.asarray(py).astype(dtype) - height / 2 + oy) / fy
+    frame = psi_frame(psi)
+    d, e_x, e_y = frame.d, frame.e_x, frame.e_y
+    denom = jnp.sqrt(1.0 + x_cam ** 2 + y_cam ** 2)
+    boosted = boost is not None and any(float(b) != 0.0 for b in boost)
+    vx, vy, vz = x_cam / denom, y_cam / denom, 1.0 / denom
+    if boosted:
+        vx, vy, vz = aberrate_view(vx, vy, vz, boost)
+        cos_alpha = vx * d[0] + vy * d[1] + vz * d[2]
+    else:
+        cos_alpha = (x_cam * d[0] + y_cam * d[1] + d[2]) / denom
+    alpha = jnp.arccos(jnp.clip(cos_alpha, -1.0, 1.0))
+    theta = jnp.arctan2(
+        vx * e_x[0] + vy * e_x[1] + vz * e_x[2],
+        vx * e_y[0] + vy * e_y[1] + vz * e_y[2],
+    )
+    return alpha.astype(dtype), theta.astype(dtype)
+
+
 def axis_refine_columns(image_dimension, fov, psi=(0.0, 0.0),
                         refine_frac=0.07, boost=None):
     """Boolean (W,) mask of columns near the BH's screen column, where

@@ -171,7 +171,8 @@ def cmd_lens(args) -> int:
     if getattr(args, "multihost", False):
         from light_path_tracer_tpu.aa import render_scene_aa
         for flag, note in (("disk", "--disk"), ("cache", "--cache"),
-                           ("rings", "--rings")):
+                           ("rings", "--rings"),
+                           ("adaptive", "--adaptive")):
             if getattr(args, flag, False):
                 print(f"  note: {note} is not supported with "
                       f"--multihost; ignoring")
@@ -196,6 +197,10 @@ def cmd_lens(args) -> int:
                           g_power=args.g_power,
                           opaque=not args.translucent,
                           spectrum=args.spectrum, t_peak=args.t_peak)
+        if getattr(args, "adaptive", False):
+            print("  note: --adaptive is not supported with --disk "
+                  "(the composite needs every pixel's crossing record); "
+                  "using stacked uniform AA")
         if getattr(args, "aa", 1) > 1:
             from light_path_tracer_tpu.disk import render_scene_with_disk_aa
             # Per-pass display encoding BEFORE the average — exact AA
@@ -256,9 +261,20 @@ def cmd_lens(args) -> int:
         result, total, traced = lensed, pre.total_rays, pre.traced_rays
         ring_tables = (pre.final_alpha, pre.winding)
     elif getattr(args, "aa", 1) > 1:
-        from light_path_tracer_tpu.aa import render_scene_aa
-        result, astats = render_scene_aa(scene, img, cfg,
-                                         aa_samples=args.aa)
+        if getattr(args, "adaptive", False):
+            from light_path_tracer_tpu.adaptive import (
+                render_scene_adaptive)
+            result, astats = render_scene_adaptive(
+                scene, img, cfg, aa_samples=args.aa,
+                refine_frac=args.refine_frac)
+            print(f"  adaptive AA: {astats['refined_pixels']:,} pixels "
+                  f"refined ({astats['edge_pixels']:,} discrete-edge), "
+                  f"{astats['total_rays']:,} rays vs "
+                  f"{astats['uniform_aa_rays']:,} uniform")
+        else:
+            from light_path_tracer_tpu.aa import render_scene_aa
+            result, astats = render_scene_aa(scene, img, cfg,
+                                             aa_samples=args.aa)
         astats["timings"]["load_image"] = (
             astats["timings"].get("load_image", 0.0) + load_time)
         timings = astats["timings"]
@@ -339,17 +355,31 @@ def cmd_shadow(args) -> int:
         if args.analytic:
             print("  note: --multihost shadow is the integrated mode; "
                   "ignoring --analytic")
+        if getattr(args, "adaptive", False):
+            print("  note: --adaptive is not supported with --multihost "
+                  "(scattered refine sets defeat row sharding); using "
+                  "uniform AA")
         img, stats = render_shadow_aa(scene, (args.size, args.size), cfg,
                                       aa_samples=max(args.aa, 1),
                                       mesh=_multihost_mesh(args))
         stats.setdefault("alpha_crit", _scene_metric_alpha_crit(scene))
     elif getattr(args, "aa", 1) > 1:
-        from light_path_tracer_tpu.aa import render_shadow_aa
         if args.analytic:
             print("  note: --aa applies to the integrated shadow; "
                   "ignoring --analytic")
-        img, stats = render_shadow_aa(scene, (args.size, args.size), cfg,
-                                      aa_samples=args.aa)
+        if getattr(args, "adaptive", False):
+            from light_path_tracer_tpu.adaptive import (
+                render_shadow_adaptive)
+            img, stats = render_shadow_adaptive(
+                scene, (args.size, args.size), cfg, aa_samples=args.aa,
+                refine_frac=args.refine_frac)
+            print(f"  adaptive AA: {stats['refined_pixels']:,} pixels "
+                  f"refined, {stats['total_rays']:,} rays vs "
+                  f"{stats['uniform_aa_rays']:,} uniform")
+        else:
+            from light_path_tracer_tpu.aa import render_shadow_aa
+            img, stats = render_shadow_aa(scene, (args.size, args.size),
+                                          cfg, aa_samples=args.aa)
         stats.setdefault("alpha_crit", _scene_metric_alpha_crit(scene))
     else:
         img, stats = render_shadow(scene, (args.size, args.size), cfg,
@@ -652,6 +682,14 @@ def build_parser():
                    help="disk brightness relative to the background")
     p.add_argument("--aa", type=int, default=1,
                    help="composite AA samples per pixel (with --disk)")
+    p.add_argument("--adaptive", action="store_true",
+                   help="adaptive AA: refine only edge pixels (shadow "
+                        "boundary, photon rings, high-contrast bands) "
+                        "at --aa samples; ~aa x fewer rays than uniform "
+                        "AA (adaptive.py)")
+    p.add_argument("--refine-frac", type=float, default=0.05,
+                   help="adaptive-AA refinement budget (fraction of "
+                        "pixels, top_k by edge score)")
     p.add_argument("--rings", action="store_true",
                    help="also write the lensed image split by photon-"
                         "ring order (direct / 1st lensed / n-th ring)")
@@ -663,6 +701,13 @@ def build_parser():
     p.add_argument("--aa", type=int, default=1,
                    help="jittered AA samples per pixel (smooth shadow "
                         "boundary)")
+    p.add_argument("--adaptive", action="store_true",
+                   help="adaptive AA: refine only shadow-boundary / "
+                        "photon-ring pixels at --aa samples "
+                        "(adaptive.py)")
+    p.add_argument("--refine-frac", type=float, default=0.05,
+                   help="adaptive-AA refinement budget (fraction of "
+                        "pixels, top_k by edge score)")
     _add_scene_args(p)
     _add_render_args(p)
     p.add_argument("--size", type=int, default=800)

@@ -183,7 +183,11 @@ def _render_core(source_image, theta_lookup, final_alpha_lookup,
 
     escaped_rgb = jnp.where(in_bounds[..., None], texture, magenta_px)
 
-    out = jnp.zeros_like(src)
+    # Output follows the LOOKUP grid's shape, not the source image's —
+    # they coincide for whole-frame renders, but the adaptive-AA refine
+    # pass renders scattered (S-1, K) sample sets against the full
+    # source (adaptive.py).
+    out = jnp.zeros(escaped_rgb.shape, src.dtype)
     out = jnp.where(winding_mask[..., None],
                     winding_rgb.astype(src.dtype), out)
     out = jnp.where(escaped_mask[..., None], escaped_rgb, out)

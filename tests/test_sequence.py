@@ -75,6 +75,10 @@ def test_param_sequence_spin_sweep():
 
     scene = SceneConfig(M=1.0, a=0.0, r_obs_mult=100.0)
     spins = [0.0, 0.5, 0.9]
+    # Other tests (e.g. the CLI animate path) may have compiled this
+    # kernel at another resolution in the same process — count only the
+    # compiles THIS sweep adds.
+    _shadow_frame_param_dynamic._clear_cache()
     frames = render_param_sequence(
         scene, [(0.0, 0.0, 1.0, a) for a in spins], (24, 24))
     assert _shadow_frame_param_dynamic._cache_size() == 1
@@ -103,6 +107,9 @@ def test_flyby_shadow_approach():
         render_flyby, _flyby_frame_dynamic)
 
     scene = SceneConfig(M=1.0, a=0.9, r_obs_mult=100.0)
+    # The CLI flyby test compiles this kernel at another resolution in
+    # the same pytest process — count only THIS approach's compiles.
+    _flyby_frame_dynamic._clear_cache()
     frames = render_flyby(
         scene,
         [(100.0, (0, 0, 0.0)), (60.0, (0, 0, 0.0)),
