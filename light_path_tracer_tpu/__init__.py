@@ -43,6 +43,8 @@ __all__ = [
     "render_scene_rings",
     "render_shadow_adaptive",
     "render_scene_adaptive",
+    "line_profile",
+    "hotspot_light_curve",
     "trace_batch",
 ]
 
@@ -63,6 +65,9 @@ _LAZY = {
                                "render_shadow_adaptive"),
     "render_scene_adaptive": ("light_path_tracer_tpu.adaptive",
                               "render_scene_adaptive"),
+    "line_profile": ("light_path_tracer_tpu.spectra", "line_profile"),
+    "hotspot_light_curve": ("light_path_tracer_tpu.spectra",
+                            "hotspot_light_curve"),
     "trace_batch": ("light_path_tracer_tpu.ops.batch", "trace_batch"),
 }
 

@@ -429,6 +429,70 @@ def cmd_disk(args) -> int:
                       warp_radius=args.warp_radius or None,
                       spectrum=args.spectrum, t_peak=args.t_peak)
 
+    if getattr(args, "line_profile", None):
+        # Relativistic emission-line profile (spectra.line_profile):
+        # double-horned diskline with the spin-dependent red wing.
+        import matplotlib.pyplot as plt
+        from light_path_tracer_tpu.spectra import line_profile
+        energy, flux, stats = line_profile(
+            scene, (args.size, args.size), cfg, disk,
+            n_bins=args.line_bins, rest_energy=args.rest_energy)
+        fig, ax = plt.subplots(figsize=(7, 4.5))
+        ax.plot(energy, flux / max(flux.max(), 1e-300), lw=1.8)
+        ax.axvline(args.rest_energy, color="0.6", ls="--", lw=0.8)
+        ax.set_xlabel(f"observed energy (rest = {args.rest_energy})")
+        ax.set_ylabel("relative line flux")
+        ax.set_title(f"disk line profile: a={args.a}, "
+                     f"i={args.inclination} deg, "
+                     f"r_isco={stats['r_isco']:.2f} M")
+        fig.tight_layout()
+        fig.savefig(args.line_profile, dpi=130)
+        np.savetxt(args.line_profile.rsplit(".", 1)[0] + ".csv",
+                   np.column_stack([energy, flux]), delimiter=",",
+                   header="energy,flux")
+        t = stats["timings"]
+        seen = energy[flux > 0.01 * flux.max()]
+        print(f"Line profile: a={args.a}, i={args.inclination} deg, "
+              f"{stats['disk_pixels']:,} disk px, "
+              f"E/E0 range {seen.min() / args.rest_energy:.3f}"
+              f"-{seen.max() / args.rest_energy:.3f}, "
+              f"trace {t.get('precompute', 0.0):.3f}s")
+        print(f"Saved: {args.line_profile} (+ .csv)")
+        return 0
+
+    if getattr(args, "light_curve", None):
+        # Hot-spot orbit light curve (spectra.hotspot_light_curve):
+        # one trace, flux(t) over --orbits orbits.
+        import matplotlib.pyplot as plt
+        from light_path_tracer_tpu.disk import HotSpot, keplerian_omega
+        from light_path_tracer_tpu.spectra import hotspot_light_curve
+        spot = HotSpot(r0=args.spot_r0, amplitude=args.spot_amplitude)
+        period = abs(2.0 * np.pi / keplerian_omega(
+            args.M, args.a, args.spot_r0, not args.retrograde))
+        n = max(args.frames, 32)
+        ts = np.linspace(0.0, period * args.orbits, n)
+        t_arr, flux, stats = hotspot_light_curve(
+            scene, (args.size, args.size), ts, cfg, disk, spot)
+        fig, ax = plt.subplots(figsize=(7, 4.5))
+        ax.plot(t_arr / period, flux / flux.mean(), lw=1.8)
+        ax.set_xlabel("time [spot orbits]")
+        ax.set_ylabel("flux / mean")
+        ax.set_title(f"hot-spot light curve: a={args.a}, "
+                     f"i={args.inclination} deg, r0={args.spot_r0} M "
+                     f"(P={period:.1f} M)")
+        fig.tight_layout()
+        fig.savefig(args.light_curve, dpi=130)
+        np.savetxt(args.light_curve.rsplit(".", 1)[0] + ".csv",
+                   np.column_stack([t_arr, flux]), delimiter=",",
+                   header="time_M,flux")
+        t = stats["timings"]
+        print(f"Light curve: {n} samples over {args.orbits} orbit(s), "
+              f"modulation x{flux.max() / flux.min():.2f}, ONE trace "
+              f"{t.get('precompute', 0.0):.3f}s + "
+              f"render {t.get('render', 0.0):.3f}s")
+        print(f"Saved: {args.light_curve} (+ .csv)")
+        return 0
+
     if args.frames > 1:
         # Hot-spot orbit animation: ONE trace, args.frames re-renders.
         from PIL import Image
@@ -764,6 +828,21 @@ def build_parser():
     p.add_argument("--aa", type=int, default=1,
                    help="jittered AA samples per pixel (disk edges / "
                         "photon ring)")
+    p.add_argument("--line-profile", default=None, metavar="PLOT.png",
+                   help="compute the relativistic emission-line profile "
+                        "(flux vs observed energy; the Fe K-alpha "
+                        "diskline shape) instead of an image; saves a "
+                        "plot + CSV (spectra.line_profile)")
+    p.add_argument("--rest-energy", type=float, default=6.4,
+                   help="line rest energy for --line-profile (6.4 = "
+                        "Fe K-alpha in keV; 1.0 = profile in g)")
+    p.add_argument("--line-bins", type=int, default=200,
+                   help="energy bins for --line-profile")
+    p.add_argument("--light-curve", default=None, metavar="PLOT.png",
+                   help="compute the orbiting hot-spot light curve "
+                        "(flux vs time over --orbits orbits, >=32 "
+                        "samples or --frames) instead of an image; "
+                        "saves a plot + CSV (spectra.hotspot_light_curve)")
     p.add_argument("--disk2", action="store_true",
                    help="add a second independent disk plane, traced in "
                         "the same integration (multi-plane recorder)")
