@@ -129,15 +129,31 @@ def render_shadow_adaptive(scene: SceneConfig, resolution,
     returns (image float32, stats). Single-chip path — the multi-chip AA
     story stays the uniform stacked pass (aa.py), whose row sharding the
     scattered refine set would defeat.
+
+    Equatorial mirror symmetry composes with adaptivity (aa.py's rule,
+    via pipeline._use_tb): the base pass traces rows 0..H//2 and
+    mirror-fills, the edge score FOLDS onto the traced rows (a bottom
+    edge marks its top twin), and each refined top pixel's coverage
+    scatters to BOTH twins — the twin's sample set is the flipped-offset
+    one, equal by the scene symmetry. Halves base AND refine rays.
     """
     _check_samples(aa_samples)
+    from light_path_tracer_tpu.aa import _use_tb, _mirror_fill
     metric = make_metric(scene.M, scene.a)
     timer = StageTimer()
+    height, width = resolution
     fov = camera.fov_from_vertical(scene.vertical_fov, resolution)
     offsets = aa_offsets(aa_samples)
     dtype = jnp.float64 if cfg.dtype == "float64" else jnp.float32
-    n_px = resolution[0] * resolution[1]
+    n_px = height * width
     k = _refine_budget(resolution, refine_frac)
+    # Subpixel-offset grids are jittered by construction, which makes
+    # near-axis stragglers certain at ANY batch size (the disk path's
+    # 13x jitter lesson, BASELINE.md) — so "auto" resolves to ON here
+    # instead of trace_batch's >2M-ray rule.
+    two_pass = True if cfg.two_pass == "auto" else cfg.two_pass
+    use_tb = _use_tb(metric, scene, cfg)
+    trace_rows = height // 2 + 1 if use_tb else height
 
     with timer.stage("precompute") as out:
         alpha0 = camera.build_alpha_lookup(
@@ -148,24 +164,39 @@ def render_shadow_adaptive(scene: SceneConfig, resolution,
                       resolution, fov, psi=scene.psi, dtype=dtype,
                       boost=scene.boost, pixel_offset=tuple(offsets[0])))
         res0 = trace_batch(
-            metric, scene.r_obs, alpha0.ravel(),
-            None if theta0 is None else theta0.ravel(),
+            metric, scene.r_obs, alpha0[:trace_rows].ravel(),
+            None if theta0 is None else theta0[:trace_rows].ravel(),
             scene.theta_obs, max_steps=cfg.max_steps,
-            backend=cfg.backend, precision=cfg.precision)
-        fa0 = res0.final_alpha.reshape(resolution)
-        nh0 = res0.n_half_orbits.reshape(resolution)
+            backend=cfg.backend, precision=cfg.precision,
+            two_pass=two_pass, pass1_steps=cfg.pass1_steps)
+        fa0 = res0.final_alpha.reshape(trace_rows, width)
+        nh0 = res0.n_half_orbits.reshape(trace_rows, width)
+        if use_tb:
+            fa0 = _mirror_fill(fa0[None], height)[0]
+            nh0 = _mirror_fill(nh0[None], height)[0]
         out.append(fa0)
 
     with timer.stage("refine") as out:
         score = edge_score(fa0, nh0)
-        _, idx = lax.top_k(score.ravel(), k)
+        if use_tb:
+            # Fold the score onto the traced rows: the twin of traced
+            # row r is row H - r (row 0 and, for even H, row H//2 are
+            # their own twins) — a bottom-half edge selects its top
+            # twin, whose refined coverage serves both by symmetry.
+            rows = jnp.arange(trace_rows)
+            twin_rows = (height - rows) % height
+            score_fold = jnp.maximum(score[rows], score[twin_rows])
+            _, idx = lax.top_k(score_fold.ravel(), k)
+        else:
+            _, idx = lax.top_k(score.ravel(), k)
         al_r, th_r = _refine_angles(idx, resolution, fov, offsets,
                                     scene, dtype)
         res_r = trace_batch(
             metric, scene.r_obs, al_r.ravel(),
             None if theta0 is None else th_r.ravel(),
             scene.theta_obs, max_steps=cfg.max_steps,
-            backend=cfg.backend, precision=cfg.precision)
+            backend=cfg.backend, precision=cfg.precision,
+            two_pass=two_pass, pass1_steps=cfg.pass1_steps)
         # NaN final_alpha = captured (render_shadow_aa's coverage rule).
         cov_r = (~jnp.isnan(res_r.final_alpha)).reshape(
             aa_samples - 1, k).astype(jnp.float32).sum(axis=0)
@@ -174,18 +205,26 @@ def render_shadow_adaptive(scene: SceneConfig, resolution,
     with timer.stage("render") as out:
         base_cov = (~jnp.isnan(fa0)).astype(jnp.float32).ravel()
         refined = (base_cov[idx] + cov_r) / aa_samples
-        img = base_cov.at[idx].set(refined).reshape(resolution)
-        img = img.astype(jnp.float32)
+        img = base_cov.at[idx].set(refined)
+        if use_tb:
+            # Scatter each refined value to its mirror twin as well.
+            py, px = jnp.unravel_index(idx, resolution)
+            twin_idx = ((height - py) % height) * width + px
+            img = img.at[twin_idx].set(refined)
+        img = img.reshape(resolution).astype(jnp.float32)
         out.append(img)
 
     stats = dict(
         alpha_crit=metric.alpha_crit(scene.r_obs, scene.theta_obs),
-        total_rays=n_px + (aa_samples - 1) * k,
-        traced_rays=n_px + (aa_samples - 1) * k,
+        total_rays=trace_rows * width + (aa_samples - 1) * k,
+        traced_rays=trace_rows * width + (aa_samples - 1) * k,
         uniform_aa_rays=n_px * aa_samples,
         refined_pixels=k,
-        refined_idx=np.asarray(idx),
-        edge_pixels=int((np.asarray(score) >= _W_WINDING).sum()),
+        refined_idx=idx,
+        tb_symmetry=use_tb,
+        # Reduced ON DEVICE: np.asarray(score) would read the full grid
+        # back through the tunnel (~4 s at 4k, measured).
+        edge_pixels=int(jnp.sum(score >= _W_WINDING)),
         aa_samples=aa_samples,
         refine_frac=refine_frac,
         timings=timer.finish())
@@ -215,6 +254,8 @@ def render_scene_adaptive(scene: SceneConfig, source_image,
     n_px = resolution[0] * resolution[1]
     k = _refine_budget(resolution, refine_frac)
     alpha_crit = metric.alpha_crit(scene.r_obs)
+    # "auto" two-pass resolves to ON (jittered grids; see shadow path).
+    two_pass = True if cfg.two_pass == "auto" else cfg.two_pass
 
     with timer.stage("precompute") as out:
         alpha0 = camera.build_alpha_lookup(
@@ -227,7 +268,8 @@ def render_scene_adaptive(scene: SceneConfig, source_image,
             metric, scene.r_obs, alpha0.ravel(),
             None if metric.is_spherically_symmetric else theta0.ravel(),
             scene.theta_obs, max_steps=cfg.max_steps,
-            backend=cfg.backend, precision=cfg.precision)
+            backend=cfg.backend, precision=cfg.precision,
+            two_pass=two_pass, pass1_steps=cfg.pass1_steps)
         fa0 = res0.final_alpha.reshape(resolution)
         nh0 = res0.n_half_orbits.reshape(resolution)
         out.append(fa0)
@@ -249,7 +291,8 @@ def render_scene_adaptive(scene: SceneConfig, source_image,
             metric, scene.r_obs, al_r.ravel(),
             None if metric.is_spherically_symmetric else th_r.ravel(),
             scene.theta_obs, max_steps=cfg.max_steps,
-            backend=cfg.backend, precision=cfg.precision)
+            backend=cfg.backend, precision=cfg.precision,
+            two_pass=two_pass, pass1_steps=cfg.pass1_steps)
         fa_r = res_r.final_alpha.reshape(aa_samples - 1, k)
         nh_r = res_r.n_half_orbits.reshape(aa_samples - 1, k)
         # Each refinement sample rendered to a color: the renderer body
@@ -275,8 +318,8 @@ def render_scene_adaptive(scene: SceneConfig, source_image,
         traced_rays=n_px + (aa_samples - 1) * k,
         uniform_aa_rays=n_px * aa_samples,
         refined_pixels=k,
-        refined_idx=np.asarray(idx),
-        edge_pixels=int((np.asarray(score) >= _W_WINDING).sum()),
+        refined_idx=idx,
+        edge_pixels=int(jnp.sum(score >= _W_WINDING)),
         aa_samples=aa_samples,
         refine_frac=refine_frac,
         timings=timer.finish())

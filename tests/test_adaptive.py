@@ -75,6 +75,28 @@ def test_shadow_adaptive_equals_uniform_aa():
     assert st["refined_pixels"] == int(0.10 * 48 * 48)
 
 
+def test_shadow_adaptive_tb_symmetry_matches_uniform():
+    """With equatorial mirror symmetry ON (the default for theta_obs =
+    pi/2, psi_y = 0), the adaptive shadow must still equal the uniform
+    tb-AA shadow exactly: the base pass mirrors, the edge score folds
+    onto the traced rows, and refined coverage scatters to both twins
+    (the twin's sample set is the flipped-offset one, equal by the
+    scene symmetry)."""
+    scene = SceneConfig(M=1.0, a=0.9, r_obs_mult=100.0)
+    cfg = RenderConfig(dtype="float64")      # tb symmetry applies
+    for height in (48, 49):                  # even + odd row counts
+        img_u, _ = render_shadow_aa(scene, (height, 48), cfg,
+                                    aa_samples=4)
+        img_a, st = render_shadow_adaptive(scene, (height, 48), cfg,
+                                           aa_samples=4,
+                                           refine_frac=0.10)
+        assert st["tb_symmetry"]
+        assert st["total_rays"] < (height // 2 + 2) * 48 + 3 * (
+            st["refined_pixels"] + 1)
+        np.testing.assert_array_equal(np.asarray(img_a),
+                                      np.asarray(img_u))
+
+
 def test_shadow_adaptive_schwarzschild():
     scene = SceneConfig(M=1.0, a=0.0, r_obs_mult=100.0)
     img_u, _ = render_shadow_aa(scene, (32, 32), CFG, aa_samples=2)
