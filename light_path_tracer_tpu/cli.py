@@ -436,7 +436,8 @@ def cmd_disk(args) -> int:
         from light_path_tracer_tpu.spectra import line_profile
         energy, flux, stats = line_profile(
             scene, (args.size, args.size), cfg, disk,
-            n_bins=args.line_bins, rest_energy=args.rest_energy)
+            n_bins=args.line_bins, rest_energy=args.rest_energy,
+            aa_samples=max(args.aa, 1))
         fig, ax = plt.subplots(figsize=(7, 4.5))
         ax.plot(energy, flux / max(flux.max(), 1e-300), lw=1.8)
         ax.axvline(args.rest_energy, color="0.6", ls="--", lw=0.8)

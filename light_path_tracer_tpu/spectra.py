@@ -45,30 +45,46 @@ from light_path_tracer_tpu.utils.config import SceneConfig, RenderConfig
 from light_path_tracer_tpu.utils.timing import StageTimer
 
 
-def _trace_disk_grid(scene, resolution, cfg, disk, timer):
-    """Shared setup: camera grids + one disk trace (render_disk's)."""
+def _trace_disk_grid(scene, resolution, cfg, disk, timer, aa_samples=1):
+    """Shared setup: camera grids + one disk trace (render_disk's).
+
+    aa_samples > 1 stacks jittered subpixel grids on the row axis
+    (aa.aa_offsets pattern) — for spectra this multiplies the crossing
+    SAMPLE COUNT, smoothing histogram bins near the sharp Doppler horns
+    where per-pixel aliasing shows; flux weights are divided by the
+    sample count so totals are unchanged.
+    """
+    from light_path_tracer_tpu.aa import aa_offsets
     metric = Kerr(M=scene.M, a=scene.a)
     fov = camera.fov_from_vertical(scene.vertical_fov, resolution)
     dtype = jnp.float64 if cfg.dtype == "float64" else jnp.float32
+    offsets = aa_offsets(aa_samples)
 
     with timer.stage("build_lookup") as out:
-        alpha = camera.build_alpha_lookup(resolution, fov, psi=scene.psi,
-                                          dtype=dtype, boost=scene.boost)
-        theta = camera.build_theta_lookup(resolution, fov, psi=scene.psi,
-                                          dtype=dtype, boost=scene.boost)
+        alpha = jnp.concatenate([camera.build_alpha_lookup(
+            resolution, fov, psi=scene.psi, dtype=dtype,
+            boost=scene.boost, pixel_offset=tuple(o)) for o in offsets])
+        theta = jnp.concatenate([camera.build_theta_lookup(
+            resolution, fov, psi=scene.psi, dtype=dtype,
+            boost=scene.boost, pixel_offset=tuple(o)) for o in offsets])
         out.append((alpha, theta))
 
     with timer.stage("precompute") as out:
+        # Jittered grids (any aa_samples > 1) force two-pass straggler
+        # containment, as in adaptive.py.
+        two_pass = (cfg.two_pass if aa_samples == 1 or
+                    cfg.two_pass != "auto" else True)
         res = trace_disk_rays(
             metric, scene.r_obs, alpha.ravel(), theta.ravel(),
             scene.theta_obs, max(5000.0, 6.0 * scene.r_obs),
             cfg.max_steps, disk, backend=cfg.backend,
             precision=cfg.precision, method=cfg.integrator,
-            two_pass=cfg.two_pass, pass1_steps=cfg.pass1_steps)
+            two_pass=two_pass, pass1_steps=cfg.pass1_steps)
         out.append(res.status)
 
-    dl = (camera.doppler_lookup(resolution, fov, scene.boost,
-                                dtype=dtype).ravel()
+    dl = (jnp.concatenate([camera.doppler_lookup(
+        resolution, fov, scene.boost, dtype=dtype,
+        pixel_offset=tuple(o)) for o in offsets]).ravel()
           if scene.boosted else None)
     return metric, res, dl
 
@@ -76,7 +92,8 @@ def _trace_disk_grid(scene, resolution, cfg, disk, timer):
 def line_profile(scene: SceneConfig, resolution=(512, 512),
                  cfg: RenderConfig = RenderConfig(),
                  disk: DiskConfig = DiskConfig(),
-                 n_bins: int = 200, g_lim=None, rest_energy: float = 6.4):
+                 n_bins: int = 200, g_lim=None, rest_energy: float = 6.4,
+                 aa_samples: int = 1):
     """Observed line profile of a monochromatic disk emission line.
 
     Returns (energy_centers, flux, stats): flux[i] is the summed
@@ -91,7 +108,7 @@ def line_profile(scene: SceneConfig, resolution=(512, 512),
     """
     timer = StageTimer()
     _metric, res, dl = _trace_disk_grid(scene, resolution, cfg, disk,
-                                        timer)
+                                        timer, aa_samples=aa_samples)
     r_in = disk.r_in if disk.r_in is not None else r_isco(
         scene.M, scene.a, disk.prograde)
 
@@ -108,7 +125,7 @@ def line_profile(scene: SceneConfig, resolution=(512, 512),
             if dl is not None:
                 g = g * dl
             eps = (r_c / r_in) ** (-disk.emissivity_index)
-            w = jnp.where(hit, g ** disk.g_power * eps, 0.0)
+            w = jnp.where(hit, g ** disk.g_power * eps, 0.0) / aa_samples
             gs.append(jnp.where(hit, g, jnp.nan))
             ws.append(w)
         g_all = jnp.concatenate(gs)
@@ -138,8 +155,8 @@ def line_profile(scene: SceneConfig, resolution=(512, 512),
         disk_pixels=int((np.asarray(res.n_hits) > 0).sum()),
         captured=int((np.asarray(res.status) == CAPTURED).sum()),
         integrator_steps=int(res.n_steps),
-        total_rays=resolution[0] * resolution[1],
-        traced_rays=resolution[0] * resolution[1],
+        total_rays=resolution[0] * resolution[1] * aa_samples,
+        traced_rays=resolution[0] * resolution[1] * aa_samples,
         timings=timer.finish())
     return centers * rest_energy, flux, stats
 

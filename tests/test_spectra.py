@@ -61,6 +61,28 @@ def test_line_profile_spin_extends_red_wing():
     assert red9 < red0 - 0.1
 
 
+def test_line_profile_supersampled_preserves_total_flux():
+    """aa_samples multiplies the crossing samples but divides the
+    weights, so total flux is preserved. Tested with a FLAT emission
+    law (q=0, p=0: weight 1 per crossing) where the total is the
+    disk's solid-angle coverage, which converges at small grids — the
+    default r^-3 emissivity concentrates flux in a few inner-edge
+    pixels whose subpixel in/out flips dominate 48^2 totals."""
+    scene = SceneConfig(M=1.0, a=0.9, r_obs_mult=100.0,
+                        theta_obs=np.radians(80.0))
+    flat = DiskConfig(emissivity_index=0.0, g_power=0.0)
+    g1, f1, s1 = line_profile(scene, (48, 48), CFG, flat, n_bins=40,
+                              rest_energy=1.0)
+    g4, f4, s4 = line_profile(scene, (48, 48), CFG, flat, n_bins=40,
+                              rest_energy=1.0, aa_samples=4,
+                              g_lim=tuple(s1["g_lim"]))
+    np.testing.assert_allclose(g4, g1, rtol=1e-12)
+    assert s4["traced_rays"] == 4 * s1["traced_rays"]
+    # Total = covered solid angle in pixel units; agrees to the
+    # boundary-pixel noise level.
+    np.testing.assert_allclose(f4.sum(), f1.sum(), rtol=0.05)
+
+
 def test_line_profile_energy_scaling():
     g, f, _ = _profile(0.0, 80.0)
     e, f2, _ = _profile(0.0, 80.0, rest_energy=6.4)
