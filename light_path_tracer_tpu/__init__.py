@@ -45,6 +45,7 @@ __all__ = [
     "render_scene_adaptive",
     "line_profile",
     "hotspot_light_curve",
+    "render_polarization",
     "trace_batch",
 ]
 
@@ -66,6 +67,8 @@ _LAZY = {
     "render_scene_adaptive": ("light_path_tracer_tpu.adaptive",
                               "render_scene_adaptive"),
     "line_profile": ("light_path_tracer_tpu.spectra", "line_profile"),
+    "render_polarization": ("light_path_tracer_tpu.polarization",
+                            "render_polarization"),
     "hotspot_light_curve": ("light_path_tracer_tpu.spectra",
                             "hotspot_light_curve"),
     "trace_batch": ("light_path_tracer_tpu.ops.batch", "trace_batch"),

@@ -429,6 +429,67 @@ def cmd_disk(args) -> int:
                       warp_radius=args.warp_radius or None,
                       spectrum=args.spectrum, t_peak=args.t_peak)
 
+    if getattr(args, "polarization", None):
+        # Polarized disk image via the Walker-Penrose constant
+        # (polarization.py): EVPA ticks over the tone-mapped image.
+        from light_path_tracer_tpu.polarization import (
+            render_polarization, save_polarization_figure)
+        evpa, pol_frac, intensity, stats = render_polarization(
+            scene, (args.size, args.size), cfg, disk,
+            field=args.b_field)
+        save_polarization_figure(
+            args.polarization, evpa, pol_frac, intensity,
+            tick_step=max(args.size // 32, 4),
+            title=f"a={args.a}, i={args.inclination} deg, "
+                  f"{args.b_field} B-field")
+        t = stats["timings"]
+        print(f"Polarization: {args.size}x{args.size}, a={args.a}, "
+              f"{args.b_field} field, "
+              f"{stats['polarized_pixels']:,} polarized px, "
+              f"trace {t.get('precompute', 0.0):.3f}s")
+        print(f"Saved: {args.polarization}")
+        return 0
+
+    if getattr(args, "qu_loop", None):
+        # Polarized hot-spot flare: integrated Stokes (Q, U) loop over
+        # --orbits spot orbits (polarization.hotspot_qu_loop).
+        import matplotlib.pyplot as plt
+        from light_path_tracer_tpu.disk import HotSpot, keplerian_omega
+        from light_path_tracer_tpu.polarization import hotspot_qu_loop
+        spot = HotSpot(r0=args.spot_r0, amplitude=args.spot_amplitude)
+        period = abs(2.0 * np.pi / keplerian_omega(
+            args.M, args.a, args.spot_r0, not args.retrograde))
+        n = max(args.frames, 48)
+        ts = np.linspace(0.0, period * args.orbits, n)
+        t_arr, I, Q, U, stats = hotspot_qu_loop(
+            scene, (args.size, args.size), ts, cfg, disk, spot,
+            field=args.b_field)
+        fig, axes = plt.subplots(1, 2, figsize=(11, 4.8))
+        s = I.mean()
+        axes[0].plot(Q / s, U / s, lw=1.6)
+        axes[0].scatter(Q[0] / s, U[0] / s, color="k", zorder=3,
+                        label="t=0")
+        axes[0].set_xlabel("Q / <I>"), axes[0].set_ylabel("U / <I>")
+        axes[0].set_title("Stokes loop"), axes[0].legend()
+        axes[0].set_aspect("equal", adjustable="datalim")
+        axes[1].plot(t_arr / period, I / s, label="I")
+        axes[1].plot(t_arr / period, Q / s, label="Q")
+        axes[1].plot(t_arr / period, U / s, label="U")
+        axes[1].set_xlabel("time [orbits]"), axes[1].legend()
+        axes[1].set_title(f"a={args.a}, i={args.inclination} deg, "
+                          f"{args.b_field} field")
+        fig.tight_layout()
+        fig.savefig(args.qu_loop, dpi=130)
+        np.savetxt(args.qu_loop.rsplit(".", 1)[0] + ".csv",
+                   np.column_stack([t_arr, I, Q, U]), delimiter=",",
+                   header="time_M,I,Q,U")
+        tt = stats["timings"]
+        print(f"Q-U loop: {n} samples over {args.orbits} orbit(s), "
+              f"{args.b_field} field, ONE trace "
+              f"{tt.get('precompute', 0.0):.3f}s")
+        print(f"Saved: {args.qu_loop} (+ .csv)")
+        return 0
+
     if getattr(args, "line_profile", None):
         # Relativistic emission-line profile (spectra.line_profile):
         # double-horned diskline with the spin-dependent red wing.
@@ -829,6 +890,18 @@ def build_parser():
     p.add_argument("--aa", type=int, default=1,
                    help="jittered AA samples per pixel (disk edges / "
                         "photon ring)")
+    p.add_argument("--polarization", default=None, metavar="PLOT.png",
+                   help="polarized disk image (Walker-Penrose "
+                        "transport): EVPA ticks over the disk render "
+                        "(polarization.py; requires a BH-centered "
+                        "camera)")
+    p.add_argument("--b-field", default="toroidal",
+                   choices=["vertical", "toroidal", "radial"],
+                   help="magnetic-field geometry for --polarization")
+    p.add_argument("--qu-loop", default=None, metavar="PLOT.png",
+                   help="polarized hot-spot flare: integrated Stokes "
+                        "(Q, U) loop over --orbits orbits "
+                        "(polarization.hotspot_qu_loop)")
     p.add_argument("--line-profile", default=None, metavar="PLOT.png",
                    help="compute the relativistic emission-line profile "
                         "(flux vs observed energy; the Fe K-alpha "

@@ -174,6 +174,8 @@ class DiskTraceResult(NamedTuple):
     n_half: jnp.ndarray
     phi_hits: tuple = ()   # in-plane azimuth at each crossing (physical)
     xi_hits: tuple = ()    # tilted disks: n.L/E at each crossing
+    pr_hits: tuple = ()    # p_r of the localized crossing state
+    pth_hits: tuple = ()   # p_theta of the localized crossing state
 
 
 def trace_disk_rays(metric, r_obs, alphas, thetas, theta_obs,
@@ -267,7 +269,8 @@ def _trace_disk_rays_xla(metric, r_obs, alphas, thetas, theta_obs,
     final_alpha, n_half, status_out = finalize_angles(
         metric, y_f, p_t, p_phi, status_f)
     return DiskTraceResult(status_out, hits["n"], hits["r"], xi, steps,
-                           final_alpha, n_half, hits["phi"], hits["xi"])
+                           final_alpha, n_half, hits["phi"], hits["xi"],
+                           hits["pr"], hits["pth"])
 
 
 def _plane_of(disk: DiskConfig, metric) -> tuple:
@@ -346,11 +349,13 @@ def _trace_disk_rays_multi_xla(metric, r_obs, alphas, thetas, theta_obs,
     final_alpha, n_half, status_out = finalize_angles(
         metric, y_f, p_t, p_phi, status_f)
     tracks = [
-        {k: hits[k] for k in ("n", "r", "phi", "down", "xi")}]
+        {k: hits[k] for k in ("n", "r", "phi", "pr", "pth",
+                              "down", "xi")}]
     tracks += list(hits.get("extra", ()))
     return tuple(
         DiskTraceResult(status_out, t["n"], t["r"], xi, steps,
-                        final_alpha, n_half, t["phi"], t["xi"])
+                        final_alpha, n_half, t["phi"], t["xi"],
+                        t["pr"], t["pth"])
         for t in tracks)
 
 
@@ -1059,7 +1064,11 @@ def _concat_disk_results(results):
         phi_hits=tuple(cat(lambda r, i=i: r.phi_hits[i])
                        for i in range(len(first.phi_hits))),
         xi_hits=tuple(cat(lambda r, i=i: r.xi_hits[i])
-                      for i in range(len(first.xi_hits))))
+                      for i in range(len(first.xi_hits))),
+        pr_hits=tuple(cat(lambda r, i=i: r.pr_hits[i])
+                      for i in range(len(first.pr_hits))),
+        pth_hits=tuple(cat(lambda r, i=i: r.pth_hits[i])
+                       for i in range(len(first.pth_hits))))
 
 
 def render_scene_with_disk_aa(scene: SceneConfig, source_image,

@@ -397,6 +397,15 @@ def dp45_integrate(metric, y0, p_t, p_phi, status0, *, atol, rtol, h_min,
                            for _ in range(max_disk_hits)),
                 "phi": tuple(jnp.zeros_like(y0[0])
                              for _ in range(max_disk_hits)),
+                # Crossing momentum (p_r, p_theta of the Hermite-
+                # localized crossing state): polarization transport
+                # (polarization.py) rebuilds the full photon wave
+                # vector at the emission point from these + the
+                # conserved (E, L).
+                "pr": tuple(jnp.zeros_like(y0[0])
+                            for _ in range(max_disk_hits)),
+                "pth": tuple(jnp.zeros_like(y0[0])
+                             for _ in range(max_disk_hits)),
                 "down": tuple(jnp.zeros_like(y0[0])
                               for _ in range(max_disk_hits)),
                 # Tilted mode records the ray's angular momentum about
@@ -413,7 +422,7 @@ def dp45_integrate(metric, y0, p_t, p_phi, status0, *, atol, rtol, h_min,
                 _track0(b is not None) for b in _basis_fns[1:])
     else:
         hits0 = {"n": jnp.zeros((), jnp.int32), "r": (), "phi": (),
-                 "down": (), "xi": ()}
+                 "pr": (), "pth": (), "down": (), "xi": ()}
 
     def cond(carry):
         step, y, k1, h, lam, status, hits = carry
@@ -698,12 +707,18 @@ def dp45_integrate(metric, y0, p_t, p_phi, status0, *, atol, rtol, h_min,
                 n = track["n"]
                 new_r = list(track["r"])
                 new_phi = list(track["phi"])
+                new_pr = list(track["pr"])
+                new_pth = list(track["pth"])
                 new_down = list(track["down"])
                 new_xi = list(track["xi"])
                 for slot in range(max_disk_hits):
                     take = in_disk & (n == slot)
                     new_r[slot] = jnp.where(take, r_c, new_r[slot])
                     new_phi[slot] = jnp.where(take, phi_c, new_phi[slot])
+                    new_pr[slot] = jnp.where(take, y_cross[3],
+                                             new_pr[slot])
+                    new_pth[slot] = jnp.where(take, y_cross[4],
+                                              new_pth[slot])
                     new_down[slot] = jnp.where(take, down_f,
                                                new_down[slot])
                     if xi_c is not None:
@@ -712,12 +727,14 @@ def dp45_integrate(metric, y0, p_t, p_phi, status0, *, atol, rtol, h_min,
                               n)
                 new_track = {"n": n, "r": tuple(new_r),
                              "phi": tuple(new_phi),
+                             "pr": tuple(new_pr), "pth": tuple(new_pth),
                              "down": tuple(new_down), "xi": tuple(new_xi)}
                 first_hit = in_disk & (n == 1)
                 return new_track, y_cross, first_hit
 
             tracks = [{k: hits[k]
-                       for k in ("n", "r", "phi", "down", "xi")}]
+                       for k in ("n", "r", "phi", "pr", "pth",
+                                 "down", "xi")}]
             tracks += list(hits.get("extra", ()))
             new_tracks = []
             # Opaque termination: the ray parks at its FIRST in-disk

@@ -98,6 +98,9 @@ def _trace_tile_kernel(alpha_ref, theta_ref, refine_ref, valid_ref,
         for slot in range(max_disk_hits):
             out_refs[8 + slot][:] = hits["r"][slot]
             out_refs[8 + max_disk_hits + slot][:] = hits["phi"][slot]
+            out_refs[8 + 2 * max_disk_hits + slot][:] = hits["pr"][slot]
+            out_refs[8 + 3 * max_disk_hits + slot][:] = (
+                hits["pth"][slot])
     else:
         y_f, status_f, _lam_f, steps = result
     # NOTE: in mu-formulation the state is written out as
@@ -356,14 +359,14 @@ def trace_disk_rays_pallas(metric, r_obs, alphas, thetas, theta_obs,
     f32 = jax.ShapeDtypeStruct((n_tiles * tile_rows, LANE), dtype)
     i32 = jax.ShapeDtypeStruct((n_tiles * tile_rows, LANE), jnp.int32)
 
-    n_out = 7 + 1 + 2 * max_disk_hits
+    n_out = 7 + 1 + 4 * max_disk_hits
     outs = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
         in_specs=[block] * 5,
         out_specs=(block,) * n_out,
         out_shape=(f32, f32, f32, f32, f32, i32, i32, i32)
-        + (f32,) * (2 * max_disk_hits),
+        + (f32,) * (4 * max_disk_hits),
         interpret=interpret,
     )(alphas_p, thetas_p, refine_p, valid_p, plunge_p)
 
@@ -374,6 +377,10 @@ def trace_disk_rays_pallas(metric, r_obs, alphas, thetas, theta_obs,
     hit_r = tuple(flat[8 + s] for s in range(max_disk_hits))
     hit_phi = tuple(flat[8 + max_disk_hits + s]
                     for s in range(max_disk_hits))
+    hit_pr = tuple(flat[8 + 2 * max_disk_hits + s]
+                   for s in range(max_disk_hits))
+    hit_pth = tuple(flat[8 + 3 * max_disk_hits + s]
+                    for s in range(max_disk_hits))
 
     _y0, p_t, p_phi, _inv = metric.initial_conditions_5d(
         float(r_obs), alphas, thetas, float(theta_obs))
@@ -381,7 +388,8 @@ def trace_disk_rays_pallas(metric, r_obs, alphas, thetas, theta_obs,
         metric, tuple(flat[:5]), p_t, p_phi, status_f)
     from light_path_tracer_tpu.disk import DiskTraceResult
     result = DiskTraceResult(status_out, hit_n, hit_r, p_phi, n_steps,
-                             final_alpha, n_half, hit_phi)
+                             final_alpha, n_half, hit_phi,
+                             pr_hits=hit_pr, pth_hits=hit_pth)
     if return_unconverged:
         # Raw RUNNING after the step budget: the two-pass driver
         # re-traces these lanes at full depth.
@@ -447,4 +455,8 @@ def trace_disk_rays_two_pass(metric, r_obs, alphas, thetas, theta_obs,
         scatter(res1.n_half, res2.n_half),
         tuple(scatter(a, b) for a, b in zip(res1.phi_hits,
                                             res2.phi_hits)),
-        res1.xi_hits)
+        res1.xi_hits,
+        tuple(scatter(a, b) for a, b in zip(res1.pr_hits,
+                                            res2.pr_hits)),
+        tuple(scatter(a, b) for a, b in zip(res1.pth_hits,
+                                            res2.pth_hits)))

@@ -252,4 +252,6 @@ def trace_disk_grid_multihost(metric, r_obs, alpha_grid, theta_grid,
         tuple(unplace(r) for r in res.r_hits), unplace(res.xi),
         int(np.sum(gather(res.n_steps))), unplace(res.final_alpha),
         unplace(res.n_half), tuple(unplace(p) for p in res.phi_hits),
-        tuple(unplace(x) for x in res.xi_hits))
+        tuple(unplace(x) for x in res.xi_hits),
+        tuple(unplace(p) for p in res.pr_hits),
+        tuple(unplace(p) for p in res.pth_hits))

@@ -157,7 +157,9 @@ def trace_disk_grid_sharded(metric, r_obs, alpha_grid, theta_grid,
         tuple(unplace(r) for r in res.r_hits), unplace(res.xi),
         jnp.sum(res.n_steps), unplace(res.final_alpha),
         unplace(res.n_half), tuple(unplace(p) for p in res.phi_hits),
-        tuple(unplace(x) for x in res.xi_hits))
+        tuple(unplace(x) for x in res.xi_hits),
+        tuple(unplace(p) for p in res.pr_hits),
+        tuple(unplace(p) for p in res.pth_hits))
 
 
 def disk_slots(disk) -> range:
@@ -196,10 +198,14 @@ def disk_per_tile(metric, r_obs, theta_obs, lambda_max, max_steps, disk,
             res.final_alpha.reshape(a.shape),
             res.n_half.reshape(a.shape),
             tuple(p.reshape(a.shape) for p in res.phi_hits),
-            tuple(x.reshape(a.shape) for x in res.xi_hits))
+            tuple(x.reshape(a.shape) for x in res.xi_hits),
+            tuple(p.reshape(a.shape) for p in res.pr_hits),
+            tuple(p.reshape(a.shape) for p in res.pth_hits))
 
     spec = P(axis, None)
+    n_p = disk.max_hits  # crossing momenta are always recorded
     out_specs = DiskTraceResult(
         spec, spec, (spec,) * disk.max_hits, spec, spec, spec, spec,
-        (spec,) * disk.max_hits, (spec,) * n_xi)
+        (spec,) * disk.max_hits, (spec,) * n_xi, (spec,) * n_p,
+        (spec,) * n_p)
     return per_tile, out_specs

@@ -1,0 +1,479 @@
+"""Polarized disk images via the Walker-Penrose constant.
+
+Kerr admits a conserved complex quantity along null geodesics
+(Walker & Penrose 1970; Chandrasekhar MTBH section 60): for a photon
+with tangent k^mu and any vector f^mu that is orthogonal to k and
+parallel-transported,
+
+    kappa = (A - iB) (r - i a cos theta),
+    A = (k^t f^r - k^r f^t) + a sin^2(theta) (k^r f^phi - k^phi f^r)
+    B = sin(theta) [ (r^2 + a^2)(k^phi f^theta - k^theta f^phi)
+                     - a (k^t f^theta - k^theta f^t) ]
+
+is constant. This turns polarization transport into ALGEBRA at the two
+endpoints — no extra integration: the disk trace already records each
+crossing's full photon state (DiskTraceResult.pr_hits/pth_hits + the
+conserved E, L), so the emitted polarization's kappa is evaluated at
+the emission radius, and the observed polarization direction follows
+by inverting kappa at the camera.
+
+Emission model (the standard synchrotron construction, cf. the EHT
+equatorial-model papers): the fluid is a Keplerian circular orbiter at
+the crossing radius carrying a magnetic field of configurable
+geometry (vertical / toroidal / radial unit field); the emitted
+polarization 4-vector is the Levi-Civita contraction
+
+    f^mu ~ eps^{mu nu rho sigma} u_nu k_rho b_sigma,
+
+which is automatically orthogonal to k and u (antisymmetry), and whose
+norm carries the synchrotron pitch-angle factor: |f| = omega_fluid *
+|b_perp| * sin(xi), with xi the angle between k and b in the fluid
+frame — so the polarized intensity weight sin^2(xi) falls out of the
+same contraction.
+
+Observer side: kappa is LINEAR in f and kappa(k) = 0, so the gauge
+freedom f -> f + lambda k is invisible to it. The arriving photon's
+momentum at the camera is known analytically (the trace's own initial
+conditions); building the two screen-transverse unit vectors e1 (the
+theta-hat direction projected perpendicular to the arrival direction)
+and e2 (phi-hat likewise), the observed components (x, y) solve the
+real 2x2 system  x kappa(e1) + y kappa(e2) = kappa_emitted.  EVPA is
+then atan2(-x, y) measured from the image +x axis: e2 (phi-hat) maps
+to image -x for an equatorial observer of our camera convention
+(+x right, +y down, verified by the weak-field limit test: a toroidal
+field must give image-radial ticks far from the hole, where E = k x B
+is coordinate-radial).
+
+The reference has no polarization surface; this is new physics on top
+of SURVEY section 7's disk extension, enabled by the crossing-state
+recorder.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+import numpy as np
+import jax.numpy as jnp
+
+from light_path_tracer_tpu import camera
+from light_path_tracer_tpu.disk import (
+    DiskConfig, trace_disk_rays, disk_emission, r_isco)
+from light_path_tracer_tpu.models import Kerr
+from light_path_tracer_tpu.models.kerr import _inverse_metric_terms
+from light_path_tracer_tpu.utils.config import SceneConfig, RenderConfig
+from light_path_tracer_tpu.utils.timing import StageTimer
+
+_FIELDS = ("vertical", "toroidal", "radial")
+
+# Signature table of the 24 permutations of (0,1,2,3) for the
+# Levi-Civita contraction (built once at import).
+_PERMS = [(p, _sig) for p in itertools.permutations(range(4))
+          for _sig in [int(np.linalg.det(np.eye(4)[list(p)]))]]
+
+
+def covariant_metric(M, a, r, th):
+    """Covariant BL Kerr components (g_tt, g_tphi, g_rr, g_thth,
+    g_phiphi), batched."""
+    sin2 = jnp.sin(th) ** 2
+    Sigma = r * r + a * a * jnp.cos(th) ** 2
+    Delta = r * r - 2.0 * M * r + a * a
+    g_tt = -(1.0 - 2.0 * M * r / Sigma)
+    g_tphi = -2.0 * M * a * r * sin2 / Sigma
+    g_rr = Sigma / Delta
+    g_thth = Sigma
+    g_phiphi = (r * r + a * a
+                + 2.0 * M * a * a * r * sin2 / Sigma) * sin2
+    return g_tt, g_tphi, g_rr, g_thth, g_phiphi
+
+
+def _lower(g, v):
+    """Covariant components of contravariant v under the BL metric g =
+    (g_tt, g_tphi, g_rr, g_thth, g_phiphi)."""
+    g_tt, g_tphi, g_rr, g_thth, g_phiphi = g
+    return (g_tt * v[0] + g_tphi * v[3],
+            g_rr * v[1],
+            g_thth * v[2],
+            g_tphi * v[0] + g_phiphi * v[3])
+
+
+def _dot(g, u, v):
+    ul = _lower(g, u)
+    return sum(ul[i] * v[i] for i in range(4))
+
+
+def k_contravariant(M, a, r, th, p_r, p_th, L, E=1.0):
+    """Photon k^mu = (k^t, k^r, k^th, k^phi) from the canonical
+    momentum (p_t = -E, p_r, p_th, p_phi = L)."""
+    (gi_tt, gi_tphi, gi_rr, gi_thth, gi_phiphi,
+     *_rest) = _inverse_metric_terms(M, a, r, th)
+    p_t = -E
+    return (gi_tt * p_t + gi_tphi * L,
+            gi_rr * p_r,
+            gi_thth * p_th,
+            gi_tphi * p_t + gi_phiphi * L)
+
+
+def walker_penrose(a, r, th, k, f):
+    """(kappa1, kappa2) = Re/Im of the Walker-Penrose constant for
+    tangent k and polarization f (both contravariant, batched)."""
+    sin_th = jnp.sin(th)
+    A = ((k[0] * f[1] - k[1] * f[0])
+         + a * sin_th ** 2 * (k[1] * f[3] - k[3] * f[1]))
+    B = sin_th * ((r * r + a * a) * (k[3] * f[2] - k[2] * f[3])
+                  - a * (k[0] * f[2] - k[2] * f[0]))
+    # (A - iB)(r - i a cos th)
+    ac = a * jnp.cos(th)
+    kappa1 = A * r - B * ac
+    kappa2 = -(B * r + A * ac)
+    return kappa1, kappa2
+
+
+def keplerian_u(M, a, r, prograde=True):
+    """Keplerian circular-orbit 4-velocity u^mu at equatorial radius r."""
+    sqrtM = jnp.sqrt(M)
+    omega = (sqrtM / (r ** 1.5 + a * sqrtM) if prograde
+             else -sqrtM / (r ** 1.5 - a * sqrtM))
+    th = jnp.full_like(r, np.pi / 2)
+    g = covariant_metric(M, a, r, th)
+    g_tt, g_tphi, _g_rr, _g_thth, g_phiphi = g
+    norm = -(g_tt + 2.0 * omega * g_tphi + omega * omega * g_phiphi)
+    u_t = 1.0 / jnp.sqrt(jnp.maximum(norm, 1e-12))
+    zero = jnp.zeros_like(r)
+    return (u_t, zero, zero, u_t * omega)
+
+
+def field_vector(field, r, prograde=True):
+    """Unit-magnitude COORDINATE-frame magnetic-field direction b^mu at
+    the equator (normalized after projection into the fluid frame by the
+    Levi-Civita contraction itself, so only the direction matters).
+    vertical = -theta-hat (+z), toroidal = phi-hat, radial = r-hat."""
+    zero = jnp.zeros_like(r)
+    one = jnp.ones_like(r)
+    if field == "vertical":
+        return (zero, zero, -one, zero)
+    if field == "toroidal":
+        sign = 1.0 if prograde else -1.0
+        return (zero, zero, zero, sign * one)
+    if field == "radial":
+        return (zero, one, zero, zero)
+    raise ValueError(f"b-field must be one of {_FIELDS}, got {field!r}")
+
+
+def emission_polarization(M, a, r_c, p_r, p_th, L, field="toroidal",
+                          prograde=True):
+    """Emitted polarization f^mu and the pitch-angle factor at the
+    equatorial crossing.
+
+    Returns (f (4-tuple, unnormalized), sin_xi): f ~ eps(u, k, b);
+    sin_xi = |f| / (omega_fluid |b_perp_u|) in [0, 1] — the sine of the
+    angle between photon and field in the fluid frame (synchrotron
+    polarized emissivity ~ sin^2 xi).
+    """
+    th = jnp.full_like(r_c, np.pi / 2)
+    k = k_contravariant(M, a, r_c, th, p_r, p_th, L)
+    u = keplerian_u(M, a, r_c, prograde)
+    b = field_vector(field, r_c, prograde)
+    g = covariant_metric(M, a, r_c, th)
+
+    u_l, k_l, b_l = _lower(g, u), _lower(g, k), _lower(g, b)
+    # sqrt(-det g) = Sigma sin(theta) = r^2 at the equator.
+    sqrtg = r_c * r_c
+    f = [jnp.zeros_like(r_c) for _ in range(4)]
+    for (mu, nu, rho, sig), sgn in _PERMS:
+        f[mu] = f[mu] + sgn * u_l[nu] * k_l[rho] * b_l[sig] / sqrtg
+    f = tuple(f)
+
+    omega_fluid = -_dot(g, k, u)                    # photon energy in fluid
+    b_perp = tuple(b[i] + _dot(g, b, u) * u[i] for i in range(4))
+    b_norm = jnp.sqrt(jnp.maximum(_dot(g, b_perp, b_perp), 1e-30))
+    f_norm = jnp.sqrt(jnp.maximum(_dot(g, f, f), 0.0))
+    sin_xi = jnp.clip(
+        f_norm / jnp.maximum(omega_fluid * b_norm, 1e-30), 0.0, 1.0)
+    return f, sin_xi
+
+
+def observer_basis(M, a, r_obs, theta_obs, k_cam):
+    """Static-observer screen-transverse unit vectors (e1 ~ theta-hat,
+    e2 ~ phi-hat, both orthogonal to u_obs AND to k) at the camera.
+
+    Exact at any radius: u_obs is the normalized timelike Killing
+    direction; each basis vector is Gram-Schmidt-projected orthogonal
+    to u_obs and to the photon's spatial arrival direction.
+    """
+    r = jnp.asarray(r_obs, k_cam[0].dtype) * jnp.ones_like(k_cam[0])
+    th = jnp.asarray(theta_obs, k_cam[0].dtype) * jnp.ones_like(k_cam[0])
+    g = covariant_metric(M, a, r, th)
+    g_tt = g[0]
+    zero = jnp.zeros_like(r)
+    u = (1.0 / jnp.sqrt(-g_tt), zero, zero, zero)
+
+    def proj_perp_u(v):
+        return tuple(v[i] + _dot(g, v, u) * u[i] for i in range(4))
+
+    def normalize(v):
+        n = jnp.sqrt(jnp.maximum(_dot(g, v, v), 1e-30))
+        return tuple(v[i] / n for i in range(4))
+
+    # Spatial direction of arrival.
+    n_hat = normalize(proj_perp_u(k_cam))
+
+    def perp(v, *others):
+        v = proj_perp_u(v)
+        for o in others:
+            v = tuple(v[i] - _dot(g, v, o) * o[i] for i in range(4))
+        return normalize(v)
+
+    th_hat = (zero, zero, jnp.ones_like(r), zero)
+    ph_hat = (zero, zero, zero, jnp.ones_like(r))
+    e1 = perp(th_hat, n_hat)
+    e2 = perp(ph_hat, n_hat, e1)
+    return e1, e2
+
+
+def observed_polarization(metric, r_obs, theta_obs, alphas, thetas,
+                          kappa1, kappa2):
+    """Invert the Walker-Penrose constant at the camera: returns
+    (x, y, ok) with f_obs = x e1 + y e2 (screen-transverse basis) and
+    ok = False where the 2x2 solve is degenerate."""
+    y0, _p_t, p_phi, _inv = metric.initial_conditions_5d(
+        r_obs, alphas, thetas, theta_obs)
+    M = jnp.asarray(metric.M, alphas.dtype)
+    a = jnp.asarray(metric.a, alphas.dtype)
+    r = y0[0]
+    th = y0[1]
+    k_cam = k_contravariant(M, a, r, th, y0[3], y0[4], p_phi)
+    e1, e2 = observer_basis(M, a, r_obs, theta_obs, k_cam)
+    k1_1, k2_1 = walker_penrose(a, r, th, k_cam, e1)
+    k1_2, k2_2 = walker_penrose(a, r, th, k_cam, e2)
+    det = k1_1 * k2_2 - k1_2 * k2_1
+    ok = jnp.abs(det) > 1e-20
+    det_safe = jnp.where(ok, det, 1.0)
+    x = (kappa1 * k2_2 - kappa2 * k1_2) / det_safe
+    y = (kappa2 * k1_1 - kappa1 * k2_1) / det_safe
+    return x, y, ok
+
+
+def render_polarization(scene: SceneConfig, resolution,
+                        cfg: RenderConfig = RenderConfig(),
+                        disk: DiskConfig = DiskConfig(),
+                        field: str = "toroidal"):
+    """Polarized accretion-disk image; returns (evpa, pol_frac,
+    intensity, stats) as (H, W) float32 arrays.
+
+    evpa: electric-vector position angle in radians, measured from the
+    image +x axis, in (-pi/2, pi/2] (NaN where no disk emission);
+    pol_frac: sin^2(xi) synchrotron pitch-angle weight in [0, 1];
+    intensity: the imaging path's (unpolarized) emission for the same
+    trace. First (opaque) crossing only; the camera must be BH-centered
+    (psi = 0 — the screen-basis mapping assumes it).
+    """
+    if any(abs(p) > 1e-12 for p in scene.psi):
+        raise ValueError("render_polarization requires psi = (0, 0) "
+                         "(BH-centered camera)")
+    metric = Kerr(M=scene.M, a=scene.a)
+    timer = StageTimer()
+    height, width = resolution
+    fov = camera.fov_from_vertical(scene.vertical_fov, resolution)
+    dtype = jnp.float64 if cfg.dtype == "float64" else jnp.float32
+
+    with timer.stage("build_lookup") as out:
+        alpha = camera.build_alpha_lookup(resolution, fov, dtype=dtype)
+        theta = camera.build_theta_lookup(resolution, fov, dtype=dtype)
+        out.append((alpha, theta))
+
+    with timer.stage("precompute") as out:
+        res = trace_disk_rays(
+            metric, scene.r_obs, alpha.ravel(), theta.ravel(),
+            scene.theta_obs, max(5000.0, 6.0 * scene.r_obs),
+            cfg.max_steps, disk, backend=cfg.backend,
+            precision=cfg.precision, method=cfg.integrator,
+            two_pass=cfg.two_pass, pass1_steps=cfg.pass1_steps)
+        out.append(res.status)
+
+    with timer.stage("render") as out:
+        M = jnp.asarray(scene.M, dtype)
+        a = jnp.asarray(scene.a, dtype)
+        hit = res.n_hits > 0
+        r_in = disk.r_in if disk.r_in is not None else r_isco(
+            scene.M, scene.a, disk.prograde)
+        r_c = jnp.maximum(res.r_hits[0], r_in)
+        f_em, sin_xi = emission_polarization(
+            M, a, r_c, res.pr_hits[0], res.pth_hits[0], res.xi,
+            field=field, prograde=disk.prograde)
+        th_eq = jnp.full_like(r_c, np.pi / 2)
+        k_em = k_contravariant(M, a, r_c, th_eq, res.pr_hits[0],
+                               res.pth_hits[0], res.xi)
+        kappa1, kappa2 = walker_penrose(a, r_c, th_eq, k_em, f_em)
+        x, y, ok = observed_polarization(
+            metric, scene.r_obs, scene.theta_obs,
+            alpha.ravel(), theta.ravel(), kappa1, kappa2)
+        # Screen mapping (module docstring): e2 (phi-hat) -> image -x,
+        # e1 (theta-hat) -> image +y (down). EVPA from image +x axis.
+        fx = -y
+        fy = x
+        evpa = jnp.arctan2(fy, fx)
+        evpa = jnp.mod(evpa + np.pi / 2, np.pi) - np.pi / 2  # mod pi
+        good = hit & ok & (sin_xi > 0.0)
+        evpa = jnp.where(good, evpa, jnp.nan)
+        pol = jnp.where(good, sin_xi ** 2, 0.0)
+        intensity, _rgb = disk_emission(scene, disk, r_in, res.n_hits,
+                                        res.r_hits, res.xi,
+                                        xi_hits=res.xi_hits)
+        out.append(evpa)
+
+    stats = dict(
+        r_isco=r_isco(scene.M, scene.a, disk.prograde),
+        field=field,
+        disk_pixels=int(np.asarray(hit).sum()),
+        polarized_pixels=int(np.asarray(good).sum()),
+        integrator_steps=int(res.n_steps),
+        total_rays=height * width,
+        traced_rays=height * width,
+        timings=timer.finish())
+    return (np.asarray(evpa, np.float32).reshape(resolution),
+            np.asarray(pol, np.float32).reshape(resolution),
+            np.asarray(intensity, np.float32).reshape(resolution),
+            stats)
+
+
+def save_polarization_figure(path, evpa, pol_frac, intensity,
+                             tick_step: int = 16, title: str = ""):
+    """EHT-style polarization-tick figure: the (tone-mapped) disk image
+    with EVPA line segments overlaid, tick length ~ polarized
+    intensity. Saves to `path`; headless (Agg)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    h, w = intensity.shape
+    img = intensity / max(float(np.nanmax(intensity)), 1e-30)
+    img = np.power(np.clip(img, 0.0, 1.0), 1 / 2.2)
+
+    fig, ax = plt.subplots(figsize=(7, 7 * h / w))
+    ax.imshow(img, cmap="afmhot", origin="upper",
+              vmin=0.0, vmax=1.0)
+    ys, xs, us, vs, cs = [], [], [], [], []
+    pol_i = pol_frac * img
+    pmax = max(float(np.nanmax(pol_i)), 1e-30)
+    for py in range(tick_step // 2, h, tick_step):
+        for px in range(tick_step // 2, w, tick_step):
+            chi = evpa[py, px]
+            if not np.isfinite(chi) or pol_i[py, px] <= 0:
+                continue
+            length = tick_step * 0.9 * np.sqrt(pol_i[py, px] / pmax)
+            # Image convention: +x right, +y down; imshow's display y
+            # axis points down too, so components map directly.
+            dx, dy = np.cos(chi) * length / 2, np.sin(chi) * length / 2
+            ys.append(py); xs.append(px); us.append(dx); vs.append(dy)
+            cs.append(pol_frac[py, px])
+    for x0, y0, dx, dy in zip(xs, ys, us, vs):
+        ax.plot([x0 - dx, x0 + dx], [y0 - dy, y0 + dy],
+                color="cyan", lw=1.4, solid_capstyle="round")
+    ax.set_xticks([]), ax.set_yticks([])
+    if title:
+        ax.set_title(title)
+    fig.tight_layout()
+    fig.savefig(path, dpi=130)
+    plt.close(fig)
+
+
+def hotspot_qu_loop(scene: SceneConfig, resolution, times,
+                    cfg: RenderConfig = RenderConfig(),
+                    disk: DiskConfig = DiskConfig(),
+                    spot=None, field: str = "toroidal"):
+    """Integrated Stokes (Q, U) vs time for an orbiting hot spot — the
+    polarization "loop" observable (GRAVITY / EHT Sgr A* flares): as
+    the spot circles the hole, the net EVPA of the integrated emission
+    rotates and (Q, U) traces a closed loop once per orbit.
+
+    ONE geodesic trace: per-pixel EVPA and pitch-angle weight are
+    time-independent (the lensing map is static); only the spot's
+    surface-brightness pattern advects. Returns (times, I, Q, U,
+    stats) with I/Q/U (T,) arrays (flux units of the imaging path;
+    Q + iU = sum_px I_px p_px exp(2 i chi_px)).
+    """
+    import jax
+
+    from light_path_tracer_tpu.disk import (
+        HotSpot, hotspot_pattern, keplerian_omega)
+
+    if any(abs(p) > 1e-12 for p in scene.psi):
+        raise ValueError("hotspot_qu_loop requires psi = (0, 0)")
+    if spot is None:
+        spot = HotSpot()
+    metric = Kerr(M=scene.M, a=scene.a)
+    timer = StageTimer()
+    times = list(times)
+    fov = camera.fov_from_vertical(scene.vertical_fov, resolution)
+    dtype = jnp.float64 if cfg.dtype == "float64" else jnp.float32
+
+    with timer.stage("build_lookup") as out:
+        alpha = camera.build_alpha_lookup(resolution, fov, dtype=dtype)
+        theta = camera.build_theta_lookup(resolution, fov, dtype=dtype)
+        out.append((alpha, theta))
+
+    with timer.stage("precompute") as out:
+        res = trace_disk_rays(
+            metric, scene.r_obs, alpha.ravel(), theta.ravel(),
+            scene.theta_obs, max(5000.0, 6.0 * scene.r_obs),
+            cfg.max_steps, disk, backend=cfg.backend,
+            precision=cfg.precision, method=cfg.integrator,
+            two_pass=cfg.two_pass, pass1_steps=cfg.pass1_steps)
+        out.append(res.status)
+
+    with timer.stage("render") as out:
+        M = jnp.asarray(scene.M, dtype)
+        a = jnp.asarray(scene.a, dtype)
+        hit = res.n_hits > 0
+        r_in = disk.r_in if disk.r_in is not None else r_isco(
+            scene.M, scene.a, disk.prograde)
+        r_c = jnp.maximum(res.r_hits[0], r_in)
+        f_em, sin_xi = emission_polarization(
+            M, a, r_c, res.pr_hits[0], res.pth_hits[0], res.xi,
+            field=field, prograde=disk.prograde)
+        th_eq = jnp.full_like(r_c, np.pi / 2)
+        k_em = k_contravariant(M, a, r_c, th_eq, res.pr_hits[0],
+                               res.pth_hits[0], res.xi)
+        kappa1, kappa2 = walker_penrose(a, r_c, th_eq, k_em, f_em)
+        x, y, ok = observed_polarization(
+            metric, scene.r_obs, scene.theta_obs,
+            alpha.ravel(), theta.ravel(), kappa1, kappa2)
+        evpa = jnp.arctan2(x, -y)          # fy = x, fx = -y
+        good = hit & ok
+        p_cos = jnp.where(good, sin_xi ** 2 * jnp.cos(2.0 * evpa), 0.0)
+        p_sin = jnp.where(good, sin_xi ** 2 * jnp.sin(2.0 * evpa), 0.0)
+
+        pattern = hotspot_pattern(spot, scene.M, scene.a, disk.prograde)
+        ts = jnp.asarray(times, dtype)
+
+        @jax.jit
+        def curves(ts, n_hits, r_hits, xi, phi_hits, xi_hits,
+                   p_cos, p_sin):
+            def at(t):
+                intensity, _rgb = disk_emission(
+                    scene, disk, r_in, n_hits, r_hits, xi,
+                    pattern=pattern, phi_hits=phi_hits, t=t,
+                    xi_hits=xi_hits)
+                return (intensity.sum(),
+                        (intensity * p_cos).sum(),
+                        (intensity * p_sin).sum())
+            return jax.vmap(at)(ts)
+
+        I, Q, U = curves(ts, res.n_hits, res.r_hits, res.xi,
+                         res.phi_hits, res.xi_hits, p_cos, p_sin)
+        out.append(I)
+
+    stats = dict(
+        r_isco=r_isco(scene.M, scene.a, disk.prograde),
+        field=field,
+        orbit_period=abs(2.0 * np.pi / keplerian_omega(
+            scene.M, scene.a, spot.r0, disk.prograde)),
+        disk_pixels=int(np.asarray(hit).sum()),
+        n_samples=len(times),
+        total_rays=resolution[0] * resolution[1],
+        traced_rays=resolution[0] * resolution[1],
+        timings=timer.finish())
+    return (np.asarray(times, np.float64), np.asarray(I, np.float64),
+            np.asarray(Q, np.float64), np.asarray(U, np.float64),
+            stats)

@@ -735,3 +735,66 @@ def test_disk_two_pass_matches_single_pass():
     fa1, fa2 = np.asarray(r1.final_alpha), np.asarray(r2.final_alpha)
     free = np.isfinite(fa1) & np.isfinite(fa2)
     assert np.median(np.abs(fa1[free] - fa2[free])) < 1e-5
+
+
+def test_crossing_momentum_null_condition_and_backends_agree():
+    """pr_hits/pth_hits: the recorded crossing momentum, with the
+    conserved (p_t=-1, p_phi), satisfies the null condition
+    g^{munu} p_mu p_nu = 0 at the equatorial crossing point — a strong
+    check that the Hermite-localized state is a consistent photon
+    state, not just a radius. Pallas agrees with XLA."""
+    from light_path_tracer_tpu.models import Kerr
+    from light_path_tracer_tpu.disk import (trace_disk_rays, DiskConfig,
+                                            r_isco)
+    from light_path_tracer_tpu.ops.pallas.kerr_trace_kernel import (
+        trace_disk_rays_pallas)
+
+    M, a = 1.0, 0.9
+    m = Kerr(M=M, a=a)
+    rng = np.random.default_rng(31)
+    n = 200
+    alphas = jnp.asarray(rng.uniform(0.01, 0.12, n), jnp.float64)
+    thetas = jnp.asarray(rng.uniform(-np.pi, np.pi, n), jnp.float64)
+    disk = DiskConfig(opaque=True)
+    res = trace_disk_rays(m, 100.0, alphas, thetas, np.radians(80.0),
+                          5000.0, 20000, disk, backend="xla")
+    hit = np.asarray(res.n_hits) > 0
+    assert hit.sum() > 30
+    r_c = np.asarray(res.r_hits[0])[hit]
+    p_r = np.asarray(res.pr_hits[0])[hit]
+    p_th = np.asarray(res.pth_hits[0])[hit]
+    L = np.asarray(res.xi)[hit]          # p_phi (E = 1)
+
+    # Kerr inverse metric at theta = pi/2 (Sigma = r^2).
+    delta = r_c ** 2 - 2 * M * r_c + a ** 2
+    big_a = (r_c ** 2 + a ** 2) ** 2 - a ** 2 * delta
+    g_tt = -big_a / (r_c ** 2 * delta)
+    g_tphi = -2 * M * a * r_c / (r_c ** 2 * delta)
+    g_phiphi = (delta - a ** 2) / (r_c ** 2 * delta)
+    g_rr = delta / r_c ** 2
+    g_thth = 1.0 / r_c ** 2
+    null = (g_tt * 1.0 - 2 * g_tphi * L + g_phiphi * L ** 2
+            + g_rr * p_r ** 2 + g_thth * p_th ** 2)
+    # Normalize by the energy-scale term to make it a relative error.
+    # The crossing state is Hermite-interpolated WITHIN an accepted
+    # step, so the null violation is bounded by the interpolation
+    # error at "fast" tolerances (~1e-5 relative), not roundoff.
+    rel = np.abs(null) / np.abs(g_tt)
+    assert np.median(rel) < 5e-5
+    assert np.quantile(rel, 0.95) < 5e-3
+
+    # Backends agree on the recorded momenta.
+    plane = (float(r_isco(M, a)), 20.0, float(np.pi / 2), True)
+    res_p = trace_disk_rays_pallas(
+        m, 100.0, alphas.astype(jnp.float32),
+        thetas.astype(jnp.float32), np.radians(80.0), 5000.0, 20000,
+        plane, 2, tile_rows=8, interpret=True)
+    both = hit & (np.asarray(res_p.n_hits) > 0)
+    d_pr = np.abs(np.asarray(res_p.pr_hits[0])[both]
+                  - np.asarray(res.pr_hits[0])[both])
+    d_pth = np.abs(np.asarray(res_p.pth_hits[0])[both]
+                   - np.asarray(res.pth_hits[0])[both])
+    # f32 Pallas vs f64 XLA: agreement is bounded by the f32
+    # integration error on p (O(1) quantities), not by the recorder.
+    assert np.median(d_pr) < 2e-2
+    assert np.median(d_pth) < 2e-2
