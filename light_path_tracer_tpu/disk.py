@@ -1145,18 +1145,25 @@ def _render_scene_with_disk_aa_stacked(scene, source_image, cfg, disk,
         out.append((alphas, thetas))
 
     with timer.stage("precompute") as out:
-        # One pass-sized dispatch per offset: identical shapes share one
-        # compiled kernel, and single dispatches stay under the size
-        # where very large ones (> ~10M rays) have faulted the device
-        # (aa.py._trace_all_passes uses the same chunking).
+        # All offsets in as few dispatches as fit under the device's
+        # large-dispatch fault threshold (> ~8-10M rays have faulted):
+        # one 4.2M-ray dispatch at 1024^2 aa=4 saves the per-chunk
+        # dispatch + pass-2 retrace overhead vs four pass-sized chunks.
+        # Above the threshold, pass-sized chunks share one compiled
+        # kernel (identical shapes, aa.py._trace_all_passes's pattern).
+        if n_s * n_px <= 8_000_000:
+            groups = [slice(0, n_s)]
+        else:
+            groups = [slice(s, s + 1) for s in range(n_s)]
         results = [trace_disk_rays(
-            metric, scene.r_obs, alphas[s].ravel(), thetas[s].ravel(),
+            metric, scene.r_obs, alphas[g].ravel(), thetas[g].ravel(),
             scene.theta_obs, max(5000.0, 6.0 * scene.r_obs),
             cfg.max_steps, disk, backend=cfg.backend,
             precision=cfg.precision, method=cfg.integrator,
             two_pass=cfg.two_pass, pass1_steps=cfg.pass1_steps)
-            for s in range(n_s)]
-        res = _concat_disk_results(results)
+            for g in groups]
+        res = (results[0] if len(results) == 1
+               else _concat_disk_results(results))
         out.append(res.status)
 
     with timer.stage("render") as out:

@@ -541,7 +541,10 @@ def test_composite_aa_stacked_matches_loop():
     assert np.allclose(np.asarray(img_s), np.asarray(img_l), atol=1e-6)
     assert np.array_equal(st_s["disk_mask"], st_l["disk_mask"])
     assert st_s["captured"] == st_l["captured"]
-    assert st_s["integrator_steps"] == st_l["integrator_steps"]
+    # The stacked path traces all offsets in ONE dispatch when they fit
+    # (disk.py), so its lock-step iteration count is at most the sum of
+    # the loop path's per-offset dispatches.
+    assert st_s["integrator_steps"] <= st_l["integrator_steps"]
     assert st_s["total_rays"] == st_l["total_rays"]
 
 
