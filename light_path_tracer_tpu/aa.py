@@ -148,13 +148,15 @@ def _trace_all_passes(metric, scene, cfg, resolution, fov, offsets, mesh):
                 theta_obs=scene.theta_obs, mesh=mesh,
                 max_steps=cfg.max_steps)
     else:
-        # One pass-sized chunk per dispatch: all chunks share one
-        # compiled kernel (identical shapes — the round-1 per-offset
-        # loop recompiled per offset), while very large single
-        # dispatches (> ~10M rays) have been observed to fault the
-        # device. Natural order keeps chunk == offset.
+        # All passes in ONE dispatch when the batch fits under the
+        # device's large-dispatch fault threshold (> ~8-10M rays have
+        # faulted) — measured 2.2x on the composite path's trace stage
+        # (one straggler retrace, whole-batch amortization). Larger
+        # batches fall back to one pass-sized chunk per dispatch: all
+        # chunks share one compiled kernel (identical shapes — the
+        # round-1 per-offset loop recompiled per offset).
         chunk = cfg.chunk_size
-        if chunk is None and n_s > 1:
+        if chunk is None and n_s > 1 and alpha.size > 8_000_000:
             chunk = trace_rows * width
         res = trace_batch(
             metric, scene.r_obs, alpha.ravel(),
