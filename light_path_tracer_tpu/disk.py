@@ -182,7 +182,8 @@ def trace_disk_rays(metric, r_obs, alphas, thetas, theta_obs,
                     lambda_max: float, max_steps: int, disk: DiskConfig,
                     backend: str = "auto", precision: str = "fast",
                     method: str = "dp45", two_pass="auto",
-                    pass1_steps: int = 512) -> DiskTraceResult:
+                    pass1_steps: int = 512,
+                    record_momentum: bool = False) -> DiskTraceResult:
     """Trace rays recording equatorial crossings; returns DiskTraceResult.
     backend / precision as in trace_batch; method = "dp45" | "dop853"
     (the crossing recorder needs the adaptive shared loop, so the
@@ -216,26 +217,30 @@ def trace_disk_rays(metric, r_obs, alphas, thetas, theta_obs,
                 metric, float(r_obs), alphas, thetas, float(theta_obs),
                 float(lambda_max), max_steps, plane, disk.max_hits,
                 pass1_steps=pass1_steps, precision=precision,
-                method=method)
+                method=method, record_momentum=record_momentum)
         from light_path_tracer_tpu.ops.pallas.kerr_trace_kernel import (
             trace_disk_rays_pallas)
         return trace_disk_rays_pallas(
             metric, float(r_obs), alphas, thetas, float(theta_obs),
             float(lambda_max), max_steps, plane, disk.max_hits,
-            precision=precision, method=method)
+            precision=precision, method=method,
+            record_momentum=record_momentum)
     return _trace_disk_rays_xla(
         metric, float(r_obs), alphas, thetas, float(theta_obs),
-        float(lambda_max), max_steps, disk, precision, method)
+        float(lambda_max), max_steps, disk, precision, method,
+        record_momentum)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("metric", "r_obs", "theta_obs", "lambda_max",
-                     "max_steps", "disk", "precision", "method"))
+                     "max_steps", "disk", "precision", "method",
+                     "record_momentum"))
 def _trace_disk_rays_xla(metric, r_obs, alphas, thetas, theta_obs,
                          lambda_max: float, max_steps: int,
                          disk: DiskConfig, precision: str = "fast",
-                         method: str = "dp45"):
+                         method: str = "dp45",
+                         record_momentum: bool = False):
     dtype = alphas.dtype
     tols = get_tols(dtype, precision)
     r_in = disk.r_in if disk.r_in is not None else r_isco(
@@ -258,7 +263,7 @@ def _trace_disk_rays_xla(metric, r_obs, alphas, thetas, theta_obs,
         disk_plane=(float(r_in), float(disk.r_out), float(np.pi / 2),
                     bool(disk.opaque)),
         max_disk_hits=disk.max_hits,
-        method=method,
+        method=method, record_momentum=record_momentum,
         disk_normal=(
             warped_basis(disk.tilt, disk.tilt_azimuth, disk.warp_radius)
             if disk.warp_radius is not None

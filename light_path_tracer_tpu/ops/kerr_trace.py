@@ -303,7 +303,8 @@ def dp45_integrate(metric, y0, p_t, p_phi, status0, *, atol, rtol, h_min,
                    tiny_err, r_capture, r_escape, lambda_max, h_init,
                    max_steps, event_interp="hermite", disk_plane=None,
                    max_disk_hits=2, r_plunge=None, formulation="theta",
-                   method="dp45", disk_normal=None, extra_disks=None):
+                   method="dp45", disk_normal=None, extra_disks=None,
+                   record_momentum=False):
     """The shared lock-step adaptive integration loop (DP45 or DOP853).
 
     method selects the embedded Runge-Kutta pair:
@@ -401,11 +402,15 @@ def dp45_integrate(metric, y0, p_t, p_phi, status0, *, atol, rtol, h_min,
                 # localized crossing state): polarization transport
                 # (polarization.py) rebuilds the full photon wave
                 # vector at the emission point from these + the
-                # conserved (E, L).
+                # conserved (E, L). Opt-in: the extra carry costs the
+                # disk hot loop ~20% (bench config 4), so imaging
+                # paths leave it off.
                 "pr": tuple(jnp.zeros_like(y0[0])
-                            for _ in range(max_disk_hits)),
+                            for _ in range(max_disk_hits
+                                           if record_momentum else 0)),
                 "pth": tuple(jnp.zeros_like(y0[0])
-                             for _ in range(max_disk_hits)),
+                             for _ in range(max_disk_hits
+                                            if record_momentum else 0)),
                 "down": tuple(jnp.zeros_like(y0[0])
                               for _ in range(max_disk_hits)),
                 # Tilted mode records the ray's angular momentum about
@@ -715,10 +720,11 @@ def dp45_integrate(metric, y0, p_t, p_phi, status0, *, atol, rtol, h_min,
                     take = in_disk & (n == slot)
                     new_r[slot] = jnp.where(take, r_c, new_r[slot])
                     new_phi[slot] = jnp.where(take, phi_c, new_phi[slot])
-                    new_pr[slot] = jnp.where(take, y_cross[3],
-                                             new_pr[slot])
-                    new_pth[slot] = jnp.where(take, y_cross[4],
-                                              new_pth[slot])
+                    if new_pr:
+                        new_pr[slot] = jnp.where(take, y_cross[3],
+                                                 new_pr[slot])
+                        new_pth[slot] = jnp.where(take, y_cross[4],
+                                                  new_pth[slot])
                     new_down[slot] = jnp.where(take, down_f,
                                                new_down[slot])
                     if xi_c is not None:

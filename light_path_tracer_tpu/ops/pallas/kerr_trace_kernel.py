@@ -43,7 +43,7 @@ def _trace_tile_kernel(alpha_ref, theta_ref, refine_ref, valid_ref,
                        event_interp, tols, disk_plane=None,
                        max_disk_hits=2, dynamic_metric=False,
                        dynamic_r=False, formulation="theta",
-                       method="dp45"):
+                       method="dp45", record_momentum=False):
     if dynamic_metric:
         from light_path_tracer_tpu.models.kerr import TracedKerr
         m_ref, a_ref = refs[0], refs[1]
@@ -90,7 +90,8 @@ def _trace_tile_kernel(alpha_ref, theta_ref, refine_ref, valid_ref,
         lambda_max=lambda_max, h_init=_h_init_for(r_obs, dtype),
         max_steps=max_steps, event_interp=event_interp,
         disk_plane=disk_plane, max_disk_hits=max_disk_hits,
-        r_plunge=r_plunge, formulation=formulation, method=method)
+        r_plunge=r_plunge, formulation=formulation, method=method,
+        record_momentum=record_momentum)
     if disk_plane is not None:
         y_f, status_f, _lam_f, steps, hits = result
         hitn_out = out_refs[7]
@@ -98,9 +99,11 @@ def _trace_tile_kernel(alpha_ref, theta_ref, refine_ref, valid_ref,
         for slot in range(max_disk_hits):
             out_refs[8 + slot][:] = hits["r"][slot]
             out_refs[8 + max_disk_hits + slot][:] = hits["phi"][slot]
-            out_refs[8 + 2 * max_disk_hits + slot][:] = hits["pr"][slot]
-            out_refs[8 + 3 * max_disk_hits + slot][:] = (
-                hits["pth"][slot])
+            if record_momentum:
+                out_refs[8 + 2 * max_disk_hits + slot][:] = (
+                    hits["pr"][slot])
+                out_refs[8 + 3 * max_disk_hits + slot][:] = (
+                    hits["pth"][slot])
     else:
         y_f, status_f, _lam_f, steps = result
     # NOTE: in mu-formulation the state is written out as
@@ -308,7 +311,8 @@ def trace_rays_kerr_two_pass(metric, r_obs, alphas, thetas, theta_obs,
     static_argnames=("metric", "r_obs", "theta_obs", "lambda_max",
                      "max_steps", "disk_plane", "max_disk_hits",
                      "tile_rows", "interpret", "formulation",
-                     "precision", "method", "return_unconverged"))
+                     "precision", "method", "return_unconverged",
+                     "record_momentum"))
 def trace_disk_rays_pallas(metric, r_obs, alphas, thetas, theta_obs,
                            lambda_max: float, max_steps: int,
                            disk_plane, max_disk_hits: int = 2,
@@ -317,7 +321,8 @@ def trace_disk_rays_pallas(metric, r_obs, alphas, thetas, theta_obs,
                            formulation: str = "theta",
                            precision: str = "fast",
                            method: str = "dp45",
-                           return_unconverged: bool = False):
+                           return_unconverged: bool = False,
+                           record_momentum: bool = False):
     """Pallas-fused disk-mode tracer: DP45 + equatorial-crossing recording
     in one kernel. Returns the disk.DiskTraceResult tuple — the same
     contract as disk.trace_disk_rays."""
@@ -352,21 +357,23 @@ def trace_disk_rays_pallas(metric, r_obs, alphas, thetas, theta_obs,
         theta_obs=float(theta_obs), lambda_max=float(lambda_max),
         max_steps=max_steps, event_interp="hermite", tols=tols,
         disk_plane=disk_plane, max_disk_hits=max_disk_hits,
-        formulation=formulation, method=method)
+        formulation=formulation, method=method,
+        record_momentum=record_momentum)
 
     block = pl.BlockSpec((tile_rows, LANE), lambda i: (i, 0),
                          memory_space=pltpu.VMEM)
     f32 = jax.ShapeDtypeStruct((n_tiles * tile_rows, LANE), dtype)
     i32 = jax.ShapeDtypeStruct((n_tiles * tile_rows, LANE), jnp.int32)
 
-    n_out = 7 + 1 + 4 * max_disk_hits
+    n_mom = 4 if record_momentum else 2
+    n_out = 7 + 1 + n_mom * max_disk_hits
     outs = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
         in_specs=[block] * 5,
         out_specs=(block,) * n_out,
         out_shape=(f32, f32, f32, f32, f32, i32, i32, i32)
-        + (f32,) * (4 * max_disk_hits),
+        + (f32,) * (n_mom * max_disk_hits),
         interpret=interpret,
     )(alphas_p, thetas_p, refine_p, valid_p, plunge_p)
 
@@ -378,9 +385,11 @@ def trace_disk_rays_pallas(metric, r_obs, alphas, thetas, theta_obs,
     hit_phi = tuple(flat[8 + max_disk_hits + s]
                     for s in range(max_disk_hits))
     hit_pr = tuple(flat[8 + 2 * max_disk_hits + s]
-                   for s in range(max_disk_hits))
+                   for s in range(max_disk_hits
+                                  if record_momentum else 0))
     hit_pth = tuple(flat[8 + 3 * max_disk_hits + s]
-                    for s in range(max_disk_hits))
+                    for s in range(max_disk_hits
+                                   if record_momentum else 0))
 
     _y0, p_t, p_phi, _inv = metric.initial_conditions_5d(
         float(r_obs), alphas, thetas, float(theta_obs))
@@ -402,7 +411,8 @@ def trace_disk_rays_pallas(metric, r_obs, alphas, thetas, theta_obs,
     static_argnames=("metric", "r_obs", "theta_obs", "lambda_max",
                      "max_steps", "disk_plane", "max_disk_hits",
                      "pass1_steps", "slots", "tile_rows", "interpret",
-                     "formulation", "precision", "method"))
+                     "formulation", "precision", "method",
+                     "record_momentum"))
 def trace_disk_rays_two_pass(metric, r_obs, alphas, thetas, theta_obs,
                              lambda_max: float, max_steps: int,
                              disk_plane, max_disk_hits: int = 2,
@@ -411,7 +421,8 @@ def trace_disk_rays_two_pass(metric, r_obs, alphas, thetas, theta_obs,
                              interpret: bool = False,
                              formulation: str = "theta",
                              precision: str = "fast",
-                             method: str = "dp45"):
+                             method: str = "dp45",
+                             record_momentum: bool = False):
     """Straggler-robust disk-mode tracing (trace_rays_kerr_two_pass's
     recipe with the crossing recorder active).
 
@@ -428,7 +439,8 @@ def trace_disk_rays_two_pass(metric, r_obs, alphas, thetas, theta_obs,
         metric, r_obs, alphas, thetas, theta_obs, lambda_max,
         pass1_steps, disk_plane, max_disk_hits, tile_rows=tile_rows,
         interpret=interpret, formulation=formulation,
-        precision=precision, method=method, return_unconverged=True)
+        precision=precision, method=method, return_unconverged=True,
+        record_momentum=record_momentum)
 
     n = alphas.shape[0]
     slots = min(slots, n)
@@ -437,7 +449,8 @@ def trace_disk_rays_two_pass(metric, r_obs, alphas, thetas, theta_obs,
         metric, r_obs, alphas[idx], thetas[idx], theta_obs, lambda_max,
         max_steps, disk_plane, max_disk_hits, tile_rows=8,
         interpret=interpret, formulation=formulation,
-        precision=precision, method=method)
+        precision=precision, method=method,
+        record_momentum=record_momentum)
 
     take = unconv[idx]
 

@@ -203,9 +203,10 @@ def disk_per_tile(metric, r_obs, theta_obs, lambda_max, max_steps, disk,
             tuple(p.reshape(a.shape) for p in res.pth_hits))
 
     spec = P(axis, None)
-    n_p = disk.max_hits  # crossing momenta are always recorded
+    # Crossing momenta (pr/pth) are the polarization path's opt-in
+    # (record_momentum) and polarization is single-chip by design —
+    # the sharded tile pytree carries the default empty tuples.
     out_specs = DiskTraceResult(
         spec, spec, (spec,) * disk.max_hits, spec, spec, spec, spec,
-        (spec,) * disk.max_hits, (spec,) * n_xi, (spec,) * n_p,
-        (spec,) * n_p)
+        (spec,) * disk.max_hits, (spec,) * n_xi, (), ())
     return per_tile, out_specs

@@ -288,7 +288,8 @@ def render_polarization(scene: SceneConfig, resolution,
             scene.theta_obs, max(5000.0, 6.0 * scene.r_obs),
             cfg.max_steps, disk, backend=cfg.backend,
             precision=cfg.precision, method=cfg.integrator,
-            two_pass=cfg.two_pass, pass1_steps=cfg.pass1_steps)
+            two_pass=cfg.two_pass, pass1_steps=cfg.pass1_steps,
+            record_momentum=True)
         out.append(res.status)
 
     with timer.stage("render") as out:
@@ -419,7 +420,8 @@ def hotspot_qu_loop(scene: SceneConfig, resolution, times,
             scene.theta_obs, max(5000.0, 6.0 * scene.r_obs),
             cfg.max_steps, disk, backend=cfg.backend,
             precision=cfg.precision, method=cfg.integrator,
-            two_pass=cfg.two_pass, pass1_steps=cfg.pass1_steps)
+            two_pass=cfg.two_pass, pass1_steps=cfg.pass1_steps,
+            record_momentum=True)
         out.append(res.status)
 
     with timer.stage("render") as out:

@@ -760,7 +760,8 @@ def test_crossing_momentum_null_condition_and_backends_agree():
     thetas = jnp.asarray(rng.uniform(-np.pi, np.pi, n), jnp.float64)
     disk = DiskConfig(opaque=True)
     res = trace_disk_rays(m, 100.0, alphas, thetas, np.radians(80.0),
-                          5000.0, 20000, disk, backend="xla")
+                          5000.0, 20000, disk, backend="xla",
+                          record_momentum=True)
     hit = np.asarray(res.n_hits) > 0
     assert hit.sum() > 30
     r_c = np.asarray(res.r_hits[0])[hit]
@@ -791,7 +792,7 @@ def test_crossing_momentum_null_condition_and_backends_agree():
     res_p = trace_disk_rays_pallas(
         m, 100.0, alphas.astype(jnp.float32),
         thetas.astype(jnp.float32), np.radians(80.0), 5000.0, 20000,
-        plane, 2, tile_rows=8, interpret=True)
+        plane, 2, tile_rows=8, interpret=True, record_momentum=True)
     both = hit & (np.asarray(res_p.n_hits) > 0)
     d_pr = np.abs(np.asarray(res_p.pr_hits[0])[both]
                   - np.asarray(res.pr_hits[0])[both])
