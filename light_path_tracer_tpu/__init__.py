@@ -21,13 +21,14 @@ file:line parity citations.
 
 from light_path_tracer_tpu.version import __version__
 from light_path_tracer_tpu.models import (
-    Schwarzschild, Kerr, Metric, make_metric)
+    Schwarzschild, Kerr, ReissnerNordstrom, Metric, make_metric)
 from light_path_tracer_tpu.utils.config import SceneConfig, RenderConfig
 
 __all__ = [
     "__version__",
     "Schwarzschild",
     "Kerr",
+    "ReissnerNordstrom",
     "Metric",
     "make_metric",
     "SceneConfig",

@@ -27,6 +27,9 @@ def _add_scene_args(p):
     p.add_argument("--M", type=float, default=1.0, help="BH mass")
     p.add_argument("--a", type=float, default=0.0,
                    help="BH spin (|a| <= M, 0 = Schwarzschild)")
+    p.add_argument("--Q", type=float, default=0.0,
+                   help="BH charge (|Q| <= M, Reissner-Nordstrom; "
+                        "mutually exclusive with --a != 0)")
     p.add_argument("--r-obs", type=float, default=100.0,
                    help="Observer distance in units of M (default: 100)")
     p.add_argument("--psi-y", type=float, default=0.0,
@@ -111,7 +114,8 @@ def _is_proc0() -> bool:
 def _scene_from(args):
     from light_path_tracer_tpu.utils.config import SceneConfig
     return SceneConfig(
-        M=args.M, a=args.a, r_obs_mult=args.r_obs,
+        M=args.M, a=args.a, Q=getattr(args, "Q", 0.0),
+        r_obs_mult=args.r_obs,
         psi_y=np.radians(args.psi_y), psi_x=np.radians(args.psi_x),
         vertical_fov_deg=args.fov_v,
         theta_obs=np.radians(getattr(args, "theta_obs", 90.0)),
@@ -143,8 +147,11 @@ def cmd_lens(args) -> int:
     scene = _scene_from(args)
     cfg = _render_cfg_from(args)
 
-    print(f"Metric: {'Schwarzschild' if args.a == 0 else 'Kerr'} "
-          f"(M={args.M}, a={args.a})")
+    kind = ("Kerr" if args.a != 0
+            else ("Reissner-Nordstrom" if getattr(args, "Q", 0.0) != 0
+                  else "Schwarzschild"))
+    print(f"Metric: {kind} (M={args.M}, a={args.a}"
+          + (f", Q={args.Q}" if getattr(args, "Q", 0.0) else "") + ")")
     t0 = time.perf_counter()
     img = mpimg.imread(args.image)
     load_time = time.perf_counter() - t0
@@ -153,7 +160,7 @@ def cmd_lens(args) -> int:
 
     r_obs = scene.r_obs
     from light_path_tracer_tpu.models import make_metric
-    metric = make_metric(args.M, args.a)
+    metric = make_metric(args.M, args.a, getattr(args, "Q", 0.0))
     alpha_crit = metric.alpha_crit(r_obs)
     print(f"r_obs = {r_obs:.1f} M, "
           f"alpha_crit = {np.degrees(alpha_crit):.4f} deg")
@@ -318,7 +325,7 @@ def cmd_lens(args) -> int:
 
 def _scene_metric_alpha_crit(scene):
     from light_path_tracer_tpu.models import make_metric
-    return make_metric(scene.M, scene.a).alpha_crit(scene.r_obs,
+    return make_metric(scene.M, scene.a, scene.Q).alpha_crit(scene.r_obs,
                                                     scene.theta_obs)
 
 
@@ -412,6 +419,9 @@ def cmd_disk(args) -> int:
     from light_path_tracer_tpu.utils.config import SceneConfig
     from light_path_tracer_tpu.disk import render_disk, DiskConfig
 
+    if getattr(args, "Q", 0.0):
+        print("  note: the disk machinery is Kerr-family only; "
+              "ignoring --Q")
     scene = SceneConfig(
         M=args.M, a=args.a, r_obs_mult=args.r_obs,
         psi_y=np.radians(args.psi_y), psi_x=np.radians(args.psi_x),
@@ -715,7 +725,7 @@ def cmd_ray(args) -> int:
     from light_path_tracer_tpu.models import make_metric
     from light_path_tracer_tpu.trajectory import trace_ray_trajectory
 
-    metric = make_metric(args.M, args.a)
+    metric = make_metric(args.M, args.a, getattr(args, "Q", 0.0))
     r_obs = args.r_obs * args.M
     alpha = np.radians(args.alpha_deg)
     traj, outcome = trace_ray_trajectory(metric, r_obs, alpha)
@@ -762,7 +772,7 @@ def cmd_plot(args) -> int:
     from light_path_tracer_tpu.models import make_metric
     from light_path_tracer_tpu.trajectory import plot_trajectories
 
-    metric = make_metric(args.M, args.a)
+    metric = make_metric(args.M, args.a, getattr(args, "Q", 0.0))
     r_obs = args.r_obs * args.M
     angles = [float(x) for x in args.angles.split(",")]
     ac = np.degrees(metric.alpha_crit(r_obs))

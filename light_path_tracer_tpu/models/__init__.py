@@ -3,16 +3,26 @@
 from light_path_tracer_tpu.models.base import Metric
 from light_path_tracer_tpu.models.schwarzschild import Schwarzschild
 from light_path_tracer_tpu.models.kerr import Kerr
+from light_path_tracer_tpu.models.reissner_nordstrom import (
+    ReissnerNordstrom)
 
 
-def make_metric(M: float = 1.0, a: float = 0.0) -> Metric:
-    """Metric selection by spin: a == 0 -> Schwarzschild, else Kerr.
-
-    Parity: /root/reference/image_lens.py:435-438.
+def make_metric(M: float = 1.0, a: float = 0.0,
+                Q: float = 0.0) -> Metric:
+    """Metric selection: a != 0 -> Kerr, Q != 0 -> Reissner-Nordstrom,
+    else Schwarzschild (spin dispatch parity:
+    /root/reference/image_lens.py:435-438).
     """
-    if a == 0:
-        return Schwarzschild(M=M)
-    return Kerr(M=M, a=a)
+    if a != 0 and Q != 0:
+        raise ValueError(
+            "a != 0 with Q != 0 needs the Kerr-Newman metric, which is "
+            "not implemented; set one of them to zero")
+    if a != 0:
+        return Kerr(M=M, a=a)
+    if Q != 0:
+        return ReissnerNordstrom(M=M, Q=Q)
+    return Schwarzschild(M=M)
 
 
-__all__ = ["Metric", "Schwarzschild", "Kerr", "make_metric"]
+__all__ = ["Metric", "Schwarzschild", "Kerr", "ReissnerNordstrom",
+           "make_metric"]

@@ -47,7 +47,7 @@ def _orbit_tile_kernel(alpha_ref, valid_ref, u_out, w_out, phi_out,
     phi0 = jnp.zeros_like(alphas)
 
     def rhs(u, w):
-        return w, -u + 3.0 * M * u * u
+        return metric.orbit_rhs(u, w)
 
     def cond(carry):
         step, u, w, phi, status = carry

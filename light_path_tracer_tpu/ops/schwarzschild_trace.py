@@ -58,7 +58,10 @@ def trace_rays_schwarzschild(metric, r_obs, alphas,
     phi0 = jnp.zeros_like(alphas)
 
     def rhs(u, w):
-        return w, -u + 3.0 * M * u * u
+        # Metric-supplied orbit equation (Schwarzschild: -u + 3 M u^2;
+        # Reissner-Nordstrom adds -2 Q^2 u^3). `metric` is static, so
+        # the body inlines into the compiled loop.
+        return metric.orbit_rhs(u, w)
 
     def cond(carry):
         step, u, w, phi, status = carry
