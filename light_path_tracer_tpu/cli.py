@@ -28,8 +28,8 @@ def _add_scene_args(p):
     p.add_argument("--a", type=float, default=0.0,
                    help="BH spin (|a| <= M, 0 = Schwarzschild)")
     p.add_argument("--Q", type=float, default=0.0,
-                   help="BH charge (|Q| <= M, Reissner-Nordstrom; "
-                        "mutually exclusive with --a != 0)")
+                   help="BH charge (Reissner-Nordstrom; with --a != 0: "
+                        "Kerr-Newman, needs a^2 + Q^2 <= M^2)")
     p.add_argument("--r-obs", type=float, default=100.0,
                    help="Observer distance in units of M (default: 100)")
     p.add_argument("--psi-y", type=float, default=0.0,
@@ -147,9 +147,11 @@ def cmd_lens(args) -> int:
     scene = _scene_from(args)
     cfg = _render_cfg_from(args)
 
-    kind = ("Kerr" if args.a != 0
-            else ("Reissner-Nordstrom" if getattr(args, "Q", 0.0) != 0
-                  else "Schwarzschild"))
+    q_arg = getattr(args, "Q", 0.0)
+    kind = ("Kerr-Newman" if args.a != 0 and q_arg != 0
+            else "Kerr" if args.a != 0
+            else "Reissner-Nordstrom" if q_arg != 0
+            else "Schwarzschild")
     print(f"Metric: {kind} (M={args.M}, a={args.a}"
           + (f", Q={args.Q}" if getattr(args, "Q", 0.0) else "") + ")")
     t0 = time.perf_counter()

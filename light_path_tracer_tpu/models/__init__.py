@@ -5,18 +5,17 @@ from light_path_tracer_tpu.models.schwarzschild import Schwarzschild
 from light_path_tracer_tpu.models.kerr import Kerr
 from light_path_tracer_tpu.models.reissner_nordstrom import (
     ReissnerNordstrom)
+from light_path_tracer_tpu.models.kerr_newman import KerrNewman
 
 
 def make_metric(M: float = 1.0, a: float = 0.0,
                 Q: float = 0.0) -> Metric:
-    """Metric selection: a != 0 -> Kerr, Q != 0 -> Reissner-Nordstrom,
-    else Schwarzschild (spin dispatch parity:
+    """Metric selection: a and Q -> Kerr-Newman, a -> Kerr,
+    Q -> Reissner-Nordstrom, else Schwarzschild (spin dispatch parity:
     /root/reference/image_lens.py:435-438).
     """
     if a != 0 and Q != 0:
-        raise ValueError(
-            "a != 0 with Q != 0 needs the Kerr-Newman metric, which is "
-            "not implemented; set one of them to zero")
+        return KerrNewman(M=M, a=a, Q=Q)
     if a != 0:
         return Kerr(M=M, a=a)
     if Q != 0:
@@ -25,4 +24,4 @@ def make_metric(M: float = 1.0, a: float = 0.0,
 
 
 __all__ = ["Metric", "Schwarzschild", "Kerr", "ReissnerNordstrom",
-           "make_metric"]
+           "KerrNewman", "make_metric"]

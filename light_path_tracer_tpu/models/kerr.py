@@ -99,6 +99,23 @@ class _KerrHotPath:
     def capture_radius(self):
         return self.r_plus * 1.01
 
+    # Metric-function hooks: Kerr-Newman overrides these two (charge
+    # enters ONLY through Delta and the 2Mr -> 2Mr - Q^2 = r^2 + a^2
+    # - Delta combination, which the bodies below express via Delta).
+    def _Delta_b(self, r):
+        """Batched Delta(r) = r^2 - 2 M r + a^2."""
+        return r * r - 2.0 * self.M * r + self.a * self.a
+
+    def _inv_terms(self, r, th):
+        return _inverse_metric_terms(self.M, self.a, r, th)
+
+    def _two_M_r(self, r):
+        """The g_tphi numerator factor: 2 M r (Kerr-Newman subtracts
+        Q^2). Kept as a hook so the Kerr fast path stays bitwise
+        identical (the algebraically-equal r^2 + a^2 - Delta form
+        differs at roundoff)."""
+        return 2.0 * self.M * r
+
     def plunge_radii(self, r_obs, alphas, thetas, theta_obs):
         """Per-ray certain-capture radius for early termination.
 
@@ -185,7 +202,7 @@ class _KerrHotPath:
         sin2 = jnp.maximum(sin_th * sin_th, _SIN2_FLOOR)
 
         Sigma = r * r + a * a * cos_th * cos_th
-        Delta = r * r - 2.0 * M * r + a * a
+        Delta = self._Delta_b(r)
         bad_obs = (Delta <= 0.0) | (Sigma <= 0.0)
 
         E = jnp.asarray(1.0, dtype)
@@ -214,7 +231,7 @@ class _KerrHotPath:
         p_th = p_th_sign * jnp.sqrt(Theta)
 
         (g_tt, g_tphi, g_rr, g_thth, g_phiphi,
-         *_rest) = _inverse_metric_terms(M, a, r, th)
+         *_rest) = self._inv_terms(r, th)
         other = (g_tt * p_t * p_t
                  + 2.0 * g_tphi * p_t * p_phi
                  + g_thth * p_th * p_th
@@ -474,14 +491,15 @@ class _KerrHotPath:
         sin2 = jnp.maximum(sin_th * sin_th, _SIN2_FLOOR)
         r_s = jnp.where(bad_state | is_captured, 10.0 * M + 10.0, r_f)
         Sigma_f = r_s * r_s + a * a * cos_th * cos_th
-        Delta_f = r_s * r_s - 2.0 * M * r_s + a * a
+        Delta_f = self._Delta_b(r_s)
         degenerate = (Sigma_f <= 1e-15) | (jnp.abs(Delta_f) <= 1e-15)
         Sigma_safe = jnp.where(degenerate, 1.0, Sigma_f)
         Delta_safe = jnp.where(degenerate, 1.0, Delta_f)
 
         dr_dl = Delta_safe / Sigma_safe * p_r_f
         dth_dl = p_th_f / Sigma_safe
-        dphi_dl = (-2.0 * M * a * r_s / (Sigma_safe * Delta_safe) * p_t
+        dphi_dl = (-a * self._two_M_r(r_s)
+                   / (Sigma_safe * Delta_safe) * p_t
                    + (Delta_safe - a * a * sin2)
                    / (Sigma_safe * Delta_safe * sin2) * p_phi)
 
@@ -639,7 +657,7 @@ class Kerr(_KerrHotPath, Metric):
         r_plus = jnp.asarray(self.r_plus, dtype)
         frozen = r <= r_plus * 1.001
         r_s = jnp.where(frozen, 10.0 * r_plus + 10.0, r)
-        (g_tt, g_tphi, *_rest) = _inverse_metric_terms(M, a, r_s, th)
+        (g_tt, g_tphi, *_rest) = self._inv_terms(r_s, th)
         dt = jnp.where(frozen, 0.0, g_tt * p_t + g_tphi * p_phi)
         zeros = jnp.zeros_like(r)
         return jnp.stack(

@@ -1,0 +1,240 @@
+"""Kerr-Newman metric: charged, rotating black hole.
+
+Fourth metric family — the full charge x spin corner of the model
+space. In Boyer-Lindquist coordinates Kerr-Newman is structurally Kerr
+with two substitutions:
+
+    Delta = r^2 - 2 M r + a^2 + Q^2          (horizon function)
+    2 M r -> 2 M r - Q^2                     (the g_tphi numerator;
+                                              identically r^2+a^2-Delta)
+
+so all five inverse-metric components keep the Kerr FORM with the
+shifted Delta. The null-geodesic structure survives (Kerr-Newman is
+Petrov type D; the Carter constant exists with the same expression),
+so the reduced 5-D state, the Bardeen screen mapping, and the
+angle-extraction epilogue all flow through the Kerr machinery via the
+`_Delta_b` / `_inv_terms` / `_two_M_r` hooks.
+
+The hot-loop RHS is NOT hand-derived here: Hamilton's equations come
+from `jax.grad` of H = (1/2) g^{mu nu}(r, theta) p_mu p_nu — the
+elementwise-independence of the batched Hamiltonian makes grad-of-sum
+the exact per-ray partials, and XLA fuses the result into the same
+lock-step loop. This is a few ops costlier per step than Kerr's
+hand-optimized parity form and is gated to the XLA backend (no Pallas
+kernel; the `supports_pallas = False` flag routes `trace_batch`).
+Validation: at Q = 0 the autodiff RHS must match Kerr's
+chain-rule-verified hand form to roundoff, and at a = 0 traced escape
+angles must match the independent Reissner-Nordstrom orbit-equation
+path (tests/test_kerr_newman.py).
+
+Spherical photon orbits: with u(r) = 4 r Delta / Delta'(r), the
+critical conserved quantities are
+
+    xi(r)  = (r^2 + a^2 - u) / a,
+    eta(r) = u^2 / Delta - (xi - a)^2,
+
+from R(r) = R'(r) = 0 with R = [(r^2+a^2) - a xi]^2 -
+Delta [(xi-a)^2 + eta] — the general-Delta form (reduces to Bardeen's
+Kerr expressions at Q = 0, pinned by test). The photon-orbit radius
+band is bracketed numerically as the eta >= 0 region.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from light_path_tracer_tpu.models.kerr import Kerr, _SIN2_FLOOR
+
+
+def _inverse_metric_terms_kn(M, a, Q, r, th):
+    """Contravariant Kerr-Newman components (same return contract as
+    kerr._inverse_metric_terms)."""
+    sin_th = jnp.sin(th)
+    cos_th = jnp.cos(th)
+    sin2 = jnp.maximum(sin_th * sin_th, _SIN2_FLOOR)
+    r2 = r * r
+    a2 = a * a
+    Sigma = r2 + a2 * cos_th * cos_th
+    Delta = r2 - 2.0 * M * r + a2 + Q * Q
+    ra2 = r2 + a2
+    A = ra2 * ra2 - a2 * Delta * sin2
+    SD = Sigma * Delta
+    g_tt = -A / SD
+    g_tphi = -a * (2.0 * M * r - Q * Q) / SD
+    g_rr = Delta / Sigma
+    g_thth = 1.0 / Sigma
+    g_phiphi = (Delta - a2 * sin2) / (SD * sin2)
+    return (g_tt, g_tphi, g_rr, g_thth, g_phiphi,
+            Sigma, Delta, A, sin_th, cos_th, sin2)
+
+
+@dataclasses.dataclass(frozen=True)
+class KerrNewman(Kerr):
+    Q: float = 0.0
+
+    # The autodiff RHS has no Mosaic kernel; trace_batch routes to XLA.
+    supports_pallas: bool = dataclasses.field(
+        default=False, init=False, repr=False)
+
+    def __post_init__(self):
+        if self.a ** 2 + self.Q ** 2 > self.M ** 2 * (1 + 1e-12):
+            raise ValueError(
+                f"a^2 + Q^2 must be <= M^2 (naked singularity): "
+                f"a={self.a}, Q={self.Q}, M={self.M}")
+
+    # ---- closed-form geometry ----
+
+    @property
+    def r_plus(self) -> float:
+        return float(self.M + np.sqrt(max(
+            self.M ** 2 - self.a ** 2 - self.Q ** 2, 0.0)))
+
+    def _Delta(self, r):
+        return r ** 2 - 2.0 * self.M * r + self.a ** 2 + self.Q ** 2
+
+    # ---- hot-path hooks (batched jnp) ----
+
+    def _Delta_b(self, r):
+        return (r * r - 2.0 * self.M * r
+                + self.a * self.a + self.Q * self.Q)
+
+    def _inv_terms(self, r, th):
+        return _inverse_metric_terms_kn(self.M, self.a, self.Q, r, th)
+
+    def _two_M_r(self, r):
+        return 2.0 * self.M * r - self.Q * self.Q
+
+    # ---- Hamilton's equations by autodiff ----
+
+    def rhs5(self, state5, p_t, p_phi):
+        """Batched reduced-state RHS from jax.grad of the Hamiltonian.
+
+        H is elementwise over the ray axis, so grad of sum(H) gives the
+        exact per-ray partials; dphi comes from the momentum partials
+        directly. Same frozen-horizon guard as Kerr.
+        """
+        r, th, phi, p_r, p_th = state5
+        dtype = r.dtype
+        r_plus = jnp.asarray(self.r_plus, dtype)
+        frozen = r <= r_plus * 1.001
+        r_s = jnp.where(frozen, 10.0 * r_plus + 10.0, r)
+        p_t_b = jnp.broadcast_to(jnp.asarray(p_t, dtype), r.shape)
+        p_phi_b = jnp.broadcast_to(jnp.asarray(p_phi, dtype), r.shape)
+
+        def H_sum(r_, th_, pr_, pth_):
+            (g_tt, g_tphi, g_rr, g_thth, g_phiphi,
+             *_rest) = self._inv_terms(r_, th_)
+            return 0.5 * jnp.sum(
+                g_tt * p_t_b * p_t_b
+                + 2.0 * g_tphi * p_t_b * p_phi_b
+                + g_rr * pr_ * pr_
+                + g_thth * pth_ * pth_
+                + g_phiphi * p_phi_b * p_phi_b)
+
+        dHr, dHth, dHpr, dHpth = jax.grad(
+            H_sum, argnums=(0, 1, 2, 3))(r_s, th, p_r, p_th)
+        (g_tt, g_tphi, _g_rr, _g_thth, g_phiphi,
+         *_rest) = self._inv_terms(r_s, th)
+        dphi = g_tphi * p_t_b + g_phiphi * p_phi_b
+
+        keep = jnp.logical_not(frozen)
+        z = jnp.zeros_like(r)
+        return (jnp.where(keep, dHpr, z), jnp.where(keep, dHpth, z),
+                jnp.where(keep, dphi, z), jnp.where(keep, -dHr, z),
+                jnp.where(keep, -dHth, z))
+
+    def rhs5_mu(self, state5, p_t, p_phi):
+        raise NotImplementedError(
+            "the mu formulation is a Kerr-only opt-in; Kerr-Newman "
+            "integrates the theta form (formulation='theta')")
+
+    def plunge_radii(self, r_obs, alphas, thetas, theta_obs):
+        """Conservative: no certain-capture early exit (the Kerr
+        closed-form plunge band does not transfer to Q != 0); rays
+        integrate to the capture radius."""
+        return jnp.zeros_like(alphas)
+
+    # ---- spherical photon orbits (general-Delta forms) ----
+
+    def _xi_eta(self, r_ph):
+        M, a = self.M, self.a
+        Delta = self._Delta(r_ph)
+        dDelta = 2.0 * (r_ph - M)
+        u = 4.0 * r_ph * Delta / dDelta
+        xi = (r_ph ** 2 + a ** 2 - u) / a
+        eta = u ** 2 / Delta - (xi - a) ** 2
+        return xi, eta
+
+    def unstable_photon_radii(self):
+        """(r_prograde, r_retrograde): the eta(r) >= 0 band edges,
+        bracketed numerically (Bardeen's closed form is Kerr-only)."""
+        if self.a == 0:
+            r_ph = 0.5 * (3.0 * self.M + np.sqrt(
+                9.0 * self.M ** 2 - 8.0 * self.Q ** 2))
+            return float(r_ph), float(r_ph)
+        r_lo = self.r_plus * (1.0 + 1e-9)
+        rs = np.linspace(r_lo, 4.5 * self.M, 4001)
+        rs = rs[np.abs(rs - self.M) > 1e-9]    # Delta' = 0 pole
+        _xi, eta = self._xi_eta(rs)
+        pos = eta >= 0.0
+        if not pos.any():
+            # Degenerate band (extremal corners): single equatorial
+            # orbit at the eta maximum.
+            r_star = float(rs[np.argmax(eta)])
+            return r_star, r_star
+        i0, i1 = np.argmax(pos), len(pos) - np.argmax(pos[::-1]) - 1
+
+        def bisect(ra, rb):
+            for _ in range(80):
+                rm = 0.5 * (ra + rb)
+                if self._xi_eta(np.asarray([rm]))[1][0] >= 0.0:
+                    rb = rm
+                else:
+                    ra = rm
+            return rb
+
+        r_pro = (bisect(rs[i0 - 1], rs[i0]) if i0 > 0 else rs[0])
+        r_ret = (bisect(rs[i1 + 1], rs[i1]) if i1 < len(rs) - 1
+                 else rs[-1])
+        return float(r_pro), float(r_ret)
+
+    def alpha_crit(self, r_obs, theta_obs=None, n_samples=50) -> float:
+        """Shadow-envelope critical angle (Kerr's sampling recipe with
+        the general-Delta (xi, eta) and the Reissner-Nordstrom floor)."""
+        if theta_obs is None:
+            theta_obs = np.pi / 2
+        M, a, Q = self.M, self.a, self.Q
+        # a = 0 closed form (Reissner-Nordstrom).
+        r_ph0 = 0.5 * (3.0 * M + np.sqrt(9.0 * M ** 2 - 8.0 * Q ** 2))
+        f0 = 1.0 - 2.0 * M / r_ph0 + Q ** 2 / r_ph0 ** 2
+        b_floor = r_ph0 / np.sqrt(f0)
+        if a == 0:
+            b_crit = b_floor
+        else:
+            r_pro, r_ret = self.unstable_photon_radii()
+            r_arr = np.linspace(r_pro, r_ret, n_samples)
+            xi, eta = self._xi_eta(r_arr)
+            b2 = xi ** 2 + np.maximum(eta, 0.0)
+            b_crit = max(float(np.sqrt(np.max(b2))), float(b_floor))
+
+        Delta_o = self._Delta(r_obs)
+        Sigma_o = self._Sigma(r_obs, theta_obs)
+        sin_th = np.sin(theta_obs)
+        A = (r_obs ** 2 + a ** 2) ** 2 - a ** 2 * Delta_o * sin_th ** 2
+        arg = b_crit * np.sqrt(Sigma_o * Delta_o / A) / r_obs
+        return float(np.arcsin(np.clip(arg, -1.0, 1.0)))
+
+    def viewing_angle_to_impact_parameter(self, alpha, r_obs,
+                                          theta_obs=None):
+        if theta_obs is None:
+            theta_obs = np.pi / 2
+        Delta = self._Delta(r_obs)
+        Sigma = self._Sigma(r_obs, theta_obs)
+        sin_th = np.sin(theta_obs)
+        A = (r_obs ** 2 + self.a ** 2) ** 2 \
+            - self.a ** 2 * Delta * sin_th ** 2
+        return r_obs * np.sin(alpha) * np.sqrt(A / (Sigma * Delta))

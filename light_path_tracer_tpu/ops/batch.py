@@ -29,8 +29,18 @@ def _pad_to(x, n, fill):
     return jnp.concatenate([x, jnp.full((pad,), fill, x.dtype)])
 
 
-def _kerr_backend(backend, dtype):
-    """Resolve 'auto' to the Pallas fused kernel on TPU float32."""
+def _kerr_backend(backend, dtype, metric=None):
+    """Resolve 'auto' to the Pallas fused kernel on TPU float32.
+
+    Metrics without a Mosaic kernel (Kerr-Newman's autodiff RHS sets
+    supports_pallas = False) resolve to the XLA path."""
+    if metric is not None and not getattr(metric, "supports_pallas",
+                                          True):
+        if backend == "pallas":
+            raise ValueError(
+                f"{type(metric).__name__} has no Pallas kernel "
+                f"(autodiff RHS); use backend='xla' or 'auto'")
+        return "xla"
     if backend != "auto":
         return backend
     import jax
@@ -91,7 +101,7 @@ def trace_batch(metric, r_obs, alphas, thetas=None, theta_obs=np.pi / 2,
     else:
         if integrator not in ("dp45", "dop853"):
             raise ValueError(f"unknown integrator {integrator!r}")
-        resolved = _kerr_backend(backend, alphas.dtype)
+        resolved = _kerr_backend(backend, alphas.dtype, metric)
         # 'auto' two_pass is batch-size dependent (both measured on a
         # v5e): at <= ~1M rays a capped first pass is a net LOSS
         # (scripts/sweep_kerr.py — per-tile early exit already contains

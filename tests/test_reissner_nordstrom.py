@@ -41,8 +41,8 @@ def test_closed_forms():
 def test_naked_singularity_rejected():
     with pytest.raises(ValueError, match="naked"):
         ReissnerNordstrom(M=1.0, Q=1.1)
-    with pytest.raises(ValueError, match="Kerr-Newman"):
-        make_metric(1.0, a=0.5, Q=0.5)
+    from light_path_tracer_tpu.models import KerrNewman
+    assert isinstance(make_metric(1.0, a=0.5, Q=0.5), KerrNewman)
 
 
 def test_q_zero_is_exactly_schwarzschild():
