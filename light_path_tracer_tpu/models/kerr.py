@@ -99,9 +99,16 @@ class _KerrHotPath:
     def capture_radius(self):
         return self.r_plus * 1.01
 
-    # Metric-function hooks: Kerr-Newman overrides these two (charge
+    # Metric-function hooks: Kerr-Newman overrides these (charge
     # enters ONLY through Delta and the 2Mr -> 2Mr - Q^2 = r^2 + a^2
     # - Delta combination, which the bodies below express via Delta).
+    @property
+    def _q2(self) -> float:
+        """Squared charge Q^2, a STATIC Python float (0 for Kerr) so the
+        charge branches in rhs5/rhs5_mu compile out entirely — the Kerr
+        hot path stays bitwise-identical to the pre-Kerr-Newman code."""
+        return 0.0
+
     def _Delta_b(self, r):
         """Batched Delta(r) = r^2 - 2 M r + a^2."""
         return r * r - 2.0 * self.M * r + self.a * self.a
@@ -304,6 +311,8 @@ class _KerrHotPath:
         r2 = r_s * r_s
         Sigma = r2 + a2 * cos_th * cos_th
         Delta = r2 - 2.0 * M * r_s + a2
+        if self._q2:
+            Delta = Delta + self._q2           # Kerr-Newman
         ra2 = r2 + a2
         A = ra2 * ra2 - a2 * Delta * sin2
 
@@ -316,7 +325,13 @@ class _KerrHotPath:
 
         g_rr = Delta * inv_Sigma
         g_thth = inv_Sigma
-        g_tphi = -2.0 * M * a * r_s * inv_SD
+        if self._q2:
+            # g_tphi numerator: W = 2Mr - Q^2 (identically r^2+a^2-Delta,
+            # but this form keeps the Kerr-limit rounding behavior).
+            W = 2.0 * M * r_s - self._q2
+            g_tphi = -a * W * inv_SD
+        else:
+            g_tphi = -2.0 * M * a * r_s * inv_SD
         g_phiphi = (Delta - a2 * sin2) * inv_SD * inv_sin2
 
         dr = g_rr * p_r
@@ -331,7 +346,11 @@ class _KerrHotPath:
         dSD_dr = dSigma_dr * Delta + Sigma * dDelta_dr
 
         dg_tt_dr = -(dA_dr * SD - A * dSD_dr) * inv_SD2
-        dg_tphi_dr = -(2.0 * M * a * (SD - r_s * dSD_dr)) * inv_SD2
+        if self._q2:
+            # d/dr of -aW/(Sigma Delta) with dW/dr = 2M.
+            dg_tphi_dr = -a * (2.0 * M * SD - W * dSD_dr) * inv_SD2
+        else:
+            dg_tphi_dr = -(2.0 * M * a * (SD - r_s * dSD_dr)) * inv_SD2
         dg_rr_dr = (dDelta_dr * Sigma - Delta * dSigma_dr) * inv_S2
         dg_thth_dr = -dSigma_dr * inv_S2
         inv_den_phi = inv_SD * inv_sin2
@@ -352,7 +371,11 @@ class _KerrHotPath:
         dA_dth = -2.0 * a2 * Delta * sc
 
         dg_tt_dth = -(dA_dth * SD - A * dSigma_dth * Delta) * inv_SD2
-        dg_tphi_dth = (2.0 * M * a * r_s * dSigma_dth) * inv_S2 * inv_Delta
+        if self._q2:
+            dg_tphi_dth = a * W * dSigma_dth * inv_S2 * inv_Delta
+        else:
+            dg_tphi_dth = (2.0 * M * a * r_s * dSigma_dth) \
+                * inv_S2 * inv_Delta
         dg_rr_dth = -Delta * dSigma_dth * inv_S2
         dg_thth_dth = -dSigma_dth * inv_S2
 
@@ -399,6 +422,8 @@ class _KerrHotPath:
         s = jnp.maximum((1.0 - mu) * (1.0 + mu), _SIN2_FLOOR)
         Sigma = r2 + a2 * mu * mu
         Delta = r2 - 2.0 * M * r_s + a2
+        if self._q2:
+            Delta = Delta + self._q2           # Kerr-Newman
         ra2 = r2 + a2
         A = ra2 * ra2 - a2 * Delta * s
 
@@ -411,7 +436,13 @@ class _KerrHotPath:
 
         g_rr = Delta * inv_Sigma
         g_mumu = s * inv_Sigma
-        g_tphi = -2.0 * M * a * r_s * inv_SD
+        if self._q2:
+            # g_tphi numerator: W = 2Mr - Q^2 (identically r^2+a^2-Delta,
+            # but this form keeps the Kerr-limit rounding behavior).
+            W = 2.0 * M * r_s - self._q2
+            g_tphi = -a * W * inv_SD
+        else:
+            g_tphi = -2.0 * M * a * r_s * inv_SD
         g_phiphi = (Delta - a2 * s) * inv_SD * inv_s
 
         dr = g_rr * p_r
@@ -426,7 +457,11 @@ class _KerrHotPath:
         dSD_dr = dSigma_dr * Delta + Sigma * dDelta_dr
 
         dg_tt_dr = -(dA_dr * SD - A * dSD_dr) * inv_SD2
-        dg_tphi_dr = -(2.0 * M * a * (SD - r_s * dSD_dr)) * inv_SD2
+        if self._q2:
+            # d/dr of -aW/(Sigma Delta) with dW/dr = 2M.
+            dg_tphi_dr = -a * (2.0 * M * SD - W * dSD_dr) * inv_SD2
+        else:
+            dg_tphi_dr = -(2.0 * M * a * (SD - r_s * dSD_dr)) * inv_SD2
         dg_rr_dr = (dDelta_dr * Sigma - Delta * dSigma_dr) * inv_S2
         dg_mumu_dr = -s * dSigma_dr * inv_S2
         inv_den_phi = inv_SD * inv_s
@@ -449,7 +484,10 @@ class _KerrHotPath:
         dSD_dmu = dSigma_dmu * Delta
 
         dg_tt_dmu = -(dA_dmu * SD - A * dSD_dmu) * inv_SD2
-        dg_tphi_dmu = 2.0 * M * a * r_s * dSD_dmu * inv_SD2
+        if self._q2:
+            dg_tphi_dmu = a * W * dSD_dmu * inv_SD2
+        else:
+            dg_tphi_dmu = 2.0 * M * a * r_s * dSD_dmu * inv_SD2
         dg_rr_dmu = -Delta * dSigma_dmu * inv_S2
         dg_mumu_dmu = (ds_dmu * Sigma - s * dSigma_dmu) * inv_S2
         dnum_dmu = 2.0 * a2 * mu                # = -a2 * ds_dmu

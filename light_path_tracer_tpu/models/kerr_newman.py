@@ -15,17 +15,18 @@ so the reduced 5-D state, the Bardeen screen mapping, and the
 angle-extraction epilogue all flow through the Kerr machinery via the
 `_Delta_b` / `_inv_terms` / `_two_M_r` hooks.
 
-The hot-loop RHS is NOT hand-derived here: Hamilton's equations come
-from `jax.grad` of H = (1/2) g^{mu nu}(r, theta) p_mu p_nu — the
-elementwise-independence of the batched Hamiltonian makes grad-of-sum
-the exact per-ray partials, and XLA fuses the result into the same
-lock-step loop. This is a few ops costlier per step than Kerr's
-hand-optimized parity form and is gated to the XLA backend (no Pallas
-kernel; the `supports_pallas = False` flag routes `trace_batch`).
-Validation: at Q = 0 the autodiff RHS must match Kerr's
-chain-rule-verified hand form to roundoff, and at a = 0 traced escape
-angles must match the independent Reissner-Nordstrom orbit-equation
-path (tests/test_kerr_newman.py).
+The hot-loop RHS is Kerr's hand-derived form with the charge folded
+in through the static `_q2` branch (kerr.rhs5 / rhs5_mu): only Delta
+and the g_tphi numerator W = 2Mr - Q^2 change, and dW/dr = 2M keeps
+every derivative expression's structure — so Kerr-Newman runs on BOTH
+backends, including the Pallas fused tile kernel (the kernel is
+metric-generic; `_q2` is static dataclass metadata, so the branch
+costs nothing and Kerr's own path is bitwise-unchanged). The
+independent oracle is `rhs5_autodiff` below: Hamilton's equations from
+`jax.grad` of H = (1/2) g^{mu nu}(r, theta) p_mu p_nu, which must
+match the hand form to roundoff at every (a, Q) — and at a = 0 traced
+escape angles must match the independent Reissner-Nordstrom
+orbit-equation path (tests/test_kerr_newman.py).
 
 Spherical photon orbits: with u(r) = 4 r Delta / Delta'(r), the
 critical conserved quantities are
@@ -76,10 +77,6 @@ def _inverse_metric_terms_kn(M, a, Q, r, th):
 class KerrNewman(Kerr):
     Q: float = 0.0
 
-    # The autodiff RHS has no Mosaic kernel; trace_batch routes to XLA.
-    supports_pallas: bool = dataclasses.field(
-        default=False, init=False, repr=False)
-
     def __post_init__(self):
         if self.a ** 2 + self.Q ** 2 > self.M ** 2 * (1 + 1e-12):
             raise ValueError(
@@ -98,6 +95,10 @@ class KerrNewman(Kerr):
 
     # ---- hot-path hooks (batched jnp) ----
 
+    @property
+    def _q2(self) -> float:
+        return self.Q * self.Q
+
     def _Delta_b(self, r):
         return (r * r - 2.0 * self.M * r
                 + self.a * self.a + self.Q * self.Q)
@@ -108,10 +109,13 @@ class KerrNewman(Kerr):
     def _two_M_r(self, r):
         return 2.0 * self.M * r - self.Q * self.Q
 
-    # ---- Hamilton's equations by autodiff ----
+    # ---- Hamilton's equations by autodiff (ORACLE, not hot path) ----
 
-    def rhs5(self, state5, p_t, p_phi):
-        """Batched reduced-state RHS from jax.grad of the Hamiltonian.
+    def rhs5_autodiff(self, state5, p_t, p_phi):
+        """Batched reduced-state RHS from jax.grad of the Hamiltonian —
+        the independent cross-check for the inherited hand form
+        (kerr.rhs5 with the static _q2 branch), pinned to roundoff
+        agreement at every (a, Q) in tests/test_kerr_newman.py.
 
         H is elementwise over the ray axis, so grad of sum(H) gives the
         exact per-ray partials; dphi comes from the momentum partials
@@ -146,11 +150,6 @@ class KerrNewman(Kerr):
         return (jnp.where(keep, dHpr, z), jnp.where(keep, dHpth, z),
                 jnp.where(keep, dphi, z), jnp.where(keep, -dHr, z),
                 jnp.where(keep, -dHth, z))
-
-    def rhs5_mu(self, state5, p_t, p_phi):
-        raise NotImplementedError(
-            "the mu formulation is a Kerr-only opt-in; Kerr-Newman "
-            "integrates the theta form (formulation='theta')")
 
     def plunge_radii(self, r_obs, alphas, thetas, theta_obs):
         """Conservative: no certain-capture early exit (the Kerr

@@ -32,8 +32,10 @@ def _pad_to(x, n, fill):
 def _kerr_backend(backend, dtype, metric=None):
     """Resolve 'auto' to the Pallas fused kernel on TPU float32.
 
-    Metrics without a Mosaic kernel (Kerr-Newman's autodiff RHS sets
-    supports_pallas = False) resolve to the XLA path."""
+    A metric can opt out of the Mosaic kernel by setting
+    supports_pallas = False (none of the shipped families do — the
+    tile kernel is metric-generic); such metrics resolve to XLA and
+    reject an explicit backend='pallas'."""
     if metric is not None and not getattr(metric, "supports_pallas",
                                           True):
         if backend == "pallas":

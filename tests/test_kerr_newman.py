@@ -1,10 +1,12 @@
 """Kerr-Newman (charged + rotating) tests — the fourth metric family.
 
-The decisive oracle: KerrNewman.rhs5 comes from jax.grad of the
-Hamiltonian, while Kerr.rhs5 is the hand-derived, chain-rule-verified
-parity form — at Q = 0 the two must agree to roundoff on random
-states, which validates the autodiff construction end to end. At
-a = 0, traced escape angles must match the INDEPENDENT
+The decisive oracle: KerrNewman inherits Kerr's hand-derived rhs5 /
+rhs5_mu with the charge folded in through the static _q2 branch, and
+KerrNewman.rhs5_autodiff builds the SAME Hamilton's equations from
+jax.grad of the Hamiltonian — at every (a, Q) the two must agree to
+roundoff on random states, which validates the hand-derived charge
+terms end to end (and at Q = 0 the hand form must be exactly Kerr's).
+At a = 0, traced escape angles must match the INDEPENDENT
 Reissner-Nordstrom orbit-equation path (different state space,
 different integrator)."""
 
@@ -17,11 +19,8 @@ from light_path_tracer_tpu.models import (
 from light_path_tracer_tpu.ops.batch import trace_batch
 
 
-def test_rhs_autodiff_matches_kerr_hand_form_at_q0():
-    kn = KerrNewman(M=1.0, a=0.9, Q=0.0)
-    k = Kerr(M=1.0, a=0.9)
-    rng = np.random.default_rng(5)
-    n = 256
+def _rand_state(n, seed):
+    rng = np.random.default_rng(seed)
     state = (jnp.asarray(rng.uniform(2.5, 80.0, n)),
              jnp.asarray(rng.uniform(0.2, np.pi - 0.2, n)),
              jnp.asarray(rng.uniform(-np.pi, np.pi, n)),
@@ -29,11 +28,50 @@ def test_rhs_autodiff_matches_kerr_hand_form_at_q0():
              jnp.asarray(rng.uniform(-6.0, 6.0, n)))
     p_t = jnp.full((n,), -1.0)
     p_phi = jnp.asarray(rng.uniform(-6.0, 6.0, n))
-    out_kn = kn.rhs5(state, p_t, p_phi)
-    out_k = k.rhs5(state, p_t, p_phi)
-    for d_kn, d_k in zip(out_kn, out_k):
-        np.testing.assert_allclose(np.asarray(d_kn), np.asarray(d_k),
+    return state, p_t, p_phi
+
+
+def test_hand_form_is_exactly_kerr_at_q0():
+    """Q = 0 must take the q2-free static branch: bitwise Kerr."""
+    kn = KerrNewman(M=1.0, a=0.9, Q=0.0)
+    k = Kerr(M=1.0, a=0.9)
+    state, p_t, p_phi = _rand_state(256, 5)
+    for d_kn, d_k in zip(kn.rhs5(state, p_t, p_phi),
+                         k.rhs5(state, p_t, p_phi)):
+        assert (np.asarray(d_kn) == np.asarray(d_k)).all()
+
+
+@pytest.mark.parametrize("a,q", [(0.9, 0.0), (0.6, 0.5), (0.0, 0.8),
+                                 (0.3, 0.9)])
+def test_rhs_hand_form_matches_autodiff(a, q):
+    """The decisive oracle: hand-derived charge terms vs jax.grad of
+    the Hamiltonian, at every corner of the (a, Q) space."""
+    kn = KerrNewman(M=1.0, a=a, Q=q)
+    state, p_t, p_phi = _rand_state(256, 7)
+    out_hand = kn.rhs5(state, p_t, p_phi)
+    out_ad = kn.rhs5_autodiff(state, p_t, p_phi)
+    for d_h, d_a in zip(out_hand, out_ad):
+        np.testing.assert_allclose(np.asarray(d_h), np.asarray(d_a),
                                    rtol=2e-12, atol=1e-12)
+
+
+def test_rhs5_mu_matches_theta_form():
+    """The transcendental-free mu formulation agrees with the theta
+    form after the canonical transformation, at Q != 0."""
+    kn = KerrNewman(M=1.0, a=0.6, Q=0.6)
+    state, p_t, p_phi = _rand_state(128, 9)
+    r, th, phi, p_r, p_th = state
+    y_mu = kn.state_to_mu(state)
+    d_th = kn.rhs5(state, p_t, p_phi)
+    d_mu = kn.rhs5_mu(y_mu, p_t, p_phi)
+    # dr, dphi, dp_r transform trivially; dmu = -sin(th) * dtheta.
+    np.testing.assert_allclose(np.asarray(d_mu[0]), np.asarray(d_th[0]),
+                               rtol=1e-10)
+    np.testing.assert_allclose(
+        np.asarray(d_mu[1]), -np.sin(np.asarray(th)) * np.asarray(d_th[1]),
+        rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(d_mu[2]), np.asarray(d_th[2]),
+                               rtol=1e-10)
 
 
 def test_closed_forms_and_limits():
@@ -114,12 +152,31 @@ def test_kn_trace_q0_matches_kerr():
     assert np.median(d) < 1e-8
 
 
-def test_kn_pallas_request_rejected_cleanly():
-    kn = KerrNewman(M=1.0, a=0.5, Q=0.5)
-    alphas = jnp.asarray([0.05], jnp.float32)
-    with pytest.raises(ValueError, match="Pallas"):
-        trace_batch(kn, 100.0, alphas, jnp.asarray([0.3], jnp.float32),
-                    backend="pallas")
+def test_kn_pallas_matches_xla():
+    """The metric-generic Pallas tile kernel (interpret mode on CPU)
+    agrees with the XLA path for Kerr-Newman."""
+    from light_path_tracer_tpu.ops.kerr_trace import trace_rays_kerr
+    from light_path_tracer_tpu.ops.pallas.kerr_trace_kernel import (
+        trace_rays_kerr_pallas)
+    kn = KerrNewman(M=1.0, a=0.6, Q=0.6)
+    ac = kn.alpha_crit(100.0)
+    rng = np.random.default_rng(3)
+    n = 256
+    alphas = jnp.asarray(rng.uniform(0.3 * ac, 4 * ac, n), jnp.float32)
+    thetas = jnp.asarray(rng.uniform(-np.pi, np.pi, n), jnp.float32)
+    refine = jnp.zeros(n, bool)
+    rp = trace_rays_kerr_pallas(kn, 100.0, alphas, thetas, np.pi / 2,
+                                refine, 5000.0, 5000, tile_rows=8,
+                                interpret=True)
+    rx = trace_rays_kerr(kn, 100.0, alphas, thetas, np.pi / 2,
+                         refine, 5000.0, 5000)
+    sp, sx = np.asarray(rp.status), np.asarray(rx.status)
+    assert (sp == sx).mean() > 0.99
+    both = (sp == 1) & (sx == 1)
+    stable = both & (np.abs(np.asarray(alphas) - ac) > 0.05 * ac)
+    d = np.abs(np.asarray(rp.final_alpha)[stable]
+               - np.asarray(rx.final_alpha)[stable])
+    assert np.percentile(d, 99) < 1e-3
 
 
 def test_kn_shadow_end_to_end():
