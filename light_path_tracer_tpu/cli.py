@@ -421,11 +421,12 @@ def cmd_disk(args) -> int:
     from light_path_tracer_tpu.utils.config import SceneConfig
     from light_path_tracer_tpu.disk import render_disk, DiskConfig
 
-    if getattr(args, "Q", 0.0):
-        print("  note: the disk machinery is Kerr-family only; "
-              "ignoring --Q")
+    if getattr(args, "Q", 0.0) and getattr(args, "polarization", None):
+        print("  note: polarized rendering is Kerr-only; ignoring --Q")
     scene = SceneConfig(
         M=args.M, a=args.a, r_obs_mult=args.r_obs,
+        Q=(0.0 if getattr(args, "polarization", None)
+           else getattr(args, "Q", 0.0)),
         psi_y=np.radians(args.psi_y), psi_x=np.radians(args.psi_x),
         vertical_fov_deg=args.fov_v,
         theta_obs=np.radians(args.inclination),

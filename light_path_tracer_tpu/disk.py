@@ -30,11 +30,24 @@ import jax.numpy as jnp
 from typing import NamedTuple
 
 from light_path_tracer_tpu.models.kerr import Kerr
+from light_path_tracer_tpu.models.kerr_newman import KerrNewman
 from light_path_tracer_tpu.ops.kerr_trace import (
     dp45_integrate, finalize_angles, get_tols, RUNNING, INVALID, CAPTURED)
 from light_path_tracer_tpu import camera
 from light_path_tracer_tpu.utils.config import SceneConfig, RenderConfig
 from light_path_tracer_tpu.utils.timing import StageTimer
+
+
+def _scene_metric(scene: "SceneConfig"):
+    """Kerr, or Kerr-Newman when the scene is charged. The a = 0
+    charged case routes through Kerr-Newman too: disk tracing needs
+    the 5-D crossing-recorder machinery, which the orbit-equation
+    Reissner-Nordstrom class does not carry (same geodesics — pinned
+    against the RN orbit path in tests/test_kerr_newman.py)."""
+    q = getattr(scene, "Q", 0.0)
+    if q:
+        return KerrNewman(M=scene.M, a=scene.a, Q=q)
+    return Kerr(M=scene.M, a=scene.a)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -108,8 +121,53 @@ def warped_basis(tilt: float, tilt_azimuth: float, warp_radius: float,
     return basis
 
 
-def r_isco(M: float, a: float, prograde: bool = True) -> float:
-    """Innermost stable circular orbit radius (Bardeen-Press-Teukolsky)."""
+def _circular_orbit_energy(M, a, Q, r, prograde):
+    """Specific energy E of an equatorial circular geodesic at radius r
+    (numpy, host-side). E(r) has its minimum exactly at the ISCO."""
+    x2 = M * r - Q * Q
+    x = np.sqrt(np.maximum(x2, 0.0))
+    s = 1.0 if prograde else -1.0
+    omega = s * x / (r * r + s * a * x)
+    w = (2.0 * M * r - Q * Q) / (r * r)
+    g_tt = -(1.0 - w)
+    g_tphi = -a * w
+    g_phiphi = r * r + a * a + a * a * w
+    norm = -(g_tt + 2.0 * omega * g_tphi + omega * omega * g_phiphi)
+    bad = (norm <= 1e-12) | (x2 <= 0.0)
+    e = -(g_tt + omega * g_tphi) / np.sqrt(np.where(bad, 1.0, norm))
+    return np.where(bad, np.inf, e)
+
+
+def r_isco(M: float, a: float, prograde: bool = True,
+           Q: float = 0.0) -> float:
+    """Innermost stable circular orbit radius.
+
+    Q = 0: Bardeen-Press-Teukolsky closed form. Q != 0 (Reissner-
+    Nordstrom / Kerr-Newman): no closed form — found as the minimum of
+    the circular-orbit energy E(r) (dE/dr = 0 IS the marginal-
+    stability condition), grid-bracketed then refined by ternary
+    search. Checks: Q=0 reduces to BPT, extremal RN (a=0, Q=M) gives
+    the known 4M, charge shrinks the ISCO monotonically
+    (tests/test_kerr_newman.py)."""
+    if Q:
+        r_plus = M + np.sqrt(max(M * M - a * a - Q * Q, 0.0))
+        rs = np.linspace(1.005 * r_plus, 12.0 * M, 8001)
+        e = _circular_orbit_energy(M, a, Q, rs, prograde)
+        i = int(np.argmin(e))
+        lo = rs[max(i - 1, 0)]
+        hi = rs[min(i + 1, len(rs) - 1)]
+        for _ in range(200):
+            m1 = lo + (hi - lo) / 3.0
+            m2 = hi - (hi - lo) / 3.0
+            e1 = _circular_orbit_energy(M, a, Q, np.asarray(m1),
+                                        prograde)
+            e2 = _circular_orbit_energy(M, a, Q, np.asarray(m2),
+                                        prograde)
+            if e1 < e2:
+                hi = m2
+            else:
+                lo = m1
+        return float(0.5 * (lo + hi))
     chi = a / M
     z1 = 1.0 + (1.0 - chi**2) ** (1.0 / 3.0) * (
         (1.0 + chi) ** (1.0 / 3.0) + (1.0 - chi) ** (1.0 / 3.0))
@@ -133,22 +191,35 @@ def disk_temperature(r_c, r_in, t_peak):
     return t_peak * (jnp.maximum(f, 0.0) / f_max) ** 0.25
 
 
-def keplerian_redshift(M, a, r_c, xi, prograde: bool = True):
+def keplerian_redshift(M, a, r_c, xi, prograde: bool = True,
+                       Q: float = 0.0):
     """g = 1 / (u^t (1 - Omega xi)) for a Keplerian circular emitter.
 
     Batched over crossing radii r_c and per-ray xi = L/E.
     Omega = +-sqrt(M) / (r^1.5 +- a sqrt(M)) (upper signs prograde,
-    lower retrograde — Bardeen-Press-Teukolsky circular orbits).
+    lower retrograde — Bardeen-Press-Teukolsky circular orbits); with
+    charge, +-x / (r^2 +- a x) with x = sqrt(M r - Q^2), and the
+    equatorial covariant components gain the (2Mr - Q^2)/r^2
+    combination (static branch: Q=0 paths are bitwise-unchanged).
     """
-    sqrtM = jnp.sqrt(M)
-    if prograde:
-        omega = sqrtM / (r_c ** 1.5 + a * sqrtM)
+    if Q:
+        x = jnp.sqrt(jnp.maximum(M * r_c - Q * Q, 0.0))
+        s = 1.0 if prograde else -1.0
+        omega = s * x / (r_c * r_c + s * a * x)
+        w = (2.0 * M * r_c - Q * Q) / (r_c * r_c)
+        g_tt = -(1.0 - w)
+        g_tphi = -a * w
+        g_phiphi = r_c * r_c + a * a + a * a * w
     else:
-        omega = -sqrtM / (r_c ** 1.5 - a * sqrtM)
-    # Equatorial covariant metric components.
-    g_tt = -(1.0 - 2.0 * M / r_c)
-    g_tphi = -2.0 * M * a / r_c
-    g_phiphi = r_c * r_c + a * a + 2.0 * M * a * a / r_c
+        sqrtM = jnp.sqrt(M)
+        if prograde:
+            omega = sqrtM / (r_c ** 1.5 + a * sqrtM)
+        else:
+            omega = -sqrtM / (r_c ** 1.5 - a * sqrtM)
+        # Equatorial covariant metric components.
+        g_tt = -(1.0 - 2.0 * M / r_c)
+        g_tphi = -2.0 * M * a / r_c
+        g_phiphi = r_c * r_c + a * a + 2.0 * M * a * a / r_c
     norm = -(g_tt + 2.0 * omega * g_tphi + omega * omega * g_phiphi)
     u_t = 1.0 / jnp.sqrt(jnp.maximum(norm, 1e-12))
     g = 1.0 / (u_t * (1.0 - omega * xi))
@@ -199,13 +270,14 @@ def trace_disk_rays(metric, r_obs, alphas, thetas, theta_obs,
             f"crossing recorder lives in the adaptive loop), got "
             f"{method!r}")
     from light_path_tracer_tpu.ops.batch import _kerr_backend
-    resolved = _kerr_backend(backend, alphas.dtype)
+    resolved = _kerr_backend(backend, alphas.dtype, metric)
     if disk.tilt != 0.0 or disk.warp_radius is not None:
         # Tilted/warped recording needs atan2 inside the hot loop,
         # which Mosaic does not lower — route to the XLA path.
         resolved = "xla"
     r_in = disk.r_in if disk.r_in is not None else r_isco(
-        metric.M, metric.a, disk.prograde)
+        metric.M, metric.a, disk.prograde,
+        Q=getattr(metric, "Q", 0.0))
     plane = (float(r_in), float(disk.r_out), float(np.pi / 2),
              bool(disk.opaque))
     if resolved == "pallas":
@@ -244,7 +316,8 @@ def _trace_disk_rays_xla(metric, r_obs, alphas, thetas, theta_obs,
     dtype = alphas.dtype
     tols = get_tols(dtype, precision)
     r_in = disk.r_in if disk.r_in is not None else r_isco(
-        metric.M, metric.a, disk.prograde)
+        metric.M, metric.a, disk.prograde,
+        Q=getattr(metric, "Q", 0.0))
 
     y0, p_t, p_phi, invalid0 = metric.initial_conditions_5d(
         r_obs, alphas, thetas, theta_obs)
@@ -280,7 +353,8 @@ def _trace_disk_rays_xla(metric, r_obs, alphas, thetas, theta_obs,
 
 def _plane_of(disk: DiskConfig, metric) -> tuple:
     r_in = disk.r_in if disk.r_in is not None else r_isco(
-        metric.M, metric.a, disk.prograde)
+        metric.M, metric.a, disk.prograde,
+        Q=getattr(metric, "Q", 0.0))
     return (float(r_in), float(disk.r_out), float(np.pi / 2),
             bool(disk.opaque))
 
@@ -381,7 +455,7 @@ def render_multi_disk(scene: SceneConfig, resolution,
         raise ValueError("all disks must share a spectrum type")
     if len({d.tone_map for d in disks}) != 1:
         raise ValueError("all disks must share a tone_map")
-    metric = Kerr(M=scene.M, a=scene.a)
+    metric = _scene_metric(scene)
     timer = StageTimer()
     height, width = resolution
     fov = camera.fov_from_vertical(scene.vertical_fov, resolution)
@@ -410,7 +484,7 @@ def render_multi_disk(scene: SceneConfig, resolution,
         rgb = None
         for disk, res in zip(disks, results):
             r_in = disk.r_in if disk.r_in is not None else r_isco(
-                scene.M, scene.a, disk.prograde)
+                scene.M, scene.a, disk.prograde, Q=scene.Q)
             inten_p, rgb_p = disk_emission(
                 scene, disk, r_in, res.n_hits, res.r_hits, res.xi,
                 doppler=dl, xi_hits=res.xi_hits)
@@ -428,7 +502,7 @@ def render_multi_disk(scene: SceneConfig, resolution,
         any_hit |= np.asarray(res.n_hits) > 0
     stats = dict(
         alpha_crit=metric.alpha_crit(scene.r_obs, scene.theta_obs),
-        r_isco=r_isco(scene.M, scene.a, disks[0].prograde),
+        r_isco=r_isco(scene.M, scene.a, disks[0].prograde, Q=scene.Q),
         captured=int((np.asarray(res0.status) == CAPTURED).sum()),
         disk_pixels=int(any_hit.sum()),
         disk_pixels_per_plane=[int((np.asarray(r.n_hits) > 0).sum())
@@ -454,7 +528,7 @@ def render_disk_multihost(scene: SceneConfig, resolution,
     from light_path_tracer_tpu.parallel.multihost import (
         trace_disk_grid_multihost)
 
-    metric = Kerr(M=scene.M, a=scene.a)
+    metric = _scene_metric(scene)
     timer = StageTimer()
     height, width = resolution
     fov = camera.fov_from_vertical(scene.vertical_fov, resolution)
@@ -476,7 +550,7 @@ def render_disk_multihost(scene: SceneConfig, resolution,
 
     with timer.stage("render") as out:
         r_in = disk.r_in if disk.r_in is not None else r_isco(
-            scene.M, scene.a, disk.prograde)
+            scene.M, scene.a, disk.prograde, Q=scene.Q)
         dl = (camera.doppler_lookup(resolution, fov, scene.boost,
                                     dtype=dtype).ravel()
               if scene.boosted else None)
@@ -491,7 +565,7 @@ def render_disk_multihost(scene: SceneConfig, resolution,
 
     stats = dict(
         alpha_crit=metric.alpha_crit(scene.r_obs, scene.theta_obs),
-        r_isco=r_isco(scene.M, scene.a, disk.prograde),
+        r_isco=r_isco(scene.M, scene.a, disk.prograde, Q=scene.Q),
         captured=int((np.asarray(res.status) == CAPTURED).sum()),
         disk_pixels=int((np.asarray(res.n_hits) > 0).sum()),
         integrator_steps=int(res.n_steps),
@@ -511,7 +585,7 @@ def render_disk(scene: SceneConfig, resolution,
     (pi/2) shows the classic asymmetric Doppler-boosted disk; use e.g.
     80 deg (slightly off-plane) for the textbook bent-disk image.
     """
-    metric = Kerr(M=scene.M, a=scene.a)
+    metric = _scene_metric(scene)
     timer = StageTimer()
     height, width = resolution
     fov = camera.fov_from_vertical(scene.vertical_fov, resolution)
@@ -535,7 +609,7 @@ def render_disk(scene: SceneConfig, resolution,
 
     with timer.stage("render") as out:
         r_in = disk.r_in if disk.r_in is not None else r_isco(
-            scene.M, scene.a, disk.prograde)
+            scene.M, scene.a, disk.prograde, Q=scene.Q)
         dl = (camera.doppler_lookup(resolution, fov, scene.boost,
                                     dtype=dtype).ravel()
               if scene.boosted else None)
@@ -547,7 +621,7 @@ def render_disk(scene: SceneConfig, resolution,
 
     stats = dict(
         alpha_crit=metric.alpha_crit(scene.r_obs, scene.theta_obs),
-        r_isco=r_isco(scene.M, scene.a, disk.prograde),
+        r_isco=r_isco(scene.M, scene.a, disk.prograde, Q=scene.Q),
         captured=int((np.asarray(res.status) == CAPTURED).sum()),
         disk_pixels=int((np.asarray(res.n_hits) > 0).sum()),
         integrator_steps=int(res.n_steps),
@@ -613,15 +687,25 @@ def _disk_pixels(lum, intensity, rgb, resolution, grayscale: bool,
                             resolution + (channels,))
 
 
-def keplerian_omega(M, a, r, prograde: bool = True):
-    """Keplerian angular velocity Omega = +-sqrt(M)/(r^1.5 +- a sqrt(M))."""
-    sqrtM = np.sqrt(M) if np.isscalar(r) else jnp.sqrt(M)
+def keplerian_omega(M, a, r, prograde: bool = True, Q: float = 0.0):
+    """Keplerian angular velocity Omega = +-sqrt(M)/(r^1.5 +- a sqrt(M));
+    charged: +-x/(r^2 +- a x) with x = sqrt(M r - Q^2) (the same
+    expression with M r -> M r - Q^2, from the radial derivatives of
+    the Kerr-Newman equatorial metric)."""
+    xp = np if np.isscalar(r) else jnp
+    if Q:
+        x = xp.sqrt(xp.maximum(M * r - Q * Q, 0.0) if xp is jnp
+                    else max(M * r - Q * Q, 0.0))
+        s = 1.0 if prograde else -1.0
+        return s * x / (r * r + s * a * x)
+    sqrtM = xp.sqrt(M)
     if prograde:
         return sqrtM / (r ** 1.5 + a * sqrtM)
     return -sqrtM / (r ** 1.5 - a * sqrtM)
 
 
-def hotspot_pattern(spot: "HotSpot", M, a, prograde: bool = True):
+def hotspot_pattern(spot: "HotSpot", M, a, prograde: bool = True,
+                    Q: float = 0.0):
     """Emission-multiplier pattern for an orbiting Gaussian hot spot.
 
     Returns pattern(r, phi, t) -> multiplier (jax-traceable, batched):
@@ -631,7 +715,7 @@ def hotspot_pattern(spot: "HotSpot", M, a, prograde: bool = True):
     simplification). Because the crossing azimuth is recorded per pixel
     at trace time, frames at any t are pure re-renders of ONE trace.
     """
-    omega = float(keplerian_omega(M, a, spot.r0, prograde))
+    omega = float(keplerian_omega(M, a, spot.r0, prograde, Q=Q))
 
     def pattern(r, phi, t):
         dphi = phi - (spot.phi0 + omega * t)
@@ -647,6 +731,7 @@ def hotspot_pattern(spot: "HotSpot", M, a, prograde: bool = True):
 
 
 def texture_pattern(tex, r_in, r_out, M, a, shear: bool = True,
+                    Q: float = 0.0,
                     prograde: bool = True):
     """Emission-multiplier pattern from a (Nr, Nphi) texture image.
 
@@ -662,11 +747,12 @@ def texture_pattern(tex, r_in, r_out, M, a, shear: bool = True,
     """
     tex = jnp.asarray(tex, jnp.float32)
     n_r, n_phi = tex.shape
-    omega_ref = float(keplerian_omega(M, a, r_in, prograde))
+    omega_ref = float(keplerian_omega(M, a, r_in, prograde, Q=Q))
     two_pi = 2.0 * np.pi
 
     def pattern(r, phi, t):
-        omega = (keplerian_omega(M, a, jnp.maximum(r, r_in), prograde)
+        omega = (keplerian_omega(M, a, jnp.maximum(r, r_in), prograde,
+                                 Q=Q)
                  if shear else omega_ref)
         phi_m = (phi - omega * t) % two_pi
         pr = jnp.clip((r - r_in) / max(r_out - r_in, 1e-9), 0.0, 1.0) \
@@ -733,7 +819,7 @@ def disk_emission(scene: SceneConfig, disk: DiskConfig, r_in,
         # recorded at THIS crossing, not the conserved L_z.
         xi_slot = xi_hits[slot] if len(xi_hits) > slot else xi
         g = keplerian_redshift(scene.M, scene.a, r_c, xi_slot,
-                               disk.prograde)
+                               disk.prograde, Q=scene.Q)
         if doppler is not None:
             g = g * doppler
         mult = (pattern(r_c, phi_hits[slot], t)
@@ -772,7 +858,7 @@ def render_disk_frames(scene: SceneConfig, resolution, times,
     units of M; one full orbit at spot.r0 is
     2 pi / keplerian_omega(M, a, r0).
     """
-    metric = Kerr(M=scene.M, a=scene.a)
+    metric = _scene_metric(scene)
     timer = StageTimer()
     height, width = resolution
     # Materialize once: a generator argument would be exhausted by the
@@ -799,13 +885,13 @@ def render_disk_frames(scene: SceneConfig, resolution, times,
 
     with timer.stage("render") as out:
         r_in = disk.r_in if disk.r_in is not None else r_isco(
-            scene.M, scene.a, disk.prograde)
+            scene.M, scene.a, disk.prograde, Q=scene.Q)
         dl = (camera.doppler_lookup(resolution, fov, scene.boost,
                                     dtype=dtype).ravel()
               if scene.boosted else None)
         if pattern is None:
             pattern = hotspot_pattern(spot, scene.M, scene.a,
-                                      disk.prograde)
+                                      disk.prograde, Q=scene.Q)
 
         # All frames in ONE dispatch: the emission is elementwise over
         # rays, so frames vmap over the time axis for free. The trace
@@ -840,12 +926,12 @@ def render_disk_frames(scene: SceneConfig, resolution, times,
         out.append(frames)
 
     stats = dict(
-        r_isco=r_isco(scene.M, scene.a, disk.prograde),
+        r_isco=r_isco(scene.M, scene.a, disk.prograde, Q=scene.Q),
         disk_pixels=int((np.asarray(res.n_hits) > 0).sum()),
         integrator_steps=int(res.n_steps),
         n_frames=len(times),
         orbit_period=abs(2.0 * np.pi / keplerian_omega(
-            scene.M, scene.a, spot.r0, disk.prograde)),
+            scene.M, scene.a, spot.r0, disk.prograde, Q=scene.Q)),
         total_rays=height * width,
         traced_rays=height * width,
         timings=timer.finish())
@@ -875,7 +961,7 @@ def render_scene_with_disk(scene: SceneConfig, source_image,
     disk_gain scales the tone-mapped disk brightness against the [0, 1]
     background texture. Returns (image, stats).
     """
-    metric = Kerr(M=scene.M, a=scene.a)
+    metric = _scene_metric(scene)
     timer = StageTimer()
     src = np.asarray(source_image)
     height, width = src.shape[:2]
@@ -911,7 +997,7 @@ def render_scene_with_disk(scene: SceneConfig, source_image,
     with timer.stage("render") as out:
         from light_path_tracer_tpu.render import render_lensed_image
         r_in = disk.r_in if disk.r_in is not None else r_isco(
-            scene.M, scene.a, disk.prograde)
+            scene.M, scene.a, disk.prograde, Q=scene.Q)
         fa = res.final_alpha.reshape(resolution).astype(jnp.float32)
         wind = jnp.clip(res.n_half, 0, cfg.winding_max).astype(
             jnp.uint16).reshape(resolution)
@@ -951,7 +1037,7 @@ def render_scene_with_disk(scene: SceneConfig, source_image,
 
     stats = dict(
         alpha_crit=alpha_crit,
-        r_isco=r_isco(scene.M, scene.a, disk.prograde),
+        r_isco=r_isco(scene.M, scene.a, disk.prograde, Q=scene.Q),
         captured=int((np.asarray(res.status) == CAPTURED).sum()),
         disk_pixels=int((np.asarray(res.n_hits) > 0).sum()),
         disk_mask=np.asarray(hit),
@@ -993,7 +1079,7 @@ def render_disk_aa(scene: SceneConfig, resolution,
     """
     from light_path_tracer_tpu.aa import aa_offsets
 
-    metric = Kerr(M=scene.M, a=scene.a)
+    metric = _scene_metric(scene)
     timer = StageTimer()
     height, width = resolution
     fov = camera.fov_from_vertical(scene.vertical_fov, resolution)
@@ -1020,7 +1106,7 @@ def render_disk_aa(scene: SceneConfig, resolution,
 
     with timer.stage("render") as out:
         r_in = disk.r_in if disk.r_in is not None else r_isco(
-            scene.M, scene.a, disk.prograde)
+            scene.M, scene.a, disk.prograde, Q=scene.Q)
         dl = None
         if scene.boosted:
             dl = jnp.stack([camera.doppler_lookup(
@@ -1037,7 +1123,7 @@ def render_disk_aa(scene: SceneConfig, resolution,
         out.append(img)
 
     stats = dict(
-        r_isco=r_isco(scene.M, scene.a, disk.prograde),
+        r_isco=r_isco(scene.M, scene.a, disk.prograde, Q=scene.Q),
         disk_pixels=int((np.asarray(res.n_hits).reshape(n_s, -1) > 0)
                         .any(axis=0).sum()),
         captured=int((np.asarray(res.status) == CAPTURED).sum()),
@@ -1120,7 +1206,7 @@ def _render_scene_with_disk_aa_stacked(scene, source_image, cfg, disk,
     from light_path_tracer_tpu.aa import aa_offsets
     from light_path_tracer_tpu.render import render_lensed_image
 
-    metric = Kerr(M=scene.M, a=scene.a)
+    metric = _scene_metric(scene)
     timer = StageTimer()
     src = np.asarray(source_image)
     height, width = src.shape[:2]
@@ -1173,7 +1259,7 @@ def _render_scene_with_disk_aa_stacked(scene, source_image, cfg, disk,
 
     with timer.stage("render") as out:
         r_in = disk.r_in if disk.r_in is not None else r_isco(
-            scene.M, scene.a, disk.prograde)
+            scene.M, scene.a, disk.prograde, Q=scene.Q)
         # Boost: delta^4 applies to the physical disk layer only; the
         # display-referred background gets aberration via the lookups
         # (docs/physics.md "Relativistic observer").
@@ -1226,7 +1312,7 @@ def _render_scene_with_disk_aa_stacked(scene, source_image, cfg, disk,
     mask = np.asarray(hit.any(axis=0))
     stats = dict(
         alpha_crit=alpha_crit,
-        r_isco=r_isco(scene.M, scene.a, disk.prograde),
+        r_isco=r_isco(scene.M, scene.a, disk.prograde, Q=scene.Q),
         captured=int((np.asarray(res.status) == CAPTURED).sum()),
         disk_pixels=int(mask.sum()),
         disk_mask=mask,

@@ -271,6 +271,12 @@ def render_polarization(scene: SceneConfig, resolution,
     if any(abs(p) > 1e-12 for p in scene.psi):
         raise ValueError("render_polarization requires psi = (0, 0) "
                          "(BH-centered camera)")
+    if getattr(scene, "Q", 0.0):
+        # The Walker-Penrose constant implemented here is the Kerr
+        # form; Kerr-Newman is also Petrov D but its kappa picks up
+        # charge terms that the transport algebra below does not carry.
+        raise ValueError("polarized rendering supports uncharged (Kerr)"
+                         " scenes only; got Q != 0")
     metric = Kerr(M=scene.M, a=scene.a)
     timer = StageTimer()
     height, width = resolution
@@ -401,6 +407,9 @@ def hotspot_qu_loop(scene: SceneConfig, resolution, times,
 
     if any(abs(p) > 1e-12 for p in scene.psi):
         raise ValueError("hotspot_qu_loop requires psi = (0, 0)")
+    if getattr(scene, "Q", 0.0):
+        raise ValueError("polarized rendering supports uncharged (Kerr)"
+                         " scenes only; got Q != 0")
     if spot is None:
         spot = HotSpot()
     metric = Kerr(M=scene.M, a=scene.a)

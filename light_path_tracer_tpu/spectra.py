@@ -39,8 +39,8 @@ import jax.numpy as jnp
 from light_path_tracer_tpu import camera
 from light_path_tracer_tpu.disk import (
     DiskConfig, HotSpot, trace_disk_rays, disk_emission, hotspot_pattern,
+    _scene_metric,
     keplerian_redshift, keplerian_omega, r_isco, CAPTURED)
-from light_path_tracer_tpu.models import Kerr
 from light_path_tracer_tpu.utils.config import SceneConfig, RenderConfig
 from light_path_tracer_tpu.utils.timing import StageTimer
 
@@ -55,7 +55,7 @@ def _trace_disk_grid(scene, resolution, cfg, disk, timer, aa_samples=1):
     sample count so totals are unchanged.
     """
     from light_path_tracer_tpu.aa import aa_offsets
-    metric = Kerr(M=scene.M, a=scene.a)
+    metric = _scene_metric(scene)
     fov = camera.fov_from_vertical(scene.vertical_fov, resolution)
     dtype = jnp.float64 if cfg.dtype == "float64" else jnp.float32
     offsets = aa_offsets(aa_samples)
@@ -110,7 +110,7 @@ def line_profile(scene: SceneConfig, resolution=(512, 512),
     _metric, res, dl = _trace_disk_grid(scene, resolution, cfg, disk,
                                         timer, aa_samples=aa_samples)
     r_in = disk.r_in if disk.r_in is not None else r_isco(
-        scene.M, scene.a, disk.prograde)
+        scene.M, scene.a, disk.prograde, Q=scene.Q)
 
     with timer.stage("render") as out:
         n_slots = 1 if disk.opaque else disk.max_hits
@@ -121,7 +121,7 @@ def line_profile(scene: SceneConfig, resolution=(512, 512),
             xi_slot = (res.xi_hits[slot]
                        if len(res.xi_hits) > slot else res.xi)
             g = keplerian_redshift(scene.M, scene.a, r_c, xi_slot,
-                                   disk.prograde)
+                                   disk.prograde, Q=scene.Q)
             if dl is not None:
                 g = g * dl
             eps = (r_c / r_in) ** (-disk.emissivity_index)
@@ -149,7 +149,7 @@ def line_profile(scene: SceneConfig, resolution=(512, 512),
     centers = 0.5 * (np.asarray(edges[:-1]) + np.asarray(edges[1:]))
     flux = np.asarray(flux, np.float64)
     stats = dict(
-        r_isco=r_isco(scene.M, scene.a, disk.prograde),
+        r_isco=r_isco(scene.M, scene.a, disk.prograde, Q=scene.Q),
         g_lim=tuple(g_lim),
         rest_energy=rest_energy,
         disk_pixels=int((np.asarray(res.n_hits) > 0).sum()),
@@ -179,9 +179,10 @@ def hotspot_light_curve(scene: SceneConfig, resolution, times,
     _metric, res, dl = _trace_disk_grid(scene, resolution, cfg, disk,
                                         timer)
     r_in = disk.r_in if disk.r_in is not None else r_isco(
-        scene.M, scene.a, disk.prograde)
+        scene.M, scene.a, disk.prograde, Q=scene.Q)
     if pattern is None:
-        pattern = hotspot_pattern(spot, scene.M, scene.a, disk.prograde)
+        pattern = hotspot_pattern(spot, scene.M, scene.a, disk.prograde,
+                                  Q=scene.Q)
     dtype = jnp.float64 if cfg.dtype == "float64" else jnp.float32
 
     with timer.stage("render") as out:
@@ -205,9 +206,9 @@ def hotspot_light_curve(scene: SceneConfig, resolution, times,
         out.append(flux)
 
     stats = dict(
-        r_isco=r_isco(scene.M, scene.a, disk.prograde),
+        r_isco=r_isco(scene.M, scene.a, disk.prograde, Q=scene.Q),
         orbit_period=abs(2.0 * np.pi / keplerian_omega(
-            scene.M, scene.a, spot.r0, disk.prograde)),
+            scene.M, scene.a, spot.r0, disk.prograde, Q=scene.Q)),
         disk_pixels=int((np.asarray(res.n_hits) > 0).sum()),
         integrator_steps=int(res.n_steps),
         n_samples=len(times),

@@ -179,6 +179,87 @@ def test_kn_pallas_matches_xla():
     assert np.percentile(d, 99) < 1e-3
 
 
+def test_charged_isco():
+    """Numeric E(r)-minimization ISCO vs independent oracles: the BPT
+    closed form at Q=0, the Reissner-Nordstrom ISCO cubic
+    M r^3 - 6 M^2 r^2 + 9 M Q^2 r - 4 Q^4 = 0, the known extremal-RN
+    value 4M, and charge monotonicity."""
+    from light_path_tracer_tpu.disk import r_isco
+    # The numeric path reduces to BPT (different algorithm).
+    for a in (0.0, 0.5, 0.9):
+        assert np.isclose(r_isco(1.0, a, Q=1e-15), r_isco(1.0, a),
+                          rtol=1e-7)
+    # Independent RN cubic.
+    for q in (0.3, 0.5, 0.8, 0.9):
+        r = r_isco(1.0, 0.0, Q=q)
+        assert abs(r**3 - 6*r**2 + 9*q*q*r - 4*q**4) < 1e-4
+    assert np.isclose(r_isco(1.0, 0.0, Q=0.999999), 4.0, atol=1e-4)
+    for pro in (True, False):
+        vals = [r_isco(1.0, 0.6, prograde=pro, Q=q)
+                for q in (0.0, 0.3, 0.6, 0.79)]
+        assert all(v1 > v2 for v1, v2 in zip(vals, vals[1:]))
+
+
+def test_charged_keplerian_omega_and_redshift():
+    from light_path_tracer_tpu.disk import (keplerian_omega,
+                                            keplerian_redshift)
+    r = jnp.asarray([4.0, 6.0, 10.0, 30.0])
+    # Q -> 0 continuity (static branch, so compare small-Q vs 0).
+    om0 = keplerian_omega(1.0, 0.6, r)
+    om_eps = keplerian_omega(1.0, 0.6, r, Q=1e-8)
+    np.testing.assert_allclose(np.asarray(om0), np.asarray(om_eps),
+                               rtol=1e-9)
+    # Charge weakens gravity: |Omega| decreases with Q at fixed r.
+    om_q = keplerian_omega(1.0, 0.6, r, Q=0.7)
+    assert (np.abs(np.asarray(om_q)) < np.abs(np.asarray(om0))).all()
+    # Redshift: face-on (xi = 0) distant emitter -> g -> 1.
+    g_far = keplerian_redshift(1.0, 0.3, jnp.asarray([1e5]),
+                               jnp.asarray([0.0]), Q=0.6)
+    assert np.isclose(float(g_far[0]), 1.0, atol=1e-4)
+    # Gravitational redshift stronger closer in (face-on).
+    g = np.asarray(keplerian_redshift(1.0, 0.3, r, jnp.zeros(4),
+                                      Q=0.6))
+    assert (np.diff(g) > 0).all() and (g < 1.0).all()
+
+
+def test_charged_disk_render():
+    """End-to-end accretion disk around a charged BH, both a=0 (RN
+    geometry) and a!=0 (KN); the Q->0 limit matches the Kerr render."""
+    from light_path_tracer_tpu.disk import render_disk, DiskConfig
+    from light_path_tracer_tpu.utils.config import (SceneConfig,
+                                                    RenderConfig)
+    cfg = RenderConfig(dtype="float64", backend="xla")
+    disk = DiskConfig(r_out=15.0)
+    res = (32, 32)
+    img_kerr, stats_kerr = render_disk(
+        SceneConfig(M=1.0, a=0.6, theta_obs=np.radians(75.0)), res, cfg,
+        disk)
+    img_q0, _ = render_disk(
+        SceneConfig(M=1.0, a=0.6, Q=0.0, theta_obs=np.radians(75.0)),
+        res, cfg, disk)
+    np.testing.assert_array_equal(np.asarray(img_kerr),
+                                  np.asarray(img_q0))
+    img_kn, stats_kn = render_disk(
+        SceneConfig(M=1.0, a=0.6, Q=0.7, theta_obs=np.radians(75.0)),
+        res, cfg, disk)
+    assert np.isfinite(np.asarray(img_kn)).all()
+    assert float(np.asarray(img_kn).max()) > 0.0
+    # Charged inner edge sits closer in.
+    assert stats_kn["r_isco"] < stats_kerr["r_isco"]
+    img_rn, _ = render_disk(
+        SceneConfig(M=1.0, a=0.0, Q=0.8, theta_obs=np.radians(75.0)),
+        res, cfg, disk)
+    assert np.isfinite(np.asarray(img_rn)).all()
+    assert float(np.asarray(img_rn).max()) > 0.0
+
+
+def test_polarization_rejects_charge():
+    from light_path_tracer_tpu.polarization import render_polarization
+    from light_path_tracer_tpu.utils.config import SceneConfig
+    with pytest.raises(ValueError, match="Kerr"):
+        render_polarization(SceneConfig(M=1.0, a=0.5, Q=0.5), (8, 8))
+
+
 def test_kn_shadow_end_to_end():
     """make_metric dispatch + pipeline shadow: the KN shadow sits
     between the same-spin Kerr (larger) and nothing."""
