@@ -675,6 +675,11 @@ def cmd_animate(args) -> int:
         # M) while a forward boost ramps 0 -> --boost-to; radius AND
         # boost ride the traced carry, so the whole approach is one
         # compiled program (sequence.render_flyby).
+        if scene.Q:
+            print("error: --flyby traces the metric through the "
+                  "uncharged TracedKerr fast path; --Q is not "
+                  "supported with --flyby (pan animations are)")
+            return 2
         try:
             r0, r1 = (float(x) for x in args.flyby.split(":"))
         except ValueError:

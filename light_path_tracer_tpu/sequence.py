@@ -70,7 +70,8 @@ def render_sequence(scene: SceneConfig, psi_frames, source_image=None,
     shortcut and no axis-refine band (both depend on psi at trace time).
     Returns a list of device arrays.
     """
-    metric = Kerr(M=scene.M, a=scene.a)
+    from light_path_tracer_tpu.disk import _scene_metric
+    metric = _scene_metric(scene)   # Kerr, or Kerr-Newman when charged
     shadow_only = source_image is None
     if shadow_only:
         if resolution is None:
@@ -185,6 +186,11 @@ def render_flyby(scene: SceneConfig, frames, source_image=None,
     and initial step size track the traced radius per frame; the affine
     bound lambda_max is static at max(5000, 6 * max r_obs).
     """
+    if getattr(scene, "Q", 0.0):
+        raise ValueError(
+            "render_flyby traces the metric through TracedKerr, which "
+            "is uncharged; charged flybys are not supported — use "
+            "render_sequence (static Kerr-Newman metric) instead")
     norm = []
     for f in frames:
         if len(f) == 2:
@@ -237,6 +243,11 @@ def render_param_sequence(scene: SceneConfig, frames, resolution,
     """Shadow frames over a sequence of (psi_y, psi_x, M, a) — camera AND
     metric parameters traced, so e.g. a spin ramp 0 -> 0.99 reuses ONE
     compiled program (the static pipeline would recompile per spin)."""
+    if getattr(scene, "Q", 0.0):
+        raise ValueError(
+            "render_param_sequence traces (M, a) through TracedKerr, "
+            "which is uncharged; charged sweeps are not supported — "
+            "use render_sequence (static Kerr-Newman metric) instead")
     resolution = tuple(resolution)
     fov = tuple(float(f) for f in
                 camera.fov_from_vertical(scene.vertical_fov, resolution))

@@ -183,3 +183,27 @@ def test_dynamic_boost_camera_matches_static():
         boost_dynamic=(jnp.float64(0), jnp.float64(0), jnp.float64(0)))
     np.testing.assert_array_equal(np.asarray(ad0), np.asarray(a0))
     np.testing.assert_array_equal(np.asarray(td0), np.asarray(t0))
+
+
+def test_charged_pan_sequence_and_flyby_rejection():
+    """Pan sequences carry the static Kerr-Newman metric; the
+    traced-metric paths (flyby, param sweeps) reject charge."""
+    import pytest
+    from light_path_tracer_tpu.sequence import (
+        render_sequence, render_flyby, render_param_sequence)
+    from light_path_tracer_tpu.utils.config import SceneConfig
+    scene = SceneConfig(M=1.0, a=0.5, Q=0.6)
+    frames = render_sequence(scene, [(0.0, 0.0), (0.0, 0.02)],
+                             resolution=(16, 16))
+    assert len(frames) == 2
+    a0 = np.asarray(frames[0])
+    assert np.isfinite(a0).all()
+    # Charged shadow is smaller than the uncharged one at equal spin.
+    k_frames = render_sequence(SceneConfig(M=1.0, a=0.5),
+                               [(0.0, 0.0)], resolution=(16, 16))
+    assert a0.sum() >= np.asarray(k_frames[0]).sum()
+    with pytest.raises(ValueError, match="uncharged"):
+        render_flyby(scene, [(100.0, (0.0, 0.0, 0.0))],
+                     resolution=(8, 8))
+    with pytest.raises(ValueError, match="uncharged"):
+        render_param_sequence(scene, [(0.0, 0.0, 1.0, 0.5)], (8, 8))
