@@ -49,6 +49,12 @@ def _add_scene_args(p):
 
 
 def _add_render_args(p):
+    p.add_argument("--device", default="default",
+                   choices=["default", "cpu", "tpu"],
+                   help="force the JAX platform (default: whatever the "
+                        "environment provides). 'cpu' never touches an "
+                        "accelerator — useful for portability and when "
+                        "a TPU grant is wedged")
     p.add_argument("--dtype", default="float32",
                    choices=["float32", "float64"])
     p.add_argument("--chunk-size", type=int, default=0,
@@ -988,6 +994,19 @@ def build_parser():
 def main(argv=None) -> int:
     parser = build_parser()
     args = parser.parse_args(argv)
+    device = getattr(args, "device", "default")
+    if device != "default":
+        # Must run before any backend initialization: this image's TPU
+        # plugin force-registers itself and overrides JAX_PLATFORMS at
+        # interpreter start, so the env var alone is not enough.
+        import jax
+        jax.config.update("jax_platforms",
+                          "cpu" if device == "cpu" else device)
+    if getattr(args, "dtype", "float32") == "float64":
+        # Without this, jnp silently truncates every float64 request
+        # to float32 and --dtype float64 would be a no-op.
+        import jax
+        jax.config.update("jax_enable_x64", True)
     if getattr(args, "multihost", False):
         # Must run before ANY other JAX call in this process.
         from light_path_tracer_tpu.parallel.multihost import (

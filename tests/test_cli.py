@@ -111,3 +111,22 @@ def test_cli_animate_flyby(workdir):
 def test_cli_animate_flyby_bad_spec(workdir):
     assert main(["animate", "--size", "16", "--frames", "2",
                  "--flyby", "oops"]) == 2
+
+
+def test_cli_device_and_x64_flags(workdir, tmp_path):
+    """--device cpu + --dtype float64 must run on the CPU backend with
+    x64 actually enabled (no silent float32 truncation). Subprocess:
+    both configs are process-global and the test session already sets
+    them in-process."""
+    import subprocess, sys, os
+    out = tmp_path / "s.png"
+    env = dict(os.environ)
+    r = subprocess.run(
+        [sys.executable, "-m", "light_path_tracer_tpu", "shadow",
+         "--device", "cpu", "--dtype", "float64", "--size", "24",
+         "--a", "0.5", "--output", str(out)],
+        capture_output=True, text=True, timeout=600, env=env,
+        cwd="/root/repo")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert out.exists()
+    assert "truncated to dtype float32" not in r.stderr
