@@ -285,3 +285,20 @@ def test_healthz_responsive_while_render_lock_held(busy_server):
         stats = json.loads(resp.read())
     assert ok and stats["max_queue"] == 1
     assert _time.perf_counter() - t0 < 2.0
+
+
+def test_charged_scene_over_http(server_url):
+    """SceneConfig.Q flows through the JSON scene dict: a charged
+    shadow is smaller than the uncharged one at equal spin."""
+    url, _server = server_url
+    imgs = {}
+    for q in (0.0, 0.8):
+        payload = {"mode": "shadow", "size": [40, 40], "format": "npy",
+                   "scene": {"a": 0.4, "Q": q, "theta_obs": 90.0},
+                   "render": {"dtype": "float64"}}
+        status, body, _hdr = _post(url, payload)
+        assert status == 200
+        imgs[q] = _npy(body)
+    dark_uncharged = int((imgs[0.0] == 0.0).sum())
+    dark_charged = int((imgs[0.8] == 0.0).sum())
+    assert 0 < dark_charged < dark_uncharged
