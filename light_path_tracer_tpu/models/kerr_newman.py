@@ -152,10 +152,30 @@ class KerrNewman(Kerr):
                 jnp.where(keep, -dHth, z))
 
     def plunge_radii(self, r_obs, alphas, thetas, theta_obs):
-        """Conservative: no certain-capture early exit (the Kerr
-        closed-form plunge band does not transfer to Q != 0); rays
-        integrate to the capture radius."""
-        return jnp.zeros_like(alphas)
+        """Per-ray certain-capture radius (Kerr's argument, general
+        Delta): the radial potential R(r) keeps its structure under
+        Delta -> Delta + Q^2, so every spherical photon orbit still
+        satisfies r >= r_prograde and a non-vortical (eta >= 0) photon
+        crossing below the band inbound is a guaranteed plunge.
+        r_prograde comes from the numeric eta >= 0 band edge
+        (unstable_photon_radii) — a host float, fine for this static
+        (never-traced) metric. Purely an optimization; classification
+        is unchanged (equivalence pinned in tests)."""
+        dtype = alphas.dtype
+        a = jnp.asarray(self.a, dtype)
+        th = jnp.asarray(theta_obs, dtype)
+        sin_th, cos_th = jnp.sin(th), jnp.cos(th)
+        r = jnp.asarray(r_obs, dtype)
+        Sigma = r * r + a * a * cos_th * cos_th
+        Delta = self._Delta_b(r)
+        rho = r * jnp.sin(alphas) * jnp.sqrt(Sigma) / jnp.sqrt(
+            jnp.maximum(Delta, 1e-30))
+        alpha_s = -rho * jnp.sin(thetas)
+        beta_s = -rho * jnp.cos(thetas)
+        eta = (beta_s * beta_s
+               + cos_th * cos_th * (alpha_s * alpha_s - a * a))
+        r_pro = jnp.asarray(self.unstable_photon_radii()[0], dtype)
+        return jnp.where(eta >= 0.0, 0.999 * r_pro, 0.0).astype(dtype)
 
     # ---- spherical photon orbits (general-Delta forms) ----
 

@@ -253,6 +253,42 @@ def test_charged_disk_render():
     assert float(np.asarray(img_rn).max()) > 0.0
 
 
+def test_kn_plunge_early_exit_is_pure_optimization():
+    """Certain-capture early exit (general-Delta photon band) must not
+    change any outcome or any escaped ray's heading vs a no-plunge
+    trace."""
+    from light_path_tracer_tpu.ops.kerr_trace import trace_rays_kerr
+
+    class _NoPlunge(KerrNewman):
+        def plunge_radii(self, r_obs, alphas, thetas, theta_obs):
+            return jnp.zeros_like(alphas)
+
+    kn = KerrNewman(M=1.0, a=0.6, Q=0.6)
+    assert float(kn.plunge_radii(
+        100.0, jnp.asarray([0.01]), jnp.asarray([0.0]),
+        np.pi / 2)[0]) > 0.0
+    np_kn = _NoPlunge(M=1.0, a=0.6, Q=0.6)
+    ac = kn.alpha_crit(100.0)
+    rng = np.random.default_rng(17)
+    n = 256
+    alphas = jnp.asarray(rng.uniform(0.1 * ac, 3 * ac, n), jnp.float64)
+    thetas = jnp.asarray(rng.uniform(-np.pi, np.pi, n), jnp.float64)
+    refine = jnp.zeros(n, bool)
+    r1 = trace_rays_kerr(kn, 100.0, alphas, thetas, np.pi / 2, refine,
+                         5000.0, 20000)
+    r2 = trace_rays_kerr(np_kn, 100.0, alphas, thetas, np.pi / 2,
+                         refine, 5000.0, 20000)
+    np.testing.assert_array_equal(np.asarray(r1.status),
+                                  np.asarray(r2.status))
+    esc = np.asarray(r1.status) == 1
+    np.testing.assert_allclose(np.asarray(r1.final_alpha)[esc],
+                               np.asarray(r2.final_alpha)[esc],
+                               rtol=0, atol=1e-12)
+    # And it actually fires: captured rays park with fewer steps.
+    cap = np.asarray(r1.status) == -1
+    assert cap.any()
+
+
 def test_polarization_rejects_charge():
     from light_path_tracer_tpu.polarization import render_polarization
     from light_path_tracer_tpu.utils.config import SceneConfig
