@@ -9,6 +9,8 @@ Produces:
   lensed_checker.png         gravitationally lensed checkerboard
   accretion_disk.png         thin disk w/ redshift + Doppler beaming
   trajectories.png           geodesic overlay around the photon sphere
+  shadow_kerr_newman_q.png   charged-shadow triptych (Q = 0/0.6/0.79)
+  disk_charged_rn.png        charged disk: the RN ISCO sits closer in
 """
 
 import argparse
@@ -98,6 +100,38 @@ def main():
         DiskConfig(spectrum="blackbody", t_peak=15000.0))
     save("composite_disk_stars.png",
          composite_gamma_encode(img, st["disk_mask"]))
+
+    # Charged families: shadow-vs-charge triptych + RN-disk comparison.
+    fig, axes = plt.subplots(1, 3, figsize=(9.6, 3.5))
+    for ax, q in zip(axes, (0.0, 0.6, 0.79)):
+        img, _st = render_shadow(
+            SceneConfig(M=1.0, a=0.6, Q=q, vertical_fov_deg=9.0), size)
+        ax.imshow(np.asarray(img), cmap="gray", origin="upper")
+        ax.set_title(f"a=0.6, Q={q}", fontsize=11)
+        ax.axis("off")
+    fig.suptitle("Kerr-Newman shadow: charge shrinks the capture "
+                 "cross-section (9\N{DEGREE SIGN} FOV, r_obs=100M)",
+                 fontsize=11)
+    fig.tight_layout()
+    fig.savefig(os.path.join(args.outdir, "shadow_kerr_newman_q.png"),
+                dpi=110)
+    print("wrote", os.path.join(args.outdir, "shadow_kerr_newman_q.png"))
+
+    fig, axes = plt.subplots(1, 2, figsize=(8.2, 3.8))
+    for ax, q in zip(axes, (0.0, 0.9)):
+        img, st = render_disk(
+            SceneConfig(M=1.0, a=0.0, Q=q, theta_obs=np.radians(80.0)),
+            size, disk=DiskConfig(r_out=18.0))
+        ax.imshow(np.asarray(img), cmap="inferno", origin="upper")
+        ax.set_title(f"a=0, Q={q}  (r_isco={st['r_isco']:.2f} M)",
+                     fontsize=10)
+        ax.axis("off")
+    fig.suptitle("Charged disk: the Reissner-Nordstrom ISCO sits "
+                 "closer in", fontsize=11)
+    fig.tight_layout()
+    fig.savefig(os.path.join(args.outdir, "disk_charged_rn.png"),
+                dpi=110)
+    print("wrote", os.path.join(args.outdir, "disk_charged_rn.png"))
 
     m = make_metric(1.0, 0.0)
     fig, ax = plt.subplots(figsize=(11, 9))
