@@ -694,8 +694,7 @@ def keplerian_omega(M, a, r, prograde: bool = True, Q: float = 0.0):
     the Kerr-Newman equatorial metric)."""
     xp = np if np.isscalar(r) else jnp
     if Q:
-        x = xp.sqrt(xp.maximum(M * r - Q * Q, 0.0) if xp is jnp
-                    else max(M * r - Q * Q, 0.0))
+        x = xp.sqrt(xp.maximum(M * r - Q * Q, 0.0))
         s = 1.0 if prograde else -1.0
         return s * x / (r * r + s * a * x)
     sqrtM = xp.sqrt(M)
