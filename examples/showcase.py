@@ -11,6 +11,7 @@ Produces:
   trajectories.png           geodesic overlay around the photon sphere
   shadow_kerr_newman_q.png   charged-shadow triptych (Q = 0/0.6/0.79)
   disk_charged_rn.png        charged disk: the RN ISCO sits closer in
+  magnification_kerr_a09.png signed magnification map (critical curves)
 """
 
 import argparse
@@ -132,6 +133,20 @@ def main():
     fig.savefig(os.path.join(args.outdir, "disk_charged_rn.png"),
                 dpi=110)
     print("wrote", os.path.join(args.outdir, "disk_charged_rn.png"))
+
+    # Signed magnification map (critical curves / image parity).
+    from light_path_tracer_tpu.pipeline import render_magnification
+    mag_scene = SceneConfig(M=1.0, a=0.9, r_obs_mult=100.0,
+                            vertical_fov_deg=40.0)
+    mu, _ms = render_magnification(mag_scene, size)
+    mu_np = np.asarray(mu)
+    disp = np.sign(mu_np) * np.log10(1.0 + np.abs(mu_np))
+    lim = np.nanpercentile(np.abs(disp), 99.5) or 1.0
+    rgba = cm.RdBu_r(0.5 * (np.clip(disp / lim, -1, 1) + 1.0))
+    rgba[~np.isfinite(mu_np)] = (0.0, 0.0, 0.0, 1.0)
+    mpimg.imsave(os.path.join(args.outdir, "magnification_kerr_a09.png"),
+                 rgba)
+    print("wrote", os.path.join(args.outdir, "magnification_kerr_a09.png"))
 
     m = make_metric(1.0, 0.0)
     fig, ax = plt.subplots(figsize=(11, 9))

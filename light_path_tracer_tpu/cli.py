@@ -160,6 +160,31 @@ def cmd_lens(args) -> int:
             else "Schwarzschild")
     print(f"Metric: {kind} (M={args.M}, a={args.a}"
           + (f", Q={args.Q}" if getattr(args, "Q", 0.0) else "") + ")")
+
+    if getattr(args, "magnification", None):
+        # Magnification-map product: no source image involved.
+        from light_path_tracer_tpu.pipeline import render_magnification
+        mu, mstats = render_magnification(
+            scene, (args.size, args.size), cfg)
+        mu_np = np.asarray(mu)
+        # Display: signed log-compressed map, diverging colormap,
+        # shadow black.
+        disp = np.sign(mu_np) * np.log10(1.0 + np.abs(mu_np))
+        lim = np.nanpercentile(np.abs(disp), 99.5) or 1.0
+        import matplotlib.cm as cm
+        rgba = cm.RdBu_r(0.5 * (np.clip(disp / lim, -1, 1) + 1.0))
+        rgba[~np.isfinite(mu_np)] = (0.0, 0.0, 0.0, 1.0)
+        mpimg.imsave(args.magnification, rgba)
+        tt = mstats["timings"]
+        print(f"Magnification map {args.size}x{args.size}: "
+              f"|mu|_max={mstats['mu_abs_max']:.1f}, "
+              f"{mstats['negative_parity_pixels']} odd-parity px, "
+              f"{mstats['shadow_pixels']} shadow px "
+              f"(precompute {tt.get('precompute', 0.0):.3f}s, "
+              f"render {tt.get('render', 0.0):.3f}s)")
+        print(f"Saved: {args.magnification}")
+        return 0
+
     t0 = time.perf_counter()
     img = mpimg.imread(args.image)
     load_time = time.perf_counter() - t0
@@ -844,6 +869,14 @@ def build_parser():
                    help="also write the lensed image split by photon-"
                         "ring order (direct / 1st lensed / n-th ring)")
     p.add_argument("--max-order", type=int, default=3)
+    p.add_argument("--magnification", metavar="PATH",
+                   help="instead of lensing an image, write the signed "
+                        "magnification map of the celestial lens map "
+                        "(critical curves at |mu| -> inf, mu < 0 = "
+                        "parity-flipped images, NaN shadow black); "
+                        "--size sets the grid, no --image needed")
+    p.add_argument("--size", type=int, default=512,
+                   help="grid size for --magnification")
     _add_multihost_args(p)
     p.set_defaults(fn=cmd_lens)
 

@@ -432,3 +432,51 @@ def render_scene_rings(scene: SceneConfig, source_image,
     stats = dict(order_pixels=order_pixels, alpha_crit=out.alpha_crit,
                  timings=out.timings)
     return layers, out.image, stats
+
+
+def render_magnification(scene: SceneConfig, resolution,
+                         cfg: RenderConfig = RenderConfig()):
+    """Signed lensing-magnification map of the scene's celestial lens
+    map (render.magnification_map): one standard precompute, then the
+    Jacobian solid-angle ratio by central differences.
+
+    New product beyond the reference: |mu| -> inf traces the critical
+    curves (the Einstein ring of a perfectly aligned source and the
+    photon-ring stack), mu < 0 marks parity-flipped (odd) images, and
+    far-field pixels calibrate at mu = 1. Returns (mu, stats) with mu
+    (H, W) float32, NaN in the shadow.
+    """
+    from light_path_tracer_tpu import render as _render
+
+    timer = StageTimer()
+    resolution = tuple(resolution)
+    fov = camera.fov_from_vertical(scene.vertical_fov, resolution)
+    dtype = _dtype_of(cfg)
+
+    with timer.stage("precompute") as out:
+        pre = _precompute_eager(scene, cfg, resolution, fov)
+        out.append(pre.final_alpha)
+
+    with timer.stage("render") as out:
+        theta_lookup = camera.build_theta_lookup(
+            resolution, fov, psi=scene.psi, dtype=dtype,
+            boost=scene.boost)
+        frame = camera.psi_frame(scene.psi)
+        mu = _render.magnification_map(
+            pre.final_alpha.astype(dtype), theta_lookup, frame,
+            resolution, fov)
+        out.append(mu)
+
+    mu_np = np.asarray(mu)
+    finite = np.isfinite(mu_np)
+    stats = {
+        "timings": dict(timer.timings),
+        "total_rays": pre.total_rays,
+        "traced_rays": pre.traced_rays,
+        "integrator_steps": int(pre.integrator_steps),
+        "shadow_pixels": int((~finite).sum()),
+        "mu_abs_max": float(np.abs(mu_np[finite]).max()) if finite.any()
+        else float("nan"),
+        "negative_parity_pixels": int((mu_np[finite] < 0).sum()),
+    }
+    return mu, stats

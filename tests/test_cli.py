@@ -130,3 +130,11 @@ def test_cli_device_and_x64_flags(workdir, tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     assert out.exists()
     assert "truncated to dtype float32" not in r.stderr
+
+
+def test_cli_lens_magnification(workdir):
+    from light_path_tracer_tpu.cli import main
+    out = workdir / "mag.png"
+    rc = main(["lens", "--magnification", str(out), "--size", "48",
+               "--fov-v", "40", "--a", "0.5"])
+    assert rc == 0 and out.exists()
