@@ -138,14 +138,10 @@ def main():
     from light_path_tracer_tpu.pipeline import render_magnification
     mag_scene = SceneConfig(M=1.0, a=0.9, r_obs_mult=100.0,
                             vertical_fov_deg=40.0)
+    from light_path_tracer_tpu.render import magnification_display
     mu, _ms = render_magnification(mag_scene, size)
-    mu_np = np.asarray(mu)
-    disp = np.sign(mu_np) * np.log10(1.0 + np.abs(mu_np))
-    lim = np.nanpercentile(np.abs(disp), 99.5) or 1.0
-    rgba = cm.RdBu_r(0.5 * (np.clip(disp / lim, -1, 1) + 1.0))
-    rgba[~np.isfinite(mu_np)] = (0.0, 0.0, 0.0, 1.0)
     mpimg.imsave(os.path.join(args.outdir, "magnification_kerr_a09.png"),
-                 rgba)
+                 magnification_display(mu))
     print("wrote", os.path.join(args.outdir, "magnification_kerr_a09.png"))
 
     m = make_metric(1.0, 0.0)

@@ -166,15 +166,8 @@ def cmd_lens(args) -> int:
         from light_path_tracer_tpu.pipeline import render_magnification
         mu, mstats = render_magnification(
             scene, (args.size, args.size), cfg)
-        mu_np = np.asarray(mu)
-        # Display: signed log-compressed map, diverging colormap,
-        # shadow black.
-        disp = np.sign(mu_np) * np.log10(1.0 + np.abs(mu_np))
-        lim = np.nanpercentile(np.abs(disp), 99.5) or 1.0
-        import matplotlib.cm as cm
-        rgba = cm.RdBu_r(0.5 * (np.clip(disp / lim, -1, 1) + 1.0))
-        rgba[~np.isfinite(mu_np)] = (0.0, 0.0, 0.0, 1.0)
-        mpimg.imsave(args.magnification, rgba)
+        from light_path_tracer_tpu.render import magnification_display
+        mpimg.imsave(args.magnification, magnification_display(mu))
         tt = mstats["timings"]
         print(f"Magnification map {args.size}x{args.size}: "
               f"|mu|_max={mstats['mu_abs_max']:.1f}, "
@@ -452,12 +445,13 @@ def cmd_disk(args) -> int:
     from light_path_tracer_tpu.utils.config import SceneConfig
     from light_path_tracer_tpu.disk import render_disk, DiskConfig
 
-    if getattr(args, "Q", 0.0) and getattr(args, "polarization", None):
+    polarized = (getattr(args, "polarization", None)
+                 or getattr(args, "qu_loop", None))
+    if getattr(args, "Q", 0.0) and polarized:
         print("  note: polarized rendering is Kerr-only; ignoring --Q")
     scene = SceneConfig(
         M=args.M, a=args.a, r_obs_mult=args.r_obs,
-        Q=(0.0 if getattr(args, "polarization", None)
-           else getattr(args, "Q", 0.0)),
+        Q=(0.0 if polarized else getattr(args, "Q", 0.0)),
         psi_y=np.radians(args.psi_y), psi_x=np.radians(args.psi_x),
         vertical_fov_deg=args.fov_v,
         theta_obs=np.radians(args.inclination),
@@ -502,7 +496,8 @@ def cmd_disk(args) -> int:
         from light_path_tracer_tpu.polarization import hotspot_qu_loop
         spot = HotSpot(r0=args.spot_r0, amplitude=args.spot_amplitude)
         period = abs(2.0 * np.pi / keplerian_omega(
-            args.M, args.a, args.spot_r0, not args.retrograde))
+            args.M, args.a, args.spot_r0, not args.retrograde,
+            Q=scene.Q))
         n = max(args.frames, 48)
         ts = np.linspace(0.0, period * args.orbits, n)
         t_arr, I, Q, U, stats = hotspot_qu_loop(
@@ -574,7 +569,8 @@ def cmd_disk(args) -> int:
         from light_path_tracer_tpu.spectra import hotspot_light_curve
         spot = HotSpot(r0=args.spot_r0, amplitude=args.spot_amplitude)
         period = abs(2.0 * np.pi / keplerian_omega(
-            args.M, args.a, args.spot_r0, not args.retrograde))
+            args.M, args.a, args.spot_r0, not args.retrograde,
+            Q=scene.Q))
         n = max(args.frames, 32)
         ts = np.linspace(0.0, period * args.orbits, n)
         t_arr, flux, stats = hotspot_light_curve(
@@ -606,7 +602,8 @@ def cmd_disk(args) -> int:
                                                 HotSpot, keplerian_omega)
         spot = HotSpot(r0=args.spot_r0, amplitude=args.spot_amplitude)
         period = abs(2.0 * np.pi / keplerian_omega(
-            args.M, args.a, args.spot_r0, not args.retrograde))
+            args.M, args.a, args.spot_r0, not args.retrograde,
+            Q=scene.Q))
         times = [period * args.orbits * i / args.frames
                  for i in range(args.frames)]
         frames, stats = render_disk_frames(
@@ -1027,18 +1024,19 @@ def build_parser():
 def main(argv=None) -> int:
     parser = build_parser()
     args = parser.parse_args(argv)
+    import jax
+    restore = {}
     device = getattr(args, "device", "default")
     if device != "default":
-        # Must run before any backend initialization: this image's TPU
-        # plugin force-registers itself and overrides JAX_PLATFORMS at
+        # Must run before any backend initialization: some TPU plugins
+        # force-register themselves and override JAX_PLATFORMS at
         # interpreter start, so the env var alone is not enough.
-        import jax
-        jax.config.update("jax_platforms",
-                          "cpu" if device == "cpu" else device)
+        restore["jax_platforms"] = jax.config.jax_platforms
+        jax.config.update("jax_platforms", device)
     if getattr(args, "dtype", "float32") == "float64":
         # Without this, jnp silently truncates every float64 request
         # to float32 and --dtype float64 would be a no-op.
-        import jax
+        restore["jax_enable_x64"] = jax.config.jax_enable_x64
         jax.config.update("jax_enable_x64", True)
     if getattr(args, "multihost", False):
         # Must run before ANY other JAX call in this process.
@@ -1051,10 +1049,18 @@ def main(argv=None) -> int:
             timeout_s=args.init_timeout)
     from light_path_tracer_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
-    if not getattr(args, "fn", None):
-        parser.print_help()
-        return 2
-    return args.fn(args)
+    try:
+        if not getattr(args, "fn", None):
+            parser.print_help()
+            return 2
+        return args.fn(args)
+    finally:
+        # Both settings are process-global; restore them so in-process
+        # callers (tests, notebooks) can invoke main() repeatedly with
+        # different flags. (The already-initialized backend persists —
+        # only the CONFIG is restored.)
+        for key, val in restore.items():
+            jax.config.update(key, val)
 
 
 if __name__ == "__main__":

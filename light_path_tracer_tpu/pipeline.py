@@ -470,7 +470,7 @@ def render_magnification(scene: SceneConfig, resolution,
     mu_np = np.asarray(mu)
     finite = np.isfinite(mu_np)
     stats = {
-        "timings": dict(timer.timings),
+        "timings": timer.finish(),
         "total_rays": pre.total_rays,
         "traced_rays": pre.traced_rays,
         "integrator_steps": int(pre.integrator_steps),

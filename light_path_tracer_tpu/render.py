@@ -339,3 +339,26 @@ def magnification_map(final_alpha_lookup, theta_lookup, frame,
                      jnp.where(a_src < 0, -tiny, tiny), a_src)
     mu = (a_img / safe).astype(jnp.float32)
     return jnp.where(jnp.isfinite(final_alpha_lookup), mu, jnp.nan)
+
+
+def magnification_display(mu, clip_percentile: float = 99.5):
+    """Display encoding for a signed magnification map: symmetric
+    log-compression sign(mu) * log10(1 + |mu|) on a diverging RdBu_r
+    colormap (critical curves deep red, odd-parity images blue),
+    percentile-clipped so the divergence doesn't wash out the far
+    field; shadow (NaN) black. Returns (H, W, 4) float RGBA — the one
+    recipe shared by the CLI and the showcase."""
+    import numpy as np_
+    import matplotlib.cm as cm
+
+    mu_np = np_.asarray(mu)
+    disp = np_.sign(mu_np) * np_.log10(1.0 + np_.abs(mu_np))
+    finite = np_.isfinite(disp)
+    lim = (np_.percentile(np_.abs(disp[finite]), clip_percentile)
+           if finite.any() else 1.0)
+    if not np_.isfinite(lim) or lim <= 0.0:
+        lim = 1.0
+    scaled = np_.where(finite, disp, 0.0)
+    rgba = cm.RdBu_r(0.5 * (np_.clip(scaled / lim, -1.0, 1.0) + 1.0))
+    rgba[~finite] = (0.0, 0.0, 0.0, 1.0)
+    return rgba

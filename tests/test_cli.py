@@ -121,12 +121,14 @@ def test_cli_device_and_x64_flags(workdir, tmp_path):
     import subprocess, sys, os
     out = tmp_path / "s.png"
     env = dict(os.environ)
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(
+        __file__)))
     r = subprocess.run(
         [sys.executable, "-m", "light_path_tracer_tpu", "shadow",
          "--device", "cpu", "--dtype", "float64", "--size", "24",
          "--a", "0.5", "--output", str(out)],
         capture_output=True, text=True, timeout=600, env=env,
-        cwd="/root/repo")
+        cwd=repo_root)
     assert r.returncode == 0, r.stderr[-2000:]
     assert out.exists()
     assert "truncated to dtype float32" not in r.stderr

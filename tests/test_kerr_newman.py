@@ -284,9 +284,23 @@ def test_kn_plunge_early_exit_is_pure_optimization():
     np.testing.assert_allclose(np.asarray(r1.final_alpha)[esc],
                                np.asarray(r2.final_alpha)[esc],
                                rtol=0, atol=1e-12)
-    # And it actually fires: captured rays park with fewer steps.
     cap = np.asarray(r1.status) == -1
     assert cap.any()
+    # And it actually fires: on an all-captured batch the lock-step
+    # loop finishes in strictly fewer iterations (rays park at
+    # ~0.999 r_prograde instead of grinding down to 1.01 r_plus).
+    # (In the mixed batch above, escaping grazers can set the loop
+    # length, hiding the win.)
+    deep = jnp.asarray(np.full(64, 0.2 * ac), jnp.float64)
+    th_d = jnp.asarray(np.linspace(-np.pi, np.pi, 64), jnp.float64)
+    rd1 = trace_rays_kerr(kn, 100.0, deep, th_d, np.pi / 2,
+                          jnp.zeros(64, bool), 5000.0, 20000)
+    rd2 = trace_rays_kerr(np_kn, 100.0, deep, th_d, np.pi / 2,
+                          jnp.zeros(64, bool), 5000.0, 20000)
+    assert (np.asarray(rd1.status) == -1).all()
+    np.testing.assert_array_equal(np.asarray(rd1.status),
+                                  np.asarray(rd2.status))
+    assert int(rd1.n_steps) < int(rd2.n_steps)
 
 
 def test_polarization_rejects_charge():
