@@ -127,3 +127,28 @@ def test_disk_sharded_equals_single_device():
     np.testing.assert_allclose(
         np.asarray(sharded.final_alpha)[esc],
         np.asarray(single.final_alpha).reshape(dim)[esc], rtol=1e-12)
+
+
+def test_kerr_newman_sharded_equals_single_device():
+    """Charged metrics ride the same mesh path (the tile DP is
+    metric-generic)."""
+    from light_path_tracer_tpu.models import KerrNewman
+    mesh = make_mesh()
+    alpha = camera.build_alpha_lookup(DIM, FOV, dtype=jnp.float64)
+    theta = camera.build_theta_lookup(DIM, FOV, dtype=jnp.float64)
+    m = KerrNewman(M=1.0, a=0.6, Q=0.6)
+    res = trace_rays_kerr(
+        m, R_OBS, alpha.ravel(), theta.ravel(), np.pi / 2,
+        jnp.zeros(alpha.size, bool), 5000.0, 200000)
+    fa_1 = np.asarray(res.final_alpha.reshape(DIM))
+    ok = np.isfinite(fa_1)
+    fa, nh, st = trace_grid_sharded(m, R_OBS, alpha, theta, mesh=mesh)
+    np.testing.assert_array_equal(
+        np.asarray(st), np.asarray(res.status.reshape(DIM)))
+    np.testing.assert_array_equal(
+        np.asarray(nh), np.asarray(res.n_half_orbits.reshape(DIM)))
+    assert (np.isfinite(np.asarray(fa)) == ok).all()
+    # rtol 1e-11 (vs the Kerr test's 1e-12): the sharded batch shape
+    # vectorizes with different FMA contraction and one near-grazing
+    # lane lands at 2.3e-12 relative.
+    np.testing.assert_allclose(np.asarray(fa)[ok], fa_1[ok], rtol=1e-11)
