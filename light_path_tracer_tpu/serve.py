@@ -14,7 +14,8 @@ sequence API (sequence.render_param_sequence) directly.
 Protocol (JSON over HTTP, no external deps):
 
     POST /render
-        {"mode": "shadow" | "lens" | "disk" | "composite",
+        {"mode": "shadow" | "lens" | "disk" | "composite"
+                 | "magnification",
          "scene":  {... SceneConfig fields, angles in DEGREES ...},
          "render": {... RenderConfig fields ...},
          "disk":   {... DiskConfig fields (disk/composite modes) ...},
@@ -193,6 +194,11 @@ class RenderService:
             elif mode == "disk":
                 from light_path_tracer_tpu.disk import render_disk
                 img, _stats = render_disk(scene, tuple(size), cfg, disk)
+            elif mode == "magnification":
+                from light_path_tracer_tpu.pipeline import (
+                    render_magnification)
+                img, _stats = render_magnification(scene, tuple(size),
+                                                   cfg)
             elif mode == "composite":
                 from light_path_tracer_tpu.disk import (
                     render_scene_with_disk, composite_gamma_encode)
@@ -272,7 +278,7 @@ def make_server(host: str = "127.0.0.1", port: int = 0,
                     req = json.loads(self.rfile.read(length) or b"{}")
                     mode = req.get("mode", "shadow")
                     if mode not in ("shadow", "lens", "disk",
-                                    "composite"):
+                                    "composite", "magnification"):
                         raise ValueError(f"unknown mode {mode!r}")
                     scene = _scene_from_json(req.get("scene", {}))
                     cfg = _render_cfg_from_json(req.get("render", {}))
@@ -281,7 +287,7 @@ def make_server(host: str = "127.0.0.1", port: int = 0,
                     src = (_decode_image(req["image_b64"])
                            if mode in ("lens", "composite") else None)
                     size = req.get("size", [256, 256])
-                    if mode in ("shadow", "disk"):
+                    if mode in ("shadow", "disk", "magnification"):
                         if (len(size) != 2
                                 or any(int(v) <= 0 for v in size)):
                             raise ValueError(
@@ -306,8 +312,14 @@ def make_server(host: str = "127.0.0.1", port: int = 0,
                     img, dt, cache = svc.render(
                         mode, scene, cfg, size=size, source_image=src,
                         disk=disk, deadline_s=deadline_s)
-                    body, ctype = _encode_image(img,
-                                                req.get("format", "png"))
+                    fmt = req.get("format", "png")
+                    if mode == "magnification" and fmt == "png":
+                        # Raw signed mu (with NaN shadow) is an npy
+                        # product; for png, ship the display encoding.
+                        from light_path_tracer_tpu.render import (
+                            magnification_display)
+                        img = magnification_display(img)
+                    body, ctype = _encode_image(img, fmt)
                 except Overloaded as exc:
                     self._reply(503,
                                 json.dumps({"error": "overloaded",

@@ -302,3 +302,21 @@ def test_charged_scene_over_http(server_url):
     dark_uncharged = int((imgs[0.0] == 0.0).sum())
     dark_charged = int((imgs[0.8] == 0.0).sum())
     assert 0 < dark_charged < dark_uncharged
+
+
+def test_magnification_mode(server_url):
+    url, _server = server_url
+    payload = {"mode": "magnification", "size": [32, 32],
+               "format": "npy",
+               "scene": {"a": 0.0, "vertical_fov_deg": 40.0}}
+    status, body, _hdr = _post(url, payload)
+    assert status == 200
+    mu = _npy(body)
+    assert mu.shape == (32, 32)
+    fin = np.isfinite(mu)
+    assert fin.any() and (~fin).any()           # far field + shadow
+    assert (mu[fin] < 0).any() and (mu[fin] > 0).any()  # both parities
+    # png format ships the display encoding (no NaN in the bytes).
+    payload["format"] = "png"
+    status2, body2, hdr2 = _post(url, payload)
+    assert status2 == 200 and hdr2["Content-Type"] == "image/png"
