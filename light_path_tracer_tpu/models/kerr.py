@@ -611,7 +611,12 @@ class Kerr(_KerrHotPath, Metric):
         return r**2 + self.a**2 * np.cos(th)**2
 
     def _Delta(self, r):
-        return r**2 - 2.0 * self.M * r + self.a**2
+        # Factored (r - r_+)(r - r_-): exact roots, no cancellation
+        # near the horizon. The expanded r^2 - 2Mr + a^2 loses ALL
+        # significant digits at extremal spin (double root) for
+        # r - r_+ ~ 1e-9, which poisoned eta (hence b_crit) there.
+        s = np.sqrt(max(self.M**2 - self.a**2, 0.0))
+        return (r - (self.M + s)) * (r - (self.M - s))
 
     def unstable_photon_radii(self):
         """(r_prograde, r_retrograde) of unstable circular photon orbits.

@@ -91,7 +91,12 @@ class KerrNewman(Kerr):
             self.M ** 2 - self.a ** 2 - self.Q ** 2, 0.0)))
 
     def _Delta(self, r):
-        return r ** 2 - 2.0 * self.M * r + self.a ** 2 + self.Q ** 2
+        # Factored (r - r_+)(r - r_-): exact roots, no cancellation
+        # near the horizon (see Kerr._Delta — at the extremal corner
+        # a^2 + Q^2 = M^2 the expanded form loses every significant
+        # digit for r - r_+ ~ 1e-9 and poisoned eta -> alpha_crit).
+        s = np.sqrt(max(self.M**2 - self.a**2 - self.Q**2, 0.0))
+        return (r - (self.M + s)) * (r - (self.M - s))
 
     # ---- hot-path hooks (batched jnp) ----
 

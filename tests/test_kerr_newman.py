@@ -179,6 +179,32 @@ def test_kn_pallas_matches_xla():
     assert np.percentile(d, 99) < 1e-3
 
 
+def test_extremal_corner_alpha_crit():
+    """a^2 + Q^2 = M^2 (degenerate horizon): Delta has a double root
+    and the expanded r^2 - 2Mr + a^2 + Q^2 loses every significant
+    digit at the prograde band edge r - r_+ ~ 1e-9 — the factored
+    (r - r_+)(r - r_-) form keeps eta (hence b_crit) finite and
+    correct. Regression for a bug that inflated alpha_crit ~4x."""
+    ac_kn = KerrNewman(M=1.0, a=0.6, Q=0.8).alpha_crit(100.0)
+    ac_rn_ext = KerrNewman(M=1.0, a=0.0, Q=1.0).alpha_crit(100.0)
+    ac_kerr_ext = Kerr(M=1.0, a=1.0).alpha_crit(100.0)
+    # The mixed extremal corner sits between the two pure extremals.
+    assert ac_rn_ext < ac_kn < ac_kerr_ext
+    # And traces classify consistently around it: alpha_crit is the
+    # envelope (maximum over the D-shaped rim), so capture is only
+    # guaranteed well below the NARROW (prograde) side — extremal
+    # prograde b = 2M -> alpha ~ 1.15 deg at r_obs = 100 — while
+    # anything above the envelope escapes on every side.
+    kn = KerrNewman(M=1.0, a=0.6, Q=0.8)
+    alphas = jnp.asarray([0.2 * ac_kn, 0.2 * ac_kn,
+                          1.5 * ac_kn, 1.5 * ac_kn], jnp.float64)
+    thetas = jnp.asarray([np.pi / 2, -np.pi / 2,
+                          np.pi / 2, -np.pi / 2], jnp.float64)
+    res = trace_batch(kn, 100.0, alphas, thetas, backend="xla")
+    st = np.asarray(res.status)
+    assert (st[:2] == -1).all() and (st[2:] == 1).all()
+
+
 def test_charged_isco():
     """Numeric E(r)-minimization ISCO vs independent oracles: the BPT
     closed form at Q=0, the Reissner-Nordstrom ISCO cubic
