@@ -117,6 +117,26 @@ def _is_proc0() -> bool:
     return jax.process_index() == 0
 
 
+def _visibility_report(image, fov, path, model, true_diameter=None):
+    """Visibility-domain analysis of a rendered image (observables.py):
+    save the |V| radial profile, print the first-null diameter."""
+    from light_path_tracer_tpu import observables as obs
+    est, b_null, (baselines, amp) = obs.shadow_diameter(
+        np.asarray(image), fov, model=model, pad=8, n_bins=512)
+    np.savez(path, baselines=np.asarray(baselines), amp=np.asarray(amp),
+             b_null=b_null, diameter_rad=est, model=model)
+    if np.isfinite(b_null):
+        line = (f"  visibility: first null at {b_null:,.1f} wavelengths"
+                f" -> {model}-model diameter {np.degrees(est):.4f} deg")
+        if true_diameter is not None:
+            line += f" (2*alpha_crit = {np.degrees(true_diameter):.4f})"
+        print(line)
+    else:
+        print("  visibility: no null within the sampled baselines "
+              "(featureless image or field of view too tight)")
+    print(f"Saved: {path}")
+
+
 def _scene_from(args):
     from light_path_tracer_tpu.utils.config import SceneConfig
     return SceneConfig(
@@ -433,6 +453,15 @@ def cmd_shadow(args) -> int:
     if stats.get("traced_rays"):
         print(f"  {stats['traced_rays'] / max(trace_t, 1e-12):,.0f} rays/s")
     print(f"Saved: {args.output}")
+    if getattr(args, "visibility", None) and _is_proc0():
+        from light_path_tracer_tpu import camera as _cam
+        fov = _cam.fov_from_vertical(scene.vertical_fov,
+                                     (args.size, args.size))
+        # The silhouette (bright disk on dark sky) is the compact
+        # source whose null encodes the shadow diameter.
+        _visibility_report(1.0 - np.asarray(img), fov, args.visibility,
+                           model="disk",
+                           true_diameter=2.0 * stats["alpha_crit"])
     return 0
 
 
@@ -574,7 +603,12 @@ def cmd_disk(args) -> int:
         n = max(args.frames, 32)
         ts = np.linspace(0.0, period * args.orbits, n)
         t_arr, flux, stats = hotspot_light_curve(
-            scene, (args.size, args.size), ts, cfg, disk, spot)
+            scene, (args.size, args.size), ts, cfg, disk, spot,
+            light_travel_delay=getattr(args, "light_travel_delay",
+                                       False))
+        if getattr(args, "light_travel_delay", False):
+            print(f"  light-travel delay: {stats['delay_spread']:.1f} M "
+                  f"spread across the disk image")
         fig, ax = plt.subplots(figsize=(7, 4.5))
         ax.plot(t_arr / period, flux / flux.mean(), lw=1.8)
         ax.set_xlabel("time [spot orbits]")
@@ -680,6 +714,12 @@ def cmd_disk(args) -> int:
     print(f"  precompute {t.get('precompute', 0.0):.3f}s "
           f"({stats['traced_rays'] / max(t.get('precompute', 1e-12), 1e-12):,.0f} rays/s)")
     print(f"Saved: {args.output}")
+    if getattr(args, "visibility", None) and _is_proc0():
+        from light_path_tracer_tpu import camera as _cam
+        fov = _cam.fov_from_vertical(scene.vertical_fov,
+                                     (args.size, args.size))
+        _visibility_report(np.asarray(img), fov, args.visibility,
+                           model="ring")
     return 0
 
 
@@ -899,6 +939,12 @@ def build_parser():
     p.add_argument("--max-order", type=int, default=3,
                    help="highest photon-ring order to separate")
     p.add_argument("--output", default="black_hole_shadow.png")
+    p.add_argument("--visibility", metavar="PATH",
+                   help="also analyze the shadow silhouette in the "
+                        "visibility domain (observables.py): save the "
+                        "azimuthally averaged |V| profile as PATH "
+                        "(.npz) and print the diameter recovered from "
+                        "the first null vs the true 2*alpha_crit")
     _add_multihost_args(p)
     p.set_defaults(fn=cmd_shadow)
 
@@ -966,6 +1012,11 @@ def build_parser():
                         "Fe K-alpha in keV; 1.0 = profile in g)")
     p.add_argument("--line-bins", type=int, default=200,
                    help="energy bins for --line-profile")
+    p.add_argument("--light-travel-delay", action="store_true",
+                   help="with --light-curve: evaluate the spot at each "
+                        "pixel's RETARDED time (per-crossing coordinate"
+                        "-time recording) instead of the equal-time "
+                        "approximation — light-echo skew included")
     p.add_argument("--light-curve", default=None, metavar="PLOT.png",
                    help="compute the orbiting hot-spot light curve "
                         "(flux vs time over --orbits orbits, >=32 "
@@ -982,6 +1033,12 @@ def build_parser():
     p.add_argument("--disk2-tilt-azimuth", type=float, default=0.0)
     p.add_argument("--disk2-translucent", action="store_true")
     p.add_argument("--output", default="accretion_disk.png")
+    p.add_argument("--visibility", metavar="PATH",
+                   help="also analyze the disk image in the visibility "
+                        "domain (observables.py): save the azimuthally "
+                        "averaged |V| profile as PATH (.npz) and print "
+                        "the ring diameter recovered from the first "
+                        "null")
     _add_multihost_args(p)
     p.set_defaults(fn=cmd_disk)
 

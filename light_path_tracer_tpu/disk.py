@@ -247,6 +247,11 @@ class DiskTraceResult(NamedTuple):
     xi_hits: tuple = ()    # tilted disks: n.L/E at each crossing
     pr_hits: tuple = ()    # p_r of the localized crossing state
     pth_hits: tuple = ()   # p_theta of the localized crossing state
+    t_hits: tuple = ()     # coordinate time camera->crossing (opt-in,
+    #                        record_time: the light-travel delay)
+    t_end: jnp.ndarray = ()  # coordinate time at capture/escape
+    #                          (record_time; oracle-tested vs the
+    #                          analytic Schwarzschild radial integral)
 
 
 def trace_disk_rays(metric, r_obs, alphas, thetas, theta_obs,
@@ -254,7 +259,8 @@ def trace_disk_rays(metric, r_obs, alphas, thetas, theta_obs,
                     backend: str = "auto", precision: str = "fast",
                     method: str = "dp45", two_pass="auto",
                     pass1_steps: int = 512,
-                    record_momentum: bool = False) -> DiskTraceResult:
+                    record_momentum: bool = False,
+                    record_time: bool = False) -> DiskTraceResult:
     """Trace rays recording equatorial crossings; returns DiskTraceResult.
     backend / precision as in trace_batch; method = "dp45" | "dop853"
     (the crossing recorder needs the adaptive shared loop, so the
@@ -274,6 +280,11 @@ def trace_disk_rays(metric, r_obs, alphas, thetas, theta_obs,
     if disk.tilt != 0.0 or disk.warp_radius is not None:
         # Tilted/warped recording needs atan2 inside the hot loop,
         # which Mosaic does not lower — route to the XLA path.
+        resolved = "xla"
+    if record_time:
+        # Crossing-time recording is XLA-path only (light-curve
+        # workloads are small grids; the Pallas kernel's output-ref
+        # plumbing doesn't carry the t slots).
         resolved = "xla"
     r_in = disk.r_in if disk.r_in is not None else r_isco(
         metric.M, metric.a, disk.prograde,
@@ -300,19 +311,20 @@ def trace_disk_rays(metric, r_obs, alphas, thetas, theta_obs,
     return _trace_disk_rays_xla(
         metric, float(r_obs), alphas, thetas, float(theta_obs),
         float(lambda_max), max_steps, disk, precision, method,
-        record_momentum)
+        record_momentum, record_time)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("metric", "r_obs", "theta_obs", "lambda_max",
                      "max_steps", "disk", "precision", "method",
-                     "record_momentum"))
+                     "record_momentum", "record_time"))
 def _trace_disk_rays_xla(metric, r_obs, alphas, thetas, theta_obs,
                          lambda_max: float, max_steps: int,
                          disk: DiskConfig, precision: str = "fast",
                          method: str = "dp45",
-                         record_momentum: bool = False):
+                         record_momentum: bool = False,
+                         record_time: bool = False):
     dtype = alphas.dtype
     tols = get_tols(dtype, precision)
     r_in = disk.r_in if disk.r_in is not None else r_isco(
@@ -337,6 +349,7 @@ def _trace_disk_rays_xla(metric, r_obs, alphas, thetas, theta_obs,
                     bool(disk.opaque)),
         max_disk_hits=disk.max_hits,
         method=method, record_momentum=record_momentum,
+        record_time=record_time,
         disk_normal=(
             warped_basis(disk.tilt, disk.tilt_azimuth, disk.warp_radius)
             if disk.warp_radius is not None
@@ -348,7 +361,8 @@ def _trace_disk_rays_xla(metric, r_obs, alphas, thetas, theta_obs,
         metric, y_f, p_t, p_phi, status_f)
     return DiskTraceResult(status_out, hits["n"], hits["r"], xi, steps,
                            final_alpha, n_half, hits["phi"], hits["xi"],
-                           hits["pr"], hits["pth"])
+                           hits["pr"], hits["pth"], hits.get("t", ()),
+                           hits.get("t_now", ()))
 
 
 def _plane_of(disk: DiskConfig, metric) -> tuple:
@@ -709,10 +723,13 @@ def hotspot_pattern(spot: "HotSpot", M, a, prograde: bool = True,
 
     Returns pattern(r, phi, t) -> multiplier (jax-traceable, batched):
     a rigid Gaussian blob centered at radius spot.r0, azimuth
-    spot.phi0 + Omega_K(spot.r0) * t (coordinate time t in units of M;
-    light-travel-time delay across the image is a documented
-    simplification). Because the crossing azimuth is recorded per pixel
-    at trace time, frames at any t are pure re-renders of ONE trace.
+    spot.phi0 + Omega_K(spot.r0) * t (coordinate time t in units of M).
+    Light-travel-time delay across the image is the documented
+    equal-time simplification of the IMAGING paths; light curves can
+    opt into the true retarded time via record_time + disk_emission's
+    delay_hits (spectra.hotspot_light_curve light_travel_delay).
+    Because the crossing azimuth is recorded per pixel at trace time,
+    frames at any t are pure re-renders of ONE trace.
     """
     omega = float(keplerian_omega(M, a, spot.r0, prograde, Q=Q))
 
@@ -790,7 +807,8 @@ class HotSpot:
 
 def disk_emission(scene: SceneConfig, disk: DiskConfig, r_in,
                   n_hits, r_hits, xi, doppler=None,
-                  pattern=None, phi_hits=None, t=0.0, xi_hits=()):
+                  pattern=None, phi_hits=None, t=0.0, xi_hits=(),
+                  delay_hits=()):
     """Per-ray disk emission from the recorded crossings.
 
     Returns (intensity, rgb): intensity (N,) is the summed (un-tone-
@@ -805,6 +823,13 @@ def disk_emission(scene: SceneConfig, disk: DiskConfig, r_in,
     pattern: optional surface-brightness multiplier pattern(r, phi, t)
     (e.g. hotspot_pattern) evaluated at each crossing's recorded
     (r, phi) — requires phi_hits (DiskTraceResult.phi_hits).
+
+    delay_hits: optional per-crossing light-travel delay (coordinate
+    time, DiskTraceResult.t_hits via record_time): the pattern is then
+    evaluated at the RETARDED time t - delay_hits[slot] — the photon
+    that arrives at observer time t left that crossing delay earlier,
+    so one side of the disk is seen at an older pattern phase
+    (light-echo asymmetry; hotspot_light_curve light_travel_delay).
     """
     color = disk.spectrum == "blackbody"
     intensity = jnp.zeros_like(xi)
@@ -821,7 +846,8 @@ def disk_emission(scene: SceneConfig, disk: DiskConfig, r_in,
                                disk.prograde, Q=scene.Q)
         if doppler is not None:
             g = g * doppler
-        mult = (pattern(r_c, phi_hits[slot], t)
+        t_slot = (t - delay_hits[slot] if len(delay_hits) > slot else t)
+        mult = (pattern(r_c, phi_hits[slot], t_slot)
                 if pattern is not None else 1.0)
         if color:
             from light_path_tracer_tpu.utils.color import blackbody_rgb

@@ -123,6 +123,19 @@ class _KerrHotPath:
         differs at roundoff)."""
         return 2.0 * self.M * r
 
+    def tdot(self, state5, p_t, p_phi):
+        """Coordinate-time rate dt/dlambda = dH/dp_t along the reduced
+        flow: g^tt p_t + g^tphi p_phi — the t-row of the full 8-D
+        Hamiltonian system (reference metrics.py:946-1029) that the
+        reduced 5-D state drops. Used by the opt-in crossing-time
+        recorder (ops/kerr_trace.py record_time): t itself never feeds
+        back into the dynamics, so it can be accumulated OUTSIDE the
+        error-controlled state. Charged metrics inherit via the
+        _inv_terms hook."""
+        r, th = state5[0], state5[1]
+        g_tt, g_tphi, *_rest = self._inv_terms(r, th)
+        return g_tt * p_t + g_tphi * p_phi
+
     def plunge_radii(self, r_obs, alphas, thetas, theta_obs):
         """Per-ray certain-capture radius for early termination.
 

@@ -304,7 +304,7 @@ def dp45_integrate(metric, y0, p_t, p_phi, status0, *, atol, rtol, h_min,
                    max_steps, event_interp="hermite", disk_plane=None,
                    max_disk_hits=2, r_plunge=None, formulation="theta",
                    method="dp45", disk_normal=None, extra_disks=None,
-                   record_momentum=False):
+                   record_momentum=False, record_time=False):
     """The shared lock-step adaptive integration loop (DP45 or DOP853).
 
     method selects the embedded Runge-Kutta pair:
@@ -346,6 +346,21 @@ def dp45_integrate(metric, y0, p_t, p_phi, status0, *, atol, rtol, h_min,
         rhs = lambda y: metric.rhs5_mu(y, p_t, p_phi)
     else:
         rhs = lambda y: metric.rhs5(y, p_t, p_phi)
+    if record_time:
+        # Coordinate-time recorder (opt-in: two extra tdot evaluations
+        # per lock-step iteration — light curves only, imaging paths
+        # leave it off). t never feeds back into the dynamics, so it is
+        # accumulated by trapezoid over each ACCEPTED (possibly
+        # event-shortened) segment — O(h^3) local error, far below the
+        # delay resolution light curves need — instead of widening the
+        # error-controlled state.
+        if formulation == "mu":
+            raise ValueError("record_time requires formulation='theta' "
+                             "(tdot evaluates the theta chart)")
+        if disk_plane is None:
+            raise ValueError("record_time needs a disk_plane (it exists "
+                             "to time crossings)")
+        rhs_t = lambda y: metric.tdot(y, p_t, p_phi)
 
     k1_0 = rhs(y0)
     h0 = jnp.full_like(y0[0], h_init)
@@ -413,6 +428,14 @@ def dp45_integrate(metric, y0, p_t, p_phi, status0, *, atol, rtol, h_min,
                                             if record_momentum else 0)),
                 "down": tuple(jnp.zeros_like(y0[0])
                               for _ in range(max_disk_hits)),
+                # Coordinate time of the localized crossing (opt-in,
+                # record_time): the light-travel delay from the camera
+                # to the emission point, exact under frame dragging
+                # (flipping the photon momentum AND the integration
+                # direction leaves the elapsed t invariant).
+                "t": tuple(jnp.zeros_like(y0[0])
+                           for _ in range(max_disk_hits
+                                          if record_time else 0)),
                 # Tilted mode records the ray's angular momentum about
                 # the disk normal at each crossing (the emitter Doppler
                 # needs xi_n = n.L/E, not the conserved L_z).
@@ -425,9 +448,14 @@ def dp45_integrate(metric, y0, p_t, p_phi, status0, *, atol, rtol, h_min,
         if len(_planes) > 1:
             hits0["extra"] = tuple(
                 _track0(b is not None) for b in _basis_fns[1:])
+        if record_time:
+            # Running coordinate time of each lane's CURRENT state
+            # (t = 0 at the camera); at termination this is the time at
+            # capture/escape, returned as hits["t_now"].
+            hits0["t_now"] = jnp.zeros_like(y0[0])
     else:
         hits0 = {"n": jnp.zeros((), jnp.int32), "r": (), "phi": (),
-                 "pr": (), "pth": (), "down": (), "xi": ()}
+                 "pr": (), "pth": (), "down": (), "xi": (), "t": ()}
 
     def cond(carry):
         step, y, k1, h, lam, status, hits = carry
@@ -612,6 +640,15 @@ def dp45_integrate(metric, y0, p_t, p_phi, status0, *, atol, rtol, h_min,
         status_out = status_out.astype(jnp.int32)
 
         hits_out = hits
+        if record_time:
+            # Trapezoid over the accepted segment [y, y_acc] of length
+            # frac * h_eff (event-shortened steps integrate only up to
+            # the event, so t at capture/escape is the event time).
+            td_prev = rhs_t(y)
+            td_acc = rhs_t(y_acc)
+            seg = frac * h_eff
+            t_now = hits["t_now"]
+            t_acc_val = t_now + 0.5 * seg * (td_prev + td_acc)
         if disk_plane is not None:
             # Per-plane crossing detection on the accepted step segment
             # (up to the event fraction), located with the same
@@ -709,6 +746,14 @@ def dp45_integrate(metric, y0, p_t, p_phi, status0, *, atol, rtol, h_min,
                         phi_c = jnp.where(jnp.sin(y_cross[1]) < 0.0,
                                           phi_c + np.pi, phi_c)
 
+                t_c = None
+                if record_time:
+                    # Trapezoid over the sub-segment up to the crossing
+                    # (length frac_c * seg).
+                    td_cross = rhs_t(y_cross)
+                    t_c = t_now + 0.5 * (frac_c * seg) * (td_prev
+                                                          + td_cross)
+
                 n = track["n"]
                 new_r = list(track["r"])
                 new_phi = list(track["phi"])
@@ -716,6 +761,7 @@ def dp45_integrate(metric, y0, p_t, p_phi, status0, *, atol, rtol, h_min,
                 new_pth = list(track["pth"])
                 new_down = list(track["down"])
                 new_xi = list(track["xi"])
+                new_t = list(track["t"])
                 for slot in range(max_disk_hits):
                     take = in_disk & (n == slot)
                     new_r[slot] = jnp.where(take, r_c, new_r[slot])
@@ -727,6 +773,8 @@ def dp45_integrate(metric, y0, p_t, p_phi, status0, *, atol, rtol, h_min,
                                                   new_pth[slot])
                     new_down[slot] = jnp.where(take, down_f,
                                                new_down[slot])
+                    if new_t:
+                        new_t[slot] = jnp.where(take, t_c, new_t[slot])
                     if xi_c is not None:
                         new_xi[slot] = jnp.where(take, xi_c, new_xi[slot])
                 n = jnp.where(in_disk, jnp.minimum(n + 1, max_disk_hits),
@@ -734,13 +782,14 @@ def dp45_integrate(metric, y0, p_t, p_phi, status0, *, atol, rtol, h_min,
                 new_track = {"n": n, "r": tuple(new_r),
                              "phi": tuple(new_phi),
                              "pr": tuple(new_pr), "pth": tuple(new_pth),
-                             "down": tuple(new_down), "xi": tuple(new_xi)}
+                             "down": tuple(new_down), "xi": tuple(new_xi),
+                             "t": tuple(new_t)}
                 first_hit = in_disk & (n == 1)
-                return new_track, y_cross, first_hit
+                return new_track, y_cross, first_hit, t_c
 
             tracks = [{k: hits[k]
                        for k in ("n", "r", "phi", "pr", "pth",
-                                 "down", "xi")}]
+                                 "down", "xi", "t")}]
             tracks += list(hits.get("extra", ()))
             new_tracks = []
             # Opaque termination: the ray parks at its FIRST in-disk
@@ -748,9 +797,11 @@ def dp45_integrate(metric, y0, p_t, p_phi, status0, *, atol, rtol, h_min,
             # measure-zero tie of two planes crossed in one step; a
             # translucent plane never terminates).
             stopped = jnp.zeros_like(upd)
+            if record_time:
+                t_stop = t_acc_val
             for (plane, _nrm), bfn, pc, track in zip(
                     _planes, _basis_fns, _plane_cs, tracks):
-                new_track, y_cross_p, first_hit = _record(
+                new_track, y_cross_p, first_hit, t_c_p = _record(
                     track, plane, bfn, pc)
                 new_tracks.append(new_track)
                 if plane[3]:  # opaque
@@ -759,10 +810,16 @@ def dp45_integrate(metric, y0, p_t, p_phi, status0, *, atol, rtol, h_min,
                     y_out = _select(stop, y_cross_p, y_out)
                     status_out = jnp.where(stop, ESCAPED,
                                            status_out).astype(jnp.int32)
+                    if record_time:
+                        # A ray parked at the crossing stops its clock
+                        # there too (t_end == its recorded crossing t).
+                        t_stop = jnp.where(stop, t_c_p, t_stop)
                     stopped = stopped | stop
             hits_out = dict(new_tracks[0])
             if len(new_tracks) > 1:
                 hits_out["extra"] = tuple(new_tracks[1:])
+            if record_time:
+                hits_out["t_now"] = jnp.where(upd, t_stop, t_now)
 
         return step + 1, y_out, k1_out, h_new, lam_out, status_out, hits_out
 

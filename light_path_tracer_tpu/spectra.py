@@ -45,7 +45,8 @@ from light_path_tracer_tpu.utils.config import SceneConfig, RenderConfig
 from light_path_tracer_tpu.utils.timing import StageTimer
 
 
-def _trace_disk_grid(scene, resolution, cfg, disk, timer, aa_samples=1):
+def _trace_disk_grid(scene, resolution, cfg, disk, timer, aa_samples=1,
+                     record_time=False):
     """Shared setup: camera grids + one disk trace (render_disk's).
 
     aa_samples > 1 stacks jittered subpixel grids on the row axis
@@ -79,7 +80,8 @@ def _trace_disk_grid(scene, resolution, cfg, disk, timer, aa_samples=1):
             scene.theta_obs, max(5000.0, 6.0 * scene.r_obs),
             cfg.max_steps, disk, backend=cfg.backend,
             precision=cfg.precision, method=cfg.integrator,
-            two_pass=two_pass, pass1_steps=cfg.pass1_steps)
+            two_pass=two_pass, pass1_steps=cfg.pass1_steps,
+            record_time=record_time)
         out.append(res.status)
 
     dl = (jnp.concatenate([camera.doppler_lookup(
@@ -164,7 +166,8 @@ def line_profile(scene: SceneConfig, resolution=(512, 512),
 def hotspot_light_curve(scene: SceneConfig, resolution, times,
                         cfg: RenderConfig = RenderConfig(),
                         disk: DiskConfig = DiskConfig(),
-                        spot: HotSpot = HotSpot(), pattern=None):
+                        spot: HotSpot = HotSpot(), pattern=None,
+                        light_travel_delay: bool = False):
     """Total observed flux vs coordinate time for an orbiting hot spot.
 
     ONE geodesic trace; each sample re-evaluates the surface-brightness
@@ -173,11 +176,34 @@ def hotspot_light_curve(scene: SceneConfig, resolution, times,
     (times (T,), flux (T,), stats); flux is the un-tone-mapped physical
     intensity sum, so Doppler beaming and lensing magnification show at
     their true contrast. One spot orbit = stats['orbit_period'] in M.
+
+    light_travel_delay=True records the coordinate time of every disk
+    crossing during the trace (record_time) and evaluates the spot
+    pattern at the RETARDED time t - delay(pixel): photons from the far
+    side of the disk (and the lensed secondary image) left earlier, so
+    the observer sees different pattern phases across one frame — the
+    light-echo skew the equal-time approximation flattens. Delays are
+    referenced to the earliest-arriving disk photon (a constant offset
+    only re-phases a periodic pattern); stats['delay_spread'] reports
+    the across-image spread in M.
     """
     timer = StageTimer()
     times = list(times)
     _metric, res, dl = _trace_disk_grid(scene, resolution, cfg, disk,
-                                        timer)
+                                        timer,
+                                        record_time=light_travel_delay)
+    delay_hits = ()
+    delay_spread = 0.0
+    if light_travel_delay:
+        # Reference the delays to the earliest-arriving recorded
+        # crossing among lit pixels (slot 0 = the visible surface).
+        hit0 = res.n_hits > 0
+        t0 = res.t_hits[0]
+        big = jnp.asarray(jnp.inf, t0.dtype)
+        t_ref = jnp.min(jnp.where(hit0, t0, big))
+        delay_hits = tuple(t - t_ref for t in res.t_hits)
+        t_max = jnp.max(jnp.where(hit0, t0, -big))
+        delay_spread = float(t_max - t_ref)
     r_in = disk.r_in if disk.r_in is not None else r_isco(
         scene.M, scene.a, disk.prograde, Q=scene.Q)
     if pattern is None:
@@ -192,17 +218,19 @@ def hotspot_light_curve(scene: SceneConfig, resolution, times,
         # grid-sized constants that XLA constant-folds for minutes —
         # render_disk_frames's measured footgun).
         @jax.jit
-        def curve(ts, n_hits, r_hits, xi, phi_hits, doppler, xi_hits):
+        def curve(ts, n_hits, r_hits, xi, phi_hits, doppler, xi_hits,
+                  delays):
             def flux_at(t):
                 intensity, _rgb = disk_emission(
                     scene, disk, r_in, n_hits, r_hits, xi,
                     doppler=doppler, pattern=pattern,
-                    phi_hits=phi_hits, t=t, xi_hits=xi_hits)
+                    phi_hits=phi_hits, t=t, xi_hits=xi_hits,
+                    delay_hits=delays)
                 return intensity.sum()
             return jax.vmap(flux_at)(ts)
 
         flux = curve(ts, res.n_hits, res.r_hits, res.xi, res.phi_hits,
-                     dl, res.xi_hits)
+                     dl, res.xi_hits, delay_hits)
         out.append(flux)
 
     stats = dict(
@@ -212,6 +240,7 @@ def hotspot_light_curve(scene: SceneConfig, resolution, times,
         disk_pixels=int((np.asarray(res.n_hits) > 0).sum()),
         integrator_steps=int(res.n_steps),
         n_samples=len(times),
+        delay_spread=delay_spread,
         total_rays=resolution[0] * resolution[1],
         traced_rays=resolution[0] * resolution[1],
         timings=timer.finish())

@@ -140,3 +140,16 @@ def test_cli_lens_magnification(workdir):
     rc = main(["lens", "--magnification", str(out), "--size", "48",
                "--fov-v", "40", "--a", "0.5"])
     assert rc == 0 and out.exists()
+
+
+def test_cli_shadow_visibility(workdir):
+    rc = main(["shadow", "--size", "96", "--analytic", "--fov-v", "16",
+               "--output", "s.png", "--visibility", "vis.npz"])
+    assert rc == 0 and os.path.exists("vis.npz")
+    d = np.load("vis.npz")
+    # First null found and the recovered diameter is in the right
+    # ballpark of 2*alpha_crit (analytic shadow at r_obs=100M).
+    assert np.isfinite(d["b_null"])
+    from light_path_tracer_tpu.models import make_metric
+    true = 2.0 * make_metric(1.0, 0.0, 0.0).alpha_crit(100.0)
+    assert abs(float(d["diameter_rad"]) - true) / true < 0.1
