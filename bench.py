@@ -231,6 +231,28 @@ def main():
         import jax
         jax.config.update("jax_enable_x64", True)
 
+    # Backend-init watchdog: a wedged axon TPU grant hangs even
+    # jax.devices() indefinitely (observed for whole sessions,
+    # BASELINE.md "wedged-tunnel caveat"), blocking INSIDE native RPC
+    # code — so a Python signal handler would never run. A watchdog
+    # THREAD prints the driver's one JSON line and hard-exits if the
+    # backend never comes up.
+    import threading
+    import os as _os
+    _backend_up = threading.Event()
+
+    def _watchdog():
+        if not _backend_up.wait(timeout=420.0):
+            _emit("kerr_shadow_1024_rays_per_sec", 0.0, "rays/s",
+                  error="TPU backend init timed out (wedged axon "
+                        "grant); no measurement taken")
+            _os._exit(2)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+    import jax
+    jax.devices()
+    _backend_up.set()
+
     from light_path_tracer_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
 

@@ -30,6 +30,11 @@ def _add_scene_args(p):
     p.add_argument("--Q", type=float, default=0.0,
                    help="BH charge (Reissner-Nordstrom; with --a != 0: "
                         "Kerr-Newman, needs a^2 + Q^2 <= M^2)")
+    p.add_argument("--eps3", type=float, default=0.0,
+                   help="Johannsen-Psaltis deformation parameter "
+                        "(test-GR deformed Kerr; 0 = GR. Shadow/lens/"
+                        "magnification modes; mutually exclusive with "
+                        "--Q, not wired for disk orbital dynamics)")
     p.add_argument("--r-obs", type=float, default=100.0,
                    help="Observer distance in units of M (default: 100)")
     p.add_argument("--psi-y", type=float, default=0.0,
@@ -141,6 +146,7 @@ def _scene_from(args):
     from light_path_tracer_tpu.utils.config import SceneConfig
     return SceneConfig(
         M=args.M, a=args.a, Q=getattr(args, "Q", 0.0),
+        eps3=getattr(args, "eps3", 0.0),
         r_obs_mult=args.r_obs,
         psi_y=np.radians(args.psi_y), psi_x=np.radians(args.psi_x),
         vertical_fov_deg=args.fov_v,
@@ -206,7 +212,8 @@ def cmd_lens(args) -> int:
 
     r_obs = scene.r_obs
     from light_path_tracer_tpu.models import make_metric
-    metric = make_metric(args.M, args.a, getattr(args, "Q", 0.0))
+    metric = make_metric(args.M, args.a, getattr(args, "Q", 0.0),
+                         getattr(args, "eps3", 0.0))
     alpha_crit = metric.alpha_crit(r_obs)
     print(f"r_obs = {r_obs:.1f} M, "
           f"alpha_crit = {np.degrees(alpha_crit):.4f} deg")
@@ -371,7 +378,8 @@ def cmd_lens(args) -> int:
 
 def _scene_metric_alpha_crit(scene):
     from light_path_tracer_tpu.models import make_metric
-    return make_metric(scene.M, scene.a, scene.Q).alpha_crit(scene.r_obs,
+    return make_metric(scene.M, scene.a, scene.Q,
+                       getattr(scene, "eps3", 0.0)).alpha_crit(scene.r_obs,
                                                     scene.theta_obs)
 
 
@@ -478,6 +486,9 @@ def cmd_disk(args) -> int:
                  or getattr(args, "qu_loop", None))
     if getattr(args, "Q", 0.0) and polarized:
         print("  note: polarized rendering is Kerr-only; ignoring --Q")
+    if getattr(args, "eps3", 0.0):
+        print("  note: disk mode is not wired for --eps3 (orbital "
+              "dynamics are Kerr/charged closed forms); ignoring")
     scene = SceneConfig(
         M=args.M, a=args.a, r_obs_mult=args.r_obs,
         Q=(0.0 if polarized else getattr(args, "Q", 0.0)),
@@ -801,7 +812,8 @@ def cmd_ray(args) -> int:
     from light_path_tracer_tpu.models import make_metric
     from light_path_tracer_tpu.trajectory import trace_ray_trajectory
 
-    metric = make_metric(args.M, args.a, getattr(args, "Q", 0.0))
+    metric = make_metric(args.M, args.a, getattr(args, "Q", 0.0),
+                         getattr(args, "eps3", 0.0))
     r_obs = args.r_obs * args.M
     alpha = np.radians(args.alpha_deg)
     traj, outcome = trace_ray_trajectory(metric, r_obs, alpha)
@@ -848,7 +860,8 @@ def cmd_plot(args) -> int:
     from light_path_tracer_tpu.models import make_metric
     from light_path_tracer_tpu.trajectory import plot_trajectories
 
-    metric = make_metric(args.M, args.a, getattr(args, "Q", 0.0))
+    metric = make_metric(args.M, args.a, getattr(args, "Q", 0.0),
+                         getattr(args, "eps3", 0.0))
     r_obs = args.r_obs * args.M
     angles = [float(x) for x in args.angles.split(",")]
     ac = np.degrees(metric.alpha_crit(r_obs))

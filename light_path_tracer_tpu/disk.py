@@ -44,6 +44,17 @@ def _scene_metric(scene: "SceneConfig"):
     the 5-D crossing-recorder machinery, which the orbit-equation
     Reissner-Nordstrom class does not carry (same geodesics — pinned
     against the RN orbit path in tests/test_kerr_newman.py)."""
+    if getattr(scene, "eps3", 0.0):
+        # The crossing recorder would work, but every emission quantity
+        # (ISCO, Keplerian Omega, emitter redshift) is a Kerr/charged
+        # closed form — silently Kerr-orbiting gas in a deformed
+        # metric would be wrong physics, so disk mode rejects eps3.
+        raise ValueError("this path is not wired for Johannsen-Psaltis "
+                         "(eps3 != 0): disk orbital dynamics (ISCO, "
+                         "Omega, redshift) are Kerr/charged closed "
+                         "forms and sequences trace (Traced)Kerr. "
+                         "Deformed metrics support shadow/lens/"
+                         "magnification/AA/trajectory surfaces.")
     q = getattr(scene, "Q", 0.0)
     if q:
         return KerrNewman(M=scene.M, a=scene.a, Q=q)

@@ -53,6 +53,7 @@ from __future__ import annotations
 import dataclasses
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from light_path_tracer_tpu.models.base import Metric
@@ -99,6 +100,14 @@ class _KerrHotPath:
     def capture_radius(self):
         return self.r_plus * 1.01
 
+    def _freeze_radius(self):
+        """Radius at/below which the RHS is hard-zeroed (reference
+        parity: metrics.py:246 zeroes inside 1.001 r_+). Families whose
+        pathological region extends OUTSIDE the Kerr horizon override
+        this (JohannsenPsaltis: just inside its numeric barrier-aware
+        capture surface)."""
+        return self.r_plus * 1.001
+
     # Metric-function hooks: Kerr-Newman overrides these (charge
     # enters ONLY through Delta and the 2Mr -> 2Mr - Q^2 = r^2 + a^2
     # - Delta combination, which the bodies below express via Delta).
@@ -122,6 +131,53 @@ class _KerrHotPath:
         identical (the algebraically-equal r^2 + a^2 - Delta form
         differs at roundoff)."""
         return 2.0 * self.M * r
+
+    def rhs5_autodiff(self, state5, p_t, p_phi):
+        """Batched reduced-state RHS from jax.grad of the Hamiltonian
+        H = (1/2) g^{mu nu}(r, theta) p_mu p_nu — generic over the
+        `_inv_terms` hook, so it serves BOTH roles:
+
+        * the independent roundoff-level oracle for the hand-derived
+          `rhs5` (Kerr / Kerr-Newman, tests/test_kerr_newman.py), and
+        * the PRIMARY integrator RHS for metric families with no
+          hand form — any stationary axisymmetric metric is fully
+          specified by its five `_inv_terms` components; the reduced
+          5-D state needs only the two Killing symmetries (t, phi
+          cyclic), NOT Carter separability (Johannsen-Psaltis).
+
+        H is elementwise over the ray axis, so grad of sum(H) gives
+        the exact per-ray partials; dphi comes from the momentum
+        partials directly. Same frozen-horizon guard as rhs5.
+        """
+        r, th, phi, p_r, p_th = state5
+        dtype = r.dtype
+        r_freeze = jnp.asarray(self._freeze_radius(), dtype)
+        frozen = r <= r_freeze
+        r_s = jnp.where(frozen, 10.0 * r_freeze + 10.0, r)
+        p_t_b = jnp.broadcast_to(jnp.asarray(p_t, dtype), r.shape)
+        p_phi_b = jnp.broadcast_to(jnp.asarray(p_phi, dtype), r.shape)
+
+        def H_sum(r_, th_, pr_, pth_):
+            (g_tt, g_tphi, g_rr, g_thth, g_phiphi,
+             *_rest) = self._inv_terms(r_, th_)
+            return 0.5 * jnp.sum(
+                g_tt * p_t_b * p_t_b
+                + 2.0 * g_tphi * p_t_b * p_phi_b
+                + g_rr * pr_ * pr_
+                + g_thth * pth_ * pth_
+                + g_phiphi * p_phi_b * p_phi_b)
+
+        dHr, dHth, dHpr, dHpth = jax.grad(
+            H_sum, argnums=(0, 1, 2, 3))(r_s, th, p_r, p_th)
+        (g_tt, g_tphi, _g_rr, _g_thth, g_phiphi,
+         *_rest) = self._inv_terms(r_s, th)
+        dphi = g_tphi * p_t_b + g_phiphi * p_phi_b
+
+        keep = jnp.logical_not(frozen)
+        z = jnp.zeros_like(r)
+        return (jnp.where(keep, dHpr, z), jnp.where(keep, dHpth, z),
+                jnp.where(keep, dphi, z), jnp.where(keep, -dHr, z),
+                jnp.where(keep, -dHth, z))
 
     def tdot(self, state5, p_t, p_phi):
         """Coordinate-time rate dt/dlambda = dH/dp_t along the reduced

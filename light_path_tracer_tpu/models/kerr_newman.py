@@ -116,45 +116,10 @@ class KerrNewman(Kerr):
 
     # ---- Hamilton's equations by autodiff (ORACLE, not hot path) ----
 
-    def rhs5_autodiff(self, state5, p_t, p_phi):
-        """Batched reduced-state RHS from jax.grad of the Hamiltonian —
-        the independent cross-check for the inherited hand form
-        (kerr.rhs5 with the static _q2 branch), pinned to roundoff
-        agreement at every (a, Q) in tests/test_kerr_newman.py.
-
-        H is elementwise over the ray axis, so grad of sum(H) gives the
-        exact per-ray partials; dphi comes from the momentum partials
-        directly. Same frozen-horizon guard as Kerr.
-        """
-        r, th, phi, p_r, p_th = state5
-        dtype = r.dtype
-        r_plus = jnp.asarray(self.r_plus, dtype)
-        frozen = r <= r_plus * 1.001
-        r_s = jnp.where(frozen, 10.0 * r_plus + 10.0, r)
-        p_t_b = jnp.broadcast_to(jnp.asarray(p_t, dtype), r.shape)
-        p_phi_b = jnp.broadcast_to(jnp.asarray(p_phi, dtype), r.shape)
-
-        def H_sum(r_, th_, pr_, pth_):
-            (g_tt, g_tphi, g_rr, g_thth, g_phiphi,
-             *_rest) = self._inv_terms(r_, th_)
-            return 0.5 * jnp.sum(
-                g_tt * p_t_b * p_t_b
-                + 2.0 * g_tphi * p_t_b * p_phi_b
-                + g_rr * pr_ * pr_
-                + g_thth * pth_ * pth_
-                + g_phiphi * p_phi_b * p_phi_b)
-
-        dHr, dHth, dHpr, dHpth = jax.grad(
-            H_sum, argnums=(0, 1, 2, 3))(r_s, th, p_r, p_th)
-        (g_tt, g_tphi, _g_rr, _g_thth, g_phiphi,
-         *_rest) = self._inv_terms(r_s, th)
-        dphi = g_tphi * p_t_b + g_phiphi * p_phi_b
-
-        keep = jnp.logical_not(frozen)
-        z = jnp.zeros_like(r)
-        return (jnp.where(keep, dHpr, z), jnp.where(keep, dHpth, z),
-                jnp.where(keep, dphi, z), jnp.where(keep, -dHr, z),
-                jnp.where(keep, -dHth, z))
+    # rhs5_autodiff is inherited from _KerrHotPath (kerr.py): the
+    # generic jax.grad-of-Hamiltonian RHS over this class's _inv_terms
+    # — the independent roundoff-level oracle for the inherited hand
+    # form (pinned at every (a, Q) in tests/test_kerr_newman.py).
 
     def plunge_radii(self, r_obs, alphas, thetas, theta_obs):
         """Per-ray certain-capture radius (Kerr's argument, general

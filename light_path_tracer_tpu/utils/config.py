@@ -22,6 +22,10 @@ class SceneConfig:
     # Black-hole charge in units of M (Reissner-Nordstrom when != 0;
     # mutually exclusive with a != 0 — models.make_metric).
     Q: float = 0.0
+    # Johannsen-Psaltis deformation (test-GR deformed Kerr when != 0;
+    # mutually exclusive with Q — models.make_metric). Shadow/lens/
+    # magnification surfaces; disk orbital dynamics stays Kerr-only.
+    eps3: float = 0.0
     r_obs_mult: float = 100.0          # observer radius in units of M
     psi_y: float = 0.0                 # BH screen pitch offset [rad]
     psi_x: float = 0.0                 # BH screen yaw offset [rad]
