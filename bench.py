@@ -243,7 +243,10 @@ def main():
 
     def _watchdog():
         if not _backend_up.wait(timeout=420.0):
-            _emit("kerr_shadow_1024_rays_per_sec", 0.0, "rays/s",
+            # Same key the real headline measurement would use, so
+            # recorders see an explicit zero-valued row, not a gap.
+            _emit(f"kerr_a{args.spin}_shadow_{args.size}sq_"
+                  f"rays_per_sec_chip", 0.0, "rays/s",
                   error="TPU backend init timed out (wedged axon "
                         "grant); no measurement taken")
             _os._exit(2)

@@ -212,8 +212,7 @@ def render_shadow_aa(scene: SceneConfig, resolution,
     The shadow boundary (the only high-frequency feature) gets smooth
     coverage values in [0, 1] instead of binary aliasing.
     """
-    metric = make_metric(scene.M, scene.a, scene.Q,
-                         getattr(scene, "eps3", 0.0))
+    metric = make_metric(scene.M, scene.a, scene.Q, scene.eps3)
     timer = StageTimer()
     fov = camera.fov_from_vertical(scene.vertical_fov, resolution)
     offsets = aa_offsets(aa_samples)
@@ -241,8 +240,7 @@ def render_scene_aa(scene: SceneConfig, source_image,
                     cfg: RenderConfig = RenderConfig(),
                     aa_samples: int = 4, mesh=None):
     """Anti-aliased lensed render; returns (image, stats)."""
-    metric = make_metric(scene.M, scene.a, scene.Q,
-                         getattr(scene, "eps3", 0.0))
+    metric = make_metric(scene.M, scene.a, scene.Q, scene.eps3)
     timer = StageTimer()
     src = jnp.asarray(source_image)
     if src.dtype == jnp.uint8:

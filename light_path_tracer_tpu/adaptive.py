@@ -139,8 +139,7 @@ def render_shadow_adaptive(scene: SceneConfig, resolution,
     """
     _check_samples(aa_samples)
     from light_path_tracer_tpu.aa import _use_tb, _mirror_fill
-    metric = make_metric(scene.M, scene.a, scene.Q,
-                         getattr(scene, "eps3", 0.0))
+    metric = make_metric(scene.M, scene.a, scene.Q, scene.eps3)
     timer = StageTimer()
     height, width = resolution
     fov = camera.fov_from_vertical(scene.vertical_fov, resolution)
@@ -243,8 +242,7 @@ def render_scene_adaptive(scene: SceneConfig, source_image,
     render_scene_aa (each sample is a fully rendered color).
     """
     _check_samples(aa_samples)
-    metric = make_metric(scene.M, scene.a, scene.Q,
-                         getattr(scene, "eps3", 0.0))
+    metric = make_metric(scene.M, scene.a, scene.Q, scene.eps3)
     timer = StageTimer()
     src = jnp.asarray(source_image)
     if src.dtype == jnp.uint8:

@@ -126,8 +126,13 @@ def _visibility_report(image, fov, path, model, true_diameter=None):
     """Visibility-domain analysis of a rendered image (observables.py):
     save the |V| radial profile, print the first-null diameter."""
     from light_path_tracer_tpu import observables as obs
+    # Null-location accuracy needs a finely sampled transform, but the
+    # padded complex FFT grid is (pad*H x pad*W): keep it bounded
+    # (~8k^2) so a 4k render doesn't OOM the analysis step.
+    side = max(np.asarray(image).shape[:2])
+    pad = max(2, min(8, 8192 // side))
     est, b_null, (baselines, amp) = obs.shadow_diameter(
-        np.asarray(image), fov, model=model, pad=8, n_bins=512)
+        np.asarray(image), fov, model=model, pad=pad, n_bins=512)
     np.savez(path, baselines=np.asarray(baselines), amp=np.asarray(amp),
              b_null=b_null, diameter_rad=est, model=model)
     if np.isfinite(b_null):
@@ -379,8 +384,8 @@ def cmd_lens(args) -> int:
 def _scene_metric_alpha_crit(scene):
     from light_path_tracer_tpu.models import make_metric
     return make_metric(scene.M, scene.a, scene.Q,
-                       getattr(scene, "eps3", 0.0)).alpha_crit(scene.r_obs,
-                                                    scene.theta_obs)
+                       scene.eps3).alpha_crit(scene.r_obs,
+                                              scene.theta_obs)
 
 
 def cmd_shadow(args) -> int:
@@ -393,6 +398,9 @@ def cmd_shadow(args) -> int:
     cfg = _render_cfg_from(args)
 
     if args.rings:
+        if getattr(args, "visibility", None):
+            print("  note: --visibility is not supported with --rings; "
+                  "ignoring")
         masks, composite, stats = render_rings(
             scene, (args.size, args.size), cfg, max_order=args.max_order)
         mpimg.imsave(args.output, np.asarray(composite))
@@ -486,6 +494,12 @@ def cmd_disk(args) -> int:
                  or getattr(args, "qu_loop", None))
     if getattr(args, "Q", 0.0) and polarized:
         print("  note: polarized rendering is Kerr-only; ignoring --Q")
+    if getattr(args, "visibility", None) and (
+            polarized or getattr(args, "line_profile", None)
+            or getattr(args, "light_curve", None) or args.frames > 1):
+        # Those branches return before the still-image visibility block.
+        print("  note: --visibility applies to the still disk image "
+              "only; ignoring")
     if getattr(args, "eps3", 0.0):
         print("  note: disk mode is not wired for --eps3 (orbital "
               "dynamics are Kerr/charged closed forms); ignoring")

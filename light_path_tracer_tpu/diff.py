@@ -141,7 +141,15 @@ def trace_final_alpha_diff(M, a, r_obs, alphas, thetas, theta_obs,
     escaped = (status_f == ESCAPED) & (ext_status == 1)
     nan = jnp.asarray(jnp.nan, dtype)
     final_alpha = jnp.where(escaped, final_alpha, nan)
-    status_out = jnp.where(escaped, ESCAPED, status_f).astype(jnp.int32)
+    # Degenerate extraction on an escaped lane (ext_status == 0) maps
+    # to INVALID, matching the production tracers' contract
+    # (ops/kerr_trace.py finalize_angles) — otherwise a lane would
+    # report ESCAPED with final_alpha = NaN and poison fit residuals
+    # that mask on status == ESCAPED.
+    status_out = jnp.where(
+        escaped, ESCAPED,
+        jnp.where((status_f == ESCAPED) & (ext_status == 0), INVALID,
+                  status_f)).astype(jnp.int32)
     return final_alpha, status_out
 
 

@@ -67,12 +67,13 @@ def intensity(image):
 
 def pixel_scales(shape, fov):
     """Tangent-plane (Δm, Δl) [rad/pixel] for an (H, W) image with
-    camera FOV (horizontal, vertical) — camera.py's fov convention."""
-    height, width = shape
-    fov_h, fov_v = fov
-    dl = 2.0 * np.tan(fov_h / 2.0) / width   # x / l axis
-    dm = 2.0 * np.tan(fov_v / 2.0) / height  # y / m axis
-    return dm, dl
+    camera FOV (horizontal, vertical) — derived from the SAME focal
+    lengths the render geometry uses (camera.focal_lengths: fx =
+    (W/2)/tan(fov_h/2)), so the visibility pixel scale can never
+    diverge from the camera model."""
+    from light_path_tracer_tpu.camera import focal_lengths
+    fx, fy = focal_lengths(shape, fov)
+    return 1.0 / fy, 1.0 / fx  # (dm, dl)
 
 
 def visibilities(image, fov, pad: int = 4):

@@ -84,8 +84,7 @@ def precompute_final_alpha(scene: SceneConfig, cfg: RenderConfig,
                                             fov)
         height, width = image_dimension
         use_tb = _use_tb(scene, cfg)
-        metric = make_metric(scene.M, scene.a, scene.Q,
-                         getattr(scene, "eps3", 0.0))
+        metric = make_metric(scene.M, scene.a, scene.Q, scene.eps3)
         traced = (height if (metric.is_spherically_symmetric or not use_tb)
                   else (height + 1) // 2) * width
         return PrecomputeResult(fa, wind, height * width, traced, steps)
@@ -154,8 +153,7 @@ def _render_scene_fused(scene, cfg, image_dimension, fov, img):
 def _precompute_eager(scene: SceneConfig, cfg: RenderConfig,
                       image_dimension, fov, alpha_lookup=None,
                       chunk_store=None) -> PrecomputeResult:
-    metric = make_metric(scene.M, scene.a, scene.Q,
-                         getattr(scene, "eps3", 0.0))
+    metric = make_metric(scene.M, scene.a, scene.Q, scene.eps3)
     dtype = _dtype_of(cfg)
     height, width = image_dimension
     if alpha_lookup is None:
@@ -232,8 +230,7 @@ def render_scene(scene: SceneConfig, source_image,
     gather render is a few percent of it). Chunked / progress-reporting
     runs fall back to the staged path with true per-stage timings.
     """
-    metric = make_metric(scene.M, scene.a, scene.Q,
-                         getattr(scene, "eps3", 0.0))
+    metric = make_metric(scene.M, scene.a, scene.Q, scene.eps3)
     timer = StageTimer()
 
     height, width = np.asarray(source_image).shape[:2]
@@ -307,8 +304,7 @@ def render_shadow(scene: SceneConfig, resolution,
     analytic=False integrates every pixel ray (BASELINE.json configs 1/3).
     Returns (image (H, W) float32 in {0, 1}, stats dict).
     """
-    metric = make_metric(scene.M, scene.a, scene.Q,
-                         getattr(scene, "eps3", 0.0))
+    metric = make_metric(scene.M, scene.a, scene.Q, scene.eps3)
     timer = StageTimer()
     height, width = resolution
     fov = camera.fov_from_vertical(scene.vertical_fov, resolution)
@@ -387,8 +383,7 @@ def render_rings(scene: SceneConfig, resolution,
     from light_path_tracer_tpu.render import ring_labels
     counts = np.asarray(masks.sum(axis=(1, 2)))
     labels = ring_labels(max_order)
-    metric = make_metric(scene.M, scene.a, scene.Q,
-                         getattr(scene, "eps3", 0.0))
+    metric = make_metric(scene.M, scene.a, scene.Q, scene.eps3)
     stats = dict(
         alpha_crit=metric.alpha_crit(scene.r_obs, scene.theta_obs),
         order_pixels={lab: int(c) for lab, c in zip(labels, counts)},

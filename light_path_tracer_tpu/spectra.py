@@ -198,12 +198,18 @@ def hotspot_light_curve(scene: SceneConfig, resolution, times,
         # Reference the delays to the earliest-arriving recorded
         # crossing among lit pixels (slot 0 = the visible surface).
         hit0 = res.n_hits > 0
-        t0 = res.t_hits[0]
-        big = jnp.asarray(jnp.inf, t0.dtype)
-        t_ref = jnp.min(jnp.where(hit0, t0, big))
-        delay_hits = tuple(t - t_ref for t in res.t_hits)
-        t_max = jnp.max(jnp.where(hit0, t0, -big))
-        delay_spread = float(t_max - t_ref)
+        if not bool(jnp.any(hit0)):
+            # No pixel hits the disk (out-of-frame geometry): there is
+            # nothing to retard — keep delays off instead of
+            # propagating inf references into the pattern times.
+            delay_hits = ()
+        else:
+            t0 = res.t_hits[0]
+            big = jnp.asarray(jnp.inf, t0.dtype)
+            t_ref = jnp.min(jnp.where(hit0, t0, big))
+            delay_hits = tuple(t - t_ref for t in res.t_hits)
+            t_max = jnp.max(jnp.where(hit0, t0, -big))
+            delay_spread = float(t_max - t_ref)
     r_in = disk.r_in if disk.r_in is not None else r_isco(
         scene.M, scene.a, disk.prograde, Q=scene.Q)
     if pattern is None:
