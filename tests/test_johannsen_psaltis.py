@@ -184,3 +184,17 @@ def test_capture_radius_tracks_the_barrier():
                           jnp.zeros(1, bool), lambda_max=5000.0,
                           max_steps=60000)
     assert int(res.status[0]) == -1
+
+
+def test_alpha_crit_bracket_expands_for_strong_deformation():
+    """Strong eps3 < 0 (barrier at r = (-eps3)^(1/3) M = 10M for a=0)
+    grows the shadow past the 3x-Schwarzschild initial bisection
+    bracket; alpha_crit must EXPAND the upper edge and find it instead
+    of silently returning the bracket cap."""
+    jp = JohannsenPsaltis(1.0, 0.0, eps3=-1000.0)
+    r_obs = 20.0
+    hi0 = 3.0 * np.arcsin(min(1.0, 3.0 * np.sqrt(3.0) / r_obs))
+    assert jp.capture_radius() > 10.0          # the barrier, not r_+
+    ac = jp.alpha_crit(r_obs, np.pi / 2, n_azimuth=8, iters=14,
+                       max_steps=30000)
+    assert hi0 * 1.1 < ac < np.pi / 2          # beyond the old cap

@@ -171,3 +171,22 @@ def test_closure_phase_two_point_analytic():
     # Compare on the circle.
     diff = np.angle(np.exp(1j * (cp - expect)))
     assert abs(diff) < 1e-6
+
+
+def test_pixel_scales_match_camera_focal_lengths():
+    """pixel_scales must be the exact reciprocal of the pinhole focal
+    lengths the render geometry uses (camera.focal_lengths) — the
+    visibility pixel scale and the camera model share one definition.
+    Non-square image + unequal FOV so an axis swap would be caught."""
+    from light_path_tracer_tpu.camera import focal_lengths
+    shape = (96, 160)
+    fov = (np.radians(24.0), np.radians(14.0))  # (horizontal, vertical)
+    dm, dl = obs.pixel_scales(shape, fov)
+    fx, fy = focal_lengths(shape, fov)
+    np.testing.assert_allclose(dl, 1.0 / fx, rtol=0, atol=0)
+    np.testing.assert_allclose(dm, 1.0 / fy, rtol=0, atol=0)
+    # And both equal the closed form 2*tan(fov/2)/npix per axis.
+    np.testing.assert_allclose(
+        dl, 2.0 * np.tan(fov[0] / 2.0) / shape[1], rtol=1e-12)
+    np.testing.assert_allclose(
+        dm, 2.0 * np.tan(fov[1] / 2.0) / shape[0], rtol=1e-12)

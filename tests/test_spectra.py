@@ -116,3 +116,21 @@ def test_hotspot_light_curve_periodic_and_beamed():
     np.testing.assert_allclose(f[:8], f[8:16], rtol=1e-5)
     # Beaming modulation is strong at 80 deg.
     assert f.max() / f.min() > 1.2
+
+
+def test_hotspot_light_curve_no_disk_pixels_with_delay():
+    """Out-of-frame disk geometry + light_travel_delay: with zero disk
+    pixels there is no earliest-arrival reference — delays must switch
+    off (delay_spread 0) instead of propagating inf into the pattern
+    times, and the flux stays finite (identically zero)."""
+    scene = SceneConfig(M=1.0, a=0.0, r_obs_mult=100.0,
+                        theta_obs=np.radians(80.0),
+                        psi_y=np.radians(60.0))   # BH far off screen
+    ts = np.linspace(0.0, 50.0, 5)
+    t, f, st = hotspot_light_curve(scene, (16, 16), ts, CFG,
+                                   DiskConfig(r_out=8.0), HotSpot(),
+                                   light_travel_delay=True)
+    assert st["disk_pixels"] == 0
+    assert st["delay_spread"] == 0.0
+    assert np.isfinite(f).all()
+    np.testing.assert_allclose(f, 0.0)
