@@ -47,6 +47,8 @@ __all__ = [
     "line_profile",
     "hotspot_light_curve",
     "render_polarization",
+    "render_volumetric",
+    "RIAFConfig",
     "trace_batch",
 ]
 
@@ -72,6 +74,9 @@ _LAZY = {
                             "render_polarization"),
     "hotspot_light_curve": ("light_path_tracer_tpu.spectra",
                             "hotspot_light_curve"),
+    "render_volumetric": ("light_path_tracer_tpu.volumetric",
+                          "render_volumetric"),
+    "RIAFConfig": ("light_path_tracer_tpu.volumetric", "RIAFConfig"),
     "trace_batch": ("light_path_tracer_tpu.ops.batch", "trace_batch"),
 }
 

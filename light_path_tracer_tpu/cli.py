@@ -481,6 +481,45 @@ def cmd_shadow(args) -> int:
     return 0
 
 
+def cmd_volumetric(args) -> int:
+    """Optically-thin hot-flow render (volumetric.py): RIAF torus /
+    power-law flow / uniform shell integrated along every geodesic."""
+    import matplotlib.image as mpimg
+    from matplotlib import cm
+    from light_path_tracer_tpu import camera
+    from light_path_tracer_tpu.volumetric import (RIAFConfig,
+                                                  render_volumetric)
+
+    scene = _scene_from(args)
+    cfg = _render_cfg_from(args)
+    riaf = RIAFConfig(
+        profile=args.profile, r_peak=args.r_peak, sigma_r=args.sigma_r,
+        h_cos=args.h_cos, index=args.index, shell_in=args.shell_in,
+        shell_out=args.shell_out, g_power=args.g_power,
+        prograde=not args.retrograde, tone_map=args.tone_map)
+    img, stats = render_volumetric(scene, (args.size, args.size), cfg,
+                                   riaf)
+    mpimg.imsave(args.output, cm.afmhot(np.asarray(img))[..., :3])
+    t = stats["timings"]
+    print(f"Volumetric ({args.profile}): {args.size}x{args.size}, "
+          f"a={scene.a}, "
+          f"alpha_crit={np.degrees(stats['alpha_crit']):.4f} deg, "
+          f"precompute {t.get('precompute', 0.0):.3f}s, "
+          f"render {t.get('render', 0.0):.3f}s")
+    rate = stats["traced_rays"] / max(t.get("precompute", 0.0), 1e-9)
+    print(f"  captured {stats['captured']:,} px, emission total "
+          f"{stats['emission_total']:.3f}, {rate:,.0f} rays/s")
+    if getattr(args, "visibility", None):
+        fov = camera.fov_from_vertical(scene.vertical_fov,
+                                       (args.size, args.size))
+        # The raw physical intensity (not the display-tone-mapped
+        # image) is the right input for the baseline domain.
+        _visibility_report(stats["emission"], fov, args.visibility,
+                           model="ring")
+    print(f"Saved: {args.output}")
+    return 0
+
+
 def cmd_disk(args) -> int:
     """Accretion-disk render (BASELINE.json config 4)."""
     import matplotlib
@@ -1068,6 +1107,44 @@ def build_parser():
                         "null")
     _add_multihost_args(p)
     p.set_defaults(fn=cmd_disk)
+
+    p = sub.add_parser("volumetric",
+                       help="optically-thin hot-flow render (RIAF "
+                            "torus: the M87*-style crescent image)")
+    _add_scene_args(p)
+    _add_render_args(p)
+    p.add_argument("--size", type=int, default=512)
+    p.add_argument("--profile", default="torus",
+                   choices=["torus", "powerlaw", "shell"],
+                   help="rest-frame emissivity: Gaussian torus, "
+                        "RIAF power-law with Gaussian scale height, "
+                        "or uniform spherical shell")
+    p.add_argument("--r-peak", type=float, default=4.5,
+                   help="torus center / power-law pivot radius [M]")
+    p.add_argument("--sigma-r", type=float, default=1.5,
+                   help="torus radial Gaussian width [M]")
+    p.add_argument("--h-cos", type=float, default=0.3,
+                   help="vertical Gaussian width in cos(theta)")
+    p.add_argument("--index", type=float, default=-1.5,
+                   help="power-law emissivity exponent")
+    p.add_argument("--shell-in", type=float, default=6.0,
+                   help="shell inner radius [M] (--profile shell)")
+    p.add_argument("--shell-out", type=float, default=10.0,
+                   help="shell outer radius [M] (--profile shell)")
+    p.add_argument("--g-power", type=float, default=3.0,
+                   help="redshift weight exponent p in g^p j "
+                        "(3 = I_nu invariance; 0 = pure path length)")
+    p.add_argument("--retrograde", action="store_true",
+                   help="reverse the flow rotation (flips the "
+                        "Doppler crescent)")
+    p.add_argument("--tone-map", default="sqrt",
+                   choices=["linear", "sqrt", "asinh"])
+    p.add_argument("--output", default="volumetric.png")
+    p.add_argument("--visibility", metavar="PATH",
+                   help="save the baseline-domain |V| profile of the "
+                        "raw emission image as PATH (.npz) and print "
+                        "the first-null ring diameter")
+    p.set_defaults(fn=cmd_volumetric)
 
     p = sub.add_parser("animate", help="camera-pan animation (GIF), "
                                        "one compile for all frames")

@@ -299,12 +299,71 @@ def finalize_angles(metric, y_f, p_t, p_phi, status_f):
     return final_alpha, n_half, status_out
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("metric", "r_obs", "theta_obs", "emission_fn",
+                     "lambda_max", "max_steps", "precision", "method"))
+def trace_rays_volumetric(metric, r_obs, alphas, thetas, theta_obs,
+                          emission_fn, lambda_max: float,
+                          max_steps: int = 200000,
+                          precision: str = "fast",
+                          method: str = "dp45"):
+    """Trace rays accumulating an optically-thin path integral.
+
+    emission_fn(y5, p_t, p_phi) -> per-lane emissivity weight (e.g.
+    g^p j_rest(r, theta); volumetric.make_emission_fn builds the RIAF
+    forms) is integrated along each geodesic as an error-controlled 6th
+    state component (dp45_integrate extra_rhs) — the optically-thin
+    radiative-transfer mode behind horizon-scale hot-flow images. No
+    reference counterpart (the reference renders background lensing
+    only). XLA path only; emission_fn must be a cached/stable function
+    object (it is a jit static arg — volumetric.make_emission_fn
+    lru_caches per (metric, config)).
+
+    Certain-capture early exit is deliberately OFF: plunging photons
+    collect emission all the way down to the capture surface, and the
+    plunge shortcut would park them early and lose it.
+
+    Returns VolumetricResult; the final-state angle fields mean a
+    single trace serves both the emission layer and a lensed
+    background composite.
+    """
+    from light_path_tracer_tpu.ops.types import VolumetricResult
+    dtype = alphas.dtype
+    tols = get_tols(dtype, precision)
+
+    y0, p_t, p_phi, invalid0 = metric.initial_conditions_5d(
+        r_obs, alphas, thetas, theta_obs)
+    y0 = (*y0, jnp.zeros_like(y0[0]))
+    status0 = jnp.where(invalid0, INVALID, RUNNING).astype(jnp.int32)
+
+    y_f, status_f, _lam, steps = dp45_integrate(
+        metric, y0, p_t, p_phi, status0,
+        atol=jnp.full_like(alphas, tols["atol"]),
+        rtol=jnp.full_like(alphas, tols["rtol"]),
+        h_min=jnp.asarray(tols["h_min"], dtype),
+        tiny_err=tols["tiny_err"],
+        r_capture=jnp.asarray(metric.capture_radius(), dtype),
+        r_escape=jnp.asarray(r_obs * 2.0, dtype),
+        lambda_max=lambda_max, h_init=_h_init_for(r_obs, dtype),
+        max_steps=max_steps, method=method, extra_rhs=emission_fn)
+
+    em = jnp.where(status_f == INVALID, jnp.asarray(0.0, dtype), y_f[5])
+    final_alpha, n_half, status_out = finalize_angles(
+        metric, y_f[:5], p_t, p_phi, status_f)
+    # finalize_angles promotes degenerate extractions to INVALID; the
+    # accumulated emission of such a lane is still physical, so em keys
+    # off the INTEGRATION status above, not status_out.
+    return VolumetricResult(em, final_alpha, n_half, status_out, steps)
+
+
 def dp45_integrate(metric, y0, p_t, p_phi, status0, *, atol, rtol, h_min,
                    tiny_err, r_capture, r_escape, lambda_max, h_init,
                    max_steps, event_interp="hermite", disk_plane=None,
                    max_disk_hits=2, r_plunge=None, formulation="theta",
                    method="dp45", disk_normal=None, extra_disks=None,
-                   record_momentum=False, record_time=False):
+                   record_momentum=False, record_time=False,
+                   extra_rhs=None):
     """The shared lock-step adaptive integration loop (DP45 or DOP853).
 
     method selects the embedded Runge-Kutta pair:
@@ -346,6 +405,25 @@ def dp45_integrate(metric, y0, p_t, p_phi, status0, *, atol, rtol, h_min,
         rhs = lambda y: metric.rhs5_mu(y, p_t, p_phi)
     else:
         rhs = lambda y: metric.rhs5(y, p_t, p_phi)
+    if extra_rhs is not None:
+        # Path-integral accumulator (volumetric emission, volumetric.py):
+        # the state gains a 6th component I with dI/dlambda =
+        # extra_rhs(y5, p_t, p_phi), integrated by the SAME embedded
+        # pair under the SAME error control as the dynamics — so the
+        # controller adapts steps to resolve the emissivity profile
+        # even where the geodesic alone is smooth (in the near-flat
+        # far field steps otherwise grow ~5x per accept and would
+        # straddle the entire emitting volume; a side trapezoid like
+        # record_time's would silently under-sample there). The caller
+        # appends I0 = 0 as y0[5]; every tuple helper (_axpy/_wsum/
+        # Hermite/scales) is component-generic, so events shorten the
+        # integral to the event point exactly like the coordinates.
+        if formulation == "mu":
+            raise ValueError("extra_rhs requires formulation='theta' "
+                             "(the emissivity evaluates the theta "
+                             "chart)")
+        base_rhs = rhs
+        rhs = lambda y: (*base_rhs(y[:5]), extra_rhs(y[:5], p_t, p_phi))
     if record_time:
         # Coordinate-time recorder (opt-in: two extra tdot evaluations
         # per lock-step iteration — light curves only, imaging paths
@@ -556,7 +634,8 @@ def dp45_integrate(metric, y0, p_t, p_phi, status0, *, atol, rtol, h_min,
                 e3_sq = e3_sq + r3 * r3
             denom = e5_sq + 0.01 * e3_sq
             err_norm = (h_eff * e5_sq
-                        / jnp.sqrt(jnp.maximum(5.0 * denom, 1e-30)))
+                        / jnp.sqrt(jnp.maximum(float(len(y0)) * denom,
+                                               1e-30)))
             # Stage derivatives can overflow to inf in f32 (the huge
             # A-coefficients probe far from y; near the sin^2 floor the
             # RHS overflows) while y5 itself stays finite; inf/inf above
@@ -574,7 +653,7 @@ def dp45_integrate(metric, y0, p_t, p_phi, status0, *, atol, rtol, h_min,
             for ei, sc in zip(err, scales):
                 ratio = jnp.where(finite_ok, ei / sc, 0.0)
                 err_sq = err_sq + ratio * ratio
-            err_norm = jnp.sqrt(err_sq / 5.0)
+            err_norm = jnp.sqrt(err_sq / float(len(y0)))
 
         accept = running & finite_ok & (err_norm <= 1.0)
         reject = running & finite_ok & (err_norm > 1.0)

@@ -26,3 +26,21 @@ class TraceResult(NamedTuple):
     # across dispatches. Same contract on every backend: total sequential
     # step work actually executed.
     n_steps: jnp.ndarray
+
+
+class VolumetricResult(NamedTuple):
+    """Per-ray volumetric (optically-thin) trace outcome.
+
+    emission is the path integral of the caller's emissivity weight
+    along the geodesic, integrated as an error-controlled 6th state
+    component (ops/kerr_trace.py extra_rhs); 0 for invalid lanes.
+    final_alpha / n_half_orbits describe the ray's FINAL state exactly
+    as in TraceResult (NaN final_alpha when captured), so a volumetric
+    layer can be composited over a lensed background from ONE trace.
+    """
+
+    emission: jnp.ndarray       # (N,) float — integral j g^p dlambda
+    final_alpha: jnp.ndarray    # (N,) float
+    n_half_orbits: jnp.ndarray  # (N,) int32
+    status: jnp.ndarray         # (N,) int32
+    n_steps: jnp.ndarray        # () int32

@@ -1,0 +1,177 @@
+"""Volumetric (optically-thin) rendering oracles.
+
+Strategy mirrors the other physics modules: closed-form oracles where
+they exist (flat-space chord lengths through a uniform shell), physical
+orderings where they don't (Doppler beaming asymmetry and its flip
+under retrograde flow, face-on symmetry), and exact-equality wiring
+checks (charged hooks at Q = 0).
+"""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from light_path_tracer_tpu.models.kerr import Kerr
+from light_path_tracer_tpu.models.kerr_newman import KerrNewman
+from light_path_tracer_tpu.ops.kerr_trace import (CAPTURED, ESCAPED,
+                                                  trace_rays_volumetric)
+from light_path_tracer_tpu.utils.config import SceneConfig, RenderConfig
+from light_path_tracer_tpu.volumetric import (RIAFConfig, make_emission_fn,
+                                              render_volumetric)
+
+
+CFG = RenderConfig(backend="xla")
+
+
+def _shell_trace(metric, b, r_obs=2000.0, **riaf_kw):
+    riaf_kw.setdefault("profile", "shell")
+    riaf_kw.setdefault("shell_in", 200.0)
+    riaf_kw.setdefault("shell_out", 240.0)
+    riaf_kw.setdefault("g_power", 0.0)
+    riaf = RIAFConfig(**riaf_kw)
+    fn = make_emission_fn(metric, riaf)
+    alphas = jnp.asarray(np.arcsin(np.asarray(b) / r_obs), jnp.float64)
+    thetas = jnp.zeros_like(alphas)
+    return trace_rays_volumetric(metric, r_obs, alphas, thetas,
+                                 np.pi / 2, fn, 12000.0, 200000)
+
+
+def test_shell_chord_lengths_flat_limit():
+    """Weak-field shell far from the hole: the path integral of unit
+    emissivity is the geometric chord length through the shell, to the
+    O(M/r) gravitational corrections (~2% at r ~ 200M)."""
+    b = np.array([30.0, 60.0, 100.0, 150.0, 210.0])
+    res = _shell_trace(Kerr(1.0, 0.0), b)
+
+    def chord(bi, R):
+        return 2.0 * np.sqrt(max(R * R - bi * bi, 0.0))
+
+    expect = np.array([chord(x, 240.0) - chord(x, 200.0) for x in b])
+    em = np.asarray(res.emission)
+    assert (np.asarray(res.status) == ESCAPED).all()
+    np.testing.assert_allclose(em, expect, rtol=0.02)
+
+
+def test_shell_miss_ray_zero_and_captured_half_chord():
+    """b outside the shell: ~zero emission. b = 0 (radial plunge): the
+    ray crosses the shell ONCE on the way in and is captured, so it
+    collects exactly HALF the through-chord — the capture event
+    shortens the integral to the event point."""
+    b = np.array([0.0, 245.0])
+    res = _shell_trace(Kerr(1.0, 0.0), b)
+    em = np.asarray(res.emission)
+    status = np.asarray(res.status)
+    assert status[0] == CAPTURED and status[1] == ESCAPED
+    np.testing.assert_allclose(em[0], 0.5 * (2 * 240.0 - 2 * 200.0),
+                               rtol=0.01)
+    assert em[1] < 1e-3
+
+
+def test_charged_hooks_reduce_to_kerr_at_zero_charge():
+    """The emission function reads the metric through the _two_M_r /
+    _Delta_b hooks; at Q = 0 the Kerr-Newman volumetric trace must
+    match Kerr's to integrator roundoff."""
+    b = np.array([60.0, 210.0])
+    em_k = np.asarray(_shell_trace(Kerr(1.0, 0.7), b).emission)
+    em_kn = np.asarray(_shell_trace(KerrNewman(1.0, 0.7, 0.0),
+                                    b).emission)
+    np.testing.assert_allclose(em_kn, em_k, rtol=1e-10)
+    # And a genuinely charged trace runs and stays finite/positive.
+    em_q = np.asarray(_shell_trace(KerrNewman(1.0, 0.7, 0.5),
+                                   b).emission)
+    assert np.isfinite(em_q).all() and (em_q > 0).all()
+
+
+def _torus_image(a=0.9, inc_deg=80.0, prograde=True, res=(64, 64),
+                 g_power=3.0):
+    scene = SceneConfig(M=1.0, a=a, r_obs_mult=100.0,
+                        theta_obs=np.radians(inc_deg))
+    riaf = RIAFConfig(g_power=g_power, prograde=prograde)
+    img, st = render_volumetric(scene, res, CFG, riaf)
+    return np.asarray(st["emission"]), st
+
+
+def _mirror_halves(em):
+    """Left/right sums over mirror-symmetric column ranges.
+
+    The camera grid has NO half-pixel offset (x_cam = (px - W/2)/fx,
+    reference parity), so column W//2 is exactly on-axis: columns
+    W//2 -+ k are the mirror pair, and a naive [:, :W//2] split is off
+    by one column. Sum 1..W//2-1 against W//2+1..W-1."""
+    h = em.shape[1] // 2
+    return em[:, 1:h].sum(), em[:, h + 1:].sum()
+
+
+def test_torus_doppler_crescent_and_retrograde_flip():
+    """Edge-on rotating torus: the approaching side is Doppler-beamed
+    (g^3), producing a strongly one-sided crescent; reversing the flow
+    direction mirrors the whole image (a = 0: phi -> -phi isometry)."""
+    em_pro, st = _torus_image(a=0.0, prograde=True)
+    em_ret, _ = _torus_image(a=0.0, prograde=False)
+    assert st["invalid"] == 0 and st["captured"] > 0
+    l_pro, r_pro = _mirror_halves(em_pro)
+    l_ret, r_ret = _mirror_halves(em_ret)
+    hi_pro, lo_pro = max(l_pro, r_pro), min(l_pro, r_pro)
+    assert hi_pro > 2.0 * lo_pro          # a real crescent
+    # The flip: whichever side was bright goes dim and vice versa.
+    if l_pro > r_pro:
+        assert r_ret > l_ret
+    else:
+        assert l_ret > r_ret
+    # Exact mirror: em_ret(column W//2 + k) == em_pro(column W//2 - k).
+    np.testing.assert_allclose(em_ret[:, 1:], em_pro[:, :0:-1],
+                               rtol=0.02, atol=1e-4 * em_pro.max())
+
+
+def test_torus_face_on_is_nearly_symmetric():
+    """Near-face-on: the line-of-sight component of the orbital
+    velocity scales as sin(inclination), so the Doppler asymmetry
+    collapses (measured ~3% residual at 2 deg from the g^3 weighting
+    of the ~0.01c projected flow) — an order of magnitude below the
+    edge-on crescent's."""
+    em, _ = _torus_image(a=0.0, inc_deg=2.0)
+    left, right = _mirror_halves(em)
+    asym_face = abs(left - right) / (left + right)
+    assert asym_face < 0.05
+    em_edge, _ = _torus_image(a=0.0, inc_deg=80.0)
+    l_e, r_e = _mirror_halves(em_edge)
+    asym_edge = abs(l_e - r_e) / (l_e + r_e)
+    assert asym_edge > 5.0 * asym_face
+    assert em.sum() > 0
+
+
+def test_g_power_zero_is_pure_path_length():
+    """g_power = 0 removes the redshift weighting: edge-on asymmetry
+    collapses to near-symmetric (pure geometry)."""
+    em, _ = _torus_image(a=0.0, g_power=0.0)
+    left, right = _mirror_halves(em)
+    np.testing.assert_allclose(left, right, rtol=0.05)
+
+
+def test_config_validation():
+    with pytest.raises(ValueError, match="profile"):
+        make_emission_fn(Kerr(1.0, 0.0), RIAFConfig(profile="blob"))
+    with pytest.raises(ValueError, match="shell_out"):
+        make_emission_fn(Kerr(1.0, 0.0), RIAFConfig(profile="shell"))
+    from light_path_tracer_tpu.models.johannsen_psaltis import (
+        JohannsenPsaltis)
+    with pytest.raises(ValueError, match="Johannsen-Psaltis"):
+        make_emission_fn(JohannsenPsaltis(1.0, 0.5, eps3=2.0),
+                         RIAFConfig())
+
+
+def test_render_volumetric_image_contract():
+    """Image is [0, 1] float32, tone-mapped from the raw emission in
+    stats; powerlaw profile also renders finite."""
+    scene = SceneConfig(M=1.0, a=0.9, r_obs_mult=100.0,
+                        theta_obs=np.radians(60.0))
+    img, st = render_volumetric(scene, (32, 32), CFG,
+                                RIAFConfig(profile="powerlaw",
+                                           tone_map="linear"))
+    img = np.asarray(img)
+    assert img.shape == (32, 32) and img.dtype == np.float32
+    assert img.min() >= 0.0 and img.max() <= 1.0 + 1e-6
+    em = st["emission"]
+    np.testing.assert_allclose(img, em / em.max(), rtol=1e-5,
+                               atol=1e-7)
+    assert st["integrator_steps"] > 0
