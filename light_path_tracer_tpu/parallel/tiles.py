@@ -210,3 +210,68 @@ def disk_per_tile(metric, r_obs, theta_obs, lambda_max, max_steps, disk,
         spec, spec, (spec,) * disk.max_hits, spec, spec, spec, spec,
         (spec,) * disk.max_hits, (spec,) * n_xi, (), ())
     return per_tile, out_specs
+
+
+def trace_volumetric_grid_sharded(metric, r_obs, alpha_grid, theta_grid,
+                                  theta_obs, emission_fn, *, mesh: Mesh,
+                                  lambda_max=None, max_steps=200000,
+                                  precision="fast", method="dp45",
+                                  layout="stripes"):
+    """Volumetric trace of an (H, W) grid sharded row-wise over `mesh`.
+
+    Same tile-DP pattern as trace_grid_sharded: each device integrates
+    its own rows' path integrals (ops/kerr_trace.trace_rays_volumetric
+    with the error-controlled emission component); only the output
+    gather communicates. emission_fn must be the cached object from
+    volumetric.make_emission_fn (it is a static arg of the per-tile
+    jit). Returns a VolumetricResult of (H, W) grids; n_steps sums over
+    devices (includes padded duplicate rows' work when H is not
+    divisible by the device count — telemetry, not physics).
+    """
+    from light_path_tracer_tpu.ops.kerr_trace import trace_rays_volumetric
+    from light_path_tracer_tpu.ops.types import VolumetricResult
+
+    axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+    H, W = alpha_grid.shape
+    H_pad = ((H + n_dev - 1) // n_dev) * n_dev
+    if lambda_max is None:
+        lambda_max = max(5000.0, 6.0 * float(r_obs))
+
+    if layout == "stripes":
+        perm = np.argsort(np.arange(H_pad) % n_dev, kind="stable")
+    else:
+        perm = np.arange(H_pad)
+    inv_perm = np.argsort(perm)
+
+    def place(grid):
+        return _pad_rows(grid, H_pad)[perm]
+
+    alpha_p, theta_p = place(alpha_grid), place(theta_grid)
+    shard_map = shard_map_fn()
+
+    def per_tile(a, t):
+        res = trace_rays_volumetric(
+            metric, float(r_obs), a.ravel(), t.ravel(),
+            float(theta_obs), emission_fn, float(lambda_max),
+            max_steps, precision=precision, method=method)
+        return VolumetricResult(
+            res.emission.reshape(a.shape),
+            res.final_alpha.reshape(a.shape),
+            res.n_half_orbits.reshape(a.shape),
+            res.status.reshape(a.shape),
+            jnp.reshape(res.n_steps, (1, 1)))
+
+    spec = P(axis, None)
+    f = shard_map(per_tile, mesh=mesh, in_specs=(spec, spec),
+                  out_specs=VolumetricResult(spec, spec, spec, spec,
+                                             spec))
+    res = jax.jit(f)(alpha_p, theta_p)
+
+    def unplace(grid):
+        return grid[inv_perm][:H]
+
+    return VolumetricResult(
+        unplace(res.emission), unplace(res.final_alpha),
+        unplace(res.n_half_orbits), unplace(res.status),
+        jnp.sum(res.n_steps))

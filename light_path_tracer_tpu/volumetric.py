@@ -173,7 +173,7 @@ def make_emission_fn(metric, riaf: RIAFConfig):
 
 def render_volumetric(scene: SceneConfig, resolution,
                       cfg: RenderConfig = RenderConfig(),
-                      riaf: RIAFConfig = RIAFConfig()):
+                      riaf: RIAFConfig = RIAFConfig(), mesh=None):
     """Volumetric hot-flow image; returns (image (H, W) float32 in
     [0, 1], stats).  stats['emission'] holds the raw (un-tone-mapped)
     per-pixel path integrals as a NumPy array for quantitative use
@@ -182,6 +182,8 @@ def render_volumetric(scene: SceneConfig, resolution,
     The integrator backend is the XLA shared adaptive loop regardless
     of cfg.backend (the emissivity rides the error-controlled state;
     the Pallas tile kernel does not carry the extra component).
+    mesh: a jax.sharding.Mesh routes the trace through row-striped
+    tile DP (parallel.tiles.trace_volumetric_grid_sharded).
     """
     metric = _scene_metric(scene)
     make_emission_fn(metric, riaf)  # validate config before tracing
@@ -201,11 +203,19 @@ def render_volumetric(scene: SceneConfig, resolution,
 
     emission_fn = make_emission_fn(metric, riaf)
     with timer.stage("precompute") as out:
-        res = trace_rays_volumetric(
-            metric, scene.r_obs, alpha.ravel(), theta.ravel(),
-            scene.theta_obs, emission_fn,
-            max(5000.0, 6.0 * scene.r_obs), cfg.max_steps,
-            precision=cfg.precision, method=cfg.integrator)
+        if mesh is not None:
+            from light_path_tracer_tpu.parallel.tiles import (
+                trace_volumetric_grid_sharded)
+            res = trace_volumetric_grid_sharded(
+                metric, scene.r_obs, alpha, theta, scene.theta_obs,
+                emission_fn, mesh=mesh, max_steps=cfg.max_steps,
+                precision=cfg.precision, method=cfg.integrator)
+        else:
+            res = trace_rays_volumetric(
+                metric, scene.r_obs, alpha.ravel(), theta.ravel(),
+                scene.theta_obs, emission_fn,
+                max(5000.0, 6.0 * scene.r_obs), cfg.max_steps,
+                precision=cfg.precision, method=cfg.integrator)
         out.append(res.emission)
 
     with timer.stage("render") as out:

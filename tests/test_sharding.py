@@ -152,3 +152,30 @@ def test_kerr_newman_sharded_equals_single_device():
     # vectorizes with different FMA contraction and one near-grazing
     # lane lands at 2.3e-12 relative.
     np.testing.assert_allclose(np.asarray(fa)[ok], fa_1[ok], rtol=1e-11)
+
+
+def test_volumetric_sharded_equals_single_device():
+    """Volumetric tile DP: the sharded path-integral grid matches the
+    single-device trace (tolerance: different batch shapes may
+    vectorize with different FMA contraction)."""
+    from light_path_tracer_tpu.ops.kerr_trace import trace_rays_volumetric
+    from light_path_tracer_tpu.parallel.tiles import (
+        trace_volumetric_grid_sharded)
+    from light_path_tracer_tpu.volumetric import RIAFConfig, make_emission_fn
+
+    mesh = make_mesh()
+    alpha = camera.build_alpha_lookup(DIM, FOV, dtype=jnp.float64)
+    theta = camera.build_theta_lookup(DIM, FOV, dtype=jnp.float64)
+    m = Kerr(M=1.0, a=0.9)
+    fn = make_emission_fn(m, RIAFConfig())
+    res1 = trace_rays_volumetric(m, R_OBS, alpha.ravel(), theta.ravel(),
+                                 np.pi / 2, fn, 5000.0, 200000)
+    em1 = np.asarray(res1.emission.reshape(DIM))
+
+    res = trace_volumetric_grid_sharded(m, R_OBS, alpha, theta,
+                                        np.pi / 2, fn, mesh=mesh)
+    np.testing.assert_array_equal(np.asarray(res.status),
+                                  np.asarray(res1.status.reshape(DIM)))
+    np.testing.assert_allclose(np.asarray(res.emission), em1,
+                               rtol=1e-10, atol=1e-12)
+    assert int(res.n_steps) > 0
