@@ -15,10 +15,11 @@ Protocol (JSON over HTTP, no external deps):
 
     POST /render
         {"mode": "shadow" | "lens" | "disk" | "composite"
-                 | "magnification",
+                 | "magnification" | "volumetric",
          "scene":  {... SceneConfig fields, angles in DEGREES ...},
          "render": {... RenderConfig fields ...},
          "disk":   {... DiskConfig fields (disk/composite modes) ...},
+         "riaf":   {... RIAFConfig fields (volumetric mode) ...},
          "size": [H, W]                 (shadow/disk; lens uses image),
          "image_b64": "<base64 PNG/NPY>" (lens/composite background),
          "format": "png" | "npy"}
@@ -96,6 +97,20 @@ def _disk_cfg_from_json(d: dict):
     return DiskConfig(**kw)
 
 
+def _riaf_cfg_from_json(d: dict):
+    from light_path_tracer_tpu.volumetric import RIAFConfig
+    riaf = RIAFConfig(**dict(d or {}))
+    # Field-value validation normally happens inside render_volumetric
+    # (make_emission_fn); run it here so a bad profile/shell config is
+    # a 400 client error, not a 500 mid-render.
+    if riaf.profile not in ("torus", "powerlaw", "shell"):
+        raise ValueError(f"riaf.profile must be 'torus', 'powerlaw' "
+                         f"or 'shell', got {riaf.profile!r}")
+    if riaf.profile == "shell" and not riaf.shell_out > riaf.shell_in:
+        raise ValueError("shell profile needs shell_out > shell_in")
+    return riaf
+
+
 def _decode_image(b64: str) -> np.ndarray:
     raw = base64.b64decode(b64)
     if raw[:6] == b"\x93NUMPY":
@@ -145,16 +160,17 @@ class RenderService:
         self._signatures: dict[str, dict] = {}
 
     def signature(self, mode, scene: SceneConfig, cfg: RenderConfig,
-                  size, disk) -> str:
+                  size, disk, riaf=None) -> str:
         """The compiled-program identity: static argnums only. psi, M,
         a, boost are traced-or-refolded per call by the pipelines, but
         M/a/psi DO enter compiled constants in the static paths — the
         honest signature is everything except the background image."""
         return json.dumps([mode, list(size or ()), repr(scene),
-                           repr(cfg), repr(disk)], sort_keys=True)
+                           repr(cfg), repr(disk), repr(riaf)],
+                          sort_keys=True)
 
     def render(self, mode: str, scene: SceneConfig, cfg: RenderConfig,
-               size=None, source_image=None, disk=None,
+               size=None, source_image=None, disk=None, riaf=None,
                deadline_s: float | None = None):
         """Returns (image ndarray, seconds, cache 'warm'|'cold').
 
@@ -165,7 +181,7 @@ class RenderService:
         """
         deadline = (self.default_deadline_s if deadline_s is None
                     else float(deadline_s))
-        sig = self.signature(mode, scene, cfg, size, disk)
+        sig = self.signature(mode, scene, cfg, size, disk, riaf)
         with self._meta:
             if self._waiting >= self.max_queue:
                 raise Overloaded(
@@ -199,6 +215,11 @@ class RenderService:
                     render_magnification)
                 img, _stats = render_magnification(scene, tuple(size),
                                                    cfg)
+            elif mode == "volumetric":
+                from light_path_tracer_tpu.volumetric import (
+                    render_volumetric, RIAFConfig)
+                img, _stats = render_volumetric(
+                    scene, tuple(size), cfg, riaf or RIAFConfig())
             elif mode == "composite":
                 from light_path_tracer_tpu.disk import (
                     render_scene_with_disk, composite_gamma_encode)
@@ -278,16 +299,20 @@ def make_server(host: str = "127.0.0.1", port: int = 0,
                     req = json.loads(self.rfile.read(length) or b"{}")
                     mode = req.get("mode", "shadow")
                     if mode not in ("shadow", "lens", "disk",
-                                    "composite", "magnification"):
+                                    "composite", "magnification",
+                                    "volumetric"):
                         raise ValueError(f"unknown mode {mode!r}")
                     scene = _scene_from_json(req.get("scene", {}))
                     cfg = _render_cfg_from_json(req.get("render", {}))
                     disk = (_disk_cfg_from_json(req.get("disk", {}))
                             if mode in ("disk", "composite") else None)
+                    riaf = (_riaf_cfg_from_json(req.get("riaf", {}))
+                            if mode == "volumetric" else None)
                     src = (_decode_image(req["image_b64"])
                            if mode in ("lens", "composite") else None)
                     size = req.get("size", [256, 256])
-                    if mode in ("shadow", "disk", "magnification"):
+                    if mode in ("shadow", "disk", "magnification",
+                                "volumetric"):
                         if (len(size) != 2
                                 or any(int(v) <= 0 for v in size)):
                             raise ValueError(
@@ -311,7 +336,7 @@ def make_server(host: str = "127.0.0.1", port: int = 0,
                 try:
                     img, dt, cache = svc.render(
                         mode, scene, cfg, size=size, source_image=src,
-                        disk=disk, deadline_s=deadline_s)
+                        disk=disk, riaf=riaf, deadline_s=deadline_s)
                     fmt = req.get("format", "png")
                     if mode == "magnification" and fmt == "png":
                         # Raw signed mu (with NaN shadow) is an npy

@@ -320,3 +320,25 @@ def test_magnification_mode(server_url):
     payload["format"] = "png"
     status2, body2, hdr2 = _post(url, payload)
     assert status2 == 200 and hdr2["Content-Type"] == "image/png"
+
+
+def test_volumetric_mode(server_url):
+    url, _server = server_url
+    payload = {"mode": "volumetric", "size": [24, 24], "format": "npy",
+               "scene": {"a": 0.9, "theta_obs": 80.0},
+               "riaf": {"profile": "torus", "g_power": 3.0},
+               "render": {"max_steps": 20000}}
+    status, body, hdr = _post(url, payload)
+    assert status == 200
+    img = _npy(body)
+    assert img.shape == (24, 24)
+    assert np.isfinite(img).all()
+    assert img.max() > 0                         # emission present
+    # Second identical request hits the warm compiled-program cache.
+    status2, _body2, hdr2 = _post(url, payload)
+    assert status2 == 200 and hdr2["X-Cache"] == "warm"
+    # Bad riaf field -> 400 (client error, not a crash).
+    bad = dict(payload, riaf={"profile": "blob"})
+    status3, body3, _ = _post_raw(url, bad)
+    assert status3 == 400
+    assert b"profile" in body3
