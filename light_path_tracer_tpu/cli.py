@@ -496,7 +496,8 @@ def cmd_volumetric(args) -> int:
         profile=args.profile, r_peak=args.r_peak, sigma_r=args.sigma_r,
         h_cos=args.h_cos, index=args.index, shell_in=args.shell_in,
         shell_out=args.shell_out, g_power=args.g_power,
-        prograde=not args.retrograde, tone_map=args.tone_map)
+        prograde=not args.retrograde, tone_map=args.tone_map,
+        alpha0=args.alpha0)
     img, stats = render_volumetric(scene, (args.size, args.size), cfg,
                                    riaf)
     mpimg.imsave(args.output, cm.afmhot(np.asarray(img))[..., :3])
@@ -509,6 +510,9 @@ def cmd_volumetric(args) -> int:
     rate = stats["traced_rays"] / max(t.get("precompute", 0.0), 1e-9)
     print(f"  captured {stats['captured']:,} px, emission total "
           f"{stats['emission_total']:.3f}, {rate:,.0f} rays/s")
+    if args.alpha0 > 0.0:
+        print(f"  self-absorbed: alpha0={args.alpha0}, "
+              f"max optical depth {stats['tau_max']:.2f}")
     if getattr(args, "visibility", None):
         fov = camera.fov_from_vertical(scene.vertical_fov,
                                        (args.size, args.size))
@@ -1139,6 +1143,11 @@ def build_parser():
                         "Doppler crescent)")
     p.add_argument("--tone-map", default="sqrt",
                    choices=["linear", "sqrt", "asinh"])
+    p.add_argument("--alpha0", type=float, default=0.0,
+                   help="gray opacity scale [1/M]: rest-frame "
+                        "absorption alpha0 * j(r, theta) (uniform "
+                        "source function 1/alpha0); 0 = optically "
+                        "thin")
     p.add_argument("--output", default="volumetric.png")
     p.add_argument("--visibility", metavar="PATH",
                    help="save the baseline-domain |V| profile of the "

@@ -302,23 +302,43 @@ def finalize_angles(metric, y_f, p_t, p_phi, status_f):
 @functools.partial(
     jax.jit,
     static_argnames=("metric", "r_obs", "theta_obs", "emission_fn",
-                     "lambda_max", "max_steps", "precision", "method"))
+                     "lambda_max", "max_steps", "precision", "method",
+                     "absorption_fn"))
 def trace_rays_volumetric(metric, r_obs, alphas, thetas, theta_obs,
                           emission_fn, lambda_max: float,
                           max_steps: int = 200000,
                           precision: str = "fast",
-                          method: str = "dp45"):
-    """Trace rays accumulating an optically-thin path integral.
+                          method: str = "dp45",
+                          absorption_fn=None):
+    """Trace rays accumulating a volumetric radiative-transfer integral.
 
     emission_fn(y5, p_t, p_phi) -> per-lane emissivity weight (e.g.
     g^p j_rest(r, theta); volumetric.make_emission_fn builds the RIAF
     forms) is integrated along each geodesic as an error-controlled 6th
-    state component (dp45_integrate extra_rhs) — the optically-thin
-    radiative-transfer mode behind horizon-scale hot-flow images. No
-    reference counterpart (the reference renders background lensing
-    only). XLA path only; emission_fn must be a cached/stable function
-    object (it is a jit static arg — volumetric.make_emission_fn
-    lru_caches per (metric, config)).
+    state component (dp45_integrate extra_rhs) — the radiative-transfer
+    mode behind horizon-scale hot-flow images. No reference counterpart
+    (the reference renders background lensing only). XLA path only;
+    emission_fn/absorption_fn must be cached/stable function objects
+    (they are jit static args — volumetric.make_transfer_fns lru_caches
+    per (metric, config)).
+
+    absorption_fn (optional) enables self-absorbed (optically thick)
+    transfer: absorption_fn(y5, p_t, p_phi) -> the invariant opacity
+    chi = nu_local * alpha_nu,rest (per unit affine length). The state
+    then carries TWO extra components — the attenuated intensity I and
+    the optical depth tau accumulated from the camera:
+
+        d tau / d lambda = chi(y5)
+        d I   / d lambda = exp(-tau) * emission(y5)
+
+    which is exactly the formal solution of dI/ds = j - alpha I
+    evaluated along the backward (camera -> source) trace: each
+    emission element is attenuated by the matter between it and the
+    camera. absorption_fn = None is the optically-thin limit (one
+    extra component, chi = 0 identically, bitwise the original path).
+    Both components ride the SAME embedded error estimator, so the
+    controller resolves the photosphere (the tau ~ 1 transition) like
+    any other dynamics.
 
     Certain-capture early exit is deliberately OFF: plunging photons
     collect emission all the way down to the capture surface, and the
@@ -326,7 +346,8 @@ def trace_rays_volumetric(metric, r_obs, alphas, thetas, theta_obs,
 
     Returns VolumetricResult; the final-state angle fields mean a
     single trace serves both the emission layer and a lensed
-    background composite.
+    background composite (optical_depth then also screens the
+    background: transmitted = exp(-tau) * background).
     """
     from light_path_tracer_tpu.ops.types import VolumetricResult
     dtype = alphas.dtype
@@ -334,7 +355,17 @@ def trace_rays_volumetric(metric, r_obs, alphas, thetas, theta_obs,
 
     y0, p_t, p_phi, invalid0 = metric.initial_conditions_5d(
         r_obs, alphas, thetas, theta_obs)
-    y0 = (*y0, jnp.zeros_like(y0[0]))
+    if absorption_fn is None:
+        y0 = (*y0, jnp.zeros_like(y0[0]))
+        extra = lambda y, pt, pp: (emission_fn(y[:5], pt, pp),)
+    else:
+        # y[5] = I (attenuated intensity), y[6] = tau (optical depth
+        # from the camera). exp underflows to 0.0 past tau ~ 88 in f32
+        # — benign: a fully opaque foreground transmits nothing.
+        y0 = (*y0, jnp.zeros_like(y0[0]), jnp.zeros_like(y0[0]))
+        extra = lambda y, pt, pp: (
+            jnp.exp(-y[6]) * emission_fn(y[:5], pt, pp),
+            absorption_fn(y[:5], pt, pp))
     status0 = jnp.where(invalid0, INVALID, RUNNING).astype(jnp.int32)
 
     y_f, status_f, _lam, steps = dp45_integrate(
@@ -346,15 +377,19 @@ def trace_rays_volumetric(metric, r_obs, alphas, thetas, theta_obs,
         r_capture=jnp.asarray(metric.capture_radius(), dtype),
         r_escape=jnp.asarray(r_obs * 2.0, dtype),
         lambda_max=lambda_max, h_init=_h_init_for(r_obs, dtype),
-        max_steps=max_steps, method=method, extra_rhs=emission_fn)
+        max_steps=max_steps, method=method, extra_rhs=extra)
 
-    em = jnp.where(status_f == INVALID, jnp.asarray(0.0, dtype), y_f[5])
+    zero = jnp.asarray(0.0, dtype)
+    em = jnp.where(status_f == INVALID, zero, y_f[5])
+    tau = (jnp.zeros_like(em) if absorption_fn is None
+           else jnp.where(status_f == INVALID, zero, y_f[6]))
     final_alpha, n_half, status_out = finalize_angles(
         metric, y_f[:5], p_t, p_phi, status_f)
     # finalize_angles promotes degenerate extractions to INVALID; the
     # accumulated emission of such a lane is still physical, so em keys
     # off the INTEGRATION status above, not status_out.
-    return VolumetricResult(em, final_alpha, n_half, status_out, steps)
+    return VolumetricResult(em, final_alpha, n_half, status_out, steps,
+                            tau)
 
 
 def dp45_integrate(metric, y0, p_t, p_phi, status0, *, atol, rtol, h_min,
@@ -407,23 +442,29 @@ def dp45_integrate(metric, y0, p_t, p_phi, status0, *, atol, rtol, h_min,
         rhs = lambda y: metric.rhs5(y, p_t, p_phi)
     if extra_rhs is not None:
         # Path-integral accumulator (volumetric emission, volumetric.py):
-        # the state gains a 6th component I with dI/dlambda =
-        # extra_rhs(y5, p_t, p_phi), integrated by the SAME embedded
-        # pair under the SAME error control as the dynamics — so the
-        # controller adapts steps to resolve the emissivity profile
-        # even where the geodesic alone is smooth (in the near-flat
-        # far field steps otherwise grow ~5x per accept and would
-        # straddle the entire emitting volume; a side trapezoid like
-        # record_time's would silently under-sample there). The caller
-        # appends I0 = 0 as y0[5]; every tuple helper (_axpy/_wsum/
-        # Hermite/scales) is component-generic, so events shorten the
-        # integral to the event point exactly like the coordinates.
+        # the state gains extra components with d(extras)/dlambda =
+        # extra_rhs(y, p_t, p_phi) — y is the FULL state tuple
+        # (r, theta, phi, p_r, p_theta, *extras) and the return is a
+        # tuple of one derivative per extra component, so coupled
+        # transfer terms (e.g. intensity attenuated by the accumulated
+        # optical depth, trace_rays_volumetric absorption mode) see the
+        # current extras at every RK stage. The extras are integrated
+        # by the SAME embedded pair under the SAME error control as the
+        # dynamics — so the controller adapts steps to resolve the
+        # emissivity profile even where the geodesic alone is smooth
+        # (in the near-flat far field steps otherwise grow ~5x per
+        # accept and would straddle the entire emitting volume; a side
+        # trapezoid like record_time's would silently under-sample
+        # there). The caller appends the matching zeros to y0; every
+        # tuple helper (_axpy/_wsum/Hermite/scales) is
+        # component-generic, so events shorten the integral to the
+        # event point exactly like the coordinates.
         if formulation == "mu":
             raise ValueError("extra_rhs requires formulation='theta' "
                              "(the emissivity evaluates the theta "
                              "chart)")
         base_rhs = rhs
-        rhs = lambda y: (*base_rhs(y[:5]), extra_rhs(y[:5], p_t, p_phi))
+        rhs = lambda y: (*base_rhs(y[:5]), *extra_rhs(y, p_t, p_phi))
     if record_time:
         # Coordinate-time recorder (opt-in: two extra tdot evaluations
         # per lock-step iteration — light curves only, imaging paths

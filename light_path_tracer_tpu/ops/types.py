@@ -29,18 +29,24 @@ class TraceResult(NamedTuple):
 
 
 class VolumetricResult(NamedTuple):
-    """Per-ray volumetric (optically-thin) trace outcome.
+    """Per-ray volumetric radiative-transfer trace outcome.
 
     emission is the path integral of the caller's emissivity weight
     along the geodesic, integrated as an error-controlled 6th state
-    component (ops/kerr_trace.py extra_rhs); 0 for invalid lanes.
+    component (ops/kerr_trace.py extra_rhs); 0 for invalid lanes. In
+    absorption mode (trace_rays_volumetric absorption_fn) it is the
+    self-absorbed intensity integral j g^p exp(-tau) dlambda and
+    optical_depth carries the ray's TOTAL optical depth (zeros in the
+    optically-thin mode).
     final_alpha / n_half_orbits describe the ray's FINAL state exactly
     as in TraceResult (NaN final_alpha when captured), so a volumetric
-    layer can be composited over a lensed background from ONE trace.
+    layer can be composited over a lensed background from ONE trace
+    (exp(-optical_depth) screens the background).
     """
 
-    emission: jnp.ndarray       # (N,) float — integral j g^p dlambda
+    emission: jnp.ndarray       # (N,) float — integral j g^p e^-tau dlam
     final_alpha: jnp.ndarray    # (N,) float
     n_half_orbits: jnp.ndarray  # (N,) int32
     status: jnp.ndarray         # (N,) int32
     n_steps: jnp.ndarray        # () int32
+    optical_depth: jnp.ndarray  # (N,) float — total tau (0 when thin)

@@ -216,14 +216,15 @@ def trace_volumetric_grid_sharded(metric, r_obs, alpha_grid, theta_grid,
                                   theta_obs, emission_fn, *, mesh: Mesh,
                                   lambda_max=None, max_steps=200000,
                                   precision="fast", method="dp45",
-                                  layout="stripes"):
+                                  layout="stripes", absorption_fn=None):
     """Volumetric trace of an (H, W) grid sharded row-wise over `mesh`.
 
     Same tile-DP pattern as trace_grid_sharded: each device integrates
     its own rows' path integrals (ops/kerr_trace.trace_rays_volumetric
     with the error-controlled emission component); only the output
-    gather communicates. emission_fn must be the cached object from
-    volumetric.make_emission_fn (it is a static arg of the per-tile
+    gather communicates. emission_fn (and absorption_fn, for the
+    self-absorbed transfer mode) must be the cached objects from
+    volumetric.make_transfer_fns (they are static args of the per-tile
     jit). Returns a VolumetricResult of (H, W) grids; n_steps sums over
     devices (includes padded duplicate rows' work when H is not
     divisible by the device count — telemetry, not physics).
@@ -254,18 +255,20 @@ def trace_volumetric_grid_sharded(metric, r_obs, alpha_grid, theta_grid,
         res = trace_rays_volumetric(
             metric, float(r_obs), a.ravel(), t.ravel(),
             float(theta_obs), emission_fn, float(lambda_max),
-            max_steps, precision=precision, method=method)
+            max_steps, precision=precision, method=method,
+            absorption_fn=absorption_fn)
         return VolumetricResult(
             res.emission.reshape(a.shape),
             res.final_alpha.reshape(a.shape),
             res.n_half_orbits.reshape(a.shape),
             res.status.reshape(a.shape),
-            jnp.reshape(res.n_steps, (1, 1)))
+            jnp.reshape(res.n_steps, (1, 1)),
+            res.optical_depth.reshape(a.shape))
 
     spec = P(axis, None)
     f = shard_map(per_tile, mesh=mesh, in_specs=(spec, spec),
                   out_specs=VolumetricResult(spec, spec, spec, spec,
-                                             spec))
+                                             spec, spec))
     res = jax.jit(f)(alpha_p, theta_p)
 
     def unplace(grid):
@@ -274,4 +277,4 @@ def trace_volumetric_grid_sharded(metric, r_obs, alpha_grid, theta_grid,
     return VolumetricResult(
         unplace(res.emission), unplace(res.final_alpha),
         unplace(res.n_half_orbits), unplace(res.status),
-        jnp.sum(res.n_steps))
+        jnp.sum(res.n_steps), unplace(res.optical_depth))

@@ -1,11 +1,12 @@
-"""Optically-thin volumetric emission rendering (RIAF / hot-flow images).
+"""Volumetric radiative-transfer rendering (RIAF / hot-flow images).
 
 No reference counterpart (the reference renders lensed backgrounds and
 thin disks of zero geometric thickness); this module adds the
 observational mode behind horizon-scale images of M87*/Sgr A*: emission
-from a geometrically thick, optically thin plasma integrated along each
-geodesic, producing the classic asymmetric photon-ring-plus-crescent
-morphology.
+from a geometrically thick plasma integrated along each geodesic —
+optically thin by default, with optional self-absorption
+(RIAFConfig.alpha0) — producing the classic asymmetric
+photon-ring-plus-crescent morphology.
 
 Physics
 -------
@@ -20,6 +21,25 @@ Lorentz invariance gives p = 3 + spectral_index for a rest-frame
 power-law spectrum j_nu ~ nu^-index observed at fixed frequency; p = 4
 for bolometric intensity.  The integral is direction-independent, so
 tracing camera->source accumulates the same value.
+
+With absorption (alpha0 > 0) the full transfer equation
+dI/ds = j - alpha I applies; its formal solution along the backward
+trace is
+
+    I_obs = integral  g^p j_rest  exp(-tau(lambda))  dlambda,
+    tau(lambda) = integral_0^lambda  chi  dlambda'     (from the camera)
+
+with chi = nu_local alpha_nu = alpha_rest / g the invariant opacity.
+The gray-opacity model alpha_rest = alpha0 j_rest gives a uniform
+source function S = j/alpha = 1/alpha0, so saturated (tau >> 1) lines
+of sight converge to S — the analytic oracle of the test suite. Both
+tau and I ride the adaptive integrator as coupled error-controlled
+state components, so the controller resolves the photosphere (the
+tau ~ 1 transition) with the same tolerance discipline as the
+geodesic. Unlike the thin integral, the absorbed one is
+direction-DEPENDENT (the near side screens the far side): the
+crescent asymmetry deepens and the lensed far-side image dims first
+as alpha0 grows.
 
 Flow field: the plasma orbits with Keplerian angular velocity
 Omega_K(r) (spherical-radius convention of the standard analytic RIAF
@@ -87,13 +107,26 @@ class RIAFConfig:
     g_power: float = 3.0           # redshift weight exponent p
     prograde: bool = True          # flow rotation sense
     tone_map: str = "sqrt"         # display transfer ("linear"/"sqrt"/"asinh")
+    alpha0: float = 0.0            # gray opacity scale [1/M]: rest-frame
+    #   absorption alpha_rest = alpha0 * j_rest(r, theta), so the source
+    #   function S = j/alpha = 1/alpha0 is uniform. 0 = optically thin.
 
 
 @functools.lru_cache(maxsize=64)
-def make_emission_fn(metric, riaf: RIAFConfig):
-    """emission_fn(y5, p_t, p_phi) -> g^p * j_rest(r, theta), cached per
-    (metric, config) so the returned function object is stable across
-    calls (it is a jit static argument of trace_rays_volumetric).
+def make_transfer_fns(metric, riaf: RIAFConfig):
+    """(emission_fn, absorption_fn) for the radiative-transfer trace,
+    cached per (metric, config) so the returned function objects are
+    stable across calls (they are jit static arguments of
+    trace_rays_volumetric).
+
+    emission_fn(y5, p_t, p_phi) -> g^p * j_rest(r, theta).
+    absorption_fn(y5, p_t, p_phi) -> invariant opacity chi =
+    alpha_rest / g with the gray opacity alpha_rest = alpha0 * j_rest
+    (uniform source function S = 1/alpha0; the 1/g is the nu_local
+    frequency factor of the invariant opacity nu alpha_nu at fixed
+    observed frequency). None when alpha0 == 0 (optically thin).
+    g_power == 0 is the pure-geometry oracle mode: no redshift
+    machinery anywhere, chi = alpha0 * j_rest exactly.
 
     Works for Kerr and the charged families (the covariant components
     below use the _two_M_r / _Delta_b hooks: W = 2Mr for Kerr,
@@ -113,11 +146,35 @@ def make_emission_fn(metric, riaf: RIAFConfig):
                          f"'shell', got {riaf.profile!r}")
     if riaf.profile == "shell" and not riaf.shell_out > riaf.shell_in:
         raise ValueError("shell profile needs shell_out > shell_in")
+    if riaf.alpha0 < 0.0:
+        raise ValueError(f"alpha0 must be >= 0, got {riaf.alpha0}")
     M = float(metric.M)
     a = float(metric.a)
     Q = float(getattr(metric, "Q", 0.0))
 
-    def emission_fn(y5, p_t, p_phi):
+    def _j_rest(r, c):
+        """Rest-frame emissivity profile j(r, cos theta)."""
+        if riaf.profile == "torus":
+            return jnp.exp(-(r - riaf.r_peak) ** 2
+                           / (2.0 * riaf.sigma_r ** 2)
+                           - c * c / (2.0 * riaf.h_cos ** 2))
+        if riaf.profile == "powerlaw":
+            return ((jnp.maximum(r, 1e-3) / riaf.r_peak) ** riaf.index
+                    * jnp.exp(-c * c / (2.0 * riaf.h_cos ** 2)))
+        # shell — smoothed edges keep the RHS C^inf for the embedded
+        # error estimator (a hard step would grind h -> h_min at the
+        # boundary and poison the lane).
+        return (jax.nn.sigmoid((r - riaf.shell_in) / riaf.edge_width)
+                * jax.nn.sigmoid((riaf.shell_out - r)
+                                 / riaf.edge_width))
+
+    def _g_clipped(y5, p_t, p_phi):
+        """Circular-emitter redshift g = nu_obs/nu_em off the plane,
+        clipped to [0, 10] — the clip bounds the measure-zero beaming
+        caustic where 1 - Omega xi -> 0 (it would otherwise put a
+        single unresolved spike lane in charge of the tone-map peak).
+        Absorption's 1/g separately floors g at 0.1 to keep the
+        invariant opacity finite at the horizon-grazing extreme."""
         r, th = y5[0], y5[1]
         c = jnp.cos(th)
         s2 = jnp.maximum(1.0 - c * c, 1e-12)
@@ -127,48 +184,47 @@ def make_emission_fn(metric, riaf: RIAFConfig):
         Delta = metric._Delta_b(r)
         ra2 = r2 + a * a
         A = ra2 * ra2 - a * a * Delta * s2
+        # Covariant Boyer-Lindquist components off the plane.
+        g_tt = -(1.0 - W / Sigma)
+        g_tph = -a * W * s2 / Sigma
+        g_pp = (ra2 + a * a * W * s2 / Sigma) * s2
+        om_k = keplerian_omega(M, a, r, riaf.prograde, Q=Q)
+        om_z = a * W / jnp.maximum(A, 1e-30)   # ZAMO: -g_tph/g_pp
 
-        if riaf.g_power == 0.0:
-            weight = None               # pure path length (oracles)
-        else:
-            # Covariant Boyer-Lindquist components off the plane.
-            g_tt = -(1.0 - W / Sigma)
-            g_tph = -a * W * s2 / Sigma
-            g_pp = (ra2 + a * a * W * s2 / Sigma) * s2
-            om_k = keplerian_omega(M, a, r, riaf.prograde, Q=Q)
-            om_z = a * W / jnp.maximum(A, 1e-30)   # ZAMO: -g_tph/g_pp
+        def timelike(om):
+            return -(g_tt + 2.0 * om * g_tph + om * om * g_pp)
 
-            def timelike(om):
-                return -(g_tt + 2.0 * om * g_tph + om * om * g_pp)
+        # Keplerian where that orbit is timelike (it stops being
+        # one inside the photon region / near the axis), ZAMO
+        # inside — the emissivity profiles taper there anyway.
+        om = jnp.where(timelike(om_k) > 1e-3, om_k, om_z)
+        den = jnp.maximum(timelike(om), 1e-12)
+        xi = p_phi / jnp.maximum(-p_t, 1e-30)
+        g = jnp.sqrt(den) / jnp.maximum(1.0 - om * xi, 1e-3)
+        return jnp.clip(g, 0.0, 10.0)
 
-            # Keplerian where that orbit is timelike (it stops being
-            # one inside the photon region / near the axis), ZAMO
-            # inside — the emissivity profiles taper there anyway.
-            om = jnp.where(timelike(om_k) > 1e-3, om_k, om_z)
-            den = jnp.maximum(timelike(om), 1e-12)
-            xi = p_phi / jnp.maximum(-p_t, 1e-30)
-            g = jnp.sqrt(den) / jnp.maximum(1.0 - om * xi, 1e-3)
-            # The clip bounds the measure-zero beaming caustic where
-            # 1 - Omega xi -> 0 (it would otherwise put a single
-            # unresolved spike lane in charge of the tone-map peak).
-            weight = jnp.clip(g, 0.0, 10.0) ** riaf.g_power
+    if riaf.g_power == 0.0:             # pure path length (oracles)
+        def emission_fn(y5, p_t, p_phi):
+            return _j_rest(y5[0], jnp.cos(y5[1]))
 
-        if riaf.profile == "torus":
-            j = jnp.exp(-(r - riaf.r_peak) ** 2
-                        / (2.0 * riaf.sigma_r ** 2)
-                        - c * c / (2.0 * riaf.h_cos ** 2))
-        elif riaf.profile == "powerlaw":
-            j = ((jnp.maximum(r, 1e-3) / riaf.r_peak) ** riaf.index
-                 * jnp.exp(-c * c / (2.0 * riaf.h_cos ** 2)))
-        else:  # shell — smoothed edges keep the RHS C^inf for the
-            #    embedded error estimator (a hard step would grind
-            #    h -> h_min at the boundary and poison the lane).
-            j = (jax.nn.sigmoid((r - riaf.shell_in) / riaf.edge_width)
-                 * jax.nn.sigmoid((riaf.shell_out - r)
-                                  / riaf.edge_width))
-        return j if weight is None else j * weight
+        def absorption_fn(y5, p_t, p_phi):
+            return riaf.alpha0 * _j_rest(y5[0], jnp.cos(y5[1]))
+    else:
+        def emission_fn(y5, p_t, p_phi):
+            j = _j_rest(y5[0], jnp.cos(y5[1]))
+            return j * _g_clipped(y5, p_t, p_phi) ** riaf.g_power
 
-    return emission_fn
+        def absorption_fn(y5, p_t, p_phi):
+            j = _j_rest(y5[0], jnp.cos(y5[1]))
+            g = jnp.maximum(_g_clipped(y5, p_t, p_phi), 0.1)
+            return riaf.alpha0 * j / g
+
+    return emission_fn, (absorption_fn if riaf.alpha0 > 0.0 else None)
+
+
+def make_emission_fn(metric, riaf: RIAFConfig):
+    """The emission half of make_transfer_fns (same cached object)."""
+    return make_transfer_fns(metric, riaf)[0]
 
 
 def render_volumetric(scene: SceneConfig, resolution,
@@ -186,7 +242,7 @@ def render_volumetric(scene: SceneConfig, resolution,
     tile DP (parallel.tiles.trace_volumetric_grid_sharded).
     """
     metric = _scene_metric(scene)
-    make_emission_fn(metric, riaf)  # validate config before tracing
+    make_transfer_fns(metric, riaf)  # validate config before tracing
     timer = StageTimer()
     height, width = resolution
     fov = camera.fov_from_vertical(scene.vertical_fov, resolution)
@@ -201,7 +257,7 @@ def render_volumetric(scene: SceneConfig, resolution,
             boost=scene.boost)
         out.append((alpha, theta))
 
-    emission_fn = make_emission_fn(metric, riaf)
+    emission_fn, absorption_fn = make_transfer_fns(metric, riaf)
     with timer.stage("precompute") as out:
         if mesh is not None:
             from light_path_tracer_tpu.parallel.tiles import (
@@ -209,13 +265,15 @@ def render_volumetric(scene: SceneConfig, resolution,
             res = trace_volumetric_grid_sharded(
                 metric, scene.r_obs, alpha, theta, scene.theta_obs,
                 emission_fn, mesh=mesh, max_steps=cfg.max_steps,
-                precision=cfg.precision, method=cfg.integrator)
+                precision=cfg.precision, method=cfg.integrator,
+                absorption_fn=absorption_fn)
         else:
             res = trace_rays_volumetric(
                 metric, scene.r_obs, alpha.ravel(), theta.ravel(),
                 scene.theta_obs, emission_fn,
                 max(5000.0, 6.0 * scene.r_obs), cfg.max_steps,
-                precision=cfg.precision, method=cfg.integrator)
+                precision=cfg.precision, method=cfg.integrator,
+                absorption_fn=absorption_fn)
         out.append(res.emission)
 
     with timer.stage("render") as out:
@@ -224,12 +282,15 @@ def render_volumetric(scene: SceneConfig, resolution,
         out.append(image)
 
     status = np.asarray(res.status)
+    tau = np.asarray(res.optical_depth).reshape(resolution)
     stats = dict(
         alpha_crit=metric.alpha_crit(scene.r_obs, scene.theta_obs),
         captured=int((status == CAPTURED).sum()),
         invalid=int((status == INVALID).sum()),
         emission=np.asarray(res.emission).reshape(resolution),
         emission_total=float(np.asarray(res.emission).sum()),
+        optical_depth=tau,
+        tau_max=float(tau.max()),
         integrator_steps=int(res.n_steps),
         total_rays=height * width,
         traced_rays=height * width,

@@ -179,3 +179,35 @@ def test_volumetric_sharded_equals_single_device():
     np.testing.assert_allclose(np.asarray(res.emission), em1,
                                rtol=1e-10, atol=1e-12)
     assert int(res.n_steps) > 0
+    assert np.all(np.asarray(res.optical_depth) == 0.0)  # thin mode
+
+
+def test_volumetric_absorbed_sharded_equals_single_device():
+    """Self-absorbed transfer rides the same tile DP: sharded
+    (emission, optical depth) match the single-device trace."""
+    from light_path_tracer_tpu.ops.kerr_trace import trace_rays_volumetric
+    from light_path_tracer_tpu.parallel.tiles import (
+        trace_volumetric_grid_sharded)
+    from light_path_tracer_tpu.volumetric import (RIAFConfig,
+                                                  make_transfer_fns)
+
+    mesh = make_mesh()
+    alpha = camera.build_alpha_lookup(DIM, FOV, dtype=jnp.float64)
+    theta = camera.build_theta_lookup(DIM, FOV, dtype=jnp.float64)
+    m = Kerr(M=1.0, a=0.9)
+    em_fn, ab_fn = make_transfer_fns(m, RIAFConfig(alpha0=0.3))
+    assert ab_fn is not None
+    res1 = trace_rays_volumetric(m, R_OBS, alpha.ravel(), theta.ravel(),
+                                 np.pi / 2, em_fn, 5000.0, 200000,
+                                 absorption_fn=ab_fn)
+    res = trace_volumetric_grid_sharded(m, R_OBS, alpha, theta,
+                                        np.pi / 2, em_fn, mesh=mesh,
+                                        absorption_fn=ab_fn)
+    np.testing.assert_allclose(
+        np.asarray(res.emission),
+        np.asarray(res1.emission.reshape(DIM)), rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(res.optical_depth),
+        np.asarray(res1.optical_depth.reshape(DIM)),
+        rtol=1e-10, atol=1e-12)
+    assert float(np.asarray(res.optical_depth).max()) > 0.1

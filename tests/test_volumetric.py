@@ -17,6 +17,7 @@ from light_path_tracer_tpu.ops.kerr_trace import (CAPTURED, ESCAPED,
                                                   trace_rays_volumetric)
 from light_path_tracer_tpu.utils.config import SceneConfig, RenderConfig
 from light_path_tracer_tpu.volumetric import (RIAFConfig, make_emission_fn,
+                                              make_transfer_fns,
                                               render_volumetric)
 
 
@@ -29,11 +30,12 @@ def _shell_trace(metric, b, r_obs=2000.0, **riaf_kw):
     riaf_kw.setdefault("shell_out", 240.0)
     riaf_kw.setdefault("g_power", 0.0)
     riaf = RIAFConfig(**riaf_kw)
-    fn = make_emission_fn(metric, riaf)
+    em_fn, ab_fn = make_transfer_fns(metric, riaf)
     alphas = jnp.asarray(np.arcsin(np.asarray(b) / r_obs), jnp.float64)
     thetas = jnp.zeros_like(alphas)
     return trace_rays_volumetric(metric, r_obs, alphas, thetas,
-                                 np.pi / 2, fn, 12000.0, 200000)
+                                 np.pi / 2, em_fn, 12000.0, 200000,
+                                 absorption_fn=ab_fn)
 
 
 def test_shell_chord_lengths_flat_limit():
@@ -65,6 +67,68 @@ def test_shell_miss_ray_zero_and_captured_half_chord():
     np.testing.assert_allclose(em[0], 0.5 * (2 * 240.0 - 2 * 200.0),
                                rtol=0.01)
     assert em[1] < 1e-3
+
+
+def test_absorbed_shell_formal_solution():
+    """Self-absorbed uniform shell in the flat limit: with gray opacity
+    alpha = alpha0 * j the formal solution per ray is
+
+        I = S (1 - exp(-alpha0 L)),   S = 1/alpha0
+
+    with L the total in-shell chord length (the vacuum gap between the
+    near- and far-side shell segments neither emits nor absorbs, so
+    the two-segment solution telescopes to the single-L form)."""
+    b = np.array([30.0, 100.0, 210.0])
+    alpha0 = 0.05
+    res = _shell_trace(Kerr(1.0, 0.0), b, alpha0=alpha0)
+
+    def chord(bi, R):
+        return 2.0 * np.sqrt(max(R * R - bi * bi, 0.0))
+
+    L = np.array([chord(x, 240.0) - chord(x, 200.0) for x in b])
+    expect = (1.0 - np.exp(-alpha0 * L)) / alpha0
+    em = np.asarray(res.emission)
+    tau = np.asarray(res.optical_depth)
+    assert (np.asarray(res.status) == ESCAPED).all()
+    np.testing.assert_allclose(em, expect, rtol=0.02)
+    # The recorded total optical depth is alpha0 * L to the same O(M/r)
+    # gravitational corrections.
+    np.testing.assert_allclose(tau, alpha0 * L, rtol=0.02)
+
+
+def test_absorption_saturates_to_source_function():
+    """tau >> 1: the observed intensity converges to the (uniform)
+    source function S = 1/alpha0 regardless of path length — the
+    optically-thick limit."""
+    b = np.array([30.0, 100.0])
+    alpha0 = 1.0                 # tau ~ 80 and ~60 on these chords
+    res = _shell_trace(Kerr(1.0, 0.0), b, alpha0=alpha0)
+    em = np.asarray(res.emission)
+    np.testing.assert_allclose(em * alpha0, 1.0, rtol=0.02)
+    assert (np.asarray(res.optical_depth) > 20.0).all()
+
+
+def test_absorption_dims_pointwise_and_thin_mode_tau_is_zero():
+    """Same emissivity, absorption on: every pixel dims (exp(-tau) <= 1
+    inside the integral), and the thin mode reports zero optical
+    depth."""
+    scene = SceneConfig(M=1.0, a=0.9, r_obs_mult=100.0,
+                        theta_obs=np.radians(80.0))
+    img_thin, st_thin = render_volumetric(
+        scene, (24, 24), CFG, RIAFConfig())
+    img_abs, st_abs = render_volumetric(
+        scene, (24, 24), CFG, RIAFConfig(alpha0=0.2))
+    em_thin = st_thin["emission"]
+    em_abs = st_abs["emission"]
+    # Pointwise dimming holds exactly in exact arithmetic; numerically
+    # the two traces take different adaptive step sequences, so allow
+    # integrator-tolerance slack relative to the image peak.
+    assert np.all(em_abs <= em_thin + 1e-3 * em_thin.max())
+    # The torus sightlines are genuinely absorbed, not negligibly so.
+    assert em_abs.sum() < 0.9 * em_thin.sum()
+    assert st_abs["tau_max"] > 1.0
+    assert st_thin["tau_max"] == 0.0
+    assert np.all(st_thin["optical_depth"] == 0.0)
 
 
 def test_charged_hooks_reduce_to_kerr_at_zero_charge():
