@@ -202,6 +202,23 @@ def disk_temperature(r_c, r_in, t_peak):
     return t_peak * (jnp.maximum(f, 0.0) / f_max) ** 0.25
 
 
+def covariant_tphi_components(metric, r, c):
+    """Covariant Boyer-Lindquist (g_tt, g_tphi, g_phiphi) OFF the
+    equatorial plane at (r, cos theta = c), read through the charged
+    metric hooks (W = 2Mr for Kerr, 2Mr - Q^2 for Kerr-Newman) — the
+    t-phi block every circular-emitter redshift needs (volumetric
+    flows, rotating stellar surfaces)."""
+    a = float(metric.a)
+    s2 = jnp.maximum(1.0 - c * c, 1e-12)
+    Sigma = r * r + a * a * c * c
+    W = metric._two_M_r(r)
+    ra2 = r * r + a * a
+    g_tt = -(1.0 - W / Sigma)
+    g_tph = -a * W * s2 / Sigma
+    g_pp = (ra2 + a * a * W * s2 / Sigma) * s2
+    return g_tt, g_tph, g_pp
+
+
 def keplerian_redshift(M, a, r_c, xi, prograde: bool = True,
                        Q: float = 0.0):
     """g = 1 / (u^t (1 - Omega xi)) for a Keplerian circular emitter.

@@ -392,6 +392,68 @@ def trace_rays_volumetric(metric, r_obs, alphas, thetas, theta_obs,
                             tau)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("metric", "r_obs", "theta_obs", "r_surface",
+                     "lambda_max", "max_steps", "precision", "method",
+                     "record_time"))
+def trace_rays_surface(metric, r_obs, alphas, thetas, theta_obs,
+                       r_surface: float, lambda_max: float,
+                       max_steps: int = 200000,
+                       precision: str = "fast",
+                       method: str = "dp45",
+                       record_time: bool = False):
+    """Trace rays onto an opaque spherical surface at r = r_surface.
+
+    The stellar-surface imaging primitive (star.py: neutron-star hot
+    spots, pulse profiles — no reference counterpart): the surface is
+    simply the capture event at r_capture = r_surface, so the shared
+    adaptive loop Hermite-localizes the full state onto the sphere and
+    CAPTURED rays carry their surface intersection (theta, phi) and
+    momentum (p_r, p_theta) — everything a surface emission model
+    needs (redshift via the conserved xi = L/E, emission angle via the
+    localized p_r). ESCAPED rays missed the star and keep their lensed
+    escape heading for background compositing.
+
+    record_time=True additionally integrates coordinate time as an
+    error-controlled extra state component (dt/dlambda = metric.tdot),
+    event-shortened to the hit point — the light-travel delay from the
+    camera for retarded-phase pulse profiles. (The disk paths' side
+    trapezoid needs a disk_plane; here t rides extra_rhs instead.)
+
+    XLA path only. r_surface must exceed the metric's capture radius.
+    """
+    from light_path_tracer_tpu.ops.types import SurfaceResult
+    dtype = alphas.dtype
+    tols = get_tols(dtype, precision)
+
+    y0, p_t, p_phi, invalid0 = metric.initial_conditions_5d(
+        r_obs, alphas, thetas, theta_obs)
+    extra = None
+    if record_time:
+        y0 = (*y0, jnp.zeros_like(y0[0]))
+        extra = lambda y, pt, pp: (metric.tdot(y[:5], pt, pp),)
+    status0 = jnp.where(invalid0, INVALID, RUNNING).astype(jnp.int32)
+
+    y_f, status_f, _lam, steps = dp45_integrate(
+        metric, y0, p_t, p_phi, status0,
+        atol=jnp.full_like(alphas, tols["atol"]),
+        rtol=jnp.full_like(alphas, tols["rtol"]),
+        h_min=jnp.asarray(tols["h_min"], dtype),
+        tiny_err=tols["tiny_err"],
+        r_capture=jnp.asarray(r_surface, dtype),
+        r_escape=jnp.asarray(r_obs * 2.0, dtype),
+        lambda_max=lambda_max, h_init=_h_init_for(r_obs, dtype),
+        max_steps=max_steps, method=method, extra_rhs=extra)
+
+    t_hit = (y_f[5] if record_time else jnp.zeros_like(y_f[0]))
+    xi = p_phi / jnp.maximum(-p_t, jnp.asarray(1e-30, dtype))
+    final_alpha, n_half, status_out = finalize_angles(
+        metric, y_f[:5], p_t, p_phi, status_f)
+    return SurfaceResult(y_f[1], y_f[2], y_f[3], y_f[4], xi, t_hit,
+                         final_alpha, n_half, status_out, steps)
+
+
 def dp45_integrate(metric, y0, p_t, p_phi, status0, *, atol, rtol, h_min,
                    tiny_err, r_capture, r_escape, lambda_max, h_init,
                    max_steps, event_interp="hermite", disk_plane=None,

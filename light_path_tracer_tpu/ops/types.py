@@ -50,3 +50,30 @@ class VolumetricResult(NamedTuple):
     status: jnp.ndarray         # (N,) int32
     n_steps: jnp.ndarray        # () int32
     optical_depth: jnp.ndarray  # (N,) float — total tau (0 when thin)
+
+
+class SurfaceResult(NamedTuple):
+    """Per-ray opaque-spherical-surface trace outcome (stellar-surface
+    imaging, star.py).
+
+    status CAPTURED means the ray hit the surface at r = r_surface:
+    (theta, phi) are its Hermite-localized RAW chart coordinates
+    (double-cover theta, cumulative winding phi — star._physical_angles
+    folds them to the physical sphere) and p_r/p_theta the momentum
+    there (emission-angle / limb-darkening input). ESCAPED rays missed
+    the star: final_alpha / n_half_orbits describe their escape heading
+    exactly as in TraceResult, so the star can be composited over a
+    lensed background from ONE trace.
+    """
+
+    theta: jnp.ndarray          # (N,) float — raw chart colatitude
+    phi: jnp.ndarray            # (N,) float — raw cumulative azimuth
+    p_r: jnp.ndarray            # (N,) float
+    p_theta: jnp.ndarray        # (N,) float
+    xi: jnp.ndarray             # (N,) float — conserved L/E per ray
+    t_hit: jnp.ndarray          # (N,) float — coord time camera->hit
+    #                             (0 unless record_time)
+    final_alpha: jnp.ndarray    # (N,) float (escaped rays)
+    n_half_orbits: jnp.ndarray  # (N,) int32
+    status: jnp.ndarray         # (N,) int32
+    n_steps: jnp.ndarray        # () int32

@@ -85,6 +85,7 @@ import jax.numpy as jnp
 
 from light_path_tracer_tpu import camera
 from light_path_tracer_tpu.disk import (_scene_metric, _tone_map,
+                                        covariant_tphi_components,
                                         keplerian_omega)
 from light_path_tracer_tpu.ops.kerr_trace import (CAPTURED, INVALID,
                                                   trace_rays_volumetric)
@@ -178,16 +179,12 @@ def make_transfer_fns(metric, riaf: RIAFConfig):
         r, th = y5[0], y5[1]
         c = jnp.cos(th)
         s2 = jnp.maximum(1.0 - c * c, 1e-12)
-        r2 = r * r
-        Sigma = r2 + a * a * c * c
         W = metric._two_M_r(r)          # 2Mr (Kerr) / 2Mr - Q^2 (KN)
         Delta = metric._Delta_b(r)
-        ra2 = r2 + a * a
+        ra2 = r * r + a * a
         A = ra2 * ra2 - a * a * Delta * s2
-        # Covariant Boyer-Lindquist components off the plane.
-        g_tt = -(1.0 - W / Sigma)
-        g_tph = -a * W * s2 / Sigma
-        g_pp = (ra2 + a * a * W * s2 / Sigma) * s2
+        # Covariant Boyer-Lindquist t-phi block off the plane.
+        g_tt, g_tph, g_pp = covariant_tphi_components(metric, r, c)
         om_k = keplerian_omega(M, a, r, riaf.prograde, Q=Q)
         om_z = a * W / jnp.maximum(A, 1e-30)   # ZAMO: -g_tph/g_pp
 
