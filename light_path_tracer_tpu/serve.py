@@ -15,11 +15,12 @@ Protocol (JSON over HTTP, no external deps):
 
     POST /render
         {"mode": "shadow" | "lens" | "disk" | "composite"
-                 | "magnification" | "volumetric",
+                 | "magnification" | "volumetric" | "star",
          "scene":  {... SceneConfig fields, angles in DEGREES ...},
          "render": {... RenderConfig fields ...},
          "disk":   {... DiskConfig fields (disk/composite modes) ...},
          "riaf":   {... RIAFConfig fields (volumetric mode) ...},
+         "star":   {... StarConfig fields (star mode) ...},
          "size": [H, W]                 (shadow/disk; lens uses image),
          "image_b64": "<base64 PNG/NPY>" (lens/composite background),
          "format": "png" | "npy"}
@@ -111,6 +112,23 @@ def _riaf_cfg_from_json(d: dict):
     return riaf
 
 
+def _star_cfg_from_json(d: dict):
+    from light_path_tracer_tpu.star import StarConfig
+    kw = dict(d or {})
+    if "spots" in kw:
+        kw["spots"] = tuple(tuple(float(v) for v in s)
+                            for s in kw["spots"])
+    star = StarConfig(**kw)
+    # Geometry validation normally happens inside render_star
+    # (_validate needs the metric); the metric-free parts run here so
+    # a malformed spot list is a 400 client error, not a 500.
+    for spot in star.spots:
+        if len(spot) != 4:
+            raise ValueError("each star.spots entry is (colat_deg, "
+                             f"az_deg, radius_deg, T), got {spot!r}")
+    return star
+
+
 def _decode_image(b64: str) -> np.ndarray:
     raw = base64.b64decode(b64)
     if raw[:6] == b"\x93NUMPY":
@@ -160,18 +178,18 @@ class RenderService:
         self._signatures: dict[str, dict] = {}
 
     def signature(self, mode, scene: SceneConfig, cfg: RenderConfig,
-                  size, disk, riaf=None) -> str:
+                  size, disk, riaf=None, star=None) -> str:
         """The compiled-program identity: static argnums only. psi, M,
         a, boost are traced-or-refolded per call by the pipelines, but
         M/a/psi DO enter compiled constants in the static paths — the
         honest signature is everything except the background image."""
         return json.dumps([mode, list(size or ()), repr(scene),
-                           repr(cfg), repr(disk), repr(riaf)],
-                          sort_keys=True)
+                           repr(cfg), repr(disk), repr(riaf),
+                           repr(star)], sort_keys=True)
 
     def render(self, mode: str, scene: SceneConfig, cfg: RenderConfig,
                size=None, source_image=None, disk=None, riaf=None,
-               deadline_s: float | None = None):
+               star=None, deadline_s: float | None = None):
         """Returns (image ndarray, seconds, cache 'warm'|'cold').
 
         Raises Overloaded when max_queue requests already wait, and
@@ -181,7 +199,7 @@ class RenderService:
         """
         deadline = (self.default_deadline_s if deadline_s is None
                     else float(deadline_s))
-        sig = self.signature(mode, scene, cfg, size, disk, riaf)
+        sig = self.signature(mode, scene, cfg, size, disk, riaf, star)
         with self._meta:
             if self._waiting >= self.max_queue:
                 raise Overloaded(
@@ -220,6 +238,11 @@ class RenderService:
                     render_volumetric, RIAFConfig)
                 img, _stats = render_volumetric(
                     scene, tuple(size), cfg, riaf or RIAFConfig())
+            elif mode == "star":
+                from light_path_tracer_tpu.star import (render_star,
+                                                        StarConfig)
+                img, _stats = render_star(scene, tuple(size), cfg,
+                                          star or StarConfig())
             elif mode == "composite":
                 from light_path_tracer_tpu.disk import (
                     render_scene_with_disk, composite_gamma_encode)
@@ -300,7 +323,7 @@ def make_server(host: str = "127.0.0.1", port: int = 0,
                     mode = req.get("mode", "shadow")
                     if mode not in ("shadow", "lens", "disk",
                                     "composite", "magnification",
-                                    "volumetric"):
+                                    "volumetric", "star"):
                         raise ValueError(f"unknown mode {mode!r}")
                     scene = _scene_from_json(req.get("scene", {}))
                     cfg = _render_cfg_from_json(req.get("render", {}))
@@ -308,11 +331,13 @@ def make_server(host: str = "127.0.0.1", port: int = 0,
                             if mode in ("disk", "composite") else None)
                     riaf = (_riaf_cfg_from_json(req.get("riaf", {}))
                             if mode == "volumetric" else None)
+                    star = (_star_cfg_from_json(req.get("star", {}))
+                            if mode == "star" else None)
                     src = (_decode_image(req["image_b64"])
                            if mode in ("lens", "composite") else None)
                     size = req.get("size", [256, 256])
                     if mode in ("shadow", "disk", "magnification",
-                                "volumetric"):
+                                "volumetric", "star"):
                         if (len(size) != 2
                                 or any(int(v) <= 0 for v in size)):
                             raise ValueError(
@@ -336,7 +361,8 @@ def make_server(host: str = "127.0.0.1", port: int = 0,
                 try:
                     img, dt, cache = svc.render(
                         mode, scene, cfg, size=size, source_image=src,
-                        disk=disk, riaf=riaf, deadline_s=deadline_s)
+                        disk=disk, riaf=riaf, star=star,
+                        deadline_s=deadline_s)
                     fmt = req.get("format", "png")
                     if mode == "magnification" and fmt == "png":
                         # Raw signed mu (with NaN shadow) is an npy

@@ -342,3 +342,25 @@ def test_volumetric_mode(server_url):
     status3, body3, _ = _post_raw(url, bad)
     assert status3 == 400
     assert b"profile" in body3
+
+
+def test_star_mode(server_url):
+    url, _server = server_url
+    payload = {"mode": "star", "size": [24, 24], "format": "npy",
+               "scene": {"a": 0.0, "theta_obs": 90.0,
+                         "vertical_fov_deg": 8.0},
+               "star": {"radius": 5.0, "omega": 0.02,
+                        "spots": [[30.0, 0.0, 20.0, 1.0]]},
+               "render": {"max_steps": 20000}}
+    status, body, hdr = _post(url, payload)
+    assert status == 200
+    img = _npy(body)
+    assert img.shape == (24, 24)
+    assert np.isfinite(img).all() and img.max() > 0
+    status2, _body2, hdr2 = _post(url, payload)
+    assert status2 == 200 and hdr2["X-Cache"] == "warm"
+    # Malformed spot -> 400; unphysical radius -> 500 (server-side
+    # geometry validation needs the metric, so it fails in render).
+    bad = dict(payload, star={"spots": [[1.0, 2.0]]})
+    status3, body3, _ = _post_raw(url, bad)
+    assert status3 == 400 and b"spot" in body3
