@@ -12,6 +12,9 @@ Produces:
   shadow_kerr_newman_q.png   charged-shadow triptych (Q = 0/0.6/0.79)
   disk_charged_rn.png        charged disk: the RN ISCO sits closer in
   magnification_kerr_a09.png signed magnification map (critical curves)
+  volumetric_absorption.png  RIAF torus, optically thin vs self-absorbed
+  neutron_star_caps.png      neutron-star surface with two hot caps
+  pulse_profile.png          NICER-style rotational light curve
 """
 
 import argparse
@@ -143,6 +146,54 @@ def main():
     mpimg.imsave(os.path.join(args.outdir, "magnification_kerr_a09.png"),
                  magnification_display(mu))
     print("wrote", os.path.join(args.outdir, "magnification_kerr_a09.png"))
+
+    # Volumetric hot flow: optically thin vs self-absorbed crescent.
+    from light_path_tracer_tpu.volumetric import (RIAFConfig,
+                                                  render_volumetric)
+    vol_scene = SceneConfig(M=1.0, a=0.9, r_obs_mult=100.0,
+                            theta_obs=np.radians(80.0),
+                            vertical_fov_deg=16.0)
+    vsize = (min(args.size, 256),) * 2
+    fig, axes = plt.subplots(1, 2, figsize=(8.2, 3.8))
+    for ax, a0 in zip(axes, (0.0, 0.3)):
+        vimg, vst = render_volumetric(vol_scene, vsize,
+                                      riaf=RIAFConfig(alpha0=a0))
+        ax.imshow(np.asarray(vimg), cmap="afmhot", origin="upper")
+        label = ("optically thin" if a0 == 0.0
+                 else f"alpha0={a0}, tau_max={vst['tau_max']:.1f}")
+        ax.set_title(label, fontsize=10)
+        ax.axis("off")
+    fig.suptitle("RIAF torus at a=0.9: self-absorption dims the "
+                 "screened far side", fontsize=11)
+    fig.tight_layout()
+    fig.savefig(os.path.join(args.outdir, "volumetric_absorption.png"),
+                dpi=110)
+    print("wrote", os.path.join(args.outdir,
+                                "volumetric_absorption.png"))
+
+    # Neutron-star surface: two antipodal hot caps + pulse profile.
+    from light_path_tracer_tpu.star import (StarConfig, pulse_profile,
+                                            render_star)
+    ns_scene = SceneConfig(M=1.0, a=0.0, r_obs_mult=100.0,
+                           theta_obs=np.radians(60.0),
+                           vertical_fov_deg=10.0)
+    ns = StarConfig(radius=5.0, omega=0.02,
+                    spots=((30.0, 0.0, 25.0, 1.0),
+                           (150.0, 180.0, 25.0, 1.0)),
+                    t_surface=0.55, tone_map="sqrt")
+    simg, sst = render_star(ns_scene, vsize, star=ns)
+    save("neutron_star_caps.png", cm.afmhot(np.asarray(simg))[..., :3])
+    phases, flux, pst = pulse_profile(ns_scene, star=ns, n_phases=48,
+                                      resolution=(96, 96))
+    fig, ax = plt.subplots(figsize=(6, 3.4))
+    ax.plot(phases / (2 * np.pi), flux)
+    ax.set_xlabel("rotation phase")
+    ax.set_ylabel("flux / mean")
+    ax.set_title(f"Two-cap pulse profile (R=5M, "
+                 f"modulation {pst['modulation']:.1%})", fontsize=11)
+    fig.tight_layout()
+    fig.savefig(os.path.join(args.outdir, "pulse_profile.png"), dpi=110)
+    print("wrote", os.path.join(args.outdir, "pulse_profile.png"))
 
     m = make_metric(1.0, 0.0)
     fig, ax = plt.subplots(figsize=(11, 9))

@@ -106,12 +106,15 @@ def _validate(metric, star: StarConfig):
     if star.radius <= r_h:
         raise ValueError(f"radius {star.radius} must exceed the "
                          f"horizon r_+ = {r_h:.4f}")
-    # The equatorial surface element must move on a timelike worldline.
-    g_tt, g_tph, g_pp = covariant_tphi_components(
-        metric, jnp.asarray(star.radius, jnp.float64),
-        jnp.asarray(0.0, jnp.float64))
-    den = -(float(g_tt) + 2.0 * star.omega * float(g_tph)
-            + star.omega ** 2 * float(g_pp))
+    # The equatorial surface element must move on a timelike worldline
+    # (host-side float check: W at the equator through the charge hook).
+    R = float(star.radius)
+    W = 2.0 * M * R - Q * Q
+    g_tt = -(1.0 - W / (R * R))
+    g_tph = -a * W / (R * R)
+    g_pp = R * R + a * a + a * a * W / (R * R)
+    den = -(g_tt + 2.0 * star.omega * g_tph
+            + star.omega ** 2 * g_pp)
     if not den > 0.0:
         raise ValueError(f"omega {star.omega} is superluminal at the "
                          f"equator of radius {star.radius}")
