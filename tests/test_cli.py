@@ -142,6 +142,26 @@ def test_cli_lens_magnification(workdir):
     assert rc == 0 and out.exists()
 
 
+def test_cli_volumetric_absorbed(workdir):
+    rc = main(["volumetric", "--size", "24", "--a", "0.9",
+               "--theta-obs", "80", "--alpha0", "0.2",
+               "--output", "v.png"])
+    assert rc == 0 and os.path.exists("v.png")
+
+
+def test_cli_star_image_and_pulse(workdir):
+    rc = main(["star", "--size", "24", "--radius", "5", "--omega",
+               "0.02", "--fov-v", "8", "--output", "ns.png"])
+    assert rc == 0 and os.path.exists("ns.png")
+    rc = main(["star", "--size", "24", "--radius", "5", "--period",
+               "400", "--spot", "90,0,15,1.0", "--pulse-profile", "8",
+               "--fov-v", "8", "--output", "pulse.npz"])
+    assert rc == 0 and os.path.exists("pulse.npz")
+    d = np.load("pulse.npz")
+    assert d["flux"].shape == (8,) and np.isfinite(d["flux"]).all()
+    assert os.path.exists("pulse.png")
+
+
 def test_cli_shadow_visibility(workdir):
     rc = main(["shadow", "--size", "96", "--analytic", "--fov-v", "16",
                "--output", "s.png", "--visibility", "vis.npz"])
