@@ -580,6 +580,14 @@ def cmd_star(args) -> int:
           f"render {t.get('render', 0.0):.3f}s")
     rate = stats["traced_rays"] / max(t.get("precompute", 0.0), 1e-9)
     print(f"  surface {stats['captured']:,} px, {rate:,.0f} rays/s")
+    if getattr(args, "visibility", None):
+        from light_path_tracer_tpu import camera
+        fov = camera.fov_from_vertical(scene.vertical_fov,
+                                       (args.size, args.size))
+        # The filled stellar disk matches the uniform-disk Bessel
+        # kernel (first null at 1.22 lambda/D).
+        _visibility_report(stats["brightness"], fov, args.visibility,
+                           model="disk")
     print(f"Saved: {args.output}")
     return 0
 
@@ -1252,6 +1260,11 @@ def build_parser():
                         "along every ray)")
     p.add_argument("--tone-map", default="linear",
                    choices=["linear", "sqrt", "asinh"])
+    p.add_argument("--visibility", metavar="PATH",
+                   help="save the baseline-domain |V| profile of the "
+                        "raw brightness image as PATH (.npz) and "
+                        "print the uniform-disk diameter recovered "
+                        "from the first null")
     p.add_argument("--output", default="star.png")
     p.set_defaults(fn=cmd_star)
 

@@ -278,3 +278,57 @@ def trace_volumetric_grid_sharded(metric, r_obs, alpha_grid, theta_grid,
         unplace(res.emission), unplace(res.final_alpha),
         unplace(res.n_half_orbits), unplace(res.status),
         jnp.sum(res.n_steps), unplace(res.optical_depth))
+
+
+def trace_surface_grid_sharded(metric, r_obs, alpha_grid, theta_grid,
+                               theta_obs, r_surface, *, mesh: Mesh,
+                               lambda_max=None, max_steps=200000,
+                               precision="fast", method="dp45",
+                               layout="stripes", record_time=False):
+    """Stellar-surface trace of an (H, W) grid sharded row-wise over
+    `mesh` (star.py tile DP — same pattern as the volumetric path:
+    each device Hermite-localizes its own rows onto the r = r_surface
+    sphere; only the output gather communicates). Returns a
+    SurfaceResult of (H, W) grids; n_steps sums over devices."""
+    from light_path_tracer_tpu.ops.kerr_trace import trace_rays_surface
+    from light_path_tracer_tpu.ops.types import SurfaceResult
+
+    axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+    H, W = alpha_grid.shape
+    H_pad = ((H + n_dev - 1) // n_dev) * n_dev
+    if lambda_max is None:
+        lambda_max = max(5000.0, 6.0 * float(r_obs))
+
+    if layout == "stripes":
+        perm = np.argsort(np.arange(H_pad) % n_dev, kind="stable")
+    else:
+        perm = np.arange(H_pad)
+    inv_perm = np.argsort(perm)
+
+    def place(grid):
+        return _pad_rows(grid, H_pad)[perm]
+
+    alpha_p, theta_p = place(alpha_grid), place(theta_grid)
+    shard_map = shard_map_fn()
+
+    def per_tile(a, t):
+        res = trace_rays_surface(
+            metric, float(r_obs), a.ravel(), t.ravel(),
+            float(theta_obs), float(r_surface), float(lambda_max),
+            max_steps, precision=precision, method=method,
+            record_time=record_time)
+        return SurfaceResult(
+            *(f.reshape(a.shape) for f in res[:9]),
+            jnp.reshape(res.n_steps, (1, 1)))
+
+    spec = P(axis, None)
+    f = shard_map(per_tile, mesh=mesh, in_specs=(spec, spec),
+                  out_specs=SurfaceResult(*([spec] * 10)))
+    res = jax.jit(f)(alpha_p, theta_p)
+
+    def unplace(grid):
+        return grid[inv_perm][:H]
+
+    return SurfaceResult(*(unplace(f) for f in res[:9]),
+                         jnp.sum(res.n_steps))

@@ -210,7 +210,8 @@ def _brightness(metric, star: StarConfig, theta_raw, phi_raw, p_r, xi,
 
 def render_star(scene: SceneConfig, resolution,
                 cfg: RenderConfig = RenderConfig(),
-                star: StarConfig = StarConfig(), phase: float = 0.0):
+                star: StarConfig = StarConfig(), phase: float = 0.0,
+                mesh=None):
     """Stellar-surface image; returns (image (H, W) float32 in [0, 1],
     stats). stats['brightness'] holds the raw per-pixel g^p T^4 values
     and stats['apparent_radius_rad'] the measured angular radius of
@@ -218,7 +219,9 @@ def render_star(scene: SceneConfig, resolution,
     enlarged size, b_max = R/sqrt(1-2M/R) in Schwarzschild.
 
     XLA shared adaptive loop (the surface event needs the Hermite
-    localization; Pallas tiles do not record it)."""
+    localization; Pallas tiles do not record it). mesh: a
+    jax.sharding.Mesh routes the trace through row-striped tile DP
+    (parallel.tiles.trace_surface_grid_sharded)."""
     metric = _scene_metric(scene)
     _validate(metric, star)
     timer = StageTimer()
@@ -236,16 +239,27 @@ def render_star(scene: SceneConfig, resolution,
         out.append((alpha, theta))
 
     with timer.stage("precompute") as out:
-        res = trace_rays_surface(
-            metric, scene.r_obs, alpha.ravel(), theta.ravel(),
-            scene.theta_obs, float(star.radius),
-            max(5000.0, 6.0 * scene.r_obs), cfg.max_steps,
-            precision=cfg.precision, method=cfg.integrator)
+        if mesh is not None:
+            from light_path_tracer_tpu.parallel.tiles import (
+                trace_surface_grid_sharded)
+            res = trace_surface_grid_sharded(
+                metric, scene.r_obs, alpha, theta, scene.theta_obs,
+                float(star.radius), mesh=mesh,
+                max_steps=cfg.max_steps, precision=cfg.precision,
+                method=cfg.integrator)
+        else:
+            res = trace_rays_surface(
+                metric, scene.r_obs, alpha.ravel(), theta.ravel(),
+                scene.theta_obs, float(star.radius),
+                max(5000.0, 6.0 * scene.r_obs), cfg.max_steps,
+                precision=cfg.precision, method=cfg.integrator)
         out.append(res.status)
 
     with timer.stage("render") as out:
-        bright = _brightness(metric, star, res.theta, res.phi,
-                             res.p_r, res.xi, res.t_hit, res.status,
+        bright = _brightness(metric, star, res.theta.ravel(),
+                             res.phi.ravel(), res.p_r.ravel(),
+                             res.xi.ravel(), res.t_hit.ravel(),
+                             res.status.ravel(),
                              jnp.asarray(phase, dtype))
         image = _tone_map(bright, star.tone_map).reshape(
             resolution).astype(jnp.float32)

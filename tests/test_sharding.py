@@ -182,6 +182,47 @@ def test_volumetric_sharded_equals_single_device():
     assert np.all(np.asarray(res.optical_depth) == 0.0)  # thin mode
 
 
+def test_surface_sharded_equals_single_device():
+    """Stellar-surface tile DP: sharded hit coordinates/momenta match
+    the single-device trace, and the rendered star image is identical
+    through render_star(mesh=...)."""
+    from light_path_tracer_tpu.ops.kerr_trace import (CAPTURED,
+                                                      trace_rays_surface)
+    from light_path_tracer_tpu.parallel.tiles import (
+        trace_surface_grid_sharded)
+    from light_path_tracer_tpu.star import StarConfig, render_star
+    from light_path_tracer_tpu.utils.config import (RenderConfig,
+                                                    SceneConfig)
+
+    mesh = make_mesh()
+    alpha = camera.build_alpha_lookup(DIM, FOV, dtype=jnp.float64)
+    theta = camera.build_theta_lookup(DIM, FOV, dtype=jnp.float64)
+    m = Kerr(M=1.0, a=0.0)
+    res1 = trace_rays_surface(m, R_OBS, alpha.ravel(), theta.ravel(),
+                              np.pi / 2, 5.0, 5000.0, 200000)
+    res = trace_surface_grid_sharded(m, R_OBS, alpha, theta,
+                                     np.pi / 2, 5.0, mesh=mesh)
+    np.testing.assert_array_equal(
+        np.asarray(res.status), np.asarray(res1.status.reshape(DIM)))
+    cap = np.asarray(res.status) == CAPTURED
+    assert cap.any()
+    for field in ("theta", "phi", "p_r", "xi"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(res, field))[cap],
+            np.asarray(getattr(res1, field).reshape(DIM))[cap],
+            rtol=1e-10, atol=1e-12)
+
+    scene = SceneConfig(M=1.0, a=0.0, r_obs_mult=R_OBS,
+                        theta_obs=np.pi / 2, vertical_fov_deg=6.0)
+    cfg = RenderConfig(backend="xla", dtype="float64")
+    star = StarConfig(radius=5.0, omega=0.02)
+    img1, st1 = render_star(scene, (32, 32), cfg, star)
+    img8, st8 = render_star(scene, (32, 32), cfg, star, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(img8), np.asarray(img1),
+                               rtol=1e-6, atol=1e-9)
+    assert st8["captured"] == st1["captured"]
+
+
 def test_volumetric_absorbed_sharded_equals_single_device():
     """Self-absorbed transfer rides the same tile DP: sharded
     (emission, optical depth) match the single-device trace."""
