@@ -497,7 +497,43 @@ def cmd_volumetric(args) -> int:
         h_cos=args.h_cos, index=args.index, shell_in=args.shell_in,
         shell_out=args.shell_out, g_power=args.g_power,
         prograde=not args.retrograde, tone_map=args.tone_map,
-        alpha0=args.alpha0)
+        alpha0=args.alpha0, opacity_index=args.opacity_index)
+
+    if args.freqs:
+        from light_path_tracer_tpu.volumetric import (
+            render_volumetric_spectrum)
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        freqs = tuple(float(f) for f in args.freqs.split(","))
+        imgs, stats = render_volumetric_spectrum(
+            scene, (args.size, args.size), freqs, cfg, riaf)
+        n = len(freqs)
+        fig, axes = plt.subplots(1, n, figsize=(3.2 * n, 3.6))
+        for ax, f, im, mr in zip(np.atleast_1d(axes), freqs,
+                                 np.asarray(imgs),
+                                 stats["mean_radius_rad"]):
+            ax.imshow(im, cmap="afmhot", origin="upper")
+            ax.set_title(f"f={f:g}  <r>={np.degrees(mr):.2f}\N{DEGREE SIGN}",
+                         fontsize=10)
+            ax.axis("off")
+        fig.suptitle("Self-absorbed spectral images (one trace, "
+                     f"q={riaf.opacity_index:g})", fontsize=11)
+        fig.tight_layout()
+        fig.savefig(args.output, dpi=110)
+        base = args.output.rsplit(".", 1)[0]
+        np.savez(base + "_spectrum.npz", freqs=stats["freqs"],
+                 flux=stats["flux"],
+                 mean_radius_rad=stats["mean_radius_rad"])
+        print(f"Spectral volumetric: {n} bands in one trace "
+              f"({stats['integrator_steps']:,} steps)")
+        for f, fl, mr in zip(freqs, stats["flux"],
+                             stats["mean_radius_rad"]):
+            print(f"  f={f:<6g} flux={fl:<12.4f} "
+                  f"<r>={np.degrees(mr):.3f} deg")
+        print(f"Saved: {args.output} + {base}_spectrum.npz")
+        return 0
+
     img, stats = render_volumetric(scene, (args.size, args.size), cfg,
                                    riaf)
     mpimg.imsave(args.output, cm.afmhot(np.asarray(img))[..., :3])
@@ -1212,10 +1248,20 @@ def build_parser():
     p.add_argument("--tone-map", default="sqrt",
                    choices=["linear", "sqrt", "asinh"])
     p.add_argument("--alpha0", type=float, default=0.0,
-                   help="gray opacity scale [1/M]: rest-frame "
-                        "absorption alpha0 * j(r, theta) (uniform "
-                        "source function 1/alpha0); 0 = optically "
-                        "thin")
+                   help="opacity scale [1/M] at the fiducial "
+                        "frequency: rest-frame absorption "
+                        "alpha0 * j(r, theta) (uniform source "
+                        "function 1/alpha0); 0 = optically thin")
+    p.add_argument("--freqs", metavar="F1,F2,...",
+                   help="multi-frequency mode: observed frequencies "
+                        "(units of the fiducial) — ALL bands in ONE "
+                        "trace via the shared reduced optical depth; "
+                        "saves a band panel + the SED (.npz)")
+    p.add_argument("--opacity-index", type=float, default=0.0,
+                   help="q in alpha_nu ~ nu^-q (0 = gray; "
+                        "synchrotron-like q = g_power - 3 + 5/2). "
+                        "With --freqs this makes the photosphere "
+                        "frequency-dependent (SSA turnover)")
     p.add_argument("--output", default="volumetric.png")
     p.add_argument("--visibility", metavar="PATH",
                    help="save the baseline-domain |V| profile of the "

@@ -361,10 +361,15 @@ def trace_rays_volumetric(metric, r_obs, alphas, thetas, theta_obs,
     else:
         # y[5] = I (attenuated intensity), y[6] = tau (optical depth
         # from the camera). exp underflows to 0.0 past tau ~ 88 in f32
-        # — benign: a fully opaque foreground transmits nothing.
+        # — benign: a fully opaque foreground transmits nothing. The
+        # -30 floor bounds exp(+|tau|) on unphysical RK stage probes
+        # (negative A coefficients x large h can drive the stage tau
+        # negative; an overflowed stage derivative reject-cycles the
+        # controller) — accepted states have tau >= 0 and never clip.
         y0 = (*y0, jnp.zeros_like(y0[0]), jnp.zeros_like(y0[0]))
         extra = lambda y, pt, pp: (
-            jnp.exp(-y[6]) * emission_fn(y[:5], pt, pp),
+            jnp.exp(-jnp.maximum(y[6], -30.0))
+            * emission_fn(y[:5], pt, pp),
             absorption_fn(y[:5], pt, pp))
     status0 = jnp.where(invalid0, INVALID, RUNNING).astype(jnp.int32)
 
@@ -390,6 +395,60 @@ def trace_rays_volumetric(metric, r_obs, alphas, thetas, theta_obs,
     # off the INTEGRATION status above, not status_out.
     return VolumetricResult(em, final_alpha, n_half, status_out, steps,
                             tau)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("metric", "r_obs", "theta_obs", "transfer_fn",
+                     "n_bands", "lambda_max", "max_steps", "precision",
+                     "method"))
+def trace_rays_spectral(metric, r_obs, alphas, thetas, theta_obs,
+                        transfer_fn, n_bands: int, lambda_max: float,
+                        max_steps: int = 200000,
+                        precision: str = "fast",
+                        method: str = "dp45"):
+    """Multi-frequency radiative-transfer trace: ONE geodesic
+    integration carrying 1 + n_bands coupled extra state components.
+
+    transfer_fn(y, p_t, p_phi) -> (d tau_hat, d I_1, ..., d I_n)
+    receives the FULL state tuple (r, theta, phi, p_r, p_theta,
+    tau_hat, I_1..I_n) so each band's emission term can read the
+    running reduced optical depth (volumetric.make_spectral_transfer
+    builds the synchrotron-like frequency scalings: all bands share
+    tau_hat because a power-law opacity separates as
+    tau_i = f_i^(1-q) tau_hat). All components ride the embedded
+    error estimator. XLA path only; transfer_fn must be a
+    cached/stable function object (jit static arg).
+    """
+    from light_path_tracer_tpu.ops.types import SpectralResult
+    dtype = alphas.dtype
+    tols = get_tols(dtype, precision)
+
+    y0, p_t, p_phi, invalid0 = metric.initial_conditions_5d(
+        r_obs, alphas, thetas, theta_obs)
+    zeros = jnp.zeros_like(y0[0])
+    y0 = (*y0, *([zeros] * (1 + n_bands)))
+    status0 = jnp.where(invalid0, INVALID, RUNNING).astype(jnp.int32)
+
+    y_f, status_f, _lam, steps = dp45_integrate(
+        metric, y0, p_t, p_phi, status0,
+        atol=jnp.full_like(alphas, tols["atol"]),
+        rtol=jnp.full_like(alphas, tols["rtol"]),
+        h_min=jnp.asarray(tols["h_min"], dtype),
+        tiny_err=tols["tiny_err"],
+        r_capture=jnp.asarray(metric.capture_radius(), dtype),
+        r_escape=jnp.asarray(r_obs * 2.0, dtype),
+        lambda_max=lambda_max, h_init=_h_init_for(r_obs, dtype),
+        max_steps=max_steps, method=method, extra_rhs=transfer_fn)
+
+    zero = jnp.asarray(0.0, dtype)
+    ok = status_f != INVALID
+    tau = jnp.where(ok, y_f[5], zero)
+    em = tuple(jnp.where(ok, y_f[6 + i], zero) for i in range(n_bands))
+    final_alpha, n_half, status_out = finalize_angles(
+        metric, y_f[:5], p_t, p_phi, status_f)
+    return SpectralResult(em, tau, final_alpha, n_half, status_out,
+                          steps)
 
 
 @functools.partial(

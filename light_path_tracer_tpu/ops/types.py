@@ -52,6 +52,25 @@ class VolumetricResult(NamedTuple):
     optical_depth: jnp.ndarray  # (N,) float — total tau (0 when thin)
 
 
+class SpectralResult(NamedTuple):
+    """Per-ray multi-frequency radiative-transfer trace outcome
+    (volumetric.render_volumetric_spectrum).
+
+    emission[i] is band i's self-absorbed intensity integral; all
+    bands share ONE geodesic trace and ONE reduced optical-depth
+    integral tau_hat (per-band tau_i = c_i * tau_hat with the
+    frequency scaling c_i = f_i^(1-q) applied inside the coupled
+    e^{-c_i tau_hat} emission terms).
+    """
+
+    emission: tuple             # n_bands x (N,) float
+    tau_hat: jnp.ndarray        # (N,) float — reduced optical depth
+    final_alpha: jnp.ndarray    # (N,) float
+    n_half_orbits: jnp.ndarray  # (N,) int32
+    status: jnp.ndarray         # (N,) int32
+    n_steps: jnp.ndarray        # () int32
+
+
 class SurfaceResult(NamedTuple):
     """Per-ray opaque-spherical-surface trace outcome (stellar-surface
     imaging, star.py).

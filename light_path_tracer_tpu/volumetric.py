@@ -105,50 +105,24 @@ class RIAFConfig:
     shell_in: float = 0.0          # shell inner radius [M]
     shell_out: float = 0.0         # shell outer radius [M]
     edge_width: float = 0.2        # shell edge smoothing [M]
-    g_power: float = 3.0           # redshift weight exponent p
+    g_power: float = 3.0           # redshift weight exponent p = 3 + s
+    #   (s = rest-frame spectral index of j_nu ~ nu^-s)
     prograde: bool = True          # flow rotation sense
     tone_map: str = "sqrt"         # display transfer ("linear"/"sqrt"/"asinh")
-    alpha0: float = 0.0            # gray opacity scale [1/M]: rest-frame
-    #   absorption alpha_rest = alpha0 * j_rest(r, theta), so the source
-    #   function S = j/alpha = 1/alpha0 is uniform. 0 = optically thin.
+    alpha0: float = 0.0            # opacity scale [1/M] at the fiducial
+    #   frequency: rest-frame absorption alpha_rest = alpha0 * j_rest,
+    #   so the source function S = j/alpha = 1/alpha0 is uniform there.
+    #   0 = optically thin.
+    opacity_index: float = 0.0     # q in alpha_nu ~ nu^-q (0 = gray;
+    #   synchrotron-like q = s + 5/2). Only multi-frequency rendering
+    #   (render_volumetric_spectrum) distinguishes q from 0: the
+    #   single-band path IS the q-independent fiducial frequency.
 
 
 @functools.lru_cache(maxsize=64)
-def make_transfer_fns(metric, riaf: RIAFConfig):
-    """(emission_fn, absorption_fn) for the radiative-transfer trace,
-    cached per (metric, config) so the returned function objects are
-    stable across calls (they are jit static arguments of
-    trace_rays_volumetric).
-
-    emission_fn(y5, p_t, p_phi) -> g^p * j_rest(r, theta).
-    absorption_fn(y5, p_t, p_phi) -> invariant opacity chi =
-    alpha_rest / g with the gray opacity alpha_rest = alpha0 * j_rest
-    (uniform source function S = 1/alpha0; the 1/g is the nu_local
-    frequency factor of the invariant opacity nu alpha_nu at fixed
-    observed frequency). None when alpha0 == 0 (optically thin).
-    g_power == 0 is the pure-geometry oracle mode: no redshift
-    machinery anywhere, chi = alpha0 * j_rest exactly.
-
-    Works for Kerr and the charged families (the covariant components
-    below use the _two_M_r / _Delta_b hooks: W = 2Mr for Kerr,
-    2Mr - Q^2 for Kerr-Newman/Reissner-Nordstrom, and keplerian_omega
-    carries the matching charged orbit form).  Johannsen-Psaltis is
-    rejected for the same reason disk mode rejects it: the flow model
-    (Keplerian Omega, circular-orbit redshift) is a Kerr/charged
-    closed form.
-    """
-    if getattr(metric, "eps3", 0.0):
-        raise ValueError("volumetric mode is not wired for "
-                         "Johannsen-Psaltis (eps3 != 0): the flow "
-                         "field (Keplerian Omega, circular-emitter "
-                         "redshift) is a Kerr/charged closed form")
-    if riaf.profile not in ("torus", "powerlaw", "shell"):
-        raise ValueError(f"profile must be 'torus', 'powerlaw' or "
-                         f"'shell', got {riaf.profile!r}")
-    if riaf.profile == "shell" and not riaf.shell_out > riaf.shell_in:
-        raise ValueError("shell profile needs shell_out > shell_in")
-    if riaf.alpha0 < 0.0:
-        raise ValueError(f"alpha0 must be >= 0, got {riaf.alpha0}")
+def _profile_fns(metric, riaf: RIAFConfig):
+    """(j_rest(r, c), g_clipped(y5, p_t, p_phi)) — the shared building
+    blocks of every transfer function (single-band and spectral)."""
     M = float(metric.M)
     a = float(metric.a)
     Q = float(getattr(metric, "Q", 0.0))
@@ -200,6 +174,47 @@ def make_transfer_fns(metric, riaf: RIAFConfig):
         g = jnp.sqrt(den) / jnp.maximum(1.0 - om * xi, 1e-3)
         return jnp.clip(g, 0.0, 10.0)
 
+    return _j_rest, _g_clipped
+
+
+@functools.lru_cache(maxsize=64)
+def make_transfer_fns(metric, riaf: RIAFConfig):
+    """(emission_fn, absorption_fn) for the radiative-transfer trace,
+    cached per (metric, config) so the returned function objects are
+    stable across calls (they are jit static arguments of
+    trace_rays_volumetric).
+
+    emission_fn(y5, p_t, p_phi) -> g^p * j_rest(r, theta).
+    absorption_fn(y5, p_t, p_phi) -> invariant opacity chi =
+    alpha_rest / g with the gray opacity alpha_rest = alpha0 * j_rest
+    (uniform source function S = 1/alpha0; the 1/g is the nu_local
+    frequency factor of the invariant opacity nu alpha_nu at fixed
+    observed frequency). None when alpha0 == 0 (optically thin).
+    g_power == 0 is the pure-geometry oracle mode: no redshift
+    machinery anywhere, chi = alpha0 * j_rest exactly.
+
+    Works for Kerr and the charged families (the covariant components
+    below use the _two_M_r / _Delta_b hooks: W = 2Mr for Kerr,
+    2Mr - Q^2 for Kerr-Newman/Reissner-Nordstrom, and keplerian_omega
+    carries the matching charged orbit form).  Johannsen-Psaltis is
+    rejected for the same reason disk mode rejects it: the flow model
+    (Keplerian Omega, circular-orbit redshift) is a Kerr/charged
+    closed form.
+    """
+    if getattr(metric, "eps3", 0.0):
+        raise ValueError("volumetric mode is not wired for "
+                         "Johannsen-Psaltis (eps3 != 0): the flow "
+                         "field (Keplerian Omega, circular-emitter "
+                         "redshift) is a Kerr/charged closed form")
+    if riaf.profile not in ("torus", "powerlaw", "shell"):
+        raise ValueError(f"profile must be 'torus', 'powerlaw' or "
+                         f"'shell', got {riaf.profile!r}")
+    if riaf.profile == "shell" and not riaf.shell_out > riaf.shell_in:
+        raise ValueError("shell profile needs shell_out > shell_in")
+    if riaf.alpha0 < 0.0:
+        raise ValueError(f"alpha0 must be >= 0, got {riaf.alpha0}")
+    _j_rest, _g_clipped = _profile_fns(metric, riaf)
+
     if riaf.g_power == 0.0:             # pure path length (oracles)
         def emission_fn(y5, p_t, p_phi):
             return _j_rest(y5[0], jnp.cos(y5[1]))
@@ -222,6 +237,141 @@ def make_transfer_fns(metric, riaf: RIAFConfig):
 def make_emission_fn(metric, riaf: RIAFConfig):
     """The emission half of make_transfer_fns (same cached object)."""
     return make_transfer_fns(metric, riaf)[0]
+
+
+@functools.lru_cache(maxsize=64)
+def make_spectral_transfer(metric, riaf: RIAFConfig, freqs: tuple):
+    """transfer_fn for trace_rays_spectral: multi-frequency
+    self-absorbed transfer with power-law spectra, ALL bands in one
+    trace.
+
+    Rest frame: j_nu ~ j_rest(r, theta) nu^-s with s = g_power - 3,
+    alpha_nu ~ alpha0 j_rest(r, theta) nu^-q with q = opacity_index
+    (both normalized at the fiducial frequency nu0 = 1; freqs are
+    nu_i/nu0). The invariant transfer at observed frequency f_i then
+    separates:
+
+        tau_i(lambda) = f_i^(1-q) * tau_hat(lambda),
+        d tau_hat / d lambda = alpha0 j_rest g^(q-1)
+        d I_i / d lambda = f_i^-s  j_rest g^(3+s)  exp(-f_i^(1-q)
+                                                       tau_hat)
+
+    so ONE reduced optical-depth integral serves every band — the
+    state carries (tau_hat, I_1..I_n) and the geodesic is traced once.
+    At f = 1, q = 0 this reproduces the single-band absorption path
+    exactly (oracle-tested). Frequency-dependent opacity is what makes
+    the photosphere nu-dependent: lower frequencies are absorbed
+    deeper into the flow, so the image grows and the spectrum turns
+    over (thick slope f^(q-s) rising, thin slope f^-s) — the
+    synchrotron-self-absorption phenomenology of Sgr A*/M87* spectra.
+
+    g_power == 0 is again the pure-geometry oracle mode (no redshift
+    machinery; s = -3 still applies the f_i^-s band scaling).
+    """
+    if not freqs or any(f <= 0 for f in freqs):
+        raise ValueError(f"freqs must be positive, got {freqs!r}")
+    make_transfer_fns(metric, riaf)               # validates the config
+    _j_rest, _g_clipped = _profile_fns(metric, riaf)
+    s = riaf.g_power - 3.0
+    q = riaf.opacity_index
+    c = tuple(float(f) ** (1.0 - q) for f in freqs)
+    band_scale = tuple(float(f) ** (-s) for f in freqs)
+
+    def transfer_fn(y, p_t, p_phi):
+        j = _j_rest(y[0], jnp.cos(y[1]))
+        if riaf.g_power == 0.0:                   # pure-geometry mode
+            em = j
+            chi_hat = riaf.alpha0 * j
+        else:
+            g = _g_clipped(y[:5], p_t, p_phi)
+            em = j * g ** riaf.g_power
+            chi_hat = (riaf.alpha0 * j
+                       * jnp.maximum(g, 0.1) ** (q - 1.0))
+        # tau_hat >= 0 physically, but RK stage PROBES (negative A
+        # coefficients x large h) can drive it negative; unbounded
+        # exp(+c|tau|) then overflows the stage derivative and the
+        # controller reject-cycles forever (measured: a 200k-step
+        # grind at c = 100). The floor only touches unphysical probe
+        # states — accepted states never clip.
+        tau_hat = jnp.maximum(y[5], -30.0 / max(max(c), 1.0))
+        d_i = tuple(bs * em * jnp.exp(-ci * tau_hat)
+                    for bs, ci in zip(band_scale, c))
+        return (chi_hat, *d_i)
+
+    return transfer_fn
+
+
+def render_volumetric_spectrum(scene: SceneConfig, resolution, freqs,
+                               cfg: RenderConfig = RenderConfig(),
+                               riaf: RIAFConfig = RIAFConfig()):
+    """Multi-frequency self-absorbed images + spectrum from ONE trace.
+
+    freqs: observed frequencies in units of the fiducial frequency
+    (where alpha0 is normalized). Returns (images (n, H, W) float32
+    display maps — each band tone-mapped independently, stats) with
+    stats['emission'] the raw (n, H, W) band intensities,
+    stats['flux'] the per-band image-integrated fluxes (the SED:
+    rising thick side ~ f^(q-s), falling thin side ~ f^-s when
+    opacity_index q > spectral index s = g_power-3), and
+    stats['mean_radius_rad'] each band's emission-weighted angular
+    radius — the frequency-dependent photosphere (lower frequencies
+    image LARGER). stats['tau_hat'] is the shared reduced
+    optical-depth map (band i's tau = f_i^(1-q) * tau_hat).
+    """
+    from light_path_tracer_tpu.ops.kerr_trace import trace_rays_spectral
+    metric = _scene_metric(scene)
+    freqs = tuple(float(f) for f in freqs)
+    transfer_fn = make_spectral_transfer(metric, riaf, freqs)
+    timer = StageTimer()
+    height, width = resolution
+    fov = camera.fov_from_vertical(scene.vertical_fov, resolution)
+    dtype = jnp.float64 if cfg.dtype == "float64" else jnp.float32
+
+    with timer.stage("build_lookup") as out:
+        alpha = camera.build_alpha_lookup(
+            resolution, fov, psi=scene.psi, dtype=dtype,
+            boost=scene.boost)
+        theta = camera.build_theta_lookup(
+            resolution, fov, psi=scene.psi, dtype=dtype,
+            boost=scene.boost)
+        out.append((alpha, theta))
+
+    with timer.stage("precompute") as out:
+        res = trace_rays_spectral(
+            metric, scene.r_obs, alpha.ravel(), theta.ravel(),
+            scene.theta_obs, transfer_fn, len(freqs),
+            max(5000.0, 6.0 * scene.r_obs), cfg.max_steps,
+            precision=cfg.precision, method=cfg.integrator)
+        out.append(res.tau_hat)
+
+    with timer.stage("render") as out:
+        images = jnp.stack([
+            _tone_map(em, riaf.tone_map).reshape(resolution)
+            for em in res.emission]).astype(jnp.float32)
+        out.append(images)
+
+    em = np.stack([np.asarray(e).reshape(resolution)
+                   for e in res.emission])
+    # Emission-weighted angular radius per band (photosphere size).
+    yy = (np.arange(height) - height / 2.0) * (fov[0] / height)
+    xx = (np.arange(width) - width / 2.0) * (fov[1] / width)
+    rad = np.hypot(yy[:, None], xx[None, :])
+    flux = em.sum(axis=(1, 2))
+    mean_r = (em * rad).sum(axis=(1, 2)) / np.maximum(flux, 1e-30)
+    status = np.asarray(res.status)
+    stats = dict(
+        freqs=np.asarray(freqs),
+        flux=flux,
+        mean_radius_rad=mean_r,
+        emission=em,
+        tau_hat=np.asarray(res.tau_hat).reshape(resolution),
+        captured=int((status == CAPTURED).sum()),
+        invalid=int((status == INVALID).sum()),
+        integrator_steps=int(res.n_steps),
+        total_rays=height * width,
+        traced_rays=height * width,
+        timings=timer.finish())
+    return images, stats
 
 
 def render_volumetric(scene: SceneConfig, resolution,

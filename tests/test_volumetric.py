@@ -131,6 +131,82 @@ def test_absorption_dims_pointwise_and_thin_mode_tau_is_zero():
     assert np.all(st_thin["optical_depth"] == 0.0)
 
 
+def test_spectral_single_band_reduces_to_absorbed_trace():
+    """trace_rays_spectral at one fiducial band (f = 1, gray q = 0) is
+    the single-band absorption path: same emission, same optical
+    depth, same step count."""
+    from light_path_tracer_tpu.ops.kerr_trace import trace_rays_spectral
+    from light_path_tracer_tpu.volumetric import make_spectral_transfer
+
+    m = Kerr(1.0, 0.0)
+    riaf = RIAFConfig(profile="shell", shell_in=200.0, shell_out=240.0,
+                      g_power=0.0, alpha0=0.05)
+    em_fn, ab_fn = make_transfer_fns(m, riaf)
+    tf = make_spectral_transfer(m, riaf, (1.0,))
+    b = np.array([30.0, 100.0, 210.0])
+    alphas = jnp.asarray(np.arcsin(b / 2000.0), jnp.float64)
+    th = jnp.zeros_like(alphas)
+    r1 = trace_rays_volumetric(m, 2000.0, alphas, th, np.pi / 2, em_fn,
+                               12000.0, 200000, absorption_fn=ab_fn)
+    r2 = trace_rays_spectral(m, 2000.0, alphas, th, np.pi / 2, tf, 1,
+                             12000.0, 200000)
+    np.testing.assert_allclose(np.asarray(r2.emission[0]),
+                               np.asarray(r1.emission), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(r2.tau_hat),
+                               np.asarray(r1.optical_depth), rtol=1e-12)
+    assert int(r2.n_steps) == int(r1.n_steps)
+
+
+def test_spectral_thin_bands_exactly_proportional():
+    """alpha0 = 0: every band integrates the same weight up to the
+    analytic f^-s factor (s = g_power - 3), so the band images are
+    exactly proportional — the separable thin limit."""
+    from light_path_tracer_tpu.volumetric import (
+        render_volumetric_spectrum)
+    scene = SceneConfig(M=1.0, a=0.9, r_obs_mult=100.0,
+                        theta_obs=np.radians(80.0))
+    riaf = RIAFConfig(g_power=4.0, alpha0=0.0)      # s = 1
+    freqs = (0.5, 1.0, 2.0)
+    _imgs, st = render_volumetric_spectrum(scene, (16, 16), freqs,
+                                           CFG, riaf)
+    em = st["emission"]
+    # Power-of-two band factors scale each f32 step exactly, so the
+    # proportionality is bitwise except on DENORMAL pixels (~1e-35,
+    # where rounding breaks exponent-shift exactness) — hence the
+    # peak-relative atol.
+    tiny = 1e-12 * em[1].max()
+    np.testing.assert_allclose(em[0], 2.0 * em[1], rtol=1e-6, atol=tiny)
+    np.testing.assert_allclose(em[2], 0.5 * em[1], rtol=1e-6, atol=tiny)
+
+
+def test_ssa_turnover_and_frequency_dependent_photosphere():
+    """Synchrotron-self-absorption phenomenology: with opacity_index
+    q > s the SED rises on the optically thick side and falls on the
+    thin side, and the emission-weighted image radius GROWS toward
+    lower frequency (the photosphere moves out where opacity is
+    higher)."""
+    from light_path_tracer_tpu.volumetric import (
+        render_volumetric_spectrum)
+    scene = SceneConfig(M=1.0, a=0.9, r_obs_mult=100.0,
+                        theta_obs=np.radians(80.0),
+                        vertical_fov_deg=16.0)
+    riaf = RIAFConfig(g_power=4.0, alpha0=1.0, opacity_index=3.0)
+    freqs = (0.1, 1.0, 10.0)
+    _imgs, st = render_volumetric_spectrum(scene, (32, 32), freqs,
+                                           RenderConfig(backend="xla"),
+                                           riaf)
+    flux = st["flux"]
+    assert flux[1] > 2.0 * flux[0]        # rising (thick) side
+    assert flux[1] > 2.0 * flux[2]        # falling (thin) side
+    r = st["mean_radius_rad"]
+    assert r[0] > r[1] > r[2]             # photosphere grows at low f
+    # The exponent floor keeps the controller out of the reject-cycle
+    # grind (this exact configuration measured 200k steps without it).
+    assert st["integrator_steps"] < 1000
+    with pytest.raises(ValueError, match="freqs"):
+        render_volumetric_spectrum(scene, (8, 8), (), CFG, riaf)
+
+
 def test_charged_hooks_reduce_to_kerr_at_zero_charge():
     """The emission function reads the metric through the _two_M_r /
     _Delta_b hooks; at Q = 0 the Kerr-Newman volumetric trace must
