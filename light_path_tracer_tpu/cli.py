@@ -497,7 +497,43 @@ def cmd_volumetric(args) -> int:
         h_cos=args.h_cos, index=args.index, shell_in=args.shell_in,
         shell_out=args.shell_out, g_power=args.g_power,
         prograde=not args.retrograde, tone_map=args.tone_map,
-        alpha0=args.alpha0, opacity_index=args.opacity_index)
+        alpha0=args.alpha0, opacity_index=args.opacity_index,
+        # The blob only participates in movie mode (still/spectral
+        # emissivities are stationary).
+        spot_amp=args.spot_amp if args.movie else 0.0,
+        spot_r=args.spot_r, spot_sigma=args.spot_sigma)
+
+    if args.movie:
+        from PIL import Image
+        from light_path_tracer_tpu.volumetric import (
+            render_volumetric_movie)
+        from light_path_tracer_tpu.disk import keplerian_omega
+        period = abs(2.0 * np.pi / keplerian_omega(
+            scene.M, scene.a, args.spot_r, not args.retrograde,
+            Q=scene.Q))
+        times = tuple(period * args.orbits * k / args.movie
+                      for k in range(args.movie))
+        frames, stats = render_volumetric_movie(
+            scene, (args.size, args.size), times, cfg, riaf)
+        colored = cm.afmhot(np.asarray(frames))[..., :3]
+        pils = [Image.fromarray((np.clip(f, 0, 1) * 255)
+                                .astype(np.uint8)) for f in colored]
+        out = args.output
+        if out.endswith(".png"):
+            out = out[:-4] + ".gif"
+        pils[0].save(out, save_all=True, append_images=pils[1:],
+                     duration=int(1000 / args.fps), loop=0)
+        t = stats["timings"]
+        print(f"Flare movie: {args.movie} frames ({args.orbits} "
+              f"orbit(s), period {period:.1f} M) from ONE trace "
+              f"({stats['integrator_steps']:,} steps, "
+              f"{t.get('precompute', 0.0):.3f}s)")
+        lc = stats["light_curve"]
+        print(f"  light curve modulation "
+              f"{(lc.max() - lc.min()) / (lc.max() + lc.min()):.1%}, "
+              f"retarded-time span {stats['t_max']:.0f} M")
+        print(f"Saved: {out}")
+        return 0
 
     if args.freqs:
         from light_path_tracer_tpu.volumetric import (
@@ -1262,6 +1298,22 @@ def build_parser():
                         "synchrotron-like q = g_power - 3 + 5/2). "
                         "With --freqs this makes the photosphere "
                         "frequency-dependent (SSA turnover)")
+    p.add_argument("--movie", type=int, metavar="N",
+                   help="flare-movie mode: N observer-time frames of "
+                        "an orbiting hot-spot blob, ALL from one "
+                        "trace (retarded-time evaluation); writes a "
+                        "GIF")
+    p.add_argument("--orbits", type=float, default=1.0,
+                   help="blob orbits covered by the movie")
+    p.add_argument("--spot-amp", type=float, default=5.0,
+                   help="blob peak emissivity (movie mode; adds to "
+                        "the base profile)")
+    p.add_argument("--spot-r", type=float, default=6.0,
+                   help="blob orbit radius [M]")
+    p.add_argument("--spot-sigma", type=float, default=1.0,
+                   help="blob Gaussian size [M]")
+    p.add_argument("--fps", type=float, default=12.0,
+                   help="movie GIF frame rate")
     p.add_argument("--output", default="volumetric.png")
     p.add_argument("--visibility", metavar="PATH",
                    help="save the baseline-domain |V| profile of the "

@@ -117,6 +117,14 @@ class RIAFConfig:
     #   synchrotron-like q = s + 5/2). Only multi-frequency rendering
     #   (render_volumetric_spectrum) distinguishes q from 0: the
     #   single-band path IS the q-independent fiducial frequency.
+    # Orbiting hot-spot blob (flare movies, render_volumetric_movie):
+    # a 3-D Gaussian of emissivity spot_amp riding the Keplerian flow
+    # on a circular equatorial orbit of radius spot_r, evaluated at
+    # each pixel's RETARDED time. 0 = no spot.
+    spot_amp: float = 0.0          # blob peak emissivity (adds to j)
+    spot_r: float = 6.0            # blob orbit radius [M]
+    spot_sigma: float = 1.0        # blob Gaussian size [M]
+    spot_phase: float = 0.0        # blob azimuth at t = 0 [rad]
 
 
 @functools.lru_cache(maxsize=64)
@@ -299,6 +307,147 @@ def make_spectral_transfer(metric, riaf: RIAFConfig, freqs: tuple):
         return (chi_hat, *d_i)
 
     return transfer_fn
+
+
+@functools.lru_cache(maxsize=64)
+def make_movie_transfer(metric, riaf: RIAFConfig, times: tuple):
+    """transfer_fn for flare movies: ALL observer-time frames in one
+    trace (rides trace_rays_spectral's generic coupled-extras state).
+
+    State extras: (t, [tau,] I_1..I_n) — coordinate time from the
+    camera integrates as an error-controlled component (dt/dlambda =
+    metric.tdot), and frame k's emissivity evaluates the orbiting blob
+    at the RETARDED emission time t_k - t(lambda): each pixel sees the
+    blob where it WAS when that pixel's light left the flow. The blob
+    is a flat-embedding 3-D Gaussian of peak spot_amp co-rotating with
+    the Keplerian flow at spot_r (so the base flow's emitter redshift
+    g is exactly the blob's Doppler). With alpha0 > 0 the STATIONARY
+    base flow also absorbs (shared tau, blob treated as optically
+    thin): extras gain the tau component.
+
+    The GRAVITY-instrument Sgr A* flare-orbit phenomenology — and the
+    whole movie costs ONE geodesic trace.
+    """
+    if riaf.spot_amp < 0.0:
+        raise ValueError(f"spot_amp must be >= 0, got {riaf.spot_amp}")
+    if not times:
+        raise ValueError("times must be non-empty")
+    make_transfer_fns(metric, riaf)               # validates the config
+    _j_rest, _g_clipped = _profile_fns(metric, riaf)
+    M = float(metric.M)
+    a = float(metric.a)
+    Q = float(getattr(metric, "Q", 0.0))
+    om_spot = float(keplerian_omega(M, a, riaf.spot_r, riaf.prograde,
+                                    Q=Q))
+    R = riaf.spot_r
+    two_sig2 = 2.0 * riaf.spot_sigma ** 2
+    absorbing = riaf.alpha0 > 0.0
+
+    def transfer_fn(y, p_t, p_phi):
+        r, th, phi = y[0], y[1], y[2]
+        c = jnp.cos(th)
+        s = jnp.sin(th)        # signed on the double-cover chart: the
+        # Cartesian embedding below maps (theta > pi, phi) to the same
+        # point as (2pi - theta, phi + pi), so no folding is needed.
+        j = _j_rest(r, c)
+        t = y[5]
+        # Blob center at the retarded time of frame k.
+        def spot(t_k):
+            phi_s = riaf.spot_phase + om_spot * (t_k - t)
+            d2 = (r * r + R * R
+                  - 2.0 * r * R * s * jnp.cos(phi - phi_s))
+            return riaf.spot_amp * jnp.exp(-d2 / two_sig2)
+
+        if riaf.g_power == 0.0:
+            w = 1.0
+            chi = riaf.alpha0 * j
+        else:
+            g = _g_clipped(y[:5], p_t, p_phi)
+            w = g ** riaf.g_power
+            chi = riaf.alpha0 * j / jnp.maximum(g, 0.1)
+        tdot = metric.tdot(y[:5], p_t, p_phi)
+        if absorbing:
+            screen = jnp.exp(-jnp.maximum(y[6], -30.0))
+            d_i = tuple(screen * w * (j + spot(tk)) for tk in times)
+            return (tdot, chi, *d_i)
+        d_i = tuple(w * (j + spot(tk)) for tk in times)
+        return (tdot, *d_i)
+
+    return transfer_fn
+
+
+def render_volumetric_movie(scene: SceneConfig, resolution, times,
+                            cfg: RenderConfig = RenderConfig(),
+                            riaf: RIAFConfig = RIAFConfig()):
+    """Flare movie: every observer-time frame from ONE geodesic trace.
+
+    times: observer coordinate times [M] of the frames (the blob
+    orbits with period 2 pi / Omega_K(spot_r)). Returns (frames
+    (n, H, W) float32 display maps — tone-mapped on a COMMON scale so
+    brightness is comparable across frames, stats) with
+    stats['emission'] the raw (n, H, W) intensities and
+    stats['light_curve'] the per-frame integrated flux.
+    """
+    from light_path_tracer_tpu.ops.kerr_trace import trace_rays_spectral
+    metric = _scene_metric(scene)
+    times = tuple(float(t) for t in times)
+    transfer_fn = make_movie_transfer(metric, riaf, times)
+    timer = StageTimer()
+    height, width = resolution
+    fov = camera.fov_from_vertical(scene.vertical_fov, resolution)
+    dtype = jnp.float64 if cfg.dtype == "float64" else jnp.float32
+    absorbing = riaf.alpha0 > 0.0
+
+    with timer.stage("build_lookup") as out:
+        alpha = camera.build_alpha_lookup(
+            resolution, fov, psi=scene.psi, dtype=dtype,
+            boost=scene.boost)
+        theta = camera.build_theta_lookup(
+            resolution, fov, psi=scene.psi, dtype=dtype,
+            boost=scene.boost)
+        out.append((alpha, theta))
+
+    with timer.stage("precompute") as out:
+        # Extras layout (trace_rays_spectral is the generic coupled-
+        # extras trace): "tau_hat" slot carries t; with absorption the
+        # first "band" carries tau and the frames follow.
+        n_extra_bands = len(times) + (1 if absorbing else 0)
+        res = trace_rays_spectral(
+            metric, scene.r_obs, alpha.ravel(), theta.ravel(),
+            scene.theta_obs, transfer_fn, n_extra_bands,
+            max(5000.0, 6.0 * scene.r_obs), cfg.max_steps,
+            precision=cfg.precision, method=cfg.integrator)
+        out.append(res.status)
+
+    bands = res.emission[1:] if absorbing else res.emission
+    tau = (np.asarray(res.emission[0]).reshape(resolution)
+           if absorbing else np.zeros(resolution))
+    with timer.stage("render") as out:
+        peak = jnp.maximum(
+            jnp.max(jnp.stack([jnp.max(b) for b in bands])), 1e-30)
+        frames = jnp.stack([
+            _tone_map(b, riaf.tone_map, peak=peak).reshape(resolution)
+            for b in bands]).astype(jnp.float32)
+        out.append(frames)
+
+    em = np.stack([np.asarray(b).reshape(resolution) for b in bands])
+    status = np.asarray(res.status)
+    stats = dict(
+        times=np.asarray(times),
+        light_curve=em.sum(axis=(1, 2)),
+        emission=em,
+        optical_depth=tau,
+        t_max=float(np.asarray(res.tau_hat).max()),
+        spot_period=(2.0 * np.pi / abs(float(keplerian_omega(
+            float(metric.M), float(metric.a), riaf.spot_r,
+            riaf.prograde, Q=float(getattr(metric, "Q", 0.0)))))),
+        captured=int((status == CAPTURED).sum()),
+        invalid=int((status == INVALID).sum()),
+        integrator_steps=int(res.n_steps),
+        total_rays=height * width,
+        traced_rays=height * width,
+        timings=timer.finish())
+    return frames, stats
 
 
 def render_volumetric_spectrum(scene: SceneConfig, resolution, freqs,

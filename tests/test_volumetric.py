@@ -207,6 +207,62 @@ def test_ssa_turnover_and_frequency_dependent_photosphere():
         render_volumetric_spectrum(scene, (8, 8), (), CFG, riaf)
 
 
+def test_movie_stationary_frames_identical_and_periodic():
+    """Flare-movie wiring: with no blob every frame is IDENTICAL (the
+    retarded-time machinery must not perturb a stationary emissivity),
+    and with a blob the frame at t = one full orbital period matches
+    the t = 0 frame (the blob returns to its phase-0 azimuth)."""
+    from light_path_tracer_tpu.volumetric import render_volumetric_movie
+    scene = SceneConfig(M=1.0, a=0.9, r_obs_mult=100.0,
+                        theta_obs=np.radians(80.0))
+    _f, st = render_volumetric_movie(scene, (16, 16), (0.0, 300.0),
+                                     CFG, RIAFConfig(spot_amp=0.0))
+    np.testing.assert_array_equal(st["emission"][0], st["emission"][1])
+
+    riaf = RIAFConfig(spot_amp=5.0, spot_r=6.0, spot_sigma=1.0)
+    _f2, st2 = render_volumetric_movie(scene, (16, 16), (0.0, 1.0),
+                                       CFG, riaf)
+    period = st2["spot_period"]
+    _f3, st3 = render_volumetric_movie(scene, (16, 16),
+                                       (0.0, period), CFG, riaf)
+    em = st3["emission"]
+    np.testing.assert_allclose(em[1], em[0], rtol=1e-4,
+                               atol=1e-5 * em[0].max())
+    # And the 1-M-later frame genuinely differs (the blob moved).
+    assert np.abs(st2["emission"][1]
+                  - st2["emission"][0]).max() > 1e-3
+
+
+def test_movie_blob_orbits_and_beams():
+    """Physical orderings over one orbit: the light curve is Doppler
+    modulated (approaching > receding), and the emission-weighted
+    centroid of the blob's excess rotates through the frames."""
+    from light_path_tracer_tpu.volumetric import render_volumetric_movie
+    scene = SceneConfig(M=1.0, a=0.9, r_obs_mult=100.0,
+                        theta_obs=np.radians(80.0),
+                        vertical_fov_deg=16.0)
+    riaf = RIAFConfig(spot_amp=8.0, spot_r=6.0, spot_sigma=1.0)
+    _f, st0 = render_volumetric_movie(scene, (32, 32), (0.0,), CFG,
+                                      RIAFConfig())
+    base = st0["emission"][0]
+    period = None
+    from light_path_tracer_tpu.disk import keplerian_omega
+    period = 2 * np.pi / abs(float(keplerian_omega(1.0, 0.9, 6.0,
+                                                   True)))
+    times = tuple(period * k / 6 for k in range(6))
+    _f, st = render_volumetric_movie(scene, (32, 32), times, CFG, riaf)
+    lc = st["light_curve"]
+    assert (lc.max() - lc.min()) / (lc.max() + lc.min()) > 0.02
+    # Centroid column of the blob excess moves across the image.
+    cols = []
+    for em in st["emission"]:
+        ex = np.maximum(em - base, 0.0)
+        w = ex.sum()
+        assert w > 0
+        cols.append((ex.sum(axis=0) * np.arange(32)).sum() / w)
+    assert np.ptp(cols) > 3.0      # sweeps a real fraction of the image
+
+
 def test_charged_hooks_reduce_to_kerr_at_zero_charge():
     """The emission function reads the metric through the _two_M_r /
     _Delta_b hooks; at Q = 0 the Kerr-Newman volumetric trace must
