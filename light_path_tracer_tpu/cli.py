@@ -503,6 +503,27 @@ def cmd_volumetric(args) -> int:
         spot_amp=args.spot_amp if args.movie else 0.0,
         spot_r=args.spot_r, spot_sigma=args.spot_sigma)
 
+    if args.polarization:
+        # Polarized hot-flow image: Stokes (I, Q, U) path integrals
+        # via per-element Walker-Penrose endpoint algebra.
+        from light_path_tracer_tpu.polarization import (
+            render_polarized_volumetric, save_polarization_figure)
+        evpa, pol_frac, intensity, pstats = render_polarized_volumetric(
+            scene, (args.size, args.size), cfg, riaf,
+            field=args.b_field)
+        save_polarization_figure(
+            args.polarization, evpa, pol_frac, intensity,
+            title=f"volumetric {args.b_field} field, a={scene.a}, "
+                  f"inc={np.degrees(scene.theta_obs):.0f}\N{DEGREE SIGN}")
+        sel = np.isfinite(evpa)
+        print(f"Polarized volumetric ({args.b_field}): "
+              f"{args.size}x{args.size}, "
+              f"{pstats['integrator_steps']:,} steps, mean pol "
+              f"fraction {np.nanmean(pol_frac[sel]):.3f} over "
+              f"{int(sel.sum()):,} px")
+        print(f"Saved: {args.polarization}")
+        return 0
+
     if args.movie:
         from PIL import Image
         from light_path_tracer_tpu.volumetric import (
@@ -1314,6 +1335,15 @@ def build_parser():
                    help="blob Gaussian size [M]")
     p.add_argument("--fps", type=float, default=12.0,
                    help="movie GIF frame rate")
+    p.add_argument("--polarization", default=None, metavar="PLOT.png",
+                   help="polarized mode: Stokes I/Q/U volumetric path "
+                        "integrals (Walker-Penrose per-element "
+                        "algebra); saves an EHT-style EVPA tick "
+                        "figure (Kerr-only, optically thin)")
+    p.add_argument("--b-field", default="toroidal",
+                   choices=["vertical", "toroidal", "radial"],
+                   help="magnetic-field geometry of the polarized "
+                        "emission")
     p.add_argument("--output", default="volumetric.png")
     p.add_argument("--visibility", metavar="PATH",
                    help="save the baseline-domain |V| profile of the "

@@ -453,6 +453,57 @@ def trace_rays_spectral(metric, r_obs, alphas, thetas, theta_obs,
 
 @functools.partial(
     jax.jit,
+    static_argnames=("metric", "r_obs", "theta_obs", "transfer_fn",
+                     "n_extras", "lambda_max", "max_steps",
+                     "precision", "method"))
+def trace_rays_aux(metric, r_obs, alphas, thetas, theta_obs,
+                   transfer_fn, n_extras: int, aux,
+                   lambda_max: float, max_steps: int = 200000,
+                   precision: str = "fast", method: str = "dp45"):
+    """Generic coupled-extras trace with per-ray auxiliary constants.
+
+    transfer_fn(y, p_t, p_phi, aux) -> tuple of n_extras derivatives;
+    y is the full state (r, theta, phi, p_r, p_theta, *extras) and aux
+    an arbitrary pytree of per-ray traced arrays captured by the
+    integrand like p_t/p_phi are (e.g. the camera-side Walker-Penrose
+    basis constants of polarized volumetric transfer — quantities that
+    depend on each ray's INITIAL state, which the loop state no longer
+    carries). transfer_fn must be a cached/stable function object (jit
+    static arg); aux is traced, so varying it does NOT recompile.
+    """
+    from light_path_tracer_tpu.ops.types import ExtrasResult
+    dtype = alphas.dtype
+    tols = get_tols(dtype, precision)
+
+    y0, p_t, p_phi, invalid0 = metric.initial_conditions_5d(
+        r_obs, alphas, thetas, theta_obs)
+    zeros = jnp.zeros_like(y0[0])
+    y0 = (*y0, *([zeros] * n_extras))
+    status0 = jnp.where(invalid0, INVALID, RUNNING).astype(jnp.int32)
+    extra = lambda y, pt, pp: transfer_fn(y, pt, pp, aux)
+
+    y_f, status_f, _lam, steps = dp45_integrate(
+        metric, y0, p_t, p_phi, status0,
+        atol=jnp.full_like(alphas, tols["atol"]),
+        rtol=jnp.full_like(alphas, tols["rtol"]),
+        h_min=jnp.asarray(tols["h_min"], dtype),
+        tiny_err=tols["tiny_err"],
+        r_capture=jnp.asarray(metric.capture_radius(), dtype),
+        r_escape=jnp.asarray(r_obs * 2.0, dtype),
+        lambda_max=lambda_max, h_init=_h_init_for(r_obs, dtype),
+        max_steps=max_steps, method=method, extra_rhs=extra)
+
+    zero = jnp.asarray(0.0, dtype)
+    ok = status_f != INVALID
+    extras = tuple(jnp.where(ok, y_f[5 + i], zero)
+                   for i in range(n_extras))
+    final_alpha, n_half, status_out = finalize_angles(
+        metric, y_f[:5], p_t, p_phi, status_f)
+    return ExtrasResult(extras, final_alpha, n_half, status_out, steps)
+
+
+@functools.partial(
+    jax.jit,
     static_argnames=("metric", "r_obs", "theta_obs", "r_surface",
                      "lambda_max", "max_steps", "precision", "method",
                      "record_time"))

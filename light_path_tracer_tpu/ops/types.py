@@ -71,6 +71,20 @@ class SpectralResult(NamedTuple):
     n_steps: jnp.ndarray        # () int32
 
 
+class ExtrasResult(NamedTuple):
+    """Per-ray outcome of the generic coupled-extras trace
+    (ops/kerr_trace.trace_rays_aux): n error-controlled path-integral
+    components (e.g. Stokes I/Q/U for polarized volumetric transfer)
+    accumulated along each geodesic, with optional per-ray auxiliary
+    constants available to the integrand."""
+
+    extras: tuple               # n x (N,) float — final integral values
+    final_alpha: jnp.ndarray    # (N,) float
+    n_half_orbits: jnp.ndarray  # (N,) int32
+    status: jnp.ndarray         # (N,) int32
+    n_steps: jnp.ndarray        # () int32
+
+
 class SurfaceResult(NamedTuple):
     """Per-ray opaque-spherical-surface trace outcome (stellar-surface
     imaging, star.py).

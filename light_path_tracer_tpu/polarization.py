@@ -488,3 +488,225 @@ def hotspot_qu_loop(scene: SceneConfig, resolution, times,
     return (np.asarray(times, np.float64), np.asarray(I, np.float64),
             np.asarray(Q, np.float64), np.asarray(U, np.float64),
             stats)
+
+
+# ---------------------------------------------------------------------
+# Polarized VOLUMETRIC transfer: Stokes (I, Q, U) path integrals.
+# ---------------------------------------------------------------------
+
+def _field_vector_offplane(field, r, th, prograde=True):
+    """Coordinate-frame field direction at general (r, theta) — the
+    off-plane generalization of field_vector (which it reduces to at
+    the equator): vertical = +z = cos(th) d_r - sin(th)/r d_th,
+    toroidal = phi-hat, radial = r-hat. Only the direction matters
+    (the Levi-Civita contraction normalizes via sin_xi)."""
+    zero = jnp.zeros_like(r)
+    one = jnp.ones_like(r)
+    if field == "vertical":
+        return (zero, jnp.cos(th),
+                -jnp.sin(th) / jnp.maximum(r, 1e-6), zero)
+    if field == "toroidal":
+        sign = 1.0 if prograde else -1.0
+        return (zero, zero, zero, sign * one)
+    if field == "radial":
+        return (zero, one, zero, zero)
+    raise ValueError(f"b-field must be one of {_FIELDS}, got {field!r}")
+
+
+def _flow_u_offplane(M, a, r, th, prograde=True):
+    """Keplerian-where-timelike / ZAMO-inside circular 4-velocity at
+    general (r, theta) — the same flow field volumetric emission uses
+    (volumetric._profile_fns), rebuilt here in 4-vector form for the
+    Levi-Civita contraction."""
+    g_tt, g_tphi, _g_rr, _g_thth, g_phiphi = covariant_metric(
+        M, a, r, th)
+    sqrtM = jnp.sqrt(M)
+    om_k = (sqrtM / (r ** 1.5 + a * sqrtM) if prograde
+            else -sqrtM / (r ** 1.5 - a * sqrtM))
+    om_z = -g_tphi / jnp.maximum(g_phiphi, 1e-30)
+
+    def timelike(om):
+        return -(g_tt + 2.0 * om * g_tphi + om * om * g_phiphi)
+
+    om = jnp.where(timelike(om_k) > 1e-3, om_k, om_z)
+    u_t = 1.0 / jnp.sqrt(jnp.maximum(timelike(om), 1e-12))
+    zero = jnp.zeros_like(r)
+    return (u_t, zero, zero, u_t * om)
+
+
+def _local_polarization(M, a, r, th, p_r, p_th, L, field, prograde):
+    """(kappa1, kappa2, sin_xi) of the synchrotron emission element at
+    general (r, theta) — emission_polarization generalized off the
+    equatorial plane (sqrt(-det g) = Sigma |sin th|; an overall sign
+    of f flips kappa, which the quadratic Stokes construction cannot
+    see, so the |.| is safe on the double-cover chart)."""
+    k = k_contravariant(M, a, r, th, p_r, p_th, L)
+    u = _flow_u_offplane(M, a, r, th, prograde)
+    b = _field_vector_offplane(field, r, th, prograde)
+    g = covariant_metric(M, a, r, th)
+
+    u_l, k_l, b_l = _lower(g, u), _lower(g, k), _lower(g, b)
+    Sigma = r * r + a * a * jnp.cos(th) ** 2
+    sqrtg = jnp.maximum(Sigma * jnp.abs(jnp.sin(th)), 1e-12)
+    f = [jnp.zeros_like(r) for _ in range(4)]
+    for (mu, nu, rho, sig), sgn in _PERMS:
+        f[mu] = f[mu] + sgn * u_l[nu] * k_l[rho] * b_l[sig] / sqrtg
+    f = tuple(f)
+
+    omega_fluid = -_dot(g, k, u)
+    b_perp = tuple(b[i] + _dot(g, b, u) * u[i] for i in range(4))
+    b_norm = jnp.sqrt(jnp.maximum(_dot(g, b_perp, b_perp), 1e-30))
+    f_norm = jnp.sqrt(jnp.maximum(_dot(g, f, f), 0.0))
+    sin_xi = jnp.clip(
+        f_norm / jnp.maximum(omega_fluid * b_norm, 1e-30), 0.0, 1.0)
+    kappa1, kappa2 = walker_penrose(a, r, th, k, f)
+    return kappa1, kappa2, sin_xi
+
+
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=32)
+def make_polarized_volumetric_transfer(metric, riaf, field: str,
+                                       p0: float):
+    """transfer_fn for trace_rays_aux: Stokes (I, Q, U) volumetric
+    path integrals via per-element Walker-Penrose endpoint algebra.
+
+    Each emission element's polarization 4-vector f ~ eps(u, k, b) is
+    evaluated from the CURRENT integrator state; its Walker-Penrose
+    constant kappa is conserved to the camera, where the per-ray basis
+    constants (aux = kappa(e1), kappa(e2) computed once per ray by
+    render_polarized_volumetric) invert it into screen components —
+    so the element's camera-frame EVPA chi is available INSIDE the
+    integrand and the Stokes sums
+
+        dI = g^p j,   dQ = p0 sin^2(xi) g^p j cos 2chi,
+                      dU = p0 sin^2(xi) g^p j sin 2chi
+
+    ride the adaptive loop like any other path integral. This is the
+    volumetric counterpart of render_polarization's per-crossing
+    algebra: depolarization along the line of sight (crossed EVPAs
+    cancelling in Q/U) emerges from the integral itself — the EHT
+    polarized-ring phenomenology. Kerr-only (WP is the Kerr form);
+    optically thin (absorption would need per-element transport of
+    the attenuated Stokes vector).
+    """
+    from light_path_tracer_tpu.volumetric import _profile_fns
+    if getattr(metric, "Q", 0.0) or getattr(metric, "eps3", 0.0):
+        raise ValueError("polarized volumetric rendering supports "
+                         "uncharged Kerr scenes only")
+    if field not in _FIELDS:
+        raise ValueError(f"b-field must be one of {_FIELDS}, "
+                         f"got {field!r}")
+    if riaf.alpha0:
+        raise ValueError("polarized volumetric mode is optically thin "
+                         "(alpha0 must be 0): absorption would need "
+                         "the full polarized transfer equation")
+    _j_rest, _g_clipped = _profile_fns(metric, riaf)
+    M = float(metric.M)
+    a = float(metric.a)
+
+    def transfer_fn(y, p_t, p_phi, aux):
+        k11, k21, k12, k22 = aux          # camera kappa(e1), kappa(e2)
+        r, th = y[0], y[1]
+        j = _j_rest(r, jnp.cos(th))
+        w = (1.0 if riaf.g_power == 0.0
+             else _g_clipped(y[:5], p_t, p_phi) ** riaf.g_power)
+        L = p_phi                          # E = 1 convention (p_t = -1)
+        kappa1, kappa2, sin_xi = _local_polarization(
+            M, a, r, th, y[3], y[4], L, field, riaf.prograde)
+        det = k11 * k22 - k12 * k21
+        ok = jnp.abs(det) > 1e-20
+        det_s = jnp.where(ok, det, 1.0)
+        x = (kappa1 * k22 - kappa2 * k12) / det_s
+        yv = (kappa2 * k11 - kappa1 * k21) / det_s
+        n2 = x * x + yv * yv
+        good = ok & (n2 > 1e-24)
+        n2_s = jnp.where(good, n2, 1.0)
+        # chi = atan2(-x, yv) (render_polarization's convention);
+        # Stokes needs only (cos 2chi, sin 2chi) — pure algebra.
+        cos2 = (yv * yv - x * x) / n2_s
+        sin2 = -2.0 * x * yv / n2_s
+        A = jnp.where(good, p0 * sin_xi ** 2 * w * j, 0.0)
+        return (w * j, A * cos2, A * sin2)
+
+    return transfer_fn
+
+
+def render_polarized_volumetric(scene: SceneConfig, resolution,
+                                cfg: RenderConfig = RenderConfig(),
+                                riaf=None, field: str = "toroidal",
+                                p0: float = 0.7):
+    """Polarized hot-flow image: Stokes (I, Q, U) integrated along
+    every geodesic in ONE trace. Returns (evpa, pol_frac, intensity,
+    stats) — same contract as render_polarization: evpa in radians
+    from the image +x axis (NaN where unpolarized/no emission),
+    pol_frac = sqrt(Q^2 + U^2) / I in [0, p0] (beam depolarization
+    shows up as pol_frac < p0 even though every ELEMENT emits at p0).
+    stats carries the raw Stokes maps (stats['I'/'Q'/'U']).
+
+    Camera must be BH-centered and static (psi = 0, boost = 0): the
+    screen-basis mapping assumes it.
+    """
+    from light_path_tracer_tpu.volumetric import RIAFConfig
+    from light_path_tracer_tpu.ops.kerr_trace import (CAPTURED, INVALID,
+                                                      trace_rays_aux)
+    riaf = riaf if riaf is not None else RIAFConfig()
+    if any(abs(p) > 1e-12 for p in scene.psi):
+        raise ValueError("render_polarized_volumetric requires "
+                         "psi = (0, 0) (BH-centered camera)")
+    if any(abs(b) > 1e-12 for b in scene.boost):
+        raise ValueError("render_polarized_volumetric requires a "
+                         "static camera (boost = 0)")
+    if getattr(scene, "Q", 0.0) or getattr(scene, "eps3", 0.0):
+        raise ValueError("polarized volumetric rendering supports "
+                         "uncharged Kerr scenes only")
+    metric = Kerr(M=scene.M, a=scene.a)
+    transfer_fn = make_polarized_volumetric_transfer(metric, riaf,
+                                                     field, float(p0))
+    timer = StageTimer()
+    height, width = resolution
+    fov = camera.fov_from_vertical(scene.vertical_fov, resolution)
+    dtype = jnp.float64 if cfg.dtype == "float64" else jnp.float32
+
+    with timer.stage("build_lookup") as out:
+        alpha = camera.build_alpha_lookup(resolution, fov, dtype=dtype)
+        theta = camera.build_theta_lookup(resolution, fov, dtype=dtype)
+        alpha, theta = alpha.ravel(), theta.ravel()
+        # Per-ray camera-side Walker-Penrose basis constants.
+        y0, _p_t, p_phi, _inv = metric.initial_conditions_5d(
+            scene.r_obs, alpha, theta, scene.theta_obs)
+        Mj = jnp.asarray(scene.M, dtype)
+        aj = jnp.asarray(scene.a, dtype)
+        k_cam = k_contravariant(Mj, aj, y0[0], y0[1], y0[3], y0[4],
+                                p_phi)
+        e1, e2 = observer_basis(Mj, aj, scene.r_obs, scene.theta_obs,
+                                k_cam)
+        k11, k21 = walker_penrose(aj, y0[0], y0[1], k_cam, e1)
+        k12, k22 = walker_penrose(aj, y0[0], y0[1], k_cam, e2)
+        out.append((alpha, theta))
+
+    with timer.stage("precompute") as out:
+        res = trace_rays_aux(
+            metric, scene.r_obs, alpha, theta, scene.theta_obs,
+            transfer_fn, 3, (k11, k21, k12, k22),
+            max(5000.0, 6.0 * scene.r_obs), cfg.max_steps,
+            precision=cfg.precision, method=cfg.integrator)
+        out.append(res.status)
+
+    I_map, Q_map, U_map = (np.asarray(e).reshape(resolution)
+                           for e in res.extras)
+    pol_int = np.hypot(Q_map, U_map)
+    pol_frac = pol_int / np.maximum(I_map, 1e-30)
+    evpa = np.where(pol_int > 1e-12 * max(I_map.max(), 1e-30),
+                    0.5 * np.arctan2(U_map, Q_map), np.nan)
+    status = np.asarray(res.status)
+    stats = dict(
+        I=I_map, Q=Q_map, U=U_map,
+        captured=int((status == CAPTURED).sum()),
+        invalid=int((status == INVALID).sum()),
+        integrator_steps=int(res.n_steps),
+        total_rays=height * width,
+        timings=timer.finish())
+    return (evpa.astype(np.float64), pol_frac.astype(np.float64),
+            I_map, stats)
