@@ -13,6 +13,8 @@ Produces:
   disk_charged_rn.png        charged disk: the RN ISCO sits closer in
   magnification_kerr_a09.png signed magnification map (critical curves)
   volumetric_absorption.png  RIAF torus, optically thin vs self-absorbed
+  volumetric_spectrum.png    three frequencies from one trace (SSA)
+  volumetric_polarized.png   EVPA ticks from Stokes path integrals
   neutron_star_caps.png      neutron-star surface with two hot caps
   pulse_profile.png          NICER-style rotational light curve
 """
@@ -170,6 +172,41 @@ def main():
                 dpi=110)
     print("wrote", os.path.join(args.outdir,
                                 "volumetric_absorption.png"))
+
+    # Spectral volumetric: the SSA turnover / nu-dependent photosphere
+    # (all bands in one trace).
+    from light_path_tracer_tpu.volumetric import (
+        render_volumetric_spectrum)
+    sp_riaf = RIAFConfig(g_power=4.0, alpha0=1.0, opacity_index=3.0)
+    sp_freqs = (0.1, 1.0, 10.0)
+    sp_imgs, sp_st = render_volumetric_spectrum(vol_scene, vsize,
+                                                sp_freqs, riaf=sp_riaf)
+    fig, axes = plt.subplots(1, 3, figsize=(9.6, 3.6))
+    for ax, f, im, mr in zip(axes, sp_freqs, np.asarray(sp_imgs),
+                             sp_st["mean_radius_rad"]):
+        ax.imshow(im, cmap="afmhot", origin="upper")
+        ax.set_title(f"f={f:g}  <r>={np.degrees(mr):.2f}"
+                     "\N{DEGREE SIGN}", fontsize=10)
+        ax.axis("off")
+    fig.suptitle("One trace, three frequencies: the photosphere grows "
+                 "and the shadow vanishes below the SSA turnover",
+                 fontsize=11)
+    fig.tight_layout()
+    fig.savefig(os.path.join(args.outdir, "volumetric_spectrum.png"),
+                dpi=110)
+    print("wrote", os.path.join(args.outdir, "volumetric_spectrum.png"))
+
+    # Polarized volumetric: EHT-style EVPA ticks over the crescent.
+    from light_path_tracer_tpu.polarization import (
+        render_polarized_volumetric, save_polarization_figure)
+    evpa, pol_frac, inten, _pst = render_polarized_volumetric(
+        vol_scene, vsize, riaf=RIAFConfig())
+    save_polarization_figure(
+        os.path.join(args.outdir, "volumetric_polarized.png"),
+        evpa, pol_frac, inten,
+        title="Polarized hot flow (toroidal field, a=0.9): Stokes "
+              "path integrals")
+    print("wrote", os.path.join(args.outdir, "volumetric_polarized.png"))
 
     # Neutron-star surface: two antipodal hot caps + pulse profile.
     from light_path_tracer_tpu.star import (StarConfig, pulse_profile,
