@@ -581,13 +581,23 @@ def cmd_volumetric(args) -> int:
         base = args.output.rsplit(".", 1)[0]
         np.savez(base + "_spectrum.npz", freqs=stats["freqs"],
                  flux=stats["flux"],
-                 mean_radius_rad=stats["mean_radius_rad"])
+                 mean_radius_rad=stats["mean_radius_rad"],
+                 spectral_index=np.stack(stats["spectral_index"])
+                 if stats["spectral_index"] else np.zeros(0))
         print(f"Spectral volumetric: {n} bands in one trace "
               f"({stats['integrator_steps']:,} steps)")
         for f, fl, mr in zip(freqs, stats["flux"],
                              stats["mean_radius_rad"]):
             print(f"  f={f:<6g} flux={fl:<12.4f} "
                   f"<r>={np.degrees(mr):.3f} deg")
+        for i, amap in enumerate(stats["spectral_index"]):
+            # Flux-weighted (the unweighted mean is dominated by dim
+            # outskirt pixels, which are optically thin at every band).
+            w = np.where(np.isfinite(amap), stats["emission"][i], 0.0)
+            mean_a = np.nansum(amap * w) / max(w.sum(), 1e-30)
+            print(f"  alpha({freqs[i]:g}->{freqs[i + 1]:g}) "
+                  f"flux-weighted mean={mean_a:+.2f} "
+                  f"(negative = rising/thick)")
         print(f"Saved: {args.output} + {base}_spectrum.npz")
         return 0
 

@@ -464,8 +464,12 @@ def render_volumetric_spectrum(scene: SceneConfig, resolution, freqs,
     opacity_index q > spectral index s = g_power-3), and
     stats['mean_radius_rad'] each band's emission-weighted angular
     radius — the frequency-dependent photosphere (lower frequencies
-    image LARGER). stats['tau_hat'] is the shared reduced
-    optical-depth map (band i's tau = f_i^(1-q) * tau_hat).
+    image LARGER). stats['spectral_index'] holds per-pixel
+    alpha = -d ln I / d ln nu maps between adjacent bands (NaN where
+    either band is dark): optically thick pixels show the rising
+    -(q - s), thin pixels the falling s. stats['tau_hat'] is the
+    shared reduced optical-depth map (band i's tau = f_i^(1-q) *
+    tau_hat).
     """
     from light_path_tracer_tpu.ops.kerr_trace import trace_rays_spectral
     metric = _scene_metric(scene)
@@ -507,11 +511,24 @@ def render_volumetric_spectrum(scene: SceneConfig, resolution, freqs,
     rad = np.hypot(yy[:, None], xx[None, :])
     flux = em.sum(axis=(1, 2))
     mean_r = (em * rad).sum(axis=(1, 2)) / np.maximum(flux, 1e-30)
+    # Per-pixel spectral-index maps between adjacent bands,
+    # alpha = -d ln I / d ln nu (positive = falling spectrum): the
+    # observational SSA diagnostic — thick pixels show the RISING
+    # alpha ~ -(q - s), thin pixels the falling alpha ~ s.
+    spectral_index = []
+    tiny = 1e-12 * max(float(em.max()), 1e-30)
+    for i in range(len(freqs) - 1):
+        good = (em[i] > tiny) & (em[i + 1] > tiny)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            alpha_map = -(np.log(em[i + 1]) - np.log(em[i])) \
+                / np.log(freqs[i + 1] / freqs[i])
+        spectral_index.append(np.where(good, alpha_map, np.nan))
     status = np.asarray(res.status)
     stats = dict(
         freqs=np.asarray(freqs),
         flux=flux,
         mean_radius_rad=mean_r,
+        spectral_index=spectral_index,
         emission=em,
         tau_hat=np.asarray(res.tau_hat).reshape(resolution),
         captured=int((status == CAPTURED).sum()),

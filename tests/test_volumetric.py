@@ -200,6 +200,17 @@ def test_ssa_turnover_and_frequency_dependent_photosphere():
     assert flux[1] > 2.0 * flux[2]        # falling (thin) side
     r = st["mean_radius_rad"]
     assert r[0] > r[1] > r[2]             # photosphere grows at low f
+    # Spectral-index maps: flux-weighted mean alpha = -dlnI/dlnnu is
+    # NEGATIVE (rising) across the thick pair and POSITIVE (falling)
+    # across the thin pair.
+    a_thick, a_thin = st["spectral_index"]
+    w = st["emission"]
+    m_thick = np.nansum(a_thick * w[1]) / np.nansum(
+        np.where(np.isfinite(a_thick), w[1], 0.0))
+    m_thin = np.nansum(a_thin * w[1]) / np.nansum(
+        np.where(np.isfinite(a_thin), w[1], 0.0))
+    assert m_thick < -0.2
+    assert m_thin > 0.2
     # The exponent floor keeps the controller out of the reject-cycle
     # grind (this exact configuration measured 200k steps without it).
     assert st["integrator_steps"] < 1000
