@@ -1,0 +1,108 @@
+#!/usr/bin/env python
+"""Timing sweep of the late round-3 observational modes.
+
+  python scripts/newmodes_bench.py [--size 256] [--device tpu|cpu]
+                                   [--reps 2]
+
+Times (warm, StageTimer on-device stages — the axon-hygiene protocol:
+inputs perturbed per repeat so memoized repeats cannot fake speed):
+  volumetric thin / absorbed / 3-band spectral / 8-frame movie /
+  polarized, and the stellar-surface image + 32-phase pulse profile.
+Prints one table row per mode: steps, precompute seconds, rays/s.
+Paste into BASELINE.md once measured on the real chip.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", type=int, default=256)
+    ap.add_argument("--device", default="default",
+                    choices=["default", "cpu", "tpu"])
+    ap.add_argument("--reps", type=int, default=2)
+    args = ap.parse_args()
+
+    import jax
+    if args.device == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    from light_path_tracer_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+    from light_path_tracer_tpu.utils.config import (RenderConfig,
+                                                    SceneConfig)
+    from light_path_tracer_tpu.volumetric import (
+        RIAFConfig, render_volumetric, render_volumetric_movie,
+        render_volumetric_spectrum)
+    from light_path_tracer_tpu.polarization import (
+        render_polarized_volumetric)
+    from light_path_tracer_tpu.star import (StarConfig, pulse_profile,
+                                            render_star)
+    from light_path_tracer_tpu.disk import keplerian_omega
+
+    size = (args.size, args.size)
+    cfg = RenderConfig(backend="xla")
+    period = 2 * np.pi / abs(float(keplerian_omega(1.0, 0.9, 6.0, True)))
+    movie_times = tuple(period * k / 8 for k in range(8))
+
+    def scene(jitter):
+        # Perturbed inclination per repeat: identical dispatches can be
+        # served memoized through the axon tunnel (BASELINE.md hygiene
+        # addendum), so no two timed runs are bit-identical.
+        return SceneConfig(M=1.0, a=0.9, r_obs_mult=100.0,
+                           theta_obs=np.radians(80.0 + 0.01 * jitter),
+                           vertical_fov_deg=16.0)
+
+    star_scene_kw = dict(M=1.0, a=0.0, r_obs_mult=200.0,
+                         vertical_fov_deg=6.0)
+
+    modes = {
+        "volumetric thin": lambda s: render_volumetric(
+            s, size, cfg, RIAFConfig()),
+        "volumetric absorbed": lambda s: render_volumetric(
+            s, size, cfg, RIAFConfig(alpha0=0.3)),
+        "spectral 3-band": lambda s: render_volumetric_spectrum(
+            s, size, (0.1, 1.0, 10.0), cfg,
+            RIAFConfig(g_power=4.0, alpha0=1.0, opacity_index=3.0)),
+        "movie 8-frame": lambda s: render_volumetric_movie(
+            s, size, movie_times, cfg, RIAFConfig(spot_amp=8.0)),
+        "polarized": lambda s: render_polarized_volumetric(
+            s, size, cfg, RIAFConfig()),
+        "star image": lambda s: render_star(
+            SceneConfig(theta_obs=s.theta_obs, **star_scene_kw),
+            size, cfg, StarConfig(radius=5.0, omega=0.02)),
+        "star pulse x32": lambda s: pulse_profile(
+            SceneConfig(theta_obs=s.theta_obs, **star_scene_kw),
+            cfg, StarConfig(radius=5.0, omega=0.02), n_phases=32,
+            resolution=size),
+    }
+
+    n_rays = args.size * args.size
+    print(f"# newmodes bench: {args.size}^2, device={args.device}, "
+          f"platform={jax.devices()[0].platform}")
+    print(f"{'mode':<22} {'steps':>8} {'precomp_s':>10} "
+          f"{'Mrays/s':>8}")
+    for name, fn in modes.items():
+        fn(scene(0))                      # warm the compile
+        best = None
+        steps = 0
+        for rep in range(args.reps):
+            out = fn(scene(rep + 1))
+            st = out[-1]
+            dt = st["timings"].get("precompute", 0.0)
+            steps = st.get("integrator_steps", 0)
+            best = dt if best is None else min(best, dt)
+        print(f"{name:<22} {steps:>8,} {best:>10.3f} "
+              f"{n_rays / max(best, 1e-9) / 1e6:>8.2f}")
+
+
+if __name__ == "__main__":
+    main()
