@@ -332,3 +332,127 @@ def trace_surface_grid_sharded(metric, r_obs, alpha_grid, theta_grid,
 
     return SurfaceResult(*(unplace(f) for f in res[:9]),
                          jnp.sum(res.n_steps))
+
+
+def trace_spectral_grid_sharded(metric, r_obs, alpha_grid, theta_grid,
+                                theta_obs, transfer_fn, n_bands, *,
+                                mesh: Mesh, lambda_max=None,
+                                max_steps=200000, precision="fast",
+                                method="dp45", layout="stripes"):
+    """Multi-frequency radiative-transfer trace of an (H, W) grid
+    sharded row-wise over `mesh` (volumetric.render_volumetric_spectrum
+    / _movie tile DP). Returns a SpectralResult of (H, W) grids."""
+    from light_path_tracer_tpu.ops.kerr_trace import trace_rays_spectral
+    from light_path_tracer_tpu.ops.types import SpectralResult
+
+    axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+    H, W = alpha_grid.shape
+    H_pad = ((H + n_dev - 1) // n_dev) * n_dev
+    if lambda_max is None:
+        lambda_max = max(5000.0, 6.0 * float(r_obs))
+
+    if layout == "stripes":
+        perm = np.argsort(np.arange(H_pad) % n_dev, kind="stable")
+    else:
+        perm = np.arange(H_pad)
+    inv_perm = np.argsort(perm)
+
+    def place(grid):
+        return _pad_rows(grid, H_pad)[perm]
+
+    alpha_p, theta_p = place(alpha_grid), place(theta_grid)
+    shard_map = shard_map_fn()
+
+    def per_tile(a, t):
+        res = trace_rays_spectral(
+            metric, float(r_obs), a.ravel(), t.ravel(),
+            float(theta_obs), transfer_fn, n_bands, float(lambda_max),
+            max_steps, precision=precision, method=method)
+        return SpectralResult(
+            tuple(e.reshape(a.shape) for e in res.emission),
+            res.tau_hat.reshape(a.shape),
+            res.final_alpha.reshape(a.shape),
+            res.n_half_orbits.reshape(a.shape),
+            res.status.reshape(a.shape),
+            jnp.reshape(res.n_steps, (1, 1)))
+
+    spec = P(axis, None)
+    f = shard_map(per_tile, mesh=mesh, in_specs=(spec, spec),
+                  out_specs=SpectralResult(
+                      tuple(spec for _ in range(n_bands)),
+                      spec, spec, spec, spec, spec))
+    res = jax.jit(f)(alpha_p, theta_p)
+
+    def unplace(grid):
+        return grid[inv_perm][:H]
+
+    return SpectralResult(
+        tuple(unplace(e) for e in res.emission),
+        unplace(res.tau_hat), unplace(res.final_alpha),
+        unplace(res.n_half_orbits), unplace(res.status),
+        jnp.sum(res.n_steps))
+
+
+def trace_aux_grid_sharded(metric, r_obs, alpha_grid, theta_grid,
+                           theta_obs, transfer_fn, n_extras,
+                           aux_grids, *, mesh: Mesh, lambda_max=None,
+                           max_steps=200000, precision="fast",
+                           method="dp45", layout="stripes"):
+    """Coupled-extras trace with per-ray aux constants, sharded
+    row-wise over `mesh` (polarized volumetric tile DP:
+    polarization.render_polarized_volumetric mesh path). aux_grids is
+    a tuple of (H, W) arrays sharded like the camera grids. Returns an
+    ExtrasResult of (H, W) grids."""
+    from light_path_tracer_tpu.ops.kerr_trace import trace_rays_aux
+    from light_path_tracer_tpu.ops.types import ExtrasResult
+
+    axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+    H, W = alpha_grid.shape
+    H_pad = ((H + n_dev - 1) // n_dev) * n_dev
+    if lambda_max is None:
+        lambda_max = max(5000.0, 6.0 * float(r_obs))
+
+    if layout == "stripes":
+        perm = np.argsort(np.arange(H_pad) % n_dev, kind="stable")
+    else:
+        perm = np.arange(H_pad)
+    inv_perm = np.argsort(perm)
+
+    def place(grid):
+        return _pad_rows(grid, H_pad)[perm]
+
+    alpha_p, theta_p = place(alpha_grid), place(theta_grid)
+    aux_p = tuple(place(g) for g in aux_grids)
+    shard_map = shard_map_fn()
+
+    def per_tile(a, t, aux):
+        res = trace_rays_aux(
+            metric, float(r_obs), a.ravel(), t.ravel(),
+            float(theta_obs), transfer_fn, n_extras,
+            tuple(g.ravel() for g in aux), float(lambda_max),
+            max_steps, precision=precision, method=method)
+        return ExtrasResult(
+            tuple(e.reshape(a.shape) for e in res.extras),
+            res.final_alpha.reshape(a.shape),
+            res.n_half_orbits.reshape(a.shape),
+            res.status.reshape(a.shape),
+            jnp.reshape(res.n_steps, (1, 1)))
+
+    spec = P(axis, None)
+    f = shard_map(per_tile, mesh=mesh,
+                  in_specs=(spec, spec,
+                            tuple(spec for _ in aux_grids)),
+                  out_specs=ExtrasResult(
+                      tuple(spec for _ in range(n_extras)),
+                      spec, spec, spec, spec))
+    res = jax.jit(f)(alpha_p, theta_p, aux_p)
+
+    def unplace(grid):
+        return grid[inv_perm][:H]
+
+    return ExtrasResult(
+        tuple(unplace(e) for e in res.extras),
+        unplace(res.final_alpha), unplace(res.n_half_orbits),
+        unplace(res.status), jnp.sum(res.n_steps))

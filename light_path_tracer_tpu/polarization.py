@@ -636,7 +636,7 @@ def make_polarized_volumetric_transfer(metric, riaf, field: str,
 def render_polarized_volumetric(scene: SceneConfig, resolution,
                                 cfg: RenderConfig = RenderConfig(),
                                 riaf=None, field: str = "toroidal",
-                                p0: float = 0.7):
+                                p0: float = 0.7, mesh=None):
     """Polarized hot-flow image: Stokes (I, Q, U) integrated along
     every geodesic in ONE trace. Returns (evpa, pol_frac, intensity,
     stats) — same contract as render_polarization: evpa in radians
@@ -687,11 +687,23 @@ def render_polarized_volumetric(scene: SceneConfig, resolution,
         out.append((alpha, theta))
 
     with timer.stage("precompute") as out:
-        res = trace_rays_aux(
-            metric, scene.r_obs, alpha, theta, scene.theta_obs,
-            transfer_fn, 3, (k11, k21, k12, k22),
-            max(5000.0, 6.0 * scene.r_obs), cfg.max_steps,
-            precision=cfg.precision, method=cfg.integrator)
+        if mesh is not None:
+            from light_path_tracer_tpu.parallel.tiles import (
+                trace_aux_grid_sharded)
+            res = trace_aux_grid_sharded(
+                metric, scene.r_obs, alpha.reshape(resolution),
+                theta.reshape(resolution), scene.theta_obs,
+                transfer_fn, 3,
+                tuple(k.reshape(resolution)
+                      for k in (k11, k21, k12, k22)),
+                mesh=mesh, max_steps=cfg.max_steps,
+                precision=cfg.precision, method=cfg.integrator)
+        else:
+            res = trace_rays_aux(
+                metric, scene.r_obs, alpha, theta, scene.theta_obs,
+                transfer_fn, 3, (k11, k21, k12, k22),
+                max(5000.0, 6.0 * scene.r_obs), cfg.max_steps,
+                precision=cfg.precision, method=cfg.integrator)
         out.append(res.status)
 
     I_map, Q_map, U_map = (np.asarray(e).reshape(resolution)

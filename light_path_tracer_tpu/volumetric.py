@@ -378,7 +378,8 @@ def make_movie_transfer(metric, riaf: RIAFConfig, times: tuple):
 
 def render_volumetric_movie(scene: SceneConfig, resolution, times,
                             cfg: RenderConfig = RenderConfig(),
-                            riaf: RIAFConfig = RIAFConfig()):
+                            riaf: RIAFConfig = RIAFConfig(),
+                            mesh=None):
     """Flare movie: every observer-time frame from ONE geodesic trace.
 
     times: observer coordinate times [M] of the frames (the blob
@@ -387,8 +388,8 @@ def render_volumetric_movie(scene: SceneConfig, resolution, times,
     brightness is comparable across frames, stats) with
     stats['emission'] the raw (n, H, W) intensities and
     stats['light_curve'] the per-frame integrated flux.
+    mesh: row-striped tile DP (trace_spectral_grid_sharded).
     """
-    from light_path_tracer_tpu.ops.kerr_trace import trace_rays_spectral
     metric = _scene_metric(scene)
     times = tuple(float(t) for t in times)
     transfer_fn = make_movie_transfer(metric, riaf, times)
@@ -412,11 +413,9 @@ def render_volumetric_movie(scene: SceneConfig, resolution, times,
         # extras trace): "tau_hat" slot carries t; with absorption the
         # first "band" carries tau and the frames follow.
         n_extra_bands = len(times) + (1 if absorbing else 0)
-        res = trace_rays_spectral(
-            metric, scene.r_obs, alpha.ravel(), theta.ravel(),
-            scene.theta_obs, transfer_fn, n_extra_bands,
-            max(5000.0, 6.0 * scene.r_obs), cfg.max_steps,
-            precision=cfg.precision, method=cfg.integrator)
+        res = _trace_spectral(metric, scene, alpha.ravel(),
+                              theta.ravel(), transfer_fn,
+                              n_extra_bands, cfg, mesh, resolution)
         out.append(res.status)
 
     bands = res.emission[1:] if absorbing else res.emission
@@ -450,9 +449,33 @@ def render_volumetric_movie(scene: SceneConfig, resolution, times,
     return frames, stats
 
 
+def _trace_spectral(metric, scene, alpha, theta, transfer_fn, n_bands,
+                    cfg, mesh, resolution):
+    """Dispatch a spectral/movie trace single-device or row-sharded
+    over a mesh; returns a flat-raveled SpectralResult either way."""
+    from light_path_tracer_tpu.ops.kerr_trace import trace_rays_spectral
+    if mesh is not None:
+        from light_path_tracer_tpu.parallel.tiles import (
+            trace_spectral_grid_sharded)
+        res = trace_spectral_grid_sharded(
+            metric, scene.r_obs, alpha.reshape(resolution),
+            theta.reshape(resolution), scene.theta_obs, transfer_fn,
+            n_bands, mesh=mesh, max_steps=cfg.max_steps,
+            precision=cfg.precision, method=cfg.integrator)
+        return res._replace(
+            emission=tuple(e.ravel() for e in res.emission),
+            tau_hat=res.tau_hat.ravel(),
+            status=res.status.ravel())
+    return trace_rays_spectral(
+        metric, scene.r_obs, alpha, theta, scene.theta_obs,
+        transfer_fn, n_bands, max(5000.0, 6.0 * scene.r_obs),
+        cfg.max_steps, precision=cfg.precision, method=cfg.integrator)
+
+
 def render_volumetric_spectrum(scene: SceneConfig, resolution, freqs,
                                cfg: RenderConfig = RenderConfig(),
-                               riaf: RIAFConfig = RIAFConfig()):
+                               riaf: RIAFConfig = RIAFConfig(),
+                               mesh=None):
     """Multi-frequency self-absorbed images + spectrum from ONE trace.
 
     freqs: observed frequencies in units of the fiducial frequency
@@ -469,9 +492,9 @@ def render_volumetric_spectrum(scene: SceneConfig, resolution, freqs,
     either band is dark): optically thick pixels show the rising
     -(q - s), thin pixels the falling s. stats['tau_hat'] is the
     shared reduced optical-depth map (band i's tau = f_i^(1-q) *
-    tau_hat).
+    tau_hat). mesh: row-striped tile DP
+    (parallel.tiles.trace_spectral_grid_sharded).
     """
-    from light_path_tracer_tpu.ops.kerr_trace import trace_rays_spectral
     metric = _scene_metric(scene)
     freqs = tuple(float(f) for f in freqs)
     transfer_fn = make_spectral_transfer(metric, riaf, freqs)
@@ -490,11 +513,9 @@ def render_volumetric_spectrum(scene: SceneConfig, resolution, freqs,
         out.append((alpha, theta))
 
     with timer.stage("precompute") as out:
-        res = trace_rays_spectral(
-            metric, scene.r_obs, alpha.ravel(), theta.ravel(),
-            scene.theta_obs, transfer_fn, len(freqs),
-            max(5000.0, 6.0 * scene.r_obs), cfg.max_steps,
-            precision=cfg.precision, method=cfg.integrator)
+        res = _trace_spectral(metric, scene, alpha.ravel(),
+                              theta.ravel(), transfer_fn, len(freqs),
+                              cfg, mesh, resolution)
         out.append(res.tau_hat)
 
     with timer.stage("render") as out:

@@ -223,6 +223,44 @@ def test_surface_sharded_equals_single_device():
     assert st8["captured"] == st1["captured"]
 
 
+def test_spectral_and_polarized_sharded_equal_single_device():
+    """The generic coupled-extras traces ride the same tile DP:
+    spectral band images and polarized Stokes maps match the
+    single-device paths through the mesh= arguments."""
+    from light_path_tracer_tpu.volumetric import (
+        RIAFConfig, render_volumetric_spectrum)
+    from light_path_tracer_tpu.polarization import (
+        render_polarized_volumetric)
+    from light_path_tracer_tpu.utils.config import (RenderConfig,
+                                                    SceneConfig)
+
+    mesh = make_mesh()
+    scene = SceneConfig(M=1.0, a=0.9, r_obs_mult=R_OBS,
+                        theta_obs=np.pi / 2, vertical_fov_deg=16.0)
+    cfg = RenderConfig(backend="xla", dtype="float64")
+    riaf = RIAFConfig(g_power=4.0, alpha0=1.0, opacity_index=2.0)
+    freqs = (0.5, 2.0)
+    _i1, st1 = render_volumetric_spectrum(scene, (16, 16), freqs, cfg,
+                                          riaf)
+    _i8, st8 = render_volumetric_spectrum(scene, (16, 16), freqs, cfg,
+                                          riaf, mesh=mesh)
+    np.testing.assert_allclose(st8["emission"], st1["emission"],
+                               rtol=1e-10, atol=1e-14)
+    np.testing.assert_allclose(st8["tau_hat"], st1["tau_hat"],
+                               rtol=1e-10, atol=1e-14)
+
+    pr = RIAFConfig()
+    evpa1, pf1, i1, _s1 = render_polarized_volumetric(
+        scene, (16, 16), cfg, pr)
+    evpa8, pf8, i8, _s8 = render_polarized_volumetric(
+        scene, (16, 16), cfg, pr, mesh=mesh)
+    np.testing.assert_allclose(i8, i1, rtol=1e-10, atol=1e-14)
+    fin = np.isfinite(evpa1)
+    np.testing.assert_array_equal(fin, np.isfinite(evpa8))
+    np.testing.assert_allclose(evpa8[fin], evpa1[fin],
+                               rtol=1e-8, atol=1e-10)
+
+
 def test_volumetric_absorbed_sharded_equals_single_device():
     """Self-absorbed transfer rides the same tile DP: sharded
     (emission, optical depth) match the single-device trace."""
