@@ -48,7 +48,13 @@ __all__ = [
     "hotspot_light_curve",
     "render_polarization",
     "render_volumetric",
+    "render_volumetric_spectrum",
+    "render_volumetric_movie",
+    "render_polarized_volumetric",
     "RIAFConfig",
+    "render_star",
+    "pulse_profile",
+    "StarConfig",
     "trace_batch",
 ]
 
@@ -76,7 +82,16 @@ _LAZY = {
                             "hotspot_light_curve"),
     "render_volumetric": ("light_path_tracer_tpu.volumetric",
                           "render_volumetric"),
+    "render_volumetric_spectrum": ("light_path_tracer_tpu.volumetric",
+                                   "render_volumetric_spectrum"),
+    "render_volumetric_movie": ("light_path_tracer_tpu.volumetric",
+                                "render_volumetric_movie"),
+    "render_polarized_volumetric": ("light_path_tracer_tpu.polarization",
+                                    "render_polarized_volumetric"),
     "RIAFConfig": ("light_path_tracer_tpu.volumetric", "RIAFConfig"),
+    "render_star": ("light_path_tracer_tpu.star", "render_star"),
+    "pulse_profile": ("light_path_tracer_tpu.star", "pulse_profile"),
+    "StarConfig": ("light_path_tracer_tpu.star", "StarConfig"),
     "trace_batch": ("light_path_tracer_tpu.ops.batch", "trace_batch"),
 }
 
