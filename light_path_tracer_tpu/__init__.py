@@ -55,6 +55,12 @@ __all__ = [
     "render_star",
     "pulse_profile",
     "StarConfig",
+    "circular_orbit",
+    "orbit_from_apsides",
+    "timelike_initial_conditions",
+    "integrate_orbit",
+    "periapsis_precession",
+    "nodal_precession",
     "trace_batch",
 ]
 
@@ -92,6 +98,17 @@ _LAZY = {
     "render_star": ("light_path_tracer_tpu.star", "render_star"),
     "pulse_profile": ("light_path_tracer_tpu.star", "pulse_profile"),
     "StarConfig": ("light_path_tracer_tpu.star", "StarConfig"),
+    "circular_orbit": ("light_path_tracer_tpu.particles", "circular_orbit"),
+    "orbit_from_apsides": ("light_path_tracer_tpu.particles",
+                           "orbit_from_apsides"),
+    "timelike_initial_conditions": ("light_path_tracer_tpu.particles",
+                                    "timelike_initial_conditions"),
+    "integrate_orbit": ("light_path_tracer_tpu.particles",
+                        "integrate_orbit"),
+    "periapsis_precession": ("light_path_tracer_tpu.particles",
+                             "periapsis_precession"),
+    "nodal_precession": ("light_path_tracer_tpu.particles",
+                         "nodal_precession"),
     "trace_batch": ("light_path_tracer_tpu.ops.batch", "trace_batch"),
 }
 
