@@ -75,6 +75,23 @@ def test_cli_ray_and_plot(workdir):
     assert rc == 0 and os.path.exists("p.png")
 
 
+def test_cli_orbit(workdir, capsys):
+    rc = main(["orbit", "--a", "0.9", "--peri", "5", "--apo", "12",
+               "--steps", "1500", "--output", "o.png"])
+    assert rc == 0 and os.path.exists("o.png")
+    out = capsys.readouterr().out
+    assert "Periapsis advance per orbit" in out
+    assert "Hamiltonian residual" in out
+    # Inclined circular orbit reports the Lense-Thirring node drift.
+    rc = main(["orbit", "--a", "0.9", "--r", "8", "--inclination", "10",
+               "--steps", "1500", "--no-plot"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Ascending-node drift" in out
+    # JP deformation is rejected with a clear error, not wrong physics.
+    assert main(["orbit", "--eps3", "0.2", "--no-plot"]) == 2
+
+
 def test_cli_shadow_aa(workdir):
     rc = main(["shadow", "--size", "32", "--a", "0.9", "--aa", "2",
                "--dtype", "float64", "--output", "saa.png"])
