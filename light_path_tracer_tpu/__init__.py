@@ -38,6 +38,7 @@ __all__ = [
     "render_shadow",
     "render_disk",
     "render_disk_aa",
+    "render_disk_decomposed",
     "render_disk_frames",
     "render_scene_with_disk",
     "render_scene_with_disk_aa",
@@ -71,6 +72,8 @@ _LAZY = {
     "render_scene_with_disk": ("light_path_tracer_tpu.disk",
                                "render_scene_with_disk"),
     "render_disk_aa": ("light_path_tracer_tpu.disk", "render_disk_aa"),
+    "render_disk_decomposed": ("light_path_tracer_tpu.disk",
+                               "render_disk_decomposed"),
     "render_disk_frames": ("light_path_tracer_tpu.disk",
                            "render_disk_frames"),
     "render_scene_with_disk_aa": ("light_path_tracer_tpu.disk",

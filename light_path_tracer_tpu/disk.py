@@ -673,6 +673,123 @@ def render_disk(scene: SceneConfig, resolution,
     return img, stats
 
 
+def render_disk_decomposed(scene: SceneConfig, resolution,
+                           cfg: RenderConfig = RenderConfig(),
+                           disk: DiskConfig = DiskConfig(),
+                           n_orders: int = 3):
+    """Photon-ring decomposition: the disk image split by image order.
+
+    ONE geodesic trace recording the ray's first n_orders equatorial
+    crossings ANYWHERE on the plane (not just inside the disk annulus
+    — so slot k is the k-th plane crossing, i.e. image order k in the
+    Gralla-Holz-Wald sense); order k's layer is the disk emission
+    picked up at that crossing when it lands inside [r_in, r_out]
+    (k = 0 the direct image, k = 1 the first lensed image of the far
+    side seen under the hole, k >= 2 the exponentially demagnified
+    photon subrings that pile up on the critical curve — the EHT
+    "photon ring" stack). The layers sum to the translucent
+    render_disk intensity (pinned by tests). The reference's closest
+    analogue is the winding-count palette of its lensed renderer
+    (/root/reference/image_lens.py:287-293), which colors BACKGROUND
+    rays by half-orbits; this decomposes the DISK emission itself.
+
+    Returns (layers, stats):
+      layers: (n_orders, H, W) LINEAR intensity (power-law spectrum) or
+        (n_orders, H, W, 3) linear-sRGB (blackbody) — un-tone-mapped so
+        order fluxes are physical; apply _tone_map / decomposed_display
+        for presentation.
+      stats: flux_per_order (summed linear intensity), flux_ratios
+        (flux[k+1]/flux[k]), gamma_estimates (-ln ratio — the measured
+        Lyapunov demagnification exponent; for a = 0 the asymptotic
+        value is pi per half orbit, i.e. per order), mean_radius_rad
+        (intensity-weighted mean angular radius of each layer on the
+        image plane; order >= 2 converges on alpha_crit), pixels_per_order,
+        plus the usual render stats.
+    """
+    metric = _scene_metric(scene)
+    # Recording config: translucent, n_orders slots, full-plane radial
+    # window (r_in=0 disables the ISCO-hole default; r_out at the
+    # escape radius) — every equatorial crossing lands in its
+    # order-indexed slot. The real annulus is applied at emission.
+    rec = dataclasses.replace(disk, opaque=False, max_hits=n_orders,
+                              r_in=0.0, r_out=2.0 * scene.r_obs)
+    timer = StageTimer()
+    height, width = resolution
+    fov = camera.fov_from_vertical(scene.vertical_fov, resolution)
+    dtype = jnp.float64 if cfg.dtype == "float64" else jnp.float32
+
+    with timer.stage("build_lookup") as out:
+        alpha = camera.build_alpha_lookup(resolution, fov, psi=scene.psi,
+                                          dtype=dtype, boost=scene.boost)
+        theta = camera.build_theta_lookup(resolution, fov, psi=scene.psi,
+                                          dtype=dtype, boost=scene.boost)
+        out.append((alpha, theta))
+
+    with timer.stage("precompute") as out:
+        res = trace_disk_rays(
+            metric, scene.r_obs, alpha.ravel(), theta.ravel(),
+            scene.theta_obs, max(5000.0, 6.0 * scene.r_obs),
+            cfg.max_steps, rec, backend=cfg.backend,
+            precision=cfg.precision, method=cfg.integrator,
+            two_pass=cfg.two_pass, pass1_steps=cfg.pass1_steps)
+        out.append(res.status)
+
+    with timer.stage("render") as out:
+        r_in = disk.r_in if disk.r_in is not None else r_isco(
+            scene.M, scene.a, disk.prograde, Q=scene.Q)
+        dl = (camera.doppler_lookup(resolution, fov, scene.boost,
+                                    dtype=dtype).ravel()
+              if scene.boosted else None)
+        slot_i, slot_rgb = disk_emission(scene, rec, r_in,
+                                         res.n_hits, res.r_hits, res.xi,
+                                         doppler=dl, xi_hits=res.xi_hits,
+                                         per_slot=True,
+                                         annulus=(r_in, disk.r_out))
+        slot_i = slot_i[:n_orders]
+        if slot_rgb is None:
+            layers = slot_i.reshape((n_orders,) + tuple(resolution)
+                                    ).astype(jnp.float32)
+        else:
+            layers = slot_rgb[:n_orders].reshape(
+                (n_orders,) + tuple(resolution) + (3,)).astype(jnp.float32)
+        out.append(layers)
+
+    slot_np = np.asarray(slot_i, np.float64)
+    flux = slot_np.sum(axis=1)
+    alpha_flat = np.asarray(alpha, np.float64).ravel()
+    mean_radius = (slot_np @ alpha_flat) / np.maximum(flux, 1e-300)
+    ratios = flux[1:] / np.maximum(flux[:-1], 1e-300)
+    stats = dict(
+        alpha_crit=metric.alpha_crit(scene.r_obs, scene.theta_obs),
+        r_isco=r_isco(scene.M, scene.a, disk.prograde, Q=scene.Q),
+        captured=int((np.asarray(res.status) == CAPTURED).sum()),
+        disk_pixels=int((slot_np.sum(axis=0) > 0.0).sum()),
+        pixels_per_order=[int((slot_np[k] > 0.0).sum())
+                          for k in range(n_orders)],
+        flux_per_order=flux.tolist(),
+        flux_ratios=ratios.tolist(),
+        gamma_estimates=(-np.log(np.maximum(ratios, 1e-300))).tolist(),
+        mean_radius_rad=mean_radius.tolist(),
+        integrator_steps=int(res.n_steps),
+        total_rays=height * width,
+        traced_rays=height * width,
+        timings=timer.finish())
+    return layers, stats
+
+
+def decomposed_display(layers, tone_map: str = "asinh"):
+    """Shared-peak tone map of render_disk_decomposed layers for
+    display: every order is scaled by the GLOBAL peak (the direct
+    image's), so the subrings' exponential demagnification is visible
+    rather than normalized away. Returns float32 in [0, 1], same
+    shape as layers."""
+    flat = layers.reshape(layers.shape[0], -1)
+    peak = jnp.max(flat)
+    return jnp.stack([
+        _tone_map(layer, tone_map, peak=peak) for layer in layers
+    ]).astype(jnp.float32)
+
+
 def _finish_image(intensity, rgb, resolution, tone_map: str):
     """Shared emission -> image finish: tone-map the luminance, keep the
     blackbody chromaticity (rgb is None for the power-law spectrum).
@@ -836,7 +953,7 @@ class HotSpot:
 def disk_emission(scene: SceneConfig, disk: DiskConfig, r_in,
                   n_hits, r_hits, xi, doppler=None,
                   pattern=None, phi_hits=None, t=0.0, xi_hits=(),
-                  delay_hits=()):
+                  delay_hits=(), per_slot: bool = False, annulus=None):
     """Per-ray disk emission from the recorded crossings.
 
     Returns (intensity, rgb): intensity (N,) is the summed (un-tone-
@@ -858,13 +975,26 @@ def disk_emission(scene: SceneConfig, disk: DiskConfig, r_in,
     that arrives at observer time t left that crossing delay earlier,
     so one side of the disk is seen at an older pattern phase
     (light-echo asymmetry; hotspot_light_curve light_travel_delay).
+
+    per_slot: return the per-crossing contributions unsummed —
+    (intensity (n_slots, N), rgb (n_slots, N, 3) or None). The sum
+    over slots reproduces the default return exactly (this is the
+    decomposition used by render_disk_decomposed).
+
+    annulus: optional (r_lo, r_hi) mask applied to each crossing's
+    radius. The default (None) trusts the recorder to have stored
+    only in-disk crossings; render_disk_decomposed instead records
+    EVERY equatorial crossing (so slot index = image order in the
+    Gralla-Holz-Wald sense) and masks to the emitting annulus here.
     """
     color = disk.spectrum == "blackbody"
-    intensity = jnp.zeros_like(xi)
-    rgb = (jnp.zeros((xi.shape[0], 3), jnp.float32) if color else None)
+    slot_i, slot_rgb = [], []
     n_slots = 1 if disk.opaque else disk.max_hits
     for slot in range(n_slots):
         hit = n_hits > slot
+        if annulus is not None:
+            hit &= ((r_hits[slot] >= annulus[0])
+                    & (r_hits[slot] <= annulus[1]))
         r_c = jnp.maximum(r_hits[slot], r_in)
         # Tilted disks: the emitter orbits about the disk normal, so
         # the Doppler term needs the ray's angular momentum about n
@@ -881,12 +1011,17 @@ def disk_emission(scene: SceneConfig, disk: DiskConfig, r_in,
             from light_path_tracer_tpu.utils.color import blackbody_rgb
             t_obs = g * disk_temperature(r_c, r_in, disk.t_peak)
             w = jnp.where(hit, mult * (t_obs / disk.t_peak) ** 4, 0.0)
-            rgb = rgb + w[:, None] * blackbody_rgb(t_obs)
-            intensity = intensity + w
+            slot_rgb.append(w[:, None] * blackbody_rgb(t_obs))
+            slot_i.append(w)
         else:
             eps = (r_c / r_in) ** (-disk.emissivity_index)
-            contrib = jnp.where(hit, mult * g ** disk.g_power * eps, 0.0)
-            intensity = intensity + contrib
+            slot_i.append(jnp.where(hit, mult * g ** disk.g_power * eps,
+                                    0.0))
+    if per_slot:
+        return (jnp.stack(slot_i),
+                jnp.stack(slot_rgb) if color else None)
+    intensity = sum(slot_i[1:], slot_i[0])
+    rgb = sum(slot_rgb[1:], slot_rgb[0]) if color else None
     return intensity, rgb
 
 

@@ -66,6 +66,15 @@ def test_cli_disk(workdir):
     assert rc == 0 and os.path.exists("d.png")
 
 
+def test_cli_disk_decompose(workdir, capsys):
+    rc = main(["disk", "--a", "0.0", "--size", "48",
+               "--inclination", "70", "--fov-v", "14",
+               "--decompose", "dec.png", "--orders", "2"])
+    assert rc == 0 and os.path.exists("dec.png")
+    out = capsys.readouterr().out
+    assert "Decomposition:" in out and "n=1" in out
+
+
 def test_cli_ray_and_plot(workdir):
     rc = main(["ray", "--alpha-deg", "8", "--r-obs", "50",
                "--output", "r.png"])
