@@ -554,6 +554,41 @@ def cmd_volumetric(args) -> int:
               f"{(lc.max() - lc.min()) / (lc.max() + lc.min()):.1%}, "
               f"retarded-time span {stats['t_max']:.0f} M")
         print(f"Saved: {out}")
+        if getattr(args, "centroid", None):
+            # GRAVITY-style astrometric wobble: photocenter track of
+            # the RAW per-frame emission (observables.centroid_track).
+            import matplotlib
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+            from light_path_tracer_tpu import camera as _cam
+            from light_path_tracer_tpu.observables import centroid_track
+            fov = _cam.fov_from_vertical(scene.vertical_fov,
+                                         (args.size, args.size))
+            track = np.degrees(np.asarray(
+                centroid_track(stats["emission"], fov)))
+            fig, axes = plt.subplots(1, 2, figsize=(9.6, 4.2))
+            ph = np.arange(len(track)) / max(len(track), 1)
+            sc = axes[0].scatter(track[:, 0] * 3600, -track[:, 1] * 3600,
+                                 c=ph, cmap="twilight", s=28)
+            axes[0].plot(track[:, 0] * 3600, -track[:, 1] * 3600,
+                         color="0.75", lw=0.8, zorder=0)
+            axes[0].set_xlabel("x [arcsec]"), axes[0].set_ylabel(
+                "y [arcsec, up]")
+            axes[0].set_title("photocenter track")
+            axes[0].set_aspect("equal", adjustable="datalim")
+            fig.colorbar(sc, ax=axes[0], label="orbital phase")
+            axes[1].plot(ph, lc / lc.mean(), lw=1.6)
+            axes[1].set_xlabel("orbital phase")
+            axes[1].set_ylabel("flux / mean")
+            axes[1].set_title("light curve")
+            fig.tight_layout()
+            fig.savefig(args.centroid, dpi=130)
+            ext = np.ptp(track, axis=0) * 3600
+            print(f"  centroid wobble: {ext[0]:.3f} x {ext[1]:.3f} "
+                  f"arcsec (spot orbit diameter "
+                  f"{np.degrees(2 * args.spot_r / scene.r_obs) * 3600:.3f}"
+                  f" arcsec)")
+            print(f"Saved: {args.centroid}")
         return 0
 
     if args.freqs:
@@ -1508,6 +1543,11 @@ def build_parser():
                         "the base profile)")
     p.add_argument("--spot-r", type=float, default=6.0,
                    help="blob orbit radius [M]")
+    p.add_argument("--centroid", default=None, metavar="PLOT.png",
+                   help="with --movie: also save the GRAVITY-style "
+                        "astrometric photocenter track + light curve "
+                        "(observables.centroid_track on the raw "
+                        "per-frame emission)")
     p.add_argument("--spot-sigma", type=float, default=1.0,
                    help="blob Gaussian size [M]")
     p.add_argument("--fps", type=float, default=12.0,

@@ -76,6 +76,50 @@ def pixel_scales(shape, fov):
     return 1.0 / fy, 1.0 / fx  # (dm, dl)
 
 
+def centroid_track(frames, fov):
+    """Intensity-weighted image photocenter per frame (radians).
+
+    The GRAVITY flare observable: an orbiting hot spot's APPARENT
+    photocenter wanders on the sky as it orbits — by less than the
+    spot's own orbital diameter, because the steady crescent and the
+    lensed secondary image (which swings to the OPPOSITE side of the
+    hole) both pull the centroid back toward the black hole. The
+    reference has no time-domain product at all; this rides the
+    one-trace movie recorders (volumetric.render_volumetric_movie
+    stats['emission'], disk.render_disk_frames raw frames).
+
+    Args:
+      frames: (T, H, W), (H, W), or (..., 3) RGB linear intensity —
+        use RAW emission, not tone-mapped display frames (tone maps
+        are nonlinear and bias the centroid toward faint structure).
+      fov: (horizontal, vertical) field of view in radians.
+
+    Returns:
+      (T, 2) [or (2,) for a single image] tangent-plane centroid
+      offsets from the image center, columns (x, y) with +x along
+      +columns and +y along +rows — exactly camera.pixel_to_angles'
+      x_cam/y_cam convention (x = (col - W/2)/fx), so a point source
+      at pixel p has centroid equal to that pixel's camera-ray tangent
+      coordinates.
+    """
+    from light_path_tracer_tpu.camera import focal_lengths
+    img = jnp.asarray(frames)
+    if img.ndim >= 3 and img.shape[-1] == 3:
+        img = img @ jnp.asarray(_LUMA, dtype=img.dtype)
+    single = img.ndim == 2
+    if single:
+        img = img[None]
+    _t, height, width = img.shape
+    fx, fy = focal_lengths((height, width), fov)
+    x = (jnp.arange(width, dtype=img.dtype) - width / 2.0) / fx
+    y = (jnp.arange(height, dtype=img.dtype) - height / 2.0) / fy
+    flux = jnp.maximum(jnp.sum(img, axis=(1, 2)), 1e-300)
+    cx = jnp.sum(img * x[None, None, :], axis=(1, 2)) / flux
+    cy = jnp.sum(img * y[None, :, None], axis=(1, 2)) / flux
+    track = jnp.stack([cx, cy], axis=-1)
+    return track[0] if single else track
+
+
 def visibilities(image, fov, pad: int = 4):
     """Complex visibility of a rendered image on the FFT baseline grid.
 

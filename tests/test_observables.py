@@ -190,3 +190,71 @@ def test_pixel_scales_match_camera_focal_lengths():
         dl, 2.0 * np.tan(fov[0] / 2.0) / shape[1], rtol=1e-12)
     np.testing.assert_allclose(
         dm, 2.0 * np.tan(fov[1] / 2.0) / shape[0], rtol=1e-12)
+
+
+def test_centroid_point_source_matches_camera_convention():
+    """A point source at pixel (r, c) must report exactly that pixel's
+    camera-ray tangent coordinates x=(c - W/2)/fx, y=(r - H/2)/fy."""
+    from light_path_tracer_tpu.camera import focal_lengths
+    img = np.zeros((N, N), np.float64)
+    r, c = 37, 90
+    img[r, c] = 2.5
+    track = np.asarray(obs.centroid_track(img, FOV))
+    fx, fy = focal_lengths((N, N), FOV)
+    assert track.shape == (2,)
+    assert np.isclose(track[0], (c - N / 2.0) / fx, atol=1e-12)
+    assert np.isclose(track[1], (r - N / 2.0) / fy, atol=1e-12)
+
+
+def test_centroid_track_shapes_and_rgb():
+    """(T, H, W) input -> (T, 2); RGB collapses through the same luma
+    weights as intensity(); a symmetric frame centers at ~0."""
+    rng = np.random.default_rng(1)
+    frames = rng.uniform(size=(4, 32, 32))
+    track = np.asarray(obs.centroid_track(frames, FOV))
+    assert track.shape == (4, 2)
+    # A uniform frame centers at the pixel-grid mean, which sits half a
+    # pixel off W/2 in the camera convention (indices 0..N-1, center
+    # N/2): mean = (N-1)/2 - N/2 = -0.5 px exactly.
+    from light_path_tracer_tpu.camera import focal_lengths
+    fx, fy = focal_lengths((32, 32), FOV)
+    sym = np.ones((32, 32))
+    t0 = np.asarray(obs.centroid_track(sym, FOV))
+    assert np.allclose(t0, [-0.5 / fx, -0.5 / fy], atol=1e-9)
+    # RGB with flux only in one channel == grayscale of that channel.
+    rgbf = np.zeros((2, 32, 32, 3))
+    rgbf[..., 1] = frames[:2]
+    tr_rgb = np.asarray(obs.centroid_track(rgbf, FOV))
+    tr_gray = np.asarray(obs.centroid_track(frames[:2], FOV))
+    np.testing.assert_allclose(tr_rgb, tr_gray, atol=1e-12)
+
+
+def test_centroid_flare_wobble_physics():
+    """Volumetric flare movie: the photocenter wanders (the GRAVITY
+    wobble), by LESS than the blob's orbital angular diameter (the
+    steady crescent + the opposite-side secondary image pull it back),
+    and the track is periodic over one orbit."""
+    from light_path_tracer_tpu import camera
+    from light_path_tracer_tpu.disk import keplerian_omega
+    from light_path_tracer_tpu.utils.config import SceneConfig, RenderConfig
+    from light_path_tracer_tpu.volumetric import (RIAFConfig,
+                                                  render_volumetric_movie)
+
+    scene = SceneConfig(M=1.0, a=0.9, r_obs_mult=100.0,
+                        theta_obs=np.radians(60.0),
+                        vertical_fov_deg=16.0)
+    riaf = RIAFConfig(spot_amp=8.0, spot_r=6.0)
+    period = abs(2.0 * np.pi / keplerian_omega(1.0, 0.9, 6.0))
+    times = [period * k / 4 for k in range(4)] + [period]
+    frames, st = render_volumetric_movie(scene, (48, 48), times,
+                                         RenderConfig(backend="xla"),
+                                         riaf)
+    fov = camera.fov_from_vertical(scene.vertical_fov, (48, 48))
+    track = np.asarray(obs.centroid_track(st["emission"], fov))
+    assert track.shape == (5, 2)
+    ext = np.ptp(track[:4], axis=0)
+    orbit_diameter = 2.0 * 6.0 / scene.r_obs
+    assert ext.max() > 1e-5          # it moves
+    assert ext.max() < orbit_diameter  # less than the blob's own orbit
+    # One full orbit closes the track (same pattern phase).
+    np.testing.assert_allclose(track[4], track[0], atol=1e-6)
