@@ -481,6 +481,42 @@ def cmd_shadow(args) -> int:
     return 0
 
 
+def _centroid_report(path, scene, size, emission, light_curve, spot_r):
+    """GRAVITY-style astrometric wobble figure + console summary:
+    photocenter track of the RAW per-frame emission
+    (observables.centroid_track) next to the light curve. Shared by
+    the volumetric --movie and disk --frames movie modes."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from light_path_tracer_tpu import camera as _cam
+    from light_path_tracer_tpu.observables import centroid_track
+    fov = _cam.fov_from_vertical(scene.vertical_fov, (size, size))
+    track = np.degrees(np.asarray(centroid_track(emission, fov)))
+    lc = np.asarray(light_curve, np.float64)
+    fig, axes = plt.subplots(1, 2, figsize=(9.6, 4.2))
+    ph = np.arange(len(track)) / max(len(track), 1)
+    sc = axes[0].scatter(track[:, 0] * 3600, -track[:, 1] * 3600,
+                         c=ph, cmap="twilight", s=28)
+    axes[0].plot(track[:, 0] * 3600, -track[:, 1] * 3600,
+                 color="0.75", lw=0.8, zorder=0)
+    axes[0].set_xlabel("x [arcsec]"), axes[0].set_ylabel("y [arcsec, up]")
+    axes[0].set_title("photocenter track")
+    axes[0].set_aspect("equal", adjustable="datalim")
+    fig.colorbar(sc, ax=axes[0], label="orbital phase")
+    axes[1].plot(ph, lc / max(lc.mean(), 1e-300), lw=1.6)
+    axes[1].set_xlabel("orbital phase")
+    axes[1].set_ylabel("flux / mean")
+    axes[1].set_title("light curve")
+    fig.tight_layout()
+    fig.savefig(path, dpi=130)
+    ext = np.ptp(track, axis=0) * 3600
+    print(f"  centroid wobble: {ext[0]:.3f} x {ext[1]:.3f} "
+          f"arcsec (spot orbit diameter "
+          f"{np.degrees(2 * spot_r / scene.r_obs) * 3600:.3f} arcsec)")
+    print(f"Saved: {path}")
+
+
 def cmd_volumetric(args) -> int:
     """Optically-thin hot-flow render (volumetric.py): RIAF torus /
     power-law flow / uniform shell integrated along every geodesic."""
@@ -555,40 +591,8 @@ def cmd_volumetric(args) -> int:
               f"retarded-time span {stats['t_max']:.0f} M")
         print(f"Saved: {out}")
         if getattr(args, "centroid", None):
-            # GRAVITY-style astrometric wobble: photocenter track of
-            # the RAW per-frame emission (observables.centroid_track).
-            import matplotlib
-            matplotlib.use("Agg")
-            import matplotlib.pyplot as plt
-            from light_path_tracer_tpu import camera as _cam
-            from light_path_tracer_tpu.observables import centroid_track
-            fov = _cam.fov_from_vertical(scene.vertical_fov,
-                                         (args.size, args.size))
-            track = np.degrees(np.asarray(
-                centroid_track(stats["emission"], fov)))
-            fig, axes = plt.subplots(1, 2, figsize=(9.6, 4.2))
-            ph = np.arange(len(track)) / max(len(track), 1)
-            sc = axes[0].scatter(track[:, 0] * 3600, -track[:, 1] * 3600,
-                                 c=ph, cmap="twilight", s=28)
-            axes[0].plot(track[:, 0] * 3600, -track[:, 1] * 3600,
-                         color="0.75", lw=0.8, zorder=0)
-            axes[0].set_xlabel("x [arcsec]"), axes[0].set_ylabel(
-                "y [arcsec, up]")
-            axes[0].set_title("photocenter track")
-            axes[0].set_aspect("equal", adjustable="datalim")
-            fig.colorbar(sc, ax=axes[0], label="orbital phase")
-            axes[1].plot(ph, lc / lc.mean(), lw=1.6)
-            axes[1].set_xlabel("orbital phase")
-            axes[1].set_ylabel("flux / mean")
-            axes[1].set_title("light curve")
-            fig.tight_layout()
-            fig.savefig(args.centroid, dpi=130)
-            ext = np.ptp(track, axis=0) * 3600
-            print(f"  centroid wobble: {ext[0]:.3f} x {ext[1]:.3f} "
-                  f"arcsec (spot orbit diameter "
-                  f"{np.degrees(2 * args.spot_r / scene.r_obs) * 3600:.3f}"
-                  f" arcsec)")
-            print(f"Saved: {args.centroid}")
+            _centroid_report(args.centroid, scene, args.size,
+                             stats["emission"], lc, args.spot_r)
         return 0
 
     if args.freqs:
@@ -985,6 +989,10 @@ def cmd_disk(args) -> int:
               f"ONE trace {t.get('precompute', 0.0):.3f}s + "
               f"render {t.get('render', 0.0):.3f}s")
         print(f"Saved: {out}")
+        if getattr(args, "centroid", None):
+            emission = np.asarray(stats["emission"], np.float64)
+            _centroid_report(args.centroid, scene, args.size, emission,
+                             emission.sum(axis=(1, 2)), args.spot_r0)
         return 0
 
     if getattr(args, "multihost", False):
@@ -1420,6 +1428,11 @@ def build_parser():
     p.add_argument("--spot-r0", type=float, default=6.0,
                    help="hot-spot orbit radius [M]")
     p.add_argument("--spot-amplitude", type=float, default=6.0)
+    p.add_argument("--centroid", default=None, metavar="PLOT.png",
+                   help="with --frames: also save the GRAVITY-style "
+                        "astrometric photocenter track + light curve "
+                        "(observables.centroid_track on the raw "
+                        "per-frame emission)")
     p.add_argument("--fps", type=float, default=12.0)
     p.add_argument("--aa", type=int, default=1,
                    help="jittered AA samples per pixel (disk edges / "

@@ -1102,21 +1102,27 @@ def render_disk_frames(scene: SceneConfig, resolution, times,
             intensity, rgb = jax.vmap(emit)(ts)       # (T, N) / (T, N, 3)
             peak = jnp.max(intensity)                 # global: no flicker
             lum = _tone_map(intensity, disk.tone_map, peak)
+            raw = intensity.reshape((ts.shape[0],) + resolution).astype(
+                jnp.float32)
             if color:
                 chroma = rgb / jnp.maximum(intensity, 1e-12)[..., None]
                 return (chroma * lum[..., None]).reshape(
-                    (ts.shape[0],) + resolution + (3,)).astype(jnp.float32)
+                    (ts.shape[0],) + resolution + (3,)).astype(
+                        jnp.float32), raw
             return lum.reshape((ts.shape[0],) + resolution).astype(
-                jnp.float32)
+                jnp.float32), raw
 
-        frames = all_frames(ts, res.n_hits, res.r_hits, res.xi,
-                            res.phi_hits, dl, res.xi_hits)
+        frames, emission = all_frames(ts, res.n_hits, res.r_hits, res.xi,
+                                      res.phi_hits, dl, res.xi_hits)
         out.append(frames)
 
     stats = dict(
         r_isco=r_isco(scene.M, scene.a, disk.prograde, Q=scene.Q),
         disk_pixels=int((np.asarray(res.n_hits) > 0).sum()),
         integrator_steps=int(res.n_steps),
+        # Raw linear per-frame intensity (T, H, W) — the photometric
+        # input observables.centroid_track expects (tone maps bias it).
+        emission=emission,
         n_frames=len(times),
         orbit_period=abs(2.0 * np.pi / keplerian_omega(
             scene.M, scene.a, spot.r0, disk.prograde, Q=scene.Q)),

@@ -325,6 +325,16 @@ def test_hotspot_orbits_and_is_periodic():
     assert np.abs(frames[1] - frames[0]).max() > 0.05
     # ...and a full orbit is exactly periodic (same trace, same pattern).
     np.testing.assert_allclose(frames[2], frames[0], atol=1e-12)
+    # Raw linear emission rides stats (the centroid-track input): same
+    # frame axis, nonnegative, and its photocenter moves with the spot.
+    from light_path_tracer_tpu import camera, observables
+    emission = np.asarray(stats["emission"])
+    assert emission.shape == (3, 40, 56)
+    assert (emission >= 0.0).all() and emission[0].max() > 0.0
+    fov = camera.fov_from_vertical(scene.vertical_fov, (40, 56))
+    track = np.asarray(observables.centroid_track(emission, fov))
+    assert np.linalg.norm(track[1] - track[0]) > 1e-6
+    np.testing.assert_allclose(track[2], track[0], atol=1e-12)
 
 
 def test_texture_pattern_differential_shear():
