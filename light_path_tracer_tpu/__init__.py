@@ -51,6 +51,7 @@ __all__ = [
     "render_volumetric",
     "render_volumetric_spectrum",
     "render_volumetric_movie",
+    "render_volumetric_decomposed",
     "render_polarized_volumetric",
     "RIAFConfig",
     "render_star",
@@ -95,6 +96,8 @@ _LAZY = {
                                    "render_volumetric_spectrum"),
     "render_volumetric_movie": ("light_path_tracer_tpu.volumetric",
                                 "render_volumetric_movie"),
+    "render_volumetric_decomposed": ("light_path_tracer_tpu.volumetric",
+                                     "render_volumetric_decomposed"),
     "render_polarized_volumetric": ("light_path_tracer_tpu.polarization",
                                     "render_polarized_volumetric"),
     "RIAFConfig": ("light_path_tracer_tpu.volumetric", "RIAFConfig"),

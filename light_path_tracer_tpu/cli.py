@@ -595,6 +595,53 @@ def cmd_volumetric(args) -> int:
                              stats["emission"], lc, args.spot_r)
         return 0
 
+    if getattr(args, "decompose", None):
+        # Photon-ring decomposition of the hot-flow image: per-image-
+        # order path-emission layers from ONE trace
+        # (volumetric.render_volumetric_decomposed).
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        import jax.numpy as jnp
+        from light_path_tracer_tpu.disk import decomposed_display
+        from light_path_tracer_tpu.volumetric import (
+            render_volumetric_decomposed)
+        n_ord = max(args.orders, 2)
+        layers, stats = render_volumetric_decomposed(
+            scene, (args.size, args.size), cfg, riaf, n_orders=n_ord)
+        stack = jnp.concatenate([jnp.sum(layers, axis=0)[None], layers])
+        disp = np.asarray(decomposed_display(stack, riaf.tone_map))
+        flux = np.asarray(stats["flux_per_order"])
+        frac = flux / max(flux.sum(), 1e-300)
+        fig, axes = plt.subplots(1, n_ord + 1,
+                                 figsize=(3.3 * (n_ord + 1), 3.7))
+        titles = ["composite"] + [
+            f"n={k} ({frac[k]:.2%} of flux)" for k in range(n_ord)]
+        for ax, im, title in zip(axes, disp, titles):
+            ax.imshow(im, cmap="afmhot", origin="upper",
+                      vmin=0.0, vmax=1.0)
+            ax.set_title(title, fontsize=10)
+            ax.axis("off")
+        gammas = ", ".join(f"{g:.2f}" for g in stats["gamma_estimates"])
+        fig.suptitle(f"hot-flow image-order decomposition: a={args.a} "
+                     f"— measured demagnification exponent(s) {gammas}",
+                     fontsize=11)
+        fig.tight_layout()
+        fig.savefig(args.decompose, dpi=120)
+        t = stats["timings"]
+        print(f"Decomposition: {args.size}x{args.size}, a={args.a}, "
+              f"{n_ord} orders from ONE trace "
+              f"({stats['integrator_steps']:,} steps, "
+              f"{t.get('precompute', 0.0):.3f}s)")
+        for k in range(n_ord):
+            mr = np.degrees(stats["mean_radius_rad"][k])
+            print(f"  n={k}: flux {frac[k]:.2%}, "
+                  f"mean radius {mr:.3f} deg")
+        print(f"  alpha_crit {np.degrees(stats['alpha_crit']):.3f} deg; "
+              f"flux ratios {[f'{r:.3g}' for r in stats['flux_ratios']]}")
+        print(f"Saved: {args.decompose}")
+        return 0
+
     if args.freqs:
         from light_path_tracer_tpu.volumetric import (
             render_volumetric_spectrum)
@@ -1561,6 +1608,15 @@ def build_parser():
                         "astrometric photocenter track + light curve "
                         "(observables.centroid_track on the raw "
                         "per-frame emission)")
+    p.add_argument("--decompose", default=None, metavar="PANEL.png",
+                   help="photon-ring decomposition of the hot-flow "
+                        "image: per-image-order emission layers from "
+                        "ONE trace (smooth winding coordinate), panel "
+                        "+ per-order fluxes and the measured Lyapunov "
+                        "demagnification "
+                        "(volumetric.render_volumetric_decomposed)")
+    p.add_argument("--orders", type=int, default=3,
+                   help="image orders for --decompose (>= 2)")
     p.add_argument("--spot-sigma", type=float, default=1.0,
                    help="blob Gaussian size [M]")
     p.add_argument("--fps", type=float, default=12.0,

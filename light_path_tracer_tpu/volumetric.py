@@ -376,6 +376,79 @@ def make_movie_transfer(metric, riaf: RIAFConfig, times: tuple):
     return transfer_fn
 
 
+# Width of the equatorial-crossing bump in cos(theta): the smooth
+# winding coordinate m integrates a unit-mass Gaussian each time the
+# ray sweeps through the plane. Small vs the torus vertical extent
+# (h_cos ~ 0.3) so order attribution smears only ~2 deg of latitude,
+# large enough that the error controller resolves the bump in a few
+# steps rather than grinding.
+_ORDER_SIGMA = 0.03
+
+
+@functools.lru_cache(maxsize=64)
+def make_order_transfer(metric, riaf: RIAFConfig, n_orders: int):
+    """transfer_fn for photon-ring decomposed volumetric transfer:
+    the path emission binned by IMAGE ORDER, all orders in one trace.
+
+    The state gains a smooth winding coordinate m with
+
+        dm/dlambda = N(cos theta; 0, sigma) |d cos theta / dlambda|
+                   = N(cos theta; 0, sigma) |sin theta| |p_theta| / Sigma,
+
+    a unit-mass Gaussian bump swept once per equatorial crossing — so
+    m counts the ray's plane crossings continuously and LOCALLY (no
+    hot-loop recorder needed; Sigma = r^2 + a^2 cos^2 theta is the
+    Boyer-Lindquist g_theta_theta of both Kerr and Kerr-Newman, and
+    d theta/dlambda = p_theta / Sigma). Emission then lands in bucket
+    n = floor(m) (clipped to the last bucket): order 0 is light
+    emitted before the flow's midplane crossing — the direct image —
+    order 1 the first lensed image, order >= 2 the exponentially
+    demagnified photon subrings (Gralla-Holz-Wald). Extras layout
+    (m, [tau,] I_0..I_{N-1}); absorption shares the single-band tau
+    exactly as the movie transfer does. The buckets partition the
+    emission, so the layers sum to the single-band image (pinned).
+    """
+    if n_orders < 2:
+        raise ValueError(f"n_orders must be >= 2, got {n_orders}")
+    make_transfer_fns(metric, riaf)               # validates the config
+    _j_rest, _g_clipped = _profile_fns(metric, riaf)
+    a2 = float(metric.a) ** 2
+    absorbing = riaf.alpha0 > 0.0
+    # Python floats (weak-typed): np.float64 scalars would promote the
+    # f32 carry under enable_x64 and break the while_loop carry types.
+    norm = float(1.0 / (_ORDER_SIGMA * np.sqrt(2.0 * np.pi)))
+    inv_two_sig2 = float(1.0 / (2.0 * _ORDER_SIGMA ** 2))
+
+    def transfer_fn(y, p_t, p_phi):
+        r, th = y[0], y[1]
+        c = jnp.cos(th)
+        j = _j_rest(r, c)
+        if riaf.g_power == 0.0:                   # pure-geometry mode
+            em = j
+            chi = riaf.alpha0 * j
+        else:
+            g = _g_clipped(y[:5], p_t, p_phi)
+            em = j * g ** riaf.g_power
+            chi = riaf.alpha0 * j / jnp.maximum(g, 0.1)
+        sigma_bl = r * r + a2 * c * c
+        dm = (norm * jnp.exp(-c * c * inv_two_sig2)
+              * jnp.abs(jnp.sin(th)) * jnp.abs(y[4]) / sigma_bl)
+        # Bucket of the CURRENT winding count; RK probe states can
+        # push m slightly negative, clamp into bucket 0.
+        bucket = jnp.floor(jnp.maximum(y[5], 0.0))
+        if absorbing:
+            em = em * jnp.exp(-jnp.maximum(y[6], -30.0))
+        d_i = tuple(
+            jnp.where(bucket == n, em, 0.0) if n < n_orders - 1
+            else jnp.where(bucket >= n, em, 0.0)   # last bucket: n >= N-1
+            for n in range(n_orders))
+        if absorbing:
+            return (dm, chi, *d_i)
+        return (dm, *d_i)
+
+    return transfer_fn
+
+
 def render_volumetric_movie(scene: SceneConfig, resolution, times,
                             cfg: RenderConfig = RenderConfig(),
                             riaf: RIAFConfig = RIAFConfig(),
@@ -630,3 +703,92 @@ def render_volumetric(scene: SceneConfig, resolution,
         traced_rays=height * width,
         timings=timer.finish())
     return image, stats
+
+
+def render_volumetric_decomposed(scene: SceneConfig, resolution,
+                                 cfg: RenderConfig = RenderConfig(),
+                                 riaf: RIAFConfig = RIAFConfig(),
+                                 n_orders: int = 3, mesh=None):
+    """Photon-ring decomposition of a volumetric image from ONE trace.
+
+    The EHT subring observable for continuous (hot-flow) emission:
+    layer n collects the path emission picked up after n equatorial
+    crossings (make_order_transfer's smooth winding coordinate), so
+    n = 0 is the direct image of the flow, n = 1 the first lensed
+    image, n >= 2 the exponentially demagnified photon subrings that
+    pile up on the critical curve. The disk-mode analogue is
+    disk.render_disk_decomposed (discrete crossings); here the
+    decomposition rides the error-controlled transfer state, all
+    orders in one integration. Absorption (riaf.alpha0 > 0) screens
+    every order through the shared optical depth.
+
+    Returns (layers, stats): layers (n_orders, H, W) RAW linear
+    intensity float32 (tone-map for display — disk.decomposed_display
+    shares the peak across orders); stats carries flux_per_order,
+    flux_ratios, gamma_estimates (-ln ratio, the measured Lyapunov
+    demagnification), mean_radius_rad per order, winding (the final
+    m map), and the usual render stats. mesh: row-striped tile DP
+    (trace_spectral_grid_sharded), same as the spectral path.
+    """
+    metric = _scene_metric(scene)
+    transfer_fn = make_order_transfer(metric, riaf, n_orders)
+    absorbing = riaf.alpha0 > 0.0
+    timer = StageTimer()
+    height, width = resolution
+    fov = camera.fov_from_vertical(scene.vertical_fov, resolution)
+    dtype = jnp.float64 if cfg.dtype == "float64" else jnp.float32
+
+    with timer.stage("build_lookup") as out:
+        alpha = camera.build_alpha_lookup(
+            resolution, fov, psi=scene.psi, dtype=dtype,
+            boost=scene.boost)
+        theta = camera.build_theta_lookup(
+            resolution, fov, psi=scene.psi, dtype=dtype,
+            boost=scene.boost)
+        out.append((alpha, theta))
+
+    with timer.stage("precompute") as out:
+        n_extra_bands = n_orders + (1 if absorbing else 0)
+        res = _trace_spectral(metric, scene, alpha.ravel(),
+                              theta.ravel(), transfer_fn,
+                              n_extra_bands, cfg, mesh, resolution)
+        out.append(res.status)
+
+    orders = res.emission[1:] if absorbing else res.emission
+    tau = (np.asarray(res.emission[0]).reshape(resolution)
+           if absorbing else np.zeros(resolution))
+    with timer.stage("render") as out:
+        # The bucket windows make the transfer integrand discontinuous
+        # in lambda, so a nearly-empty order can accumulate tiny
+        # NEGATIVE increments from rejected-probe overshoot; clamp —
+        # intensities are physically nonnegative and the noise is far
+        # below the partition tolerance.
+        layers = jnp.stack([
+            jnp.maximum(jnp.asarray(o).reshape(resolution), 0.0)
+            for o in orders
+        ]).astype(jnp.float32)
+        out.append(layers)
+
+    em = np.asarray(layers, np.float64)
+    flux = em.sum(axis=(1, 2))
+    yy = (np.arange(height) - height / 2.0) * (fov[0] / height)
+    xx = (np.arange(width) - width / 2.0) * (fov[1] / width)
+    rad = np.hypot(yy[:, None], xx[None, :])
+    mean_r = (em * rad).sum(axis=(1, 2)) / np.maximum(flux, 1e-30)
+    ratios = flux[1:] / np.maximum(flux[:-1], 1e-300)
+    status = np.asarray(res.status)
+    stats = dict(
+        alpha_crit=metric.alpha_crit(scene.r_obs, scene.theta_obs),
+        flux_per_order=flux.tolist(),
+        flux_ratios=ratios.tolist(),
+        gamma_estimates=(-np.log(np.maximum(ratios, 1e-300))).tolist(),
+        mean_radius_rad=mean_r.tolist(),
+        winding=np.asarray(res.tau_hat).reshape(resolution),
+        optical_depth=tau,
+        captured=int((status == CAPTURED).sum()),
+        invalid=int((status == INVALID).sum()),
+        integrator_steps=int(res.n_steps),
+        total_rays=height * width,
+        traced_rays=height * width,
+        timings=timer.finish())
+    return layers, stats

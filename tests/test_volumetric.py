@@ -382,3 +382,83 @@ def test_render_volumetric_image_contract():
     np.testing.assert_allclose(img, em / em.max(), rtol=1e-5,
                                atol=1e-7)
     assert st["integrator_steps"] > 0
+
+
+def test_decomposed_partition_and_winding_counter():
+    """Photon-ring decomposition: the order layers partition the
+    single-band image (same transfer, gated by the smooth winding
+    coordinate), and the winding counter's unit-mass bump reads ~1.0
+    on ordinary once-crossing rays."""
+    from light_path_tracer_tpu.volumetric import (
+        render_volumetric, render_volumetric_decomposed)
+
+    scene = SceneConfig(M=1.0, a=0.9, r_obs_mult=100.0,
+                        theta_obs=np.radians(20.0),
+                        vertical_fov_deg=16.0)
+    riaf = RIAFConfig()
+    layers, st = render_volumetric_decomposed(scene, (64, 64),
+                                              RenderConfig(), riaf,
+                                              n_orders=3)
+    assert layers.shape == (3, 64, 64)
+    _img, st1 = render_volumetric(scene, (64, 64), RenderConfig(), riaf)
+    total = np.asarray(layers, np.float64).sum(axis=0)
+    ref = st1["emission"]
+    # Pointwise to integration tolerance (the extra state components
+    # change the controller's step sequence), integrated to ~0.1%.
+    assert np.abs(total - ref).max() < 0.03 * ref.max()
+    assert abs(total.sum() - ref.sum()) < 2e-3 * ref.sum()
+    # The smooth winding coordinate counts crossings: emitting pixels
+    # away from the ring cross the equator exactly once face-on.
+    w = st["winding"]
+    ordinary = (total > 0.01 * total.max()) & (w < 1.5)
+    assert ordinary.sum() > 100
+    assert abs(np.median(w[ordinary]) - 1.0) < 0.02
+
+
+def test_decomposed_demagnification_physics():
+    """a=0 near-face-on: order fluxes decrease steeply and the n=1->2
+    demagnification exponent is near the Schwarzschild Lyapunov
+    asymptote pi (measured 3.44 at 128^2); the order-2 layer hugs the
+    critical curve."""
+    from light_path_tracer_tpu.volumetric import (
+        render_volumetric_decomposed)
+
+    scene = SceneConfig(M=1.0, a=0.0, r_obs_mult=100.0,
+                        theta_obs=np.radians(20.0),
+                        vertical_fov_deg=16.0)
+    layers, st = render_volumetric_decomposed(scene, (128, 128),
+                                              RenderConfig(),
+                                              RIAFConfig(), n_orders=3)
+    flux = np.asarray(st["flux_per_order"])
+    assert np.all(flux > 0.0) and np.all(flux[:-1] > flux[1:])
+    assert 2.3 < st["gamma_estimates"][1] < 4.5
+    assert np.isclose(st["mean_radius_rad"][2], st["alpha_crit"],
+                      rtol=0.08)
+    assert (layers >= 0.0).all()
+
+
+def test_decomposed_absorption_screens_every_order():
+    """With alpha0 > 0 every order dims (shared optical depth) and the
+    tau map rides stats; layers stay a partition of the absorbed
+    single-band image."""
+    from light_path_tracer_tpu.volumetric import (
+        render_volumetric, render_volumetric_decomposed)
+
+    scene = SceneConfig(M=1.0, a=0.0, r_obs_mult=100.0,
+                        theta_obs=np.radians(30.0),
+                        vertical_fov_deg=16.0)
+    thin = RIAFConfig()
+    thick = RIAFConfig(alpha0=0.3)
+    lt, st_t = render_volumetric_decomposed(scene, (48, 48),
+                                            RenderConfig(), thin, 2)
+    la, st_a = render_volumetric_decomposed(scene, (48, 48),
+                                            RenderConfig(), thick, 2)
+    assert st_a["optical_depth"].max() > 1.0
+    flux_t = np.asarray(st_t["flux_per_order"])
+    flux_a = np.asarray(st_a["flux_per_order"])
+    assert np.all(flux_a < flux_t)
+    _img, st1 = render_volumetric(scene, (48, 48), RenderConfig(),
+                                  thick)
+    total = np.asarray(la, np.float64).sum(axis=0)
+    assert abs(total.sum() - st1["emission"].sum()) \
+        < 5e-3 * st1["emission"].sum()
