@@ -64,6 +64,20 @@ def main():
     star_scene_kw = dict(M=1.0, a=0.0, r_obs_mult=200.0,
                          vertical_fov_deg=6.0)
 
+    from light_path_tracer_tpu.volumetric import (
+        render_volumetric_decomposed)
+    from light_path_tracer_tpu.disk import (DiskConfig,
+                                            render_disk_decomposed)
+
+    def _decomposed(s, size, cfg):
+        return render_volumetric_decomposed(s, size, cfg, RIAFConfig(),
+                                            n_orders=3)
+
+    def _disk_decomposed(s, size, cfg):
+        return render_disk_decomposed(s, size, cfg,
+                                      DiskConfig(r_out=20.0),
+                                      n_orders=3)
+
     modes = {
         "volumetric thin": lambda s: render_volumetric(
             s, size, cfg, RIAFConfig()),
@@ -83,6 +97,8 @@ def main():
             SceneConfig(theta_obs=s.theta_obs, **star_scene_kw),
             cfg, StarConfig(radius=5.0, omega=0.02), n_phases=32,
             resolution=size),
+        "decomposed x3": lambda s: _decomposed(s, size, cfg),
+        "disk decomposed x3": lambda s: _disk_decomposed(s, size, cfg),
     }
 
     n_rays = args.size * args.size

@@ -290,3 +290,27 @@ def test_volumetric_absorbed_sharded_equals_single_device():
         np.asarray(res1.optical_depth.reshape(DIM)),
         rtol=1e-10, atol=1e-12)
     assert float(np.asarray(res.optical_depth).max()) > 0.1
+
+
+def test_decomposed_volumetric_sharded_equals_single_device():
+    """The photon-ring decomposition rides the same spectral tile DP:
+    sharded order layers + winding map match the single-device trace."""
+    from light_path_tracer_tpu.volumetric import (
+        RIAFConfig, render_volumetric_decomposed)
+    from light_path_tracer_tpu.utils.config import (RenderConfig,
+                                                    SceneConfig)
+
+    mesh = make_mesh()
+    scene = SceneConfig(M=1.0, a=0.9, r_obs_mult=R_OBS,
+                        theta_obs=np.radians(30.0),
+                        vertical_fov_deg=16.0)
+    cfg = RenderConfig(backend="xla", dtype="float64")
+    riaf = RIAFConfig(alpha0=0.3)
+    l1, st1 = render_volumetric_decomposed(scene, (16, 16), cfg, riaf,
+                                           n_orders=3)
+    l8, st8 = render_volumetric_decomposed(scene, (16, 16), cfg, riaf,
+                                           n_orders=3, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(l8), np.asarray(l1),
+                               rtol=1e-10, atol=1e-14)
+    np.testing.assert_allclose(st8["winding"], st1["winding"],
+                               rtol=1e-10, atol=1e-14)
