@@ -13,8 +13,6 @@ The reference has no subring decomposition; its winding palette
 (/root/reference/image_lens.py:287-293) is the closest analogue.
 """
 
-import dataclasses
-
 import numpy as np
 import jax.numpy as jnp
 
@@ -155,3 +153,25 @@ def test_recording_window_excludes_annulus_leakage():
     narrow = np.asarray(st_narrow["flux_per_order"])
     assert np.all(narrow <= wide + 1e-9)
     assert narrow[0] < wide[0]
+
+
+def test_volumetric_subring_visibility_null_recovers_diameter():
+    """Cross-module pin: the n=1 lensed-ring layer of the volumetric
+    decomposition, pushed through the visibility pipeline, yields a
+    first-null ring diameter consistent with its emission-weighted
+    mean radius (the EHT ring-fitting chain applied to one subring)."""
+    from light_path_tracer_tpu import observables as obs
+    from light_path_tracer_tpu.volumetric import (
+        RIAFConfig, render_volumetric_decomposed)
+
+    scene = SceneConfig(M=1.0, a=0.0, r_obs_mult=100.0,
+                        theta_obs=np.radians(20.0),
+                        vertical_fov_deg=16.0)
+    layers, st = render_volumetric_decomposed(
+        scene, (128, 128), RenderConfig(), RIAFConfig(), n_orders=3)
+    fov = camera.fov_from_vertical(scene.vertical_fov, (128, 128))
+    vis, u, v = obs.visibilities(np.asarray(layers[1]), fov)
+    b, amp = obs.radial_profile(vis, u, v)
+    b_null = obs.first_null(np.asarray(b), np.asarray(amp))
+    d = float(obs.ring_diameter_from_null(b_null))
+    assert np.isclose(d, 2.0 * st["mean_radius_rad"][1], rtol=0.12)
