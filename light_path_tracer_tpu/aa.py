@@ -36,7 +36,6 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
-from light_path_tracer_tpu.models import make_metric
 from light_path_tracer_tpu import camera
 from light_path_tracer_tpu.ops.batch import trace_batch
 from light_path_tracer_tpu.parallel.tiles import trace_grid_sharded
@@ -212,7 +211,7 @@ def render_shadow_aa(scene: SceneConfig, resolution,
     The shadow boundary (the only high-frequency feature) gets smooth
     coverage values in [0, 1] instead of binary aliasing.
     """
-    metric = make_metric(scene.M, scene.a, scene.Q, scene.eps3)
+    metric = scene.metric()
     timer = StageTimer()
     fov = camera.fov_from_vertical(scene.vertical_fov, resolution)
     offsets = aa_offsets(aa_samples)
@@ -240,7 +239,7 @@ def render_scene_aa(scene: SceneConfig, source_image,
                     cfg: RenderConfig = RenderConfig(),
                     aa_samples: int = 4, mesh=None):
     """Anti-aliased lensed render; returns (image, stats)."""
-    metric = make_metric(scene.M, scene.a, scene.Q, scene.eps3)
+    metric = scene.metric()
     timer = StageTimer()
     src = jnp.asarray(source_image)
     if src.dtype == jnp.uint8:

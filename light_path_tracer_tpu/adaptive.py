@@ -42,7 +42,6 @@ import numpy as np
 import jax.numpy as jnp
 from jax import lax
 
-from light_path_tracer_tpu.models import make_metric
 from light_path_tracer_tpu import camera
 from light_path_tracer_tpu.aa import aa_offsets
 from light_path_tracer_tpu.ops.batch import trace_batch
@@ -139,7 +138,7 @@ def render_shadow_adaptive(scene: SceneConfig, resolution,
     """
     _check_samples(aa_samples)
     from light_path_tracer_tpu.aa import _use_tb, _mirror_fill
-    metric = make_metric(scene.M, scene.a, scene.Q, scene.eps3)
+    metric = scene.metric()
     timer = StageTimer()
     height, width = resolution
     fov = camera.fov_from_vertical(scene.vertical_fov, resolution)
@@ -242,7 +241,7 @@ def render_scene_adaptive(scene: SceneConfig, source_image,
     render_scene_aa (each sample is a fully rendered color).
     """
     _check_samples(aa_samples)
-    metric = make_metric(scene.M, scene.a, scene.Q, scene.eps3)
+    metric = scene.metric()
     timer = StageTimer()
     src = jnp.asarray(source_image)
     if src.dtype == jnp.uint8:

@@ -8,6 +8,9 @@ from light_path_tracer_tpu.models.reissner_nordstrom import (
 from light_path_tracer_tpu.models.kerr_newman import KerrNewman
 from light_path_tracer_tpu.models.johannsen_psaltis import (
     JohannsenPsaltis)
+from light_path_tracer_tpu.models.custom import (
+    CustomMetric, kerr_covariant, reissner_nordstrom_covariant,
+    load_covariant_fn)
 
 
 def make_metric(M: float = 1.0, a: float = 0.0,
@@ -32,4 +35,6 @@ def make_metric(M: float = 1.0, a: float = 0.0,
 
 
 __all__ = ["Metric", "Schwarzschild", "Kerr", "ReissnerNordstrom",
-           "KerrNewman", "JohannsenPsaltis", "make_metric"]
+           "KerrNewman", "JohannsenPsaltis", "CustomMetric",
+           "kerr_covariant", "reissner_nordstrom_covariant",
+           "load_covariant_fn", "make_metric"]

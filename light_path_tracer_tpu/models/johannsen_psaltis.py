@@ -182,47 +182,14 @@ class JohannsenPsaltis(Kerr):
     def alpha_crit(self, r_obs, theta_obs=None, n_azimuth: int = 16,
                    iters: int = 26, max_steps: int = 60000) -> float:
         """Shadow-envelope critical angle by bisection on TRACED
-        outcomes: per screen azimuth, bisect the capture/escape
+        outcomes (models/numeric.py:alpha_crit_traced — shared with
+        CustomMetric): per screen azimuth, bisect the capture/escape
         boundary in viewing angle, return the envelope max. ~iters
         compiled trace calls of n_azimuth rays each — host-side
         analysis, not a render path. Validated against Kerr's analytic
         envelope in tests/test_johannsen_psaltis.py."""
-        from light_path_tracer_tpu.ops.kerr_trace import (
-            trace_rays_kerr, ESCAPED)
-        if theta_obs is None:
-            theta_obs = np.pi / 2
-        thetas = jnp.asarray(
-            np.linspace(0.0, 2.0 * np.pi, n_azimuth, endpoint=False)
-            + 0.05, jnp.float64)
-        refine = jnp.zeros(n_azimuth, bool)
-
-        def not_escaped(angles):
-            res = trace_rays_kerr(
-                self, float(r_obs), jnp.asarray(angles, jnp.float64),
-                thetas, float(theta_obs), refine,
-                lambda_max=max(5000.0, 6.0 * float(r_obs)),
-                max_steps=max_steps)
-            # INVALID / step-exhausted lanes sit in the pathological
-            # inner region — for boundary purposes they are on the
-            # captured side (a clean escape always classifies).
-            return np.asarray(res.status) != ESCAPED
-
-        # Bracket: alpha -> 0 is certainly captured; start the upper
-        # edge at 3x the Schwarzschild critical angle and EXPAND it
-        # while any azimuth's boundary ray is still not escaping
-        # (strong eps3 < 0 grows the shadow past any fixed guess).
-        b_schw = 3.0 * np.sqrt(3.0) * self.M
-        hi0 = min(np.pi / 2, 3.0 * np.arcsin(
-            min(1.0, b_schw / float(r_obs))))
-        lo = np.full(n_azimuth, 1e-5)
-        hi = np.full(n_azimuth, hi0)
-        for _ in range(6):
-            if not not_escaped(hi).any() or hi.max() >= np.pi / 2:
-                break
-            hi = np.minimum(hi * 2.0, np.pi / 2)
-        for _ in range(iters):
-            mid = 0.5 * (lo + hi)
-            cap = not_escaped(mid)
-            lo = np.where(cap, mid, lo)
-            hi = np.where(cap, hi, mid)
-        return float(np.max(0.5 * (lo + hi)))
+        from light_path_tracer_tpu.models.numeric import (
+            alpha_crit_traced)
+        return alpha_crit_traced(self, r_obs, theta_obs,
+                                 n_azimuth=n_azimuth, iters=iters,
+                                 max_steps=max_steps)

@@ -764,11 +764,12 @@ class Kerr(_KerrHotPath, Metric):
             (r, th, phi, p_r, p_th), p_t, p_phi)[0:5]
 
         dtype = r.dtype
-        M = jnp.asarray(self.M, dtype)
-        a = jnp.asarray(self.a, dtype)
-        r_plus = jnp.asarray(self.r_plus, dtype)
-        frozen = r <= r_plus * 1.001
-        r_s = jnp.where(frozen, 10.0 * r_plus + 10.0, r)
+        # Freeze at the family's own radius: r_plus*1.001 for Kerr/KN
+        # (bitwise-unchanged), the barrier-aware surface for families
+        # whose pathology extends outside Kerr's horizon (JP, custom).
+        r_freeze = jnp.asarray(self._freeze_radius(), dtype)
+        frozen = r <= r_freeze
+        r_s = jnp.where(frozen, 10.0 * r_freeze + 10.0, r)
         (g_tt, g_tphi, *_rest) = self._inv_terms(r_s, th)
         dt = jnp.where(frozen, 0.0, g_tt * p_t + g_tphi * p_phi)
         zeros = jnp.zeros_like(r)

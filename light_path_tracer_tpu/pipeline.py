@@ -15,13 +15,13 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import math
 from typing import Any
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
-from light_path_tracer_tpu.models import make_metric
 from light_path_tracer_tpu import camera
 from light_path_tracer_tpu.ops.batch import trace_batch
 from light_path_tracer_tpu.render import render_lensed_image
@@ -84,7 +84,7 @@ def precompute_final_alpha(scene: SceneConfig, cfg: RenderConfig,
                                             fov)
         height, width = image_dimension
         use_tb = _use_tb(scene, cfg)
-        metric = make_metric(scene.M, scene.a, scene.Q, scene.eps3)
+        metric = scene.metric()
         traced = (height if (metric.is_spherically_symmetric or not use_tb)
                   else (height + 1) // 2) * width
         return PrecomputeResult(fa, wind, height * width, traced, steps)
@@ -153,7 +153,7 @@ def _render_scene_fused(scene, cfg, image_dimension, fov, img):
 def _precompute_eager(scene: SceneConfig, cfg: RenderConfig,
                       image_dimension, fov, alpha_lookup=None,
                       chunk_store=None) -> PrecomputeResult:
-    metric = make_metric(scene.M, scene.a, scene.Q, scene.eps3)
+    metric = scene.metric()
     dtype = _dtype_of(cfg)
     height, width = image_dimension
     if alpha_lookup is None:
@@ -230,7 +230,7 @@ def render_scene(scene: SceneConfig, source_image,
     gather render is a few percent of it). Chunked / progress-reporting
     runs fall back to the staged path with true per-stage timings.
     """
-    metric = make_metric(scene.M, scene.a, scene.Q, scene.eps3)
+    metric = scene.metric()
     timer = StageTimer()
 
     height, width = np.asarray(source_image).shape[:2]
@@ -304,7 +304,7 @@ def render_shadow(scene: SceneConfig, resolution,
     analytic=False integrates every pixel ray (BASELINE.json configs 1/3).
     Returns (image (H, W) float32 in {0, 1}, stats dict).
     """
-    metric = make_metric(scene.M, scene.a, scene.Q, scene.eps3)
+    metric = scene.metric()
     timer = StageTimer()
     height, width = resolution
     fov = camera.fov_from_vertical(scene.vertical_fov, resolution)
@@ -383,7 +383,7 @@ def render_rings(scene: SceneConfig, resolution,
     from light_path_tracer_tpu.render import ring_labels
     counts = np.asarray(masks.sum(axis=(1, 2)))
     labels = ring_labels(max_order)
-    metric = make_metric(scene.M, scene.a, scene.Q, scene.eps3)
+    metric = scene.metric()
     stats = dict(
         alpha_crit=metric.alpha_crit(scene.r_obs, scene.theta_obs),
         order_pixels={lab: int(c) for lab, c in zip(labels, counts)},
@@ -480,3 +480,112 @@ def render_magnification(scene: SceneConfig, resolution,
         "negative_parity_pixels": int((mu_np[finite] < 0).sum()),
     }
     return mu, stats
+
+
+def render_caustics(scene: SceneConfig, resolution,
+                    cfg: RenderConfig = RenderConfig(),
+                    bins: int = 256, beta_max: float | None = None):
+    """Source-plane magnification (caustic) map by inverse ray
+    shooting (render.source_plane_map): one standard precompute, then
+    every escaped pixel carries its image-plane solid angle to its
+    source position; A(beta) = arriving solid angle / source-plane
+    solid angle, summed over ALL images. Caustics = the ridges where
+    A diverges (the point caustic of Schwarzschild, its deformation
+    for Kerr/charged/custom metrics).
+
+    beta_max defaults to 70% of the FOV half-angle (bins mapping
+    partly outside the camera FOV would read low). Returns
+    (A (bins, bins) float32, extent, stats).
+    """
+    from light_path_tracer_tpu import render as _render
+
+    timer = StageTimer()
+    resolution = tuple(resolution)
+    fov = camera.fov_from_vertical(scene.vertical_fov, resolution)
+    dtype = _dtype_of(cfg)
+    if beta_max is None:
+        beta_max = 0.7 * (scene.vertical_fov / 2.0)
+
+    with timer.stage("precompute") as out:
+        pre = _precompute_eager(scene, cfg, resolution, fov)
+        out.append(pre.final_alpha)
+
+    with timer.stage("render") as out:
+        theta_lookup = camera.build_theta_lookup(
+            resolution, fov, psi=scene.psi, dtype=dtype,
+            boost=scene.boost)
+        frame = camera.psi_frame(scene.psi)
+        amap, extent = _render.source_plane_map(
+            pre.final_alpha.astype(dtype), theta_lookup, frame,
+            resolution, fov, float(beta_max), bins)
+        out.append(amap)
+
+    amap_np = np.asarray(amap)
+    stats = {
+        "timings": timer.finish(),
+        "total_rays": pre.total_rays,
+        "traced_rays": pre.traced_rays,
+        "integrator_steps": int(pre.integrator_steps),
+        "beta_max": float(beta_max),
+        "A_max": float(amap_np.max()),
+        "A_far_field": float(np.median(amap_np[amap_np > 0]))
+        if (amap_np > 0).any() else float("nan"),
+    }
+    return amap, extent, stats
+
+
+def render_microlens_curve(scene: SceneConfig, resolution,
+                           cfg: RenderConfig = RenderConfig(),
+                           impact_u: float = 1.0,
+                           span_u: float = 4.0,
+                           n_points: int = 81,
+                           source_radius_u: float = 0.3):
+    """Microlensing light curve A(t) of a finite circular source
+    crossing the lens (render.microlens_light_curve): a straight
+    source-plane track at impact parameter `impact_u` (units of the
+    point-lens Einstein angle theta_E = sqrt(4 M / r_obs), the
+    source-at-infinity weak-field scale), from -span_u to +span_u.
+
+    For Schwarzschild in the weak field this reproduces the classic
+    Paczynski curve A(u) = (u^2+2)/(u sqrt(u^2+4)); in the strong
+    field / for spinning, charged, or user metrics it is the exact
+    traced generalization. Returns (u_axis, A, stats).
+    """
+    from light_path_tracer_tpu import render as _render
+
+    timer = StageTimer()
+    resolution = tuple(resolution)
+    fov = camera.fov_from_vertical(scene.vertical_fov, resolution)
+    dtype = _dtype_of(cfg)
+    theta_e = math.sqrt(4.0 * scene.M / scene.r_obs)
+
+    with timer.stage("precompute") as out:
+        pre = _precompute_eager(scene, cfg, resolution, fov)
+        out.append(pre.final_alpha)
+
+    with timer.stage("render") as out:
+        theta_lookup = camera.build_theta_lookup(
+            resolution, fov, psi=scene.psi, dtype=dtype,
+            boost=scene.boost)
+        frame = camera.psi_frame(scene.psi)
+        xs = np.linspace(-span_u, span_u, n_points)
+        track = np.stack(
+            [xs * theta_e, np.full(n_points, impact_u * theta_e)],
+            axis=-1)
+        curve = _render.microlens_light_curve(
+            pre.final_alpha.astype(dtype), theta_lookup, frame,
+            resolution, fov, track, source_radius_u * theta_e)
+        out.append(curve)
+
+    u_axis = np.hypot(xs, impact_u)
+    curve_np = np.asarray(curve)
+    stats = {
+        "timings": timer.finish(),
+        "total_rays": pre.total_rays,
+        "traced_rays": pre.traced_rays,
+        "integrator_steps": int(pre.integrator_steps),
+        "theta_E": theta_e,
+        "A_peak": float(curve_np.max()),
+        "A_baseline": float(curve_np[0]),
+    }
+    return u_axis, curve, stats

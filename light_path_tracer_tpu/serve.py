@@ -72,6 +72,13 @@ _DISK_DEG_FIELDS = {"tilt", "tilt_azimuth"}
 def _scene_from_json(d: dict) -> SceneConfig:
     kw = {}
     for key, val in (d or {}).items():
+        if key == "custom_metric":
+            # User-defined metrics load local Python (models.custom.
+            # load_covariant_fn) — a trust boundary deliberately NOT
+            # reachable over HTTP.
+            raise ValueError(
+                "custom_metric is not accepted over HTTP; use the "
+                "CLI --metric-py locally")
         if key == "boost":
             kw[key] = tuple(float(v) for v in val)
         elif key in _DEG_FIELDS:

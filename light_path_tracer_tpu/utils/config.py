@@ -37,10 +37,25 @@ class SceneConfig:
     # before tracing (camera.aberrate_view) and Doppler-shifts observed
     # intensities/temperatures (camera.doppler_lookup).
     boost: tuple = (0.0, 0.0, 0.0)
+    # User-defined spacetime (models.custom.CustomMetric or any Metric
+    # instance): overrides the (M, a, Q, eps3) family selection when
+    # set. Still a frozen/hashable field (CustomMetric is a frozen
+    # dataclass), so scenes stay valid jit cache keys. Shadow/lens/
+    # magnification/AA/trajectory surfaces; disk orbital dynamics and
+    # polarization keep their closed-form families.
+    custom_metric: object = None
 
     @property
     def psi(self):
         return (self.psi_y, self.psi_x)
+
+    def metric(self):
+        """The scene's Metric: `custom_metric` if set, else the
+        (M, a, Q, eps3) family dispatch (models.make_metric)."""
+        if self.custom_metric is not None:
+            return self.custom_metric
+        from light_path_tracer_tpu.models import make_metric
+        return make_metric(self.M, self.a, self.Q, self.eps3)
 
     @property
     def boosted(self) -> bool:
