@@ -35,6 +35,15 @@ def _add_scene_args(p):
                         "(test-GR deformed Kerr; 0 = GR. Shadow/lens/"
                         "magnification modes; mutually exclusive with "
                         "--Q, not wired for disk orbital dynamics)")
+    p.add_argument("--metric-py", default=None, metavar="FILE.py:ATTR",
+                   help="user-defined spacetime: load a covariant-"
+                        "components function (r, th) -> (g_tt, g_tphi, "
+                        "g_rr, g_thth, g_phiphi) written in jax.numpy "
+                        "from a local Python file (models.custom."
+                        "CustomMetric; --M/--a declare the asymptotic "
+                        "Kerr the far field approaches). Shadow/lens/"
+                        "magnification/AA/ray/plot modes; mutually "
+                        "exclusive with --Q/--eps3")
     p.add_argument("--r-obs", type=float, default=100.0,
                    help="Observer distance in units of M (default: 100)")
     p.add_argument("--psi-y", type=float, default=0.0,
@@ -149,6 +158,18 @@ def _visibility_report(image, fov, path, model, true_diameter=None):
 
 def _scene_from(args):
     from light_path_tracer_tpu.utils.config import SceneConfig
+    custom = None
+    spec = getattr(args, "metric_py", None)
+    if spec:
+        if getattr(args, "Q", 0.0) or getattr(args, "eps3", 0.0):
+            raise SystemExit(
+                "error: --metric-py is mutually exclusive with "
+                "--Q/--eps3 (the user metric defines the spacetime)")
+        from light_path_tracer_tpu.models import (
+            CustomMetric, load_covariant_fn)
+        custom = CustomMetric(M=args.M, a=args.a,
+                              covariant_fn=load_covariant_fn(spec),
+                              label=spec)
     return SceneConfig(
         M=args.M, a=args.a, Q=getattr(args, "Q", 0.0),
         eps3=getattr(args, "eps3", 0.0),
@@ -156,7 +177,21 @@ def _scene_from(args):
         psi_y=np.radians(args.psi_y), psi_x=np.radians(args.psi_x),
         vertical_fov_deg=args.fov_v,
         theta_obs=np.radians(getattr(args, "theta_obs", 90.0)),
-        boost=tuple(getattr(args, "boost", (0.0, 0.0, 0.0))))
+        boost=tuple(getattr(args, "boost", (0.0, 0.0, 0.0))),
+        custom_metric=custom)
+
+
+def _reject_metric_py(args, mode: str) -> bool:
+    """Modes whose physics needs the closed-form families (disk
+    orbital dynamics, volumetric flow fields, stellar surfaces,
+    recompilation-free sweeps) reject --metric-py with a clear error
+    instead of silently tracing the wrong spacetime."""
+    if getattr(args, "metric_py", None):
+        print(f"error: --metric-py is not supported in {mode} mode "
+              "(supported: shadow, lens, magnification, AA, ray, "
+              "plot)", file=sys.stderr)
+        return True
+    return False
 
 
 def _render_cfg_from(args):
@@ -209,6 +244,71 @@ def cmd_lens(args) -> int:
         print(f"Saved: {args.magnification}")
         return 0
 
+    if getattr(args, "caustics", None):
+        # Source-plane (caustic) map: inverse ray shooting.
+        from light_path_tracer_tpu.pipeline import render_caustics
+        amap, extent, cstats = render_caustics(
+            scene, (args.size, args.size), cfg,
+            bins=args.caustic_bins)
+        amap_np = np.asarray(amap)
+        disp = np.log10(1.0 + np.maximum(amap_np, 0.0))
+        lim = np.percentile(disp, 99.5) or 1.0
+        import matplotlib.cm as cm
+        mpimg.imsave(args.caustics,
+                     cm.inferno(np.clip(disp / lim, 0.0, 1.0)))
+        tt = cstats["timings"]
+        print(f"Caustic map {args.caustic_bins}x{args.caustic_bins} "
+              f"(traced {args.size}x{args.size}, beta_max "
+              f"{np.degrees(cstats['beta_max']):.2f} deg): "
+              f"A_max={cstats['A_max']:.1f}, far-field median "
+              f"A={cstats['A_far_field']:.3f} "
+              f"(precompute {tt.get('precompute', 0.0):.3f}s, "
+              f"render {tt.get('render', 0.0):.3f}s)")
+        print(f"Saved: {args.caustics}")
+        return 0
+
+    if getattr(args, "microlens", None):
+        # Microlensing light curve of a source crossing the lens.
+        from light_path_tracer_tpu.pipeline import (
+            render_microlens_curve)
+        u_axis, curve, mlstats = render_microlens_curve(
+            scene, (args.size, args.size), cfg,
+            impact_u=args.track_impact, span_u=args.track_span,
+            n_points=args.track_points,
+            source_radius_u=args.source_radius)
+        curve_np = np.asarray(curve)
+        xs = np.linspace(-args.track_span, args.track_span,
+                         args.track_points)
+        if args.microlens.endswith(".png"):
+            import matplotlib
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+            fig, ax = plt.subplots(figsize=(7, 4))
+            ax.plot(xs, curve_np, lw=2)
+            ref = (u_axis ** 2 + 2) / (
+                u_axis * np.sqrt(u_axis ** 2 + 4))
+            ax.plot(xs, ref, "--", lw=1,
+                    label="point-lens Paczynski")
+            ax.set_xlabel(r"track position [$\theta_E$]")
+            ax.set_ylabel("total magnification A")
+            ax.legend()
+            fig.savefig(args.microlens, dpi=120,
+                        bbox_inches="tight")
+            plt.close(fig)
+        else:
+            with open(args.microlens, "w") as fh:
+                fh.write("track_pos_thetaE,u,A\n")
+                for x, uu, aa in zip(xs, u_axis, curve_np):
+                    fh.write(f"{x:.6f},{uu:.6f},{aa:.8f}\n")
+        print(f"Microlensing curve ({args.track_points} points, "
+              f"impact u0={args.track_impact}, source radius "
+              f"{args.source_radius} theta_E, theta_E = "
+              f"{np.degrees(mlstats['theta_E']):.3f} deg): "
+              f"A_peak={mlstats['A_peak']:.4f}, baseline "
+              f"{mlstats['A_baseline']:.4f}")
+        print(f"Saved: {args.microlens}")
+        return 0
+
     t0 = time.perf_counter()
     img = mpimg.imread(args.image)
     load_time = time.perf_counter() - t0
@@ -216,9 +316,7 @@ def cmd_lens(args) -> int:
     print(f"Image: {width}x{height}")
 
     r_obs = scene.r_obs
-    from light_path_tracer_tpu.models import make_metric
-    metric = make_metric(args.M, args.a, getattr(args, "Q", 0.0),
-                         getattr(args, "eps3", 0.0))
+    metric = scene.metric()
     alpha_crit = metric.alpha_crit(r_obs)
     print(f"r_obs = {r_obs:.1f} M, "
           f"alpha_crit = {np.degrees(alpha_crit):.4f} deg")
@@ -382,10 +480,7 @@ def cmd_lens(args) -> int:
 
 
 def _scene_metric_alpha_crit(scene):
-    from light_path_tracer_tpu.models import make_metric
-    return make_metric(scene.M, scene.a, scene.Q,
-                       scene.eps3).alpha_crit(scene.r_obs,
-                                              scene.theta_obs)
+    return scene.metric().alpha_crit(scene.r_obs, scene.theta_obs)
 
 
 def cmd_shadow(args) -> int:
@@ -520,6 +615,8 @@ def _centroid_report(path, scene, size, emission, light_curve, spot_r):
 def cmd_volumetric(args) -> int:
     """Optically-thin hot-flow render (volumetric.py): RIAF torus /
     power-law flow / uniform shell integrated along every geodesic."""
+    if _reject_metric_py(args, "volumetric"):
+        return 2
     import matplotlib.image as mpimg
     from matplotlib import cm
     from light_path_tracer_tpu import camera
@@ -716,6 +813,8 @@ def cmd_volumetric(args) -> int:
 def cmd_star(args) -> int:
     """Compact-star surface image / pulse profile (star.py):
     NICER-style hot polar caps on a neutron-star surface."""
+    if _reject_metric_py(args, "star"):
+        return 2
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.image as mpimg
@@ -783,6 +882,8 @@ def cmd_star(args) -> int:
 
 def cmd_disk(args) -> int:
     """Accretion-disk render (BASELINE.json config 4)."""
+    if _reject_metric_py(args, "disk"):
+        return 2
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.image as mpimg
@@ -1105,6 +1206,8 @@ def cmd_disk(args) -> int:
 
 def cmd_animate(args) -> int:
     """Camera-pan or flyby sequence -> animated GIF (traced fast path)."""
+    if _reject_metric_py(args, "animate"):
+        return 2
     import time
     import numpy as np
     from PIL import Image
@@ -1178,11 +1281,9 @@ def cmd_animate(args) -> int:
 
 def cmd_ray(args) -> int:
     """Single-ray demo (main.py parity): trace, report, plot."""
-    from light_path_tracer_tpu.models import make_metric
     from light_path_tracer_tpu.trajectory import trace_ray_trajectory
 
-    metric = make_metric(args.M, args.a, getattr(args, "Q", 0.0),
-                         getattr(args, "eps3", 0.0))
+    metric = _scene_from(args).metric()
     r_obs = args.r_obs * args.M
     alpha = np.radians(args.alpha_deg)
     traj, outcome = trace_ray_trajectory(metric, r_obs, alpha)
@@ -1226,11 +1327,9 @@ def cmd_plot(args) -> int:
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
-    from light_path_tracer_tpu.models import make_metric
     from light_path_tracer_tpu.trajectory import plot_trajectories
 
-    metric = make_metric(args.M, args.a, getattr(args, "Q", 0.0),
-                         getattr(args, "eps3", 0.0))
+    metric = _scene_from(args).metric()
     r_obs = args.r_obs * args.M
     angles = [float(x) for x in args.angles.split(",")]
     ac = np.degrees(metric.alpha_crit(r_obs))
@@ -1402,7 +1501,31 @@ def build_parser():
                         "parity-flipped images, NaN shadow black); "
                         "--size sets the grid, no --image needed")
     p.add_argument("--size", type=int, default=512,
-                   help="grid size for --magnification")
+                   help="grid size for --magnification/--caustics/"
+                        "--microlens")
+    p.add_argument("--caustics", metavar="PATH",
+                   help="instead of lensing an image, write the "
+                        "SOURCE-plane magnification (caustic) map by "
+                        "inverse ray shooting (total A over all "
+                        "images; ridges = caustics); --size sets the "
+                        "traced grid, no --image needed")
+    p.add_argument("--caustic-bins", type=int, default=256,
+                   help="source-plane bins per axis for --caustics")
+    p.add_argument("--microlens", metavar="PATH",
+                   help="write a microlensing light curve (CSV, or a "
+                        "plot if PATH ends .png) of a finite source "
+                        "crossing the lens at --track-impact; "
+                        "weak-field Schwarzschild reproduces the "
+                        "Paczynski curve")
+    p.add_argument("--track-impact", type=float, default=1.0,
+                   help="microlens track impact parameter u0 in "
+                        "Einstein angles theta_E = sqrt(4M/r_obs)")
+    p.add_argument("--track-span", type=float, default=4.0,
+                   help="microlens track half-length in theta_E")
+    p.add_argument("--track-points", type=int, default=81,
+                   help="points along the microlens track")
+    p.add_argument("--source-radius", type=float, default=0.3,
+                   help="source angular radius in theta_E")
     _add_multihost_args(p)
     p.set_defaults(fn=cmd_lens)
 

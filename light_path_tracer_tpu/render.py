@@ -341,6 +341,156 @@ def magnification_map(final_alpha_lookup, theta_lookup, frame,
     return jnp.where(jnp.isfinite(final_alpha_lookup), mu, jnp.nan)
 
 
+def _source_plane_coords(final_alpha_lookup, theta_lookup, frame):
+    """Per-pixel gnomonic (tangent-plane) source coordinates about the
+    BH direction d: beta_x = (v.e_x)/(v.d), beta_y = (v.e_y)/(v.d) for
+    the escape direction v — the angular position on the background
+    sky that pixel's ray came from. NaN where captured/invalid or the
+    ray escaped into the back hemisphere (v.d <= 0, outside the
+    tangent chart)."""
+    vx, vy, vz = escape_directions(final_alpha_lookup, theta_lookup,
+                                   frame)
+    d, e_x, e_y = frame.d, frame.e_x, frame.e_y
+    vd = vx * d[0] + vy * d[1] + vz * d[2]
+    nan = jnp.asarray(jnp.nan, vx.dtype)
+    vd_safe = jnp.where(vd > 1e-12, vd, 1.0)
+    bx = jnp.where(vd > 1e-12,
+                   (vx * e_x[0] + vy * e_x[1] + vz * e_x[2]) / vd_safe,
+                   nan)
+    by = jnp.where(vd > 1e-12,
+                   (vx * e_y[0] + vy * e_y[1] + vz * e_y[2]) / vd_safe,
+                   nan)
+    return bx, by
+
+
+def _image_solid_angle(image_dimension, fov, dtype):
+    """|image-plane solid angle| per pixel of the pinhole view grid."""
+    from light_path_tracer_tpu.camera import _view_grids
+
+    ux, uy, uz = _view_grids(image_dimension, fov, dtype)
+    uy = jnp.broadcast_to(uy, image_dimension)
+    ux = jnp.broadcast_to(ux, image_dimension)
+    uz = jnp.broadcast_to(uz, image_dimension)
+    return jnp.abs(_solid_angle_element(ux, uy, uz))
+
+
+def source_plane_map(final_alpha_lookup, theta_lookup, frame,
+                     image_dimension, fov, beta_max, bins: int = 256):
+    """Source-plane magnification (caustic) map by inverse ray
+    shooting — the standard microlensing construction (Kayser,
+    Refsdal & Stabell 1986) on the strong-field traced rays.
+
+    Every escaped image-plane pixel carries its solid angle
+    |dOmega_img| to its source position (beta_x, beta_y) (gnomonic
+    chart about the BH direction); binning the arrivals and dividing
+    by the source-plane solid angle of each bin gives the TOTAL
+    magnification A(beta) summed over all images (primary, secondary,
+    higher winding orders). Caustics appear as the ridges where A
+    diverges: a point caustic at beta = 0 for Schwarzschild, the
+    displaced/deformed structure for Kerr. Far field: A -> 1 where the
+    camera FOV covers all images of the bin (bins mapping partly
+    outside the FOV read low — use beta_max well inside the FOV
+    half-angle).
+
+    Returns (A, extent): A (bins, bins) float32, row i = beta_y,
+    col j = beta_x; extent = (-beta_max, beta_max) in radians both
+    axes (matplotlib imshow convention: extent=(left, right, bottom,
+    top) = (-b, b, b, -b) for origin="upper").
+    """
+    dtype = final_alpha_lookup.dtype
+    bx, by = _source_plane_coords(final_alpha_lookup, theta_lookup,
+                                  frame)
+    a_img = _image_solid_angle(image_dimension, fov, dtype)
+
+    # Cloud-in-cell (bilinear) deposition — the standard smoothing of
+    # inverse-ray-shooting codes: each ray's weight is split over the
+    # four bins around its landing point, which suppresses the moire
+    # pattern a nearest-bin histogram shows when the trace grid is
+    # only a few rays per bin.
+    width = 2.0 * beta_max / bins
+    fx = (bx + beta_max) / width - 0.5
+    fy = (by + beta_max) / width - 0.5
+    ix0 = jnp.floor(fx)
+    iy0 = jnp.floor(fy)
+    tx = fx - ix0
+    ty = fy - iy0
+    finite = jnp.isfinite(bx) & jnp.isfinite(by)
+    acc = jnp.zeros(bins * bins, dtype)
+    for dy_, dx_ in ((0, 0), (0, 1), (1, 0), (1, 1)):
+        gx = ix0 + dx_
+        gy = iy0 + dy_
+        wgt = (tx if dx_ else 1.0 - tx) * (ty if dy_ else 1.0 - ty)
+        valid = (finite & (gx >= 0) & (gx < bins)
+                 & (gy >= 0) & (gy < bins))
+        flat = jnp.where(valid, gy * bins + gx, 0.0).astype(jnp.int32)
+        w = jnp.where(valid, a_img * wgt, 0.0).ravel()
+        acc = acc.at[flat.ravel()].add(w)
+    acc = acc.reshape(bins, bins)
+
+    # Exact gnomonic solid-angle measure of each bin, at bin centers:
+    # dOmega = dbx dby / (1 + bx^2 + by^2)^(3/2).
+    centers = (jnp.arange(bins, dtype=dtype) + 0.5) * width - beta_max
+    cx = centers[None, :]
+    cy = centers[:, None]
+    d_omega = width * width / (1.0 + cx * cx + cy * cy) ** 1.5
+    return (acc / d_omega).astype(jnp.float32), (-beta_max, beta_max)
+
+
+def microlens_light_curve(final_alpha_lookup, theta_lookup, frame,
+                          image_dimension, fov, track, source_radius):
+    """Total magnification A(t) of a finite circular source moving
+    along `track` ((T, 2) source positions (beta_x, beta_y), radians)
+    — the microlensing light curve, by direct inverse-ray-shooting
+    reduction (no source-plane binning: each frame sums the
+    image-plane solid angle landing within the source disk and
+    divides by the disk's solid angle).
+
+    A Gaussian-tapered disk window (sigma = source_radius / 2,
+    truncated at 2 sigma = the radius) suppresses pixel-boundary
+    aliasing; the window is normalized on the source plane so an
+    unlensed field reads A = 1 exactly in the continuum limit. For a
+    point lens the curve matches the classic
+    A(u) = (u^2 + 2) / (u sqrt(u^2 + 4)) (Paczynski 1986) — pinned in
+    tests/test_microlens.py.
+
+    Returns (T,) float32.
+    """
+    dtype = final_alpha_lookup.dtype
+    bx, by = _source_plane_coords(final_alpha_lookup, theta_lookup,
+                                  frame)
+    a_img = _image_solid_angle(image_dimension, fov, dtype)
+    valid = jnp.isfinite(bx) & jnp.isfinite(by)
+    bx = jnp.where(valid, bx, 1e6)
+    by = jnp.where(valid, by, 1e6)
+    # Per-ray gnomonic Jacobian (1 + beta^2)^(3/2): converts arriving
+    # SOLID ANGLE to tangent-plane area, so the flat-plane window
+    # normalization below is exact at any track position (without it
+    # the curve reads (1 + beta^2)^(-3/2) low — ~10% at 15 degrees).
+    jac = (1.0 + bx * bx + by * by) ** 1.5
+    w_img = jnp.where(valid, a_img * jac, 0.0).ravel()
+    bx = bx.ravel()
+    by = by.ravel()
+
+    track = jnp.asarray(track, dtype)
+    r = jnp.asarray(source_radius, dtype)
+    sigma = r / 2.0
+
+    # Window normalization: integral of the truncated Gaussian over
+    # the source plane = 2 pi sigma^2 (1 - e^{-r^2/(2 sigma^2)}).
+    norm = 2.0 * jnp.pi * sigma * sigma * (
+        1.0 - jnp.exp(-(r * r) / (2.0 * sigma * sigma)))
+
+    def one(pos):
+        dx = bx - pos[0]
+        dy = by - pos[1]
+        d2 = dx * dx + dy * dy
+        win = jnp.where(d2 <= r * r,
+                        jnp.exp(-d2 / (2.0 * sigma * sigma)), 0.0)
+        return jnp.sum(w_img * win) / norm
+
+    return jax.vmap(one)(track).astype(jnp.float32)
+
+
 def magnification_display(mu, clip_percentile: float = 99.5):
     """Display encoding for a signed magnification map: symmetric
     log-compression sign(mu) * log10(1 + |mu|) on a diverging RdBu_r

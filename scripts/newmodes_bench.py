@@ -101,6 +101,33 @@ def main():
         "disk decomposed x3": lambda s: _disk_decomposed(s, size, cfg),
     }
 
+    # Source-plane products (weak-field scene: r_obs = 1000M) and the
+    # user-metric plug-in (autodiff RHS, XLA backend) — jitter rides
+    # theta_obs into the scene like the star rows.
+    from light_path_tracer_tpu.pipeline import (render_caustics,
+                                                render_microlens_curve,
+                                                render_shadow)
+    from light_path_tracer_tpu.models import CustomMetric
+    from light_path_tracer_tpu.models.custom import kerr_covariant
+
+    weak_kw = dict(M=1.0, a=0.9, r_obs_mult=1000.0,
+                   vertical_fov_deg=40.0)
+    _custom = CustomMetric(M=1.0, a=0.9,
+                           covariant_fn=kerr_covariant(1.0, 0.9),
+                           label="kerr-as-custom")
+    modes.update({
+        "caustics 128-bin": lambda s: render_caustics(
+            SceneConfig(theta_obs=s.theta_obs, **weak_kw),
+            size, cfg, bins=128)[2:],
+        "microlens x41": lambda s: render_microlens_curve(
+            SceneConfig(theta_obs=s.theta_obs, **weak_kw),
+            size, cfg, n_points=41)[2:],
+        "custom-metric shadow": lambda s: render_shadow(
+            SceneConfig(M=1.0, a=0.9, theta_obs=s.theta_obs,
+                        custom_metric=_custom),
+            size, cfg),
+    })
+
     n_rays = args.size * args.size
     print(f"# newmodes bench: {args.size}^2, device={args.device}, "
           f"platform={jax.devices()[0].platform}")
