@@ -267,6 +267,27 @@ def cmd_lens(args) -> int:
         print(f"Saved: {args.caustics}")
         return 0
 
+    if getattr(args, "time_delay", None):
+        # Fermat arrival-time map (time-delay cosmography).
+        from light_path_tracer_tpu.pipeline import render_time_delay
+        tau, tstats = render_time_delay(
+            scene, (args.size, args.size), cfg)
+        tau_np = np.asarray(tau)
+        disp = np.log10(1.0 + np.nan_to_num(tau_np, nan=0.0))
+        lim = np.nanpercentile(disp, 99.5) or 1.0
+        import matplotlib.cm as cm
+        rgba = cm.viridis(np.clip(disp / lim, 0.0, 1.0))
+        rgba[~np.isfinite(tau_np)] = (0.0, 0.0, 0.0, 1.0)
+        mpimg.imsave(args.time_delay, rgba)
+        tt = tstats["timings"]
+        print(f"Arrival-time map {args.size}x{args.size}: "
+              f"tau_max={tstats['tau_max']:.2f} M, "
+              f"{tstats['shadow_pixels']} shadow px "
+              f"(precompute {tt.get('precompute', 0.0):.3f}s, "
+              f"render {tt.get('render', 0.0):.3f}s)")
+        print(f"Saved: {args.time_delay}")
+        return 0
+
     if getattr(args, "microlens", None):
         # Microlensing light curve of a source crossing the lens.
         from light_path_tracer_tpu.pipeline import (
@@ -1526,6 +1547,12 @@ def build_parser():
                    help="points along the microlens track")
     p.add_argument("--source-radius", type=float, default=0.3,
                    help="source angular radius in theta_E")
+    p.add_argument("--time-delay", metavar="PATH",
+                   help="write the Fermat arrival-time map (coordinate "
+                        "time traced through the metric, plane-wave "
+                        "referenced; tau differences between pixels "
+                        "imaging the same source = the time-delay-"
+                        "cosmography observable). float64 recommended")
     _add_multihost_args(p)
     p.set_defaults(fn=cmd_lens)
 

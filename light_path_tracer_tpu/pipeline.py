@@ -482,6 +482,60 @@ def render_magnification(scene: SceneConfig, resolution,
     return mu, stats
 
 
+def _metric_5d(metric):
+    """The 5-D Kerr-machinery equivalent of a metric: spherically-
+    symmetric families integrate on the reduced 2-D orbit path, which
+    carries neither coordinate time nor the raw escape state — route
+    them through Kerr/Kerr-Newman at a = 0 (a = 0 traces are
+    oracle-pinned equal in tests)."""
+    if hasattr(metric, "initial_conditions_5d"):
+        return metric
+    from light_path_tracer_tpu.models import (Kerr, KerrNewman,
+                                              Schwarzschild,
+                                              ReissnerNordstrom)
+    if isinstance(metric, ReissnerNordstrom):
+        return KerrNewman(M=metric.M, a=0.0, Q=metric.Q)
+    if isinstance(metric, Schwarzschild):
+        return Kerr(M=metric.M, a=0.0)
+    raise ValueError(
+        f"{type(metric).__name__} has no 5-D tracer "
+        "(initial_conditions_5d) and no known a = 0 equivalent")
+
+
+def _trace_escape_beta(scene: SceneConfig, cfg: RenderConfig,
+                       resolution, fov, record_time: bool = False):
+    """Trace the pixel grid on the raw-escape-state path and return
+    the side-EXACT gnomonic source coordinates (bx, by) plus the raw
+    SurfaceResult (render.world_escape_beta — the collapsed
+    (final_alpha, theta) chart cannot distinguish which azimuthal side
+    a crossing ray escaped on)."""
+    from light_path_tracer_tpu import render as _render
+    from light_path_tracer_tpu.ops.kerr_trace import (
+        trace_rays_surface, ESCAPED)
+
+    dtype = _dtype_of(cfg)
+    metric = _metric_5d(scene.metric())
+    r_obs = scene.r_obs
+    alpha_lookup = camera.build_alpha_lookup(
+        resolution, fov, psi=scene.psi, dtype=dtype,
+        boost=scene.boost)
+    theta_lookup = camera.build_theta_lookup(
+        resolution, fov, psi=scene.psi, dtype=dtype,
+        boost=scene.boost)
+    res = trace_rays_surface(
+        metric, r_obs, alpha_lookup.ravel(),
+        theta_lookup.astype(dtype).ravel(), scene.theta_obs,
+        r_surface=float(metric.capture_radius()),
+        lambda_max=max(5000.0, 6.0 * r_obs),
+        max_steps=cfg.max_steps, precision=cfg.precision,
+        method=cfg.integrator, record_time=record_time)
+    bx, by = _render.world_escape_beta(
+        metric, 2.0 * r_obs, res.theta, res.phi, res.p_r,
+        res.p_theta, res.xi, res.status == ESCAPED, scene.theta_obs)
+    return (bx.reshape(resolution), by.reshape(resolution), res,
+            theta_lookup)
+
+
 def render_caustics(scene: SceneConfig, resolution,
                     cfg: RenderConfig = RenderConfig(),
                     bins: int = 256, beta_max: float | None = None):
@@ -495,37 +549,34 @@ def render_caustics(scene: SceneConfig, resolution,
 
     beta_max defaults to 70% of the FOV half-angle (bins mapping
     partly outside the camera FOV would read low). Returns
-    (A (bins, bins) float32, extent, stats).
+    (A (bins, bins) float32, extent, stats). Uses the side-exact
+    escape chart (render.world_escape_beta), so asymmetric (Kerr)
+    caustic structure lands on the correct side.
     """
     from light_path_tracer_tpu import render as _render
 
     timer = StageTimer()
     resolution = tuple(resolution)
     fov = camera.fov_from_vertical(scene.vertical_fov, resolution)
-    dtype = _dtype_of(cfg)
     if beta_max is None:
         beta_max = 0.7 * (scene.vertical_fov / 2.0)
 
     with timer.stage("precompute") as out:
-        pre = _precompute_eager(scene, cfg, resolution, fov)
-        out.append(pre.final_alpha)
+        bx, by, res, _th = _trace_escape_beta(scene, cfg, resolution,
+                                              fov)
+        out.append(bx)
 
     with timer.stage("render") as out:
-        theta_lookup = camera.build_theta_lookup(
-            resolution, fov, psi=scene.psi, dtype=dtype,
-            boost=scene.boost)
-        frame = camera.psi_frame(scene.psi)
         amap, extent = _render.source_plane_map(
-            pre.final_alpha.astype(dtype), theta_lookup, frame,
-            resolution, fov, float(beta_max), bins)
+            bx, by, resolution, fov, float(beta_max), bins)
         out.append(amap)
 
     amap_np = np.asarray(amap)
     stats = {
         "timings": timer.finish(),
-        "total_rays": pre.total_rays,
-        "traced_rays": pre.traced_rays,
-        "integrator_steps": int(pre.integrator_steps),
+        "total_rays": int(np.prod(resolution)),
+        "traced_rays": int(np.prod(resolution)),
+        "integrator_steps": int(res.n_steps),
         "beta_max": float(beta_max),
         "A_max": float(amap_np.max()),
         "A_far_field": float(np.median(amap_np[amap_np > 0]))
@@ -556,36 +607,122 @@ def render_microlens_curve(scene: SceneConfig, resolution,
     timer = StageTimer()
     resolution = tuple(resolution)
     fov = camera.fov_from_vertical(scene.vertical_fov, resolution)
-    dtype = _dtype_of(cfg)
     theta_e = math.sqrt(4.0 * scene.M / scene.r_obs)
 
     with timer.stage("precompute") as out:
-        pre = _precompute_eager(scene, cfg, resolution, fov)
-        out.append(pre.final_alpha)
+        bx, by, res, _th = _trace_escape_beta(scene, cfg, resolution,
+                                              fov)
+        out.append(bx)
 
     with timer.stage("render") as out:
-        theta_lookup = camera.build_theta_lookup(
-            resolution, fov, psi=scene.psi, dtype=dtype,
-            boost=scene.boost)
-        frame = camera.psi_frame(scene.psi)
         xs = np.linspace(-span_u, span_u, n_points)
         track = np.stack(
             [xs * theta_e, np.full(n_points, impact_u * theta_e)],
             axis=-1)
         curve = _render.microlens_light_curve(
-            pre.final_alpha.astype(dtype), theta_lookup, frame,
-            resolution, fov, track, source_radius_u * theta_e)
+            bx, by, resolution, fov, track, source_radius_u * theta_e)
         out.append(curve)
 
     u_axis = np.hypot(xs, impact_u)
     curve_np = np.asarray(curve)
     stats = {
         "timings": timer.finish(),
-        "total_rays": pre.total_rays,
-        "traced_rays": pre.traced_rays,
-        "integrator_steps": int(pre.integrator_steps),
+        "total_rays": int(np.prod(resolution)),
+        "traced_rays": int(np.prod(resolution)),
+        "integrator_steps": int(res.n_steps),
         "theta_E": theta_e,
         "A_peak": float(curve_np.max()),
         "A_baseline": float(curve_np[0]),
     }
     return u_axis, curve, stats
+
+
+def render_time_delay(scene: SceneConfig, resolution,
+                      cfg: RenderConfig = RenderConfig(dtype="float64")):
+    """Per-pixel gravitational ARRIVAL-TIME map — the time-delay-
+    cosmography observable (multiply-imaged sources arrive at
+    different times; the delay measures the lens potential).
+
+    Coordinate time rides the adaptive integrator as an
+    error-controlled extra state component (dt/dlambda = metric.tdot,
+    the same machinery as the retarded-time light curves), Hermite-
+    localized onto the escape sphere r_e = 2 r_obs. The raw t there is
+    dominated by geometry, so each ray is referenced to the plane wave
+    of its own escape direction: tau = t - X.v (X = escape position,
+    v = escape unit direction, both in BH-centered Cartesian) — the
+    Fermat arrival time up to a global constant. Differences of tau
+    between pixels imaging the SAME source position are the physical
+    delays; the weak-field point-lens oracle
+    dt = 4M [u sqrt(u^2+4)/2 + ln((sqrt(u^2+4)+u)/(sqrt(u^2+4)-u))]
+    is pinned in tests/test_timedelay_map.py. The common ln(r)
+    Shapiro growth cancels in any such difference.
+
+    float64 recommended: t accumulates to ~4 r_obs while image delays
+    are a few M (f32 resolution at t ~ 4000 M is ~0.25 M).
+
+    Returns (tau (H, W), stats): tau relative to its finite minimum,
+    NaN where captured/invalid; stats carries the side-exact source
+    coordinates ("beta_x"/"beta_y", render.world_escape_beta) for
+    image pairing.
+    """
+    from light_path_tracer_tpu.ops.kerr_trace import ESCAPED
+
+    timer = StageTimer()
+    resolution = tuple(resolution)
+    fov = camera.fov_from_vertical(scene.vertical_fov, resolution)
+    dtype = _dtype_of(cfg)
+    metric = _metric_5d(scene.metric())
+    r_obs = scene.r_obs
+    r_e = 2.0 * r_obs
+
+    with timer.stage("precompute") as out:
+        bx, by, res, _th = _trace_escape_beta(
+            scene, cfg, resolution, fov, record_time=True)
+        out.append(res.t_hit)
+
+    with timer.stage("render") as out:
+        escaped = res.status == ESCAPED
+        th_f, phi_f = res.theta, res.phi
+        # Plane-wave reference: tau = t - X.v with X the escape
+        # position and v the escape unit direction, both in
+        # BH-centered Cartesian (the same velocity chain as
+        # render.world_escape_beta; rebuilt here because we need the
+        # dot with the POSITION too).
+        r_b = jnp.full_like(th_f, r_e)
+        (g_tt_i, g_tphi_i, g_rr_i, g_thth_i, g_phiphi_i,
+         *_rest) = metric._inv_terms(r_b, th_f)
+        p_t = jnp.asarray(-1.0, dtype)
+        p_phi = res.xi            # L/E with E = 1
+        dr = g_rr_i * res.p_r
+        dth = g_thth_i * res.p_theta
+        dphi = g_tphi_i * p_t + g_phiphi_i * p_phi
+        sin_th, cos_th = jnp.sin(th_f), jnp.cos(th_f)
+        sin_ph, cos_ph = jnp.sin(phi_f), jnp.cos(phi_f)
+        vx = (sin_th * cos_ph * dr + r_e * cos_th * cos_ph * dth
+              - r_e * sin_th * sin_ph * dphi)
+        vy = (sin_th * sin_ph * dr + r_e * cos_th * sin_ph * dth
+              + r_e * sin_th * cos_ph * dphi)
+        vz = cos_th * dr - r_e * sin_th * dth
+        v_mag = jnp.sqrt(vx * vx + vy * vy + vz * vz)
+        v_safe = jnp.maximum(v_mag, 1e-30)
+        xdotv = r_e * (sin_th * cos_ph * vx + sin_th * sin_ph * vy
+                       + cos_th * vz) / v_safe
+        tau = jnp.where(escaped, res.t_hit - xdotv, jnp.nan)
+        tau = tau.reshape(resolution)
+        tau = tau - jnp.nanmin(tau)
+        out.append(tau)
+
+    tau_np = np.asarray(tau)
+    finite = np.isfinite(tau_np)
+    stats = {
+        "timings": timer.finish(),
+        "total_rays": int(np.prod(resolution)),
+        "traced_rays": int(np.prod(resolution)),
+        "integrator_steps": int(res.n_steps),
+        "shadow_pixels": int((~finite).sum()),
+        "tau_max": float(tau_np[finite].max()) if finite.any()
+        else float("nan"),
+        "beta_x": np.asarray(bx),
+        "beta_y": np.asarray(by),
+    }
+    return tau, stats

@@ -363,6 +363,54 @@ def _source_plane_coords(final_alpha_lookup, theta_lookup, frame):
     return bx, by
 
 
+def world_escape_beta(metric, r_e, theta_f, phi_f, p_r_f, p_th_f, xi,
+                      escaped, theta_obs):
+    """Side-EXACT gnomonic source coordinates from the raw escape
+    state, bypassing the (final_alpha, theta) chart.
+
+    The reference's angle chart (metrics.py:363-416, arccos of one
+    component) collapses which azimuthal side of the BH direction the
+    ray escaped on — harmless for rendering parity (and invisible for
+    symmetric metrics), but source-plane products that PAIR images
+    (time delays) or resolve asymmetric caustics (Kerr) need the true
+    side. Here the full escape vector is rebuilt from the localized
+    state at the escape sphere r_e through the metric's own
+    contravariant components, and projected on the observer's
+    BH-centered screen basis: d = -r_hat(theta_obs), e_x = +phi_hat,
+    e_y = -theta_hat (the sign convention is pinned against the
+    collapsed chart on non-crossing rays in tests/test_timedelay_map.py).
+    Exact at any observer inclination. Returns (bx, by), NaN where not
+    escaped or outside the front-hemisphere tangent chart.
+    """
+    dtype = theta_f.dtype
+    r_b = jnp.full_like(theta_f, r_e)
+    (g_tt_i, g_tphi_i, g_rr_i, g_thth_i, g_phiphi_i,
+     *_rest) = metric._inv_terms(r_b, theta_f)
+    p_t = jnp.asarray(-1.0, dtype)
+    dr = g_rr_i * p_r_f
+    dth = g_thth_i * p_th_f
+    dphi = g_tphi_i * p_t + g_phiphi_i * xi
+    sin_th, cos_th = jnp.sin(theta_f), jnp.cos(theta_f)
+    sin_ph, cos_ph = jnp.sin(phi_f), jnp.cos(phi_f)
+    vx = (sin_th * cos_ph * dr + r_e * cos_th * cos_ph * dth
+          - r_e * sin_th * sin_ph * dphi)
+    vy = (sin_th * sin_ph * dr + r_e * cos_th * sin_ph * dth
+          + r_e * sin_th * cos_ph * dphi)
+    vz = cos_th * dr - r_e * sin_th * dth
+    so = jnp.sin(jnp.asarray(theta_obs, dtype))
+    co = jnp.cos(jnp.asarray(theta_obs, dtype))
+    # d = -r_hat = (-so, 0, -co); e_x = phi_hat = (0, 1, 0);
+    # e_y = -theta_hat = (-co, 0, so).
+    vd = -(so * vx + co * vz)
+    vex = vy
+    vey = -co * vx + so * vz
+    ok = escaped & (vd > 1e-12) & jnp.isfinite(vd)
+    nan = jnp.asarray(jnp.nan, dtype)
+    vd_safe = jnp.where(ok, vd, 1.0)
+    return (jnp.where(ok, vex / vd_safe, nan),
+            jnp.where(ok, vey / vd_safe, nan))
+
+
 def _image_solid_angle(image_dimension, fov, dtype):
     """|image-plane solid angle| per pixel of the pinhole view grid."""
     from light_path_tracer_tpu.camera import _view_grids
@@ -374,8 +422,8 @@ def _image_solid_angle(image_dimension, fov, dtype):
     return jnp.abs(_solid_angle_element(ux, uy, uz))
 
 
-def source_plane_map(final_alpha_lookup, theta_lookup, frame,
-                     image_dimension, fov, beta_max, bins: int = 256):
+def source_plane_map(bx, by, image_dimension, fov, beta_max,
+                     bins: int = 256):
     """Source-plane magnification (caustic) map by inverse ray
     shooting — the standard microlensing construction (Kayser,
     Refsdal & Stabell 1986) on the strong-field traced rays.
@@ -392,14 +440,17 @@ def source_plane_map(final_alpha_lookup, theta_lookup, frame,
     outside the FOV read low — use beta_max well inside the FOV
     half-angle).
 
+    Takes the per-pixel gnomonic source coordinates (bx, by) — from
+    `world_escape_beta` (side-exact, the production path) or
+    `_source_plane_coords` (the reference-parity collapsed chart;
+    identical for symmetric metrics).
+
     Returns (A, extent): A (bins, bins) float32, row i = beta_y,
     col j = beta_x; extent = (-beta_max, beta_max) in radians both
     axes (matplotlib imshow convention: extent=(left, right, bottom,
     top) = (-b, b, b, -b) for origin="upper").
     """
-    dtype = final_alpha_lookup.dtype
-    bx, by = _source_plane_coords(final_alpha_lookup, theta_lookup,
-                                  frame)
+    dtype = bx.dtype
     a_img = _image_solid_angle(image_dimension, fov, dtype)
 
     # Cloud-in-cell (bilinear) deposition — the standard smoothing of
@@ -436,8 +487,8 @@ def source_plane_map(final_alpha_lookup, theta_lookup, frame,
     return (acc / d_omega).astype(jnp.float32), (-beta_max, beta_max)
 
 
-def microlens_light_curve(final_alpha_lookup, theta_lookup, frame,
-                          image_dimension, fov, track, source_radius):
+def microlens_light_curve(bx, by, image_dimension, fov, track,
+                          source_radius):
     """Total magnification A(t) of a finite circular source moving
     along `track` ((T, 2) source positions (beta_x, beta_y), radians)
     — the microlensing light curve, by direct inverse-ray-shooting
@@ -453,11 +504,10 @@ def microlens_light_curve(final_alpha_lookup, theta_lookup, frame,
     A(u) = (u^2 + 2) / (u sqrt(u^2 + 4)) (Paczynski 1986) — pinned in
     tests/test_microlens.py.
 
-    Returns (T,) float32.
+    Takes per-pixel (bx, by) as source_plane_map does. Returns (T,)
+    float32.
     """
-    dtype = final_alpha_lookup.dtype
-    bx, by = _source_plane_coords(final_alpha_lookup, theta_lookup,
-                                  frame)
+    dtype = bx.dtype
     a_img = _image_solid_angle(image_dimension, fov, dtype)
     valid = jnp.isfinite(bx) & jnp.isfinite(by)
     bx = jnp.where(valid, bx, 1e6)

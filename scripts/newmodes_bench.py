@@ -30,6 +30,8 @@ def main():
     ap.add_argument("--device", default="default",
                     choices=["default", "cpu", "tpu"])
     ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument("--only", default=None,
+                    help="substring filter on mode names")
     args = ap.parse_args()
 
     import jax
@@ -134,6 +136,8 @@ def main():
     print(f"{'mode':<22} {'steps':>8} {'precomp_s':>10} "
           f"{'Mrays/s':>8}")
     for name, fn in modes.items():
+        if args.only and args.only not in name:
+            continue
         fn(scene(0))                      # warm the compile
         best = None
         steps = 0
