@@ -503,12 +503,14 @@ def _metric_5d(metric):
 
 
 def _trace_escape_beta(scene: SceneConfig, cfg: RenderConfig,
-                       resolution, fov, record_time: bool = False):
+                       resolution, fov, record_time: bool = False,
+                       mesh=None):
     """Trace the pixel grid on the raw-escape-state path and return
     the side-EXACT gnomonic source coordinates (bx, by) plus the raw
     SurfaceResult (render.world_escape_beta — the collapsed
     (final_alpha, theta) chart cannot distinguish which azimuthal side
-    a crossing ray escaped on)."""
+    a crossing ray escaped on). mesh: optional jax.sharding.Mesh for
+    row-wise tile DP (parallel.tiles.trace_surface_grid_sharded)."""
     from light_path_tracer_tpu import render as _render
     from light_path_tracer_tpu.ops.kerr_trace import (
         trace_rays_surface, ESCAPED)
@@ -522,13 +524,24 @@ def _trace_escape_beta(scene: SceneConfig, cfg: RenderConfig,
     theta_lookup = camera.build_theta_lookup(
         resolution, fov, psi=scene.psi, dtype=dtype,
         boost=scene.boost)
-    res = trace_rays_surface(
-        metric, r_obs, alpha_lookup.ravel(),
-        theta_lookup.astype(dtype).ravel(), scene.theta_obs,
-        r_surface=float(metric.capture_radius()),
-        lambda_max=max(5000.0, 6.0 * r_obs),
-        max_steps=cfg.max_steps, precision=cfg.precision,
-        method=cfg.integrator, record_time=record_time)
+    if mesh is not None:
+        from light_path_tracer_tpu.parallel.tiles import (
+            trace_surface_grid_sharded)
+        res = trace_surface_grid_sharded(
+            metric, r_obs, alpha_lookup,
+            theta_lookup.astype(dtype), scene.theta_obs,
+            float(metric.capture_radius()), mesh=mesh,
+            lambda_max=max(5000.0, 6.0 * r_obs),
+            max_steps=cfg.max_steps, precision=cfg.precision,
+            method=cfg.integrator, record_time=record_time)
+    else:
+        res = trace_rays_surface(
+            metric, r_obs, alpha_lookup.ravel(),
+            theta_lookup.astype(dtype).ravel(), scene.theta_obs,
+            r_surface=float(metric.capture_radius()),
+            lambda_max=max(5000.0, 6.0 * r_obs),
+            max_steps=cfg.max_steps, precision=cfg.precision,
+            method=cfg.integrator, record_time=record_time)
     bx, by = _render.world_escape_beta(
         metric, 2.0 * r_obs, res.theta, res.phi, res.p_r,
         res.p_theta, res.xi, res.status == ESCAPED, scene.theta_obs)
@@ -538,7 +551,8 @@ def _trace_escape_beta(scene: SceneConfig, cfg: RenderConfig,
 
 def render_caustics(scene: SceneConfig, resolution,
                     cfg: RenderConfig = RenderConfig(),
-                    bins: int = 256, beta_max: float | None = None):
+                    bins: int = 256, beta_max: float | None = None,
+                    mesh=None):
     """Source-plane magnification (caustic) map by inverse ray
     shooting (render.source_plane_map): one standard precompute, then
     every escaped pixel carries its image-plane solid angle to its
@@ -563,7 +577,7 @@ def render_caustics(scene: SceneConfig, resolution,
 
     with timer.stage("precompute") as out:
         bx, by, res, _th = _trace_escape_beta(scene, cfg, resolution,
-                                              fov)
+                                              fov, mesh=mesh)
         out.append(bx)
 
     with timer.stage("render") as out:
@@ -590,7 +604,8 @@ def render_microlens_curve(scene: SceneConfig, resolution,
                            impact_u: float = 1.0,
                            span_u: float = 4.0,
                            n_points: int = 81,
-                           source_radius_u: float = 0.3):
+                           source_radius_u: float = 0.3,
+                           mesh=None):
     """Microlensing light curve A(t) of a finite circular source
     crossing the lens (render.microlens_light_curve): a straight
     source-plane track at impact parameter `impact_u` (units of the
@@ -611,7 +626,7 @@ def render_microlens_curve(scene: SceneConfig, resolution,
 
     with timer.stage("precompute") as out:
         bx, by, res, _th = _trace_escape_beta(scene, cfg, resolution,
-                                              fov)
+                                              fov, mesh=mesh)
         out.append(bx)
 
     with timer.stage("render") as out:
@@ -638,7 +653,8 @@ def render_microlens_curve(scene: SceneConfig, resolution,
 
 
 def render_time_delay(scene: SceneConfig, resolution,
-                      cfg: RenderConfig = RenderConfig(dtype="float64")):
+                      cfg: RenderConfig = RenderConfig(dtype="float64"),
+                      mesh=None):
     """Per-pixel gravitational ARRIVAL-TIME map — the time-delay-
     cosmography observable (multiply-imaged sources arrive at
     different times; the delay measures the lens potential).
@@ -677,7 +693,7 @@ def render_time_delay(scene: SceneConfig, resolution,
 
     with timer.stage("precompute") as out:
         bx, by, res, _th = _trace_escape_beta(
-            scene, cfg, resolution, fov, record_time=True)
+            scene, cfg, resolution, fov, record_time=True, mesh=mesh)
         out.append(res.t_hit)
 
     with timer.stage("render") as out:

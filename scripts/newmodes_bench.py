@@ -108,7 +108,8 @@ def main():
     # theta_obs into the scene like the star rows.
     from light_path_tracer_tpu.pipeline import (render_caustics,
                                                 render_microlens_curve,
-                                                render_shadow)
+                                                render_shadow,
+                                                render_time_delay)
     from light_path_tracer_tpu.models import CustomMetric
     from light_path_tracer_tpu.models.custom import kerr_covariant
 
@@ -128,6 +129,8 @@ def main():
             SceneConfig(M=1.0, a=0.9, theta_obs=s.theta_obs,
                         custom_metric=_custom),
             size, cfg),
+        "time-delay map": lambda s: render_time_delay(
+            SceneConfig(theta_obs=s.theta_obs, **weak_kw), size, cfg),
     })
 
     n_rays = args.size * args.size

@@ -314,3 +314,38 @@ def test_decomposed_volumetric_sharded_equals_single_device():
                                rtol=1e-10, atol=1e-14)
     np.testing.assert_allclose(st8["winding"], st1["winding"],
                                rtol=1e-10, atol=1e-14)
+
+
+def test_source_plane_modes_sharded_equal_single_device():
+    """Caustics / microlens / time-delay tile DP: the mesh-routed
+    raw-escape trace (trace_surface_grid_sharded) reproduces the
+    single-device source-plane products."""
+    from light_path_tracer_tpu.pipeline import (render_caustics,
+                                                render_microlens_curve,
+                                                render_time_delay)
+    from light_path_tracer_tpu.utils.config import (RenderConfig,
+                                                    SceneConfig)
+
+    mesh = make_mesh()
+    scene = SceneConfig(M=1.0, a=0.4, r_obs_mult=1000.0,
+                        vertical_fov_deg=40.0)
+    cfg = RenderConfig(dtype="float64")
+
+    a1, _e1, s1 = render_caustics(scene, (48, 48), cfg, bins=16)
+    a8, _e8, s8 = render_caustics(scene, (48, 48), cfg, bins=16,
+                                  mesh=mesh)
+    np.testing.assert_allclose(np.asarray(a8), np.asarray(a1),
+                               rtol=1e-8, atol=1e-10)
+
+    u1, c1, _ = render_microlens_curve(scene, (48, 48), cfg,
+                                       n_points=7)
+    u8, c8, _ = render_microlens_curve(scene, (48, 48), cfg,
+                                       n_points=7, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(c8), np.asarray(c1),
+                               rtol=1e-8, atol=1e-10)
+
+    t1, st1 = render_time_delay(scene, (48, 48), cfg)
+    t8, st8 = render_time_delay(scene, (48, 48), cfg, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(t8), np.asarray(t1),
+                               rtol=1e-8, atol=1e-8)
+    assert st8["shadow_pixels"] == st1["shadow_pixels"]
