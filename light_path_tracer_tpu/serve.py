@@ -15,7 +15,8 @@ Protocol (JSON over HTTP, no external deps):
 
     POST /render
         {"mode": "shadow" | "lens" | "disk" | "composite"
-                 | "magnification" | "volumetric" | "star",
+                 | "magnification" | "caustics" | "timedelay"
+                 | "volumetric" | "star",
          "scene":  {... SceneConfig fields, angles in DEGREES ...},
          "render": {... RenderConfig fields ...},
          "disk":   {... DiskConfig fields (disk/composite modes) ...},
@@ -240,6 +241,19 @@ class RenderService:
                     render_magnification)
                 img, _stats = render_magnification(scene, tuple(size),
                                                    cfg)
+            elif mode == "caustics":
+                # size = the TRACED grid; the returned map bins at
+                # size/2 (>= ~4 rays per CIC bin keeps the map smooth).
+                from light_path_tracer_tpu.pipeline import (
+                    render_caustics)
+                img, _extent, _stats = render_caustics(
+                    scene, tuple(size), cfg,
+                    bins=max(int(size[0]) // 2, 8))
+            elif mode == "timedelay":
+                from light_path_tracer_tpu.pipeline import (
+                    render_time_delay)
+                img, _stats = render_time_delay(scene, tuple(size),
+                                                cfg)
             elif mode == "volumetric":
                 from light_path_tracer_tpu.volumetric import (
                     render_volumetric, RIAFConfig)
@@ -330,6 +344,7 @@ def make_server(host: str = "127.0.0.1", port: int = 0,
                     mode = req.get("mode", "shadow")
                     if mode not in ("shadow", "lens", "disk",
                                     "composite", "magnification",
+                                    "caustics", "timedelay",
                                     "volumetric", "star"):
                         raise ValueError(f"unknown mode {mode!r}")
                     scene = _scene_from_json(req.get("scene", {}))
@@ -344,6 +359,7 @@ def make_server(host: str = "127.0.0.1", port: int = 0,
                            if mode in ("lens", "composite") else None)
                     size = req.get("size", [256, 256])
                     if mode in ("shadow", "disk", "magnification",
+                                "caustics", "timedelay",
                                 "volumetric", "star"):
                         if (len(size) != 2
                                 or any(int(v) <= 0 for v in size)):
@@ -377,6 +393,20 @@ def make_server(host: str = "127.0.0.1", port: int = 0,
                         from light_path_tracer_tpu.render import (
                             magnification_display)
                         img = magnification_display(img)
+                    elif mode in ("caustics", "timedelay") \
+                            and fmt == "png":
+                        # Raw A / tau maps are npy products; for png,
+                        # log-compress (NaN shadow -> black).
+                        import matplotlib.cm as _cm
+                        raw = np.asarray(img, np.float64)
+                        disp = np.log10(1.0 + np.nan_to_num(
+                            np.maximum(raw, 0.0), nan=0.0))
+                        lim = float(np.nanpercentile(disp, 99.5)) or 1.0
+                        cmap = (_cm.inferno if mode == "caustics"
+                                else _cm.viridis)
+                        rgba = cmap(np.clip(disp / lim, 0.0, 1.0))
+                        rgba[~np.isfinite(raw)] = (0.0, 0.0, 0.0, 1.0)
+                        img = rgba
                     body, ctype = _encode_image(img, fmt)
                 except Overloaded as exc:
                     self._reply(503,

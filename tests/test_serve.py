@@ -364,3 +364,41 @@ def test_star_mode(server_url):
     bad = dict(payload, star={"spots": [[1.0, 2.0]]})
     status3, body3, _ = _post_raw(url, bad)
     assert status3 == 400 and b"spot" in body3
+
+
+def test_caustics_and_timedelay_modes(server_url):
+    url, _server = server_url
+    payload = {"mode": "caustics", "size": [24, 24], "format": "npy",
+               "scene": {"a": 0.0, "r_obs_mult": 1000.0,
+                         "vertical_fov_deg": 40.0},
+               "render": {"dtype": "float64"}}
+    status, body, _hdr = _post(url, payload)
+    assert status == 200
+    amap = _npy(body)
+    assert amap.shape == (12, 12) and (amap >= 0).all()
+    payload["format"] = "png"
+    status2, _body2, hdr2 = _post(url, payload)
+    assert status2 == 200 and hdr2["Content-Type"] == "image/png"
+
+    payload = {"mode": "timedelay", "size": [24, 24], "format": "npy",
+               "scene": {"a": 0.0, "r_obs_mult": 1000.0,
+                         "vertical_fov_deg": 40.0},
+               "render": {"dtype": "float64"}}
+    status, body, _hdr = _post(url, payload)
+    assert status == 200
+    tau = _npy(body)
+    assert tau.shape == (24, 24)
+    fin = np.isfinite(tau)
+    assert fin.any() and np.nanmin(tau) == 0.0
+    payload["format"] = "png"
+    status2, _body2, hdr2 = _post(url, payload)
+    assert status2 == 200 and hdr2["Content-Type"] == "image/png"
+
+
+def test_custom_metric_rejected_over_http(server_url):
+    url, _server = server_url
+    payload = {"mode": "shadow", "size": [16, 16],
+               "scene": {"a": 0.0, "custom_metric": "evil"}}
+    status, body, _hdr = _post_raw(url, payload)
+    assert status == 400
+    assert b"custom_metric" in body
