@@ -655,7 +655,9 @@ def cmd_volumetric(args) -> int:
         # The blob only participates in movie mode (still/spectral
         # emissivities are stationary).
         spot_amp=args.spot_amp if args.movie else 0.0,
-        spot_r=args.spot_r, spot_sigma=args.spot_sigma)
+        spot_r=args.spot_r, spot_sigma=args.spot_sigma,
+        jet_beta=args.jet_beta, jet_cos=args.jet_cos,
+        jet_sigma=args.jet_sigma, jet_r_base=args.jet_r_base)
 
     if args.polarization:
         # Polarized hot-flow image: Stokes (I, Q, U) path integrals
@@ -1702,10 +1704,21 @@ def build_parser():
     _add_render_args(p)
     p.add_argument("--size", type=int, default=512)
     p.add_argument("--profile", default="torus",
-                   choices=["torus", "powerlaw", "shell"],
+                   choices=["torus", "powerlaw", "shell", "jet"],
                    help="rest-frame emissivity: Gaussian torus, "
                         "RIAF power-law with Gaussian scale height, "
-                        "or uniform spherical shell")
+                        "uniform spherical shell, or bipolar jet "
+                        "funnel with relativistic radial outflow "
+                        "(--jet-beta)")
+    p.add_argument("--jet-beta", type=float, default=0.0,
+                   help="jet ZAMO-frame outflow speed in c "
+                        "(profile=jet; one-sided Doppler beaming)")
+    p.add_argument("--jet-cos", type=float, default=0.9,
+                   help="jet cone center in |cos theta|")
+    p.add_argument("--jet-sigma", type=float, default=0.06,
+                   help="jet cone thickness in |cos theta|")
+    p.add_argument("--jet-r-base", type=float, default=2.0,
+                   help="jet emission base radius [M]")
     p.add_argument("--r-peak", type=float, default=4.5,
                    help="torus center / power-law pivot radius [M]")
     p.add_argument("--sigma-r", type=float, default=1.5,

@@ -112,9 +112,12 @@ def _riaf_cfg_from_json(d: dict):
     # Field-value validation normally happens inside render_volumetric
     # (make_emission_fn); run it here so a bad profile/shell config is
     # a 400 client error, not a 500 mid-render.
-    if riaf.profile not in ("torus", "powerlaw", "shell"):
-        raise ValueError(f"riaf.profile must be 'torus', 'powerlaw' "
-                         f"or 'shell', got {riaf.profile!r}")
+    if riaf.profile not in ("torus", "powerlaw", "shell", "jet"):
+        raise ValueError(f"riaf.profile must be 'torus', 'powerlaw', "
+                         f"'shell' or 'jet', got {riaf.profile!r}")
+    if not 0.0 <= riaf.jet_beta < 1.0:
+        raise ValueError(f"riaf.jet_beta must be in [0, 1), got "
+                         f"{riaf.jet_beta}")
     if riaf.profile == "shell" and not riaf.shell_out > riaf.shell_in:
         raise ValueError("shell profile needs shell_out > shell_in")
     return riaf

@@ -97,7 +97,7 @@ from light_path_tracer_tpu.utils.timing import StageTimer
 class RIAFConfig:
     """Hot-flow emission model (rest-frame emissivity + flow field)."""
 
-    profile: str = "torus"         # "torus" | "powerlaw" | "shell"
+    profile: str = "torus"         # "torus" | "powerlaw" | "shell" | "jet"
     r_peak: float = 4.5            # torus center / powerlaw pivot [M]
     sigma_r: float = 1.5           # torus radial Gaussian width [M]
     h_cos: float = 0.3             # vertical Gaussian width in cos(theta)
@@ -123,8 +123,20 @@ class RIAFConfig:
     # each pixel's RETARDED time. 0 = no spot.
     spot_amp: float = 0.0          # blob peak emissivity (adds to j)
     spot_r: float = 6.0            # blob orbit radius [M]
-    spot_sigma: float = 1.0        # blob Gaussian size [M]
+    spot_sigma: float = 1.0       # blob Gaussian size [M]
     spot_phase: float = 0.0        # blob azimuth at t = 0 [rad]
+    # Relativistic jet / outflow (profile="jet"): a hollow BIPOLAR
+    # cone of emissivity around the polar axis (Gaussian in |cos th|
+    # about jet_cos, radial powerlaw `index` from r_peak, base tapered
+    # at jet_r_base over edge_width) whose emitter moves RADIALLY
+    # outward at speed jet_beta as measured by the local ZAMO — the
+    # analytic M87-style funnel. jet_beta produces the iconic
+    # one-sided beaming: the approaching cone brightens by the
+    # relativistic Doppler factor to the g_power.
+    jet_cos: float = 0.9           # cone center in |cos theta|
+    jet_sigma: float = 0.06       # cone thickness in |cos theta|
+    jet_beta: float = 0.0          # ZAMO-frame outflow speed [c]
+    jet_r_base: float = 2.0       # emission base radius [M]
 
 
 @functools.lru_cache(maxsize=64)
@@ -144,6 +156,16 @@ def _profile_fns(metric, riaf: RIAFConfig):
         if riaf.profile == "powerlaw":
             return ((jnp.maximum(r, 1e-3) / riaf.r_peak) ** riaf.index
                     * jnp.exp(-c * c / (2.0 * riaf.h_cos ** 2)))
+        if riaf.profile == "jet":
+            # Bipolar hollow cone: Gaussian in |cos theta| about
+            # jet_cos, radial powerlaw from r_peak, smooth base taper
+            # (hard edges would grind the embedded error estimator).
+            c_abs = jnp.abs(c)
+            return (jnp.exp(-(c_abs - riaf.jet_cos) ** 2
+                            / (2.0 * riaf.jet_sigma ** 2))
+                    * (jnp.maximum(r, 1e-3) / riaf.r_peak) ** riaf.index
+                    * jax.nn.sigmoid((r - riaf.jet_r_base)
+                                     / riaf.edge_width))
         # shell — smoothed edges keep the RHS C^inf for the embedded
         # error estimator (a hard step would grind h -> h_min at the
         # boundary and poison the lane).
@@ -182,6 +204,48 @@ def _profile_fns(metric, riaf: RIAFConfig):
         g = jnp.sqrt(den) / jnp.maximum(1.0 - om * xi, 1e-3)
         return jnp.clip(g, 0.0, 10.0)
 
+    def _g_jet(y5, p_t, p_phi):
+        """Radially-boosted-ZAMO emitter redshift for the jet flow:
+        u = Gamma (e_that + beta e_rhat) in the ZAMO tetrad
+        (e_that = (A/(Sigma Delta))^(1/2) (d_t + omega d_phi),
+        e_rhat = (Delta/Sigma)^(1/2) d_r), so with E = -p_t
+
+            1/g = -p.u/E
+                = Gamma [ (1 - omega xi) / alpha_lapse
+                          + beta sqrt(Delta/Sigma) p_r / E ]
+
+        where p_r is the TRACED radial momentum: the physical photon
+        traverses the path the other way ((t, phi) -> (-t, -phi)
+        reversal keeps p_t, p_phi and flips p_r), so the physical
+        p_r^phys = -p_r^traced and the sign above is + (calibrated
+        against the special-relativistic Doppler 1/(Gamma(1 - beta
+        cos chi)) on a far weak-field cone in tests/test_volumetric.py;
+        beta = 0 reduces EXACTLY to the ZAMO branch of _g_clipped).
+        Same [0, 10] clip rationale as the circular flow."""
+        r, th = y5[0], y5[1]
+        p_r = y5[3]
+        c = jnp.cos(th)
+        s2 = jnp.maximum(1.0 - c * c, 1e-12)
+        W = metric._two_M_r(r)
+        Delta = jnp.maximum(metric._Delta_b(r), 1e-12)
+        Sigma = jnp.maximum(r * r + a * a * c * c, 1e-12)
+        ra2 = r * r + a * a
+        A = jnp.maximum(ra2 * ra2 - a * a * Delta * s2, 1e-30)
+        om = a * W / A
+        alpha_lapse = jnp.sqrt(Sigma * Delta / A)
+        beta = riaf.jet_beta
+        gamma = 1.0 / np.sqrt(max(1.0 - beta * beta, 1e-12))
+        e_inv = jnp.maximum(-p_t, 1e-30)
+        xi = p_phi / e_inv
+        inv_g = gamma * ((1.0 - om * xi)
+                         / jnp.maximum(alpha_lapse, 1e-6)
+                         + beta * jnp.sqrt(Delta / Sigma)
+                         * p_r / e_inv)
+        g = 1.0 / jnp.maximum(inv_g, 0.1)
+        return jnp.clip(g, 0.0, 10.0)
+
+    if riaf.profile == "jet":
+        return _j_rest, _g_jet
     return _j_rest, _g_clipped
 
 
@@ -214,9 +278,12 @@ def make_transfer_fns(metric, riaf: RIAFConfig):
                          "Johannsen-Psaltis (eps3 != 0): the flow "
                          "field (Keplerian Omega, circular-emitter "
                          "redshift) is a Kerr/charged closed form")
-    if riaf.profile not in ("torus", "powerlaw", "shell"):
-        raise ValueError(f"profile must be 'torus', 'powerlaw' or "
-                         f"'shell', got {riaf.profile!r}")
+    if riaf.profile not in ("torus", "powerlaw", "shell", "jet"):
+        raise ValueError(f"profile must be 'torus', 'powerlaw', "
+                         f"'shell' or 'jet', got {riaf.profile!r}")
+    if not 0.0 <= riaf.jet_beta < 1.0:
+        raise ValueError(f"jet_beta must be in [0, 1), got "
+                         f"{riaf.jet_beta}")
     if riaf.profile == "shell" and not riaf.shell_out > riaf.shell_in:
         raise ValueError("shell profile needs shell_out > shell_in")
     if riaf.alpha0 < 0.0:

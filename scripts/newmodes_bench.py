@@ -56,11 +56,16 @@ def main():
     movie_times = tuple(period * k / 8 for k in range(8))
 
     def scene(jitter):
-        # Perturbed inclination per repeat: identical dispatches can be
-        # served memoized through the axon tunnel (BASELINE.md hygiene
-        # addendum), so no two timed runs are bit-identical.
+        # Perturbed camera POINTING per repeat: identical dispatches
+        # can be served memoized through the axon tunnel (BASELINE.md
+        # hygiene addendum), so no two timed runs are bit-identical.
+        # psi_y rides the traced lookup VALUES; theta_obs (and every
+        # other scene scalar) is a STATIC jit argument of the trace
+        # entry points, so perturbing it measures recompiles — which
+        # is exactly what this script did before this fix.
         return SceneConfig(M=1.0, a=0.9, r_obs_mult=100.0,
-                           theta_obs=np.radians(80.0 + 0.01 * jitter),
+                           theta_obs=np.radians(80.0),
+                           psi_y=np.radians(0.01 * (jitter + 1)),
                            vertical_fov_deg=16.0)
 
     star_scene_kw = dict(M=1.0, a=0.0, r_obs_mult=200.0,
@@ -85,6 +90,9 @@ def main():
             s, size, cfg, RIAFConfig()),
         "volumetric absorbed": lambda s: render_volumetric(
             s, size, cfg, RIAFConfig(alpha0=0.3)),
+        "volumetric jet b=0.6": lambda s: render_volumetric(
+            s, size, cfg, RIAFConfig(profile="jet", jet_beta=0.6,
+                                     index=-1.0)),
         "spectral 3-band": lambda s: render_volumetric_spectrum(
             s, size, (0.1, 1.0, 10.0), cfg,
             RIAFConfig(g_power=4.0, alpha0=1.0, opacity_index=3.0)),
@@ -93,10 +101,10 @@ def main():
         "polarized": lambda s: render_polarized_volumetric(
             s, size, cfg, RIAFConfig()),
         "star image": lambda s: render_star(
-            SceneConfig(theta_obs=s.theta_obs, **star_scene_kw),
+            SceneConfig(psi_y=s.psi_y, **star_scene_kw),
             size, cfg, StarConfig(radius=5.0, omega=0.02)),
         "star pulse x32": lambda s: pulse_profile(
-            SceneConfig(theta_obs=s.theta_obs, **star_scene_kw),
+            SceneConfig(psi_y=s.psi_y, **star_scene_kw),
             cfg, StarConfig(radius=5.0, omega=0.02), n_phases=32,
             resolution=size),
         "decomposed x3": lambda s: _decomposed(s, size, cfg),
@@ -113,24 +121,51 @@ def main():
     from light_path_tracer_tpu.models import CustomMetric
     from light_path_tracer_tpu.models.custom import kerr_covariant
 
+    # NOTE the perturbation: theta_obs is a STATIC argument of
+    # trace_rays_surface (recompiles per value) — these rows jitter
+    # psi_y instead (traced lookup VALUES change, same program).
     weak_kw = dict(M=1.0, a=0.9, r_obs_mult=1000.0,
-                   vertical_fov_deg=40.0)
+                   vertical_fov_deg=40.0, theta_obs=np.pi / 2)
     _custom = CustomMetric(M=1.0, a=0.9,
                            covariant_fn=kerr_covariant(1.0, 0.9),
                            label="kerr-as-custom")
+    from light_path_tracer_tpu.models import Kerr as _Kerr
+    from light_path_tracer_tpu.ops.kerr_trace import trace_rays_kerr
+    from light_path_tracer_tpu.utils.timing import StageTimer
+    import jax.numpy as jnp
+    _kerr_ref = _Kerr(M=1.0, a=0.9)
+
+    def _trace_only(metric, jitter):
+        rng = np.random.default_rng(int(jitter * 1e6) % 2**31)
+        n = args.size * args.size
+        alphas = jnp.asarray(rng.uniform(0.005, 0.3, n), jnp.float32)
+        thetas = jnp.asarray(rng.uniform(-np.pi, np.pi, n),
+                             jnp.float32)
+        timer = StageTimer()
+        with timer.stage("precompute") as out:
+            res = trace_rays_kerr(metric, 100.0, alphas, thetas,
+                                  np.pi / 2, jnp.zeros(n, bool),
+                                  5000.0, 200000)
+            out.append(res.final_alpha)
+        return None, {"timings": timer.finish(),
+                      "integrator_steps": int(res.n_steps)}
     modes.update({
         "caustics 128-bin": lambda s: render_caustics(
-            SceneConfig(theta_obs=s.theta_obs, **weak_kw),
+            SceneConfig(psi_y=s.psi_y, **weak_kw),
             size, cfg, bins=128)[2:],
         "microlens x41": lambda s: render_microlens_curve(
-            SceneConfig(theta_obs=s.theta_obs, **weak_kw),
+            SceneConfig(psi_y=s.psi_y, **weak_kw),
             size, cfg, n_points=41)[2:],
-        "custom-metric shadow": lambda s: render_shadow(
-            SceneConfig(M=1.0, a=0.9, theta_obs=s.theta_obs,
-                        custom_metric=_custom),
-            size, cfg),
+        # Direct trace comparison (the scene is a static arg of the
+        # fused shadow pipeline, so scene-jitter would measure
+        # recompiles): the autodiff-Hamiltonian RHS of the plug-in
+        # metric vs Kerr's hand-derived RHS on identical rays.
+        "custom-metric trace": lambda s: _trace_only(
+            _custom, s.psi_y),
+        "kerr hand-RHS trace": lambda s: _trace_only(
+            _kerr_ref, s.psi_y),
         "time-delay map": lambda s: render_time_delay(
-            SceneConfig(theta_obs=s.theta_obs, **weak_kw), size, cfg),
+            SceneConfig(psi_y=s.psi_y, **weak_kw), size, cfg),
     })
 
     n_rays = args.size * args.size

@@ -175,6 +175,14 @@ def test_cli_volumetric_absorbed(workdir):
     assert rc == 0 and os.path.exists("v.png")
 
 
+def test_cli_volumetric_jet(workdir):
+    rc = main(["volumetric", "--size", "24", "--a", "0.9",
+               "--theta-obs", "70", "--profile", "jet",
+               "--jet-beta", "0.5", "--index", "-1.0",
+               "--output", "jet.png"])
+    assert rc == 0 and os.path.exists("jet.png")
+
+
 def test_cli_star_image_and_pulse(workdir):
     rc = main(["star", "--size", "24", "--radius", "5", "--omega",
                "0.02", "--fov-v", "8", "--output", "ns.png"])

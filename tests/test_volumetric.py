@@ -462,3 +462,94 @@ def test_decomposed_absorption_screens_every_order():
     total = np.asarray(la, np.float64).sum(axis=0)
     assert abs(total.sum() - st1["emission"].sum()) \
         < 5e-3 * st1["emission"].sum()
+
+
+class TestJet:
+    """Relativistic jet/outflow (profile='jet', RIAFConfig.jet_beta)."""
+
+    def test_radially_boosted_zamo_exact(self):
+        """The jet redshift on a constructed radial ray reproduces the
+        exact factored form sqrt(f) / (Gamma (1 -+ beta)) — the
+        gravitational shift times the special-relativistic radial
+        Doppler — at weak field, both cone sides."""
+        from light_path_tracer_tpu.volumetric import _profile_fns
+        m = Kerr(M=1.0, a=0.0)
+        beta = 0.5
+        gamma = 1.0 / np.sqrt(1.0 - beta * beta)
+        _j, g_jet = _profile_fns(
+            m, RIAFConfig(profile="jet", jet_beta=beta))
+        r = 500.0
+        f = 1.0 - 2.0 / r
+        def state(p_r):
+            return tuple(jnp.asarray([v], jnp.float64)
+                         for v in (r, np.pi / 2, 0.0, p_r, 0.0))
+        p_t = jnp.asarray(-1.0)
+        p_phi = jnp.asarray(0.0)
+        # traced p_r < 0 = physical photon moving OUTWARD (toward the
+        # camera): the emitter approaches -> blueshift.
+        g_near = float(g_jet(state(-1.0 / f), p_t, p_phi)[0])
+        g_far = float(g_jet(state(+1.0 / f), p_t, p_phi)[0])
+        assert g_near == pytest.approx(
+            np.sqrt(f) / (gamma * (1.0 - beta)), rel=1e-12)
+        assert g_far == pytest.approx(
+            np.sqrt(f) / (gamma * (1.0 + beta)), rel=1e-12)
+        # beta = 0 reduces to the pure gravitational shift (ZAMO at
+        # a = 0 with an L = 0 ray).
+        _j0, g_jet0 = _profile_fns(
+            m, RIAFConfig(profile="jet", jet_beta=0.0))
+        g0 = float(g_jet0(state(-1.0 / f), p_t, p_phi)[0])
+        assert g0 == pytest.approx(np.sqrt(f), rel=1e-12)
+
+    def test_one_sided_beaming_and_mirror(self):
+        """The approaching cone outshines the receding one, and
+        flipping the observer to the other hemisphere flips the
+        bright side (at theta_obs = 90 the two halves are equal)."""
+        cfg = RenderConfig(dtype="float64", max_steps=30000)
+        riaf = RIAFConfig(profile="jet", jet_beta=0.6, index=-1.0,
+                          tone_map="linear")
+
+        def halves(theta_obs_deg):
+            scene = SceneConfig(M=1.0, a=0.9,
+                                theta_obs=np.radians(theta_obs_deg),
+                                vertical_fov_deg=40.0)
+            img, st = render_volumetric(scene, (48, 48), cfg, riaf)
+            raw = np.asarray(st["emission"])
+            # The camera axis sits ON row H/2 (reference pixel
+            # convention: centers at i - H/2), so the mirror pairs
+            # row k with row 48 - k: rows 1..23 <-> 25..47; row 0 and
+            # the axis row 24 are unpaired and excluded.
+            return raw[1:24].sum(), raw[25:48].sum()
+
+        # camera rows run SOUTHWARD-up (e_y = -theta_hat): the +z
+        # (approaching, theta_obs < 90) cone fills the BOTTOM half.
+        top, bot = halves(70.0)
+        assert bot / top > 2.0
+        top2, bot2 = halves(110.0)
+        assert top2 / bot2 > 2.0
+        top3, bot3 = halves(90.0)
+        assert top3 / bot3 == pytest.approx(1.0, rel=0.05)
+
+    def test_jet_beta_zero_is_symmetric(self):
+        cfg = RenderConfig(dtype="float64", max_steps=30000)
+        riaf = RIAFConfig(profile="jet", jet_beta=0.0, index=-1.0,
+                          tone_map="linear")
+        scene = SceneConfig(M=1.0, a=0.0, theta_obs=np.radians(70.0),
+                            vertical_fov_deg=40.0)
+        img, st = render_volumetric(scene, (48, 48), cfg, riaf)
+        raw = np.asarray(st["emission"])
+        # beta = 0: static bipolar cone — but theta_obs = 70 still
+        # foreshortens the two cones differently; only the EQUATORIAL
+        # observer is mirror-symmetric (paired-rows split, see
+        # test_one_sided_beaming_and_mirror).
+        scene90 = SceneConfig(M=1.0, a=0.0, theta_obs=np.pi / 2,
+                              vertical_fov_deg=40.0)
+        img, st = render_volumetric(scene90, (48, 48), cfg, riaf)
+        raw = np.asarray(st["emission"])
+        assert raw[1:24].sum() / raw[25:48].sum() == pytest.approx(
+            1.0, rel=1e-6)
+
+    def test_jet_beta_validation(self):
+        from light_path_tracer_tpu.volumetric import make_transfer_fns
+        with pytest.raises(ValueError):
+            make_transfer_fns(Kerr(M=1.0, a=0.0),
+                              RIAFConfig(profile="jet", jet_beta=1.0))
