@@ -233,8 +233,11 @@ def _profile_fns(metric, riaf: RIAFConfig):
         A = jnp.maximum(ra2 * ra2 - a * a * Delta * s2, 1e-30)
         om = a * W / A
         alpha_lapse = jnp.sqrt(Sigma * Delta / A)
-        beta = riaf.jet_beta
-        gamma = 1.0 / np.sqrt(max(1.0 - beta * beta, 1e-12))
+        beta = float(riaf.jet_beta)
+        # Python float (weak-typed): an np.float64 scalar here would
+        # silently promote the f32 while_loop carry and break the
+        # carry-type invariant.
+        gamma = float(1.0 / np.sqrt(max(1.0 - beta * beta, 1e-12)))
         e_inv = jnp.maximum(-p_t, 1e-30)
         xi = p_phi / e_inv
         inv_g = gamma * ((1.0 - om * xi)
