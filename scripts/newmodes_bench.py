@@ -76,9 +76,20 @@ def main():
     from light_path_tracer_tpu.disk import (DiskConfig,
                                             render_disk_decomposed)
 
+    def _fov_scene(s):
+        # polarized volumetric requires psi = (0, 0) (BH-centered
+        # camera basis), and an off-axis psi tilts one screen column
+        # into the polar-axis grind for the decomposition's winding
+        # state — those rows jitter the FOV instead (still traced
+        # lookup values, same compiled program).
+        return SceneConfig(M=1.0, a=0.9, r_obs_mult=100.0,
+                           theta_obs=np.radians(80.0),
+                           vertical_fov_deg=16.0
+                           + np.degrees(s.psi_y) * 0.1)
+
     def _decomposed(s, size, cfg):
-        return render_volumetric_decomposed(s, size, cfg, RIAFConfig(),
-                                            n_orders=3)
+        return render_volumetric_decomposed(_fov_scene(s), size, cfg,
+                                            RIAFConfig(), n_orders=3)
 
     def _disk_decomposed(s, size, cfg):
         return render_disk_decomposed(s, size, cfg,
@@ -99,7 +110,7 @@ def main():
         "movie 8-frame": lambda s: render_volumetric_movie(
             s, size, movie_times, cfg, RIAFConfig(spot_amp=8.0)),
         "polarized": lambda s: render_polarized_volumetric(
-            s, size, cfg, RIAFConfig()),
+            _fov_scene(s), size, cfg, RIAFConfig()),
         "star image": lambda s: render_star(
             SceneConfig(psi_y=s.psi_y, **star_scene_kw),
             size, cfg, StarConfig(radius=5.0, omega=0.02)),
