@@ -64,6 +64,8 @@ __all__ = [
     "periapsis_precession",
     "nodal_precession",
     "trace_batch",
+    "find_point_images",
+    "LensedImage",
 ]
 
 _LAZY = {
@@ -116,6 +118,9 @@ _LAZY = {
     "nodal_precession": ("light_path_tracer_tpu.particles",
                          "nodal_precession"),
     "trace_batch": ("light_path_tracer_tpu.ops.batch", "trace_batch"),
+    "find_point_images": ("light_path_tracer_tpu.images",
+                          "find_point_images"),
+    "LensedImage": ("light_path_tracer_tpu.images", "LensedImage"),
 }
 
 

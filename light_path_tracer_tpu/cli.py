@@ -288,6 +288,29 @@ def cmd_lens(args) -> int:
         print(f"Saved: {args.time_delay}")
         return 0
 
+    if getattr(args, "find_images", None):
+        # Strong-lensing image-position solver (images.py).
+        from light_path_tracer_tpu.images import (find_point_images,
+                                                  format_image_table)
+        try:
+            bx_deg, by_deg = (float(v) for v in
+                              args.find_images.split(","))
+        except ValueError:
+            print("--find-images expects BX,BY in degrees "
+                  f"(got {args.find_images!r})")
+            return 2
+        beta = (np.radians(bx_deg), np.radians(by_deg))
+        imgs, istats = find_point_images(
+            scene, beta, resolution=(args.size, args.size), cfg=cfg)
+        tt = istats["timings"]
+        print(f"Images of point source at beta = ({bx_deg:.4f}, "
+              f"{by_deg:.4f}) deg ({args.size}x{args.size} grid):")
+        print(format_image_table(imgs, istats))
+        print(f"  (precompute {tt.get('precompute', 0.0):.3f}s, "
+              f"refine {tt.get('refine', 0.0):.3f}s, "
+              f"products {tt.get('products', 0.0):.3f}s)")
+        return 0
+
     if getattr(args, "microlens", None):
         # Microlensing light curve of a source crossing the lens.
         from light_path_tracer_tpu.pipeline import (
@@ -1555,6 +1578,15 @@ def build_parser():
                         "referenced; tau differences between pixels "
                         "imaging the same source = the time-delay-"
                         "cosmography observable). float64 recommended")
+    p.add_argument("--find-images", metavar="BX,BY",
+                   help="solve for ALL images of a point source at "
+                        "gnomonic sky position (BX, BY) degrees about "
+                        "the BH: prints positions, signed "
+                        "magnifications/parities, winding orders, and "
+                        "relative time delays (Newton-refined on the "
+                        "traced lens map; --size sets the coarse "
+                        "grid, no --image needed). "
+                        "--dtype float64 recommended for delays")
     _add_multihost_args(p)
     p.set_defaults(fn=cmd_lens)
 

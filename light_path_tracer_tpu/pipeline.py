@@ -686,7 +686,6 @@ def render_time_delay(scene: SceneConfig, resolution,
     timer = StageTimer()
     resolution = tuple(resolution)
     fov = camera.fov_from_vertical(scene.vertical_fov, resolution)
-    dtype = _dtype_of(cfg)
     metric = _metric_5d(scene.metric())
     r_obs = scene.r_obs
     r_e = 2.0 * r_obs
@@ -697,33 +696,10 @@ def render_time_delay(scene: SceneConfig, resolution,
         out.append(res.t_hit)
 
     with timer.stage("render") as out:
+        from light_path_tracer_tpu.render import fermat_tau
         escaped = res.status == ESCAPED
-        th_f, phi_f = res.theta, res.phi
-        # Plane-wave reference: tau = t - X.v with X the escape
-        # position and v the escape unit direction, both in
-        # BH-centered Cartesian (the same velocity chain as
-        # render.world_escape_beta; rebuilt here because we need the
-        # dot with the POSITION too).
-        r_b = jnp.full_like(th_f, r_e)
-        (g_tt_i, g_tphi_i, g_rr_i, g_thth_i, g_phiphi_i,
-         *_rest) = metric._inv_terms(r_b, th_f)
-        p_t = jnp.asarray(-1.0, dtype)
-        p_phi = res.xi            # L/E with E = 1
-        dr = g_rr_i * res.p_r
-        dth = g_thth_i * res.p_theta
-        dphi = g_tphi_i * p_t + g_phiphi_i * p_phi
-        sin_th, cos_th = jnp.sin(th_f), jnp.cos(th_f)
-        sin_ph, cos_ph = jnp.sin(phi_f), jnp.cos(phi_f)
-        vx = (sin_th * cos_ph * dr + r_e * cos_th * cos_ph * dth
-              - r_e * sin_th * sin_ph * dphi)
-        vy = (sin_th * sin_ph * dr + r_e * cos_th * sin_ph * dth
-              + r_e * sin_th * cos_ph * dphi)
-        vz = cos_th * dr - r_e * sin_th * dth
-        v_mag = jnp.sqrt(vx * vx + vy * vy + vz * vz)
-        v_safe = jnp.maximum(v_mag, 1e-30)
-        xdotv = r_e * (sin_th * cos_ph * vx + sin_th * sin_ph * vy
-                       + cos_th * vz) / v_safe
-        tau = jnp.where(escaped, res.t_hit - xdotv, jnp.nan)
+        tau = fermat_tau(metric, r_e, res.theta, res.phi, res.p_r,
+                         res.p_theta, res.xi, res.t_hit, escaped)
         tau = tau.reshape(resolution)
         tau = tau - jnp.nanmin(tau)
         out.append(tau)

@@ -411,6 +411,42 @@ def world_escape_beta(metric, r_e, theta_f, phi_f, p_r_f, p_th_f, xi,
             jnp.where(ok, vey / vd_safe, nan))
 
 
+def fermat_tau(metric, r_e, theta_f, phi_f, p_r_f, p_th_f, xi,
+               t_hit, escaped):
+    """Plane-wave-referenced (Fermat) arrival time per ray.
+
+    The raw coordinate time t at the escape sphere r_e is dominated by
+    geometry; referencing each ray to the plane wave of its own escape
+    direction, tau = t - X.v_hat (X = escape position, v = escape
+    coordinate velocity, both BH-centered Cartesian), leaves the Fermat
+    arrival time up to a global constant — differences of tau between
+    rays imaging the SAME source position are the physical delays
+    (pipeline.render_time_delay builds the full-grid map from this; the
+    weak-field Refsdal oracle is pinned in tests/test_timedelay_map.py).
+    NaN where not escaped.
+    """
+    dtype = theta_f.dtype
+    r_b = jnp.full_like(theta_f, r_e)
+    (g_tt_i, g_tphi_i, g_rr_i, g_thth_i, g_phiphi_i,
+     *_rest) = metric._inv_terms(r_b, theta_f)
+    p_t = jnp.asarray(-1.0, dtype)
+    dr = g_rr_i * p_r_f
+    dth = g_thth_i * p_th_f
+    dphi = g_tphi_i * p_t + g_phiphi_i * xi
+    sin_th, cos_th = jnp.sin(theta_f), jnp.cos(theta_f)
+    sin_ph, cos_ph = jnp.sin(phi_f), jnp.cos(phi_f)
+    vx = (sin_th * cos_ph * dr + r_e * cos_th * cos_ph * dth
+          - r_e * sin_th * sin_ph * dphi)
+    vy = (sin_th * sin_ph * dr + r_e * cos_th * sin_ph * dth
+          + r_e * sin_th * cos_ph * dphi)
+    vz = cos_th * dr - r_e * sin_th * dth
+    v_mag = jnp.sqrt(vx * vx + vy * vy + vz * vz)
+    v_safe = jnp.maximum(v_mag, 1e-30)
+    xdotv = r_e * (sin_th * cos_ph * vx + sin_th * sin_ph * vy
+                   + cos_th * vz) / v_safe
+    return jnp.where(escaped, t_hit - xdotv, jnp.nan)
+
+
 def _image_solid_angle(image_dimension, fov, dtype):
     """|image-plane solid angle| per pixel of the pinhole view grid."""
     from light_path_tracer_tpu.camera import _view_grids

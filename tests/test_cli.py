@@ -168,6 +168,18 @@ def test_cli_lens_magnification(workdir):
     assert rc == 0 and out.exists()
 
 
+def test_cli_lens_find_images(workdir, capsys):
+    from light_path_tracer_tpu.cli import main
+    theta_e_deg = np.degrees(np.sqrt(4.0 / 1000.0))
+    rc = main(["lens", "--r-obs", "1000", "--fov-v", "40",
+               "--size", "96", "--find-images", f"{theta_e_deg},0"])
+    assert rc == 0
+    text = capsys.readouterr().out
+    assert "2 images" in text and "delay[M]" in text
+    # Malformed beta is a usage error, not a traceback.
+    assert main(["lens", "--find-images", "nope"]) == 2
+
+
 def test_cli_volumetric_absorbed(workdir):
     rc = main(["volumetric", "--size", "24", "--a", "0.9",
                "--theta-obs", "80", "--alpha0", "0.2",
