@@ -244,6 +244,43 @@ def cmd_lens(args) -> int:
         print(f"Saved: {args.magnification}")
         return 0
 
+    if getattr(args, "shear", None):
+        # Weak-lensing decomposition maps (kappa/gamma/omega).
+        from light_path_tracer_tpu.pipeline import render_shear
+        maps, sstats = render_shear(scene, (args.size, args.size), cfg)
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        fig, axes = plt.subplots(2, 2, figsize=(9, 8))
+        panels = (("kappa", "convergence kappa", "RdBu_r", True),
+                  ("gamma", "shear |gamma|", "inferno", False),
+                  ("gamma1", "gamma_1", "RdBu_r", True),
+                  ("omega", "rotation omega (frame dragging)",
+                   "RdBu_r", True))
+        for ax, (key, title, cmap, sym) in zip(axes.ravel(), panels):
+            v = np.asarray(maps[key])
+            fin = np.isfinite(v)
+            lim = (np.percentile(np.abs(v[fin]), 99.0)
+                   if fin.any() else 1.0) or 1.0
+            kw = ({"vmin": -lim, "vmax": lim} if sym
+                  else {"vmin": 0.0, "vmax": lim})
+            im = ax.imshow(v, cmap=cmap, origin="lower", **kw)
+            ax.set_title(title, fontsize=10)
+            ax.set_xticks([]), ax.set_yticks([])
+            fig.colorbar(im, ax=ax, fraction=0.046)
+        fig.tight_layout()
+        fig.savefig(args.shear, dpi=110)
+        plt.close(fig)
+        tt = sstats["timings"]
+        print(f"Shear decomposition {args.size}x{args.size}: "
+              f"gamma_max={sstats['gamma_max']:.2f}, "
+              f"|omega|_max={sstats['omega_abs_max']:.2e}, "
+              f"{sstats['shadow_pixels']} shadow px "
+              f"(precompute {tt.get('precompute', 0.0):.3f}s, "
+              f"render {tt.get('render', 0.0):.3f}s)")
+        print(f"Saved: {args.shear}")
+        return 0
+
     if getattr(args, "caustics", None):
         # Source-plane (caustic) map: inverse ray shooting.
         from light_path_tracer_tpu.pipeline import render_caustics
@@ -1549,6 +1586,13 @@ def build_parser():
     p.add_argument("--size", type=int, default=512,
                    help="grid size for --magnification/--caustics/"
                         "--microlens")
+    p.add_argument("--shear", metavar="PATH",
+                   help="write the weak-lensing decomposition of the "
+                        "traced lens map (2x2 panel: convergence "
+                        "kappa, shear |gamma|, gamma_1, rotation "
+                        "omega; omega != 0 is frame dragging — a "
+                        "direct map-level spin observable); --size "
+                        "sets the grid, no --image needed")
     p.add_argument("--caustics", metavar="PATH",
                    help="instead of lensing an image, write the "
                         "SOURCE-plane magnification (caustic) map by "

@@ -718,3 +718,69 @@ def render_time_delay(scene: SceneConfig, resolution,
         "beta_y": np.asarray(by),
     }
     return tau, stats
+
+
+def render_shear(scene: SceneConfig, resolution,
+                 cfg: RenderConfig = RenderConfig(), mesh=None):
+    """Convergence/shear/rotation maps of the traced lens map — the
+    weak-lensing decomposition of the image-to-source Jacobian,
+    computed exactly in the strong field
+    (render.lens_jacobian_decomposition).
+
+    kappa: isotropic focusing (-> 0 in the point-mass weak field;
+    genuinely nonzero in the strong field); gamma1/gamma2: tidal
+    shear (point-lens oracle theta_E^2/theta^2, tangential); omega:
+    image rotation — ZERO for any static spacetime, nonzero under
+    frame dragging: a direct, map-level spin observable. The raw
+    omega map carries a grid-symmetric sin(4*phi) finite-difference
+    artifact (~1e-3 at 128^2; insensitive to stencil order and
+    tolerance tier — it tracks the adaptive controller's
+    sub-smoothness, not truncation), but that artifact is ORTHOGONAL
+    to the physics: the azimuthal m=0 (net twist) and m=1 moments of
+    omega in an annulus read ~1e-6 at a=0 vs ~1e-3..1e-2 at a=0.9 —
+    three orders of magnitude of frame-dragging discrimination
+    (tests/test_shear.py).
+
+    Returns (maps, stats): maps = dict with "kappa", "gamma1",
+    "gamma2", "omega", "gamma" (= |gamma|), each (H, W) float32, NaN
+    within one FD pixel of the shadow/chart edge.
+    """
+    from light_path_tracer_tpu import render as _render
+
+    timer = StageTimer()
+    resolution = tuple(resolution)
+    fov = camera.fov_from_vertical(scene.vertical_fov, resolution)
+    dtype = _dtype_of(cfg)
+
+    with timer.stage("precompute") as out:
+        bx, by, res, _th = _trace_escape_beta(scene, cfg, resolution,
+                                              fov, mesh=mesh)
+        out.append(bx)
+
+    with timer.stage("render") as out:
+        xb, yb = _render.image_gnomonic_grids(
+            resolution, fov, psi=scene.psi, dtype=dtype,
+            boost=scene.boost)
+        kappa, gamma1, gamma2, omega = (
+            _render.lens_jacobian_decomposition(bx, by, xb, yb))
+        gamma = jnp.sqrt(gamma1 ** 2 + gamma2 ** 2)
+        maps = {"kappa": kappa, "gamma1": gamma1, "gamma2": gamma2,
+                "omega": omega, "gamma": gamma}
+        maps = {k: v.astype(jnp.float32) for k, v in maps.items()}
+        out.append(maps["gamma"])
+
+    gnp = np.asarray(maps["gamma"])
+    onp = np.asarray(maps["omega"])
+    finite = np.isfinite(gnp)
+    stats = {
+        "timings": timer.finish(),
+        "total_rays": int(np.prod(resolution)),
+        "traced_rays": int(np.prod(resolution)),
+        "integrator_steps": int(res.n_steps),
+        "shadow_pixels": int((~finite).sum()),
+        "gamma_max": float(gnp[finite].max()) if finite.any()
+        else float("nan"),
+        "omega_abs_max": float(np.abs(onp[np.isfinite(onp)]).max())
+        if np.isfinite(onp).any() else float("nan"),
+    }
+    return maps, stats

@@ -411,6 +411,86 @@ def world_escape_beta(metric, r_e, theta_f, phi_f, p_r_f, p_th_f, xi,
             jnp.where(ok, vey / vd_safe, nan))
 
 
+def image_gnomonic_grids(image_dimension, fov, psi=(0.0, 0.0),
+                         dtype=jnp.float32, boost=None):
+    """Per-pixel IMAGE-plane gnomonic coordinates about the BH
+    direction: xb = (u.e_x)/(u.d), yb = (u.e_y)/(u.d) for the pinhole
+    view direction u — the unlensed counterpart of the source chart
+    (world_escape_beta / _source_plane_coords), so the identity map
+    reads beta = (xb, yb) exactly. At psi = 0 this is just
+    (x_cam, y_cam). NaN behind the tangent chart (u.d <= 0)."""
+    from light_path_tracer_tpu.camera import _view_grids, aberrate_view
+
+    vx, vy, vz = _view_grids(image_dimension, fov, dtype)
+    vy = jnp.broadcast_to(vy, image_dimension)
+    vx = jnp.broadcast_to(vx, image_dimension)
+    vz = jnp.broadcast_to(vz, image_dimension)
+    if boost is not None and any(float(b) != 0.0 for b in boost):
+        vx, vy, vz = aberrate_view(vx, vy, vz, boost)
+    frame = psi_frame(psi)
+    d, e_x, e_y = frame.d, frame.e_x, frame.e_y
+    vd = vx * d[0] + vy * d[1] + vz * d[2]
+    nan = jnp.asarray(jnp.nan, vx.dtype)
+    vd_safe = jnp.where(vd > 1e-12, vd, 1.0)
+    xb = jnp.where(vd > 1e-12,
+                   (vx * e_x[0] + vy * e_x[1] + vz * e_x[2]) / vd_safe,
+                   nan)
+    yb = jnp.where(vd > 1e-12,
+                   (vx * e_y[0] + vy * e_y[1] + vz * e_y[2]) / vd_safe,
+                   nan)
+    return xb, yb
+
+
+def lens_jacobian_decomposition(bx, by, xb, yb):
+    """Convergence / shear / rotation maps of the traced lens map —
+    the weak-lensing decomposition, computed exactly in the strong
+    field (no reference counterpart; no thin-lens approximation).
+
+    The lens map takes image-plane gnomonic coordinates (xb, yb)
+    (image_gnomonic_grids — the pinhole chart reprojected about the
+    BH direction, so it works at any psi/FOV) to source-plane
+    gnomonic coordinates (bx, by) (world_escape_beta's side-exact
+    chart; the two charts coincide for the identity map, pinned in
+    tests/test_timedelay_map.py). Its Jacobian decomposes as
+
+        A = dbeta/dx = [[1-kappa-gamma1,  -gamma2+omega],
+                        [-gamma2-omega,   1-kappa+gamma1]]
+
+    kappa: isotropic (de)focusing — 0 for vacuum rays of a point mass
+    in the weak field (all distortion is tidal);
+    gamma = (gamma1, gamma2): tidal shear, the point-lens oracle
+    gamma = theta_E^2/theta^2 tangentially oriented;
+    omega: image-plane ROTATION — zero in any static spacetime, and a
+    direct frame-dragging observable for Kerr (the light bundle
+    twists about the line of sight). Signed magnification
+    mu = 1/det A, consistent with magnification_map up to the
+    finite-difference stencil.
+
+    A = (dbeta/dpixel) (dx/dpixel)^{-1} with both pixel Jacobians by
+    central differences on the same grid (jnp.gradient; one-sided at
+    edges, NaN within one pixel of the shadow). Returns
+    (kappa, gamma1, gamma2, omega), each (H, W).
+    """
+    dbx_dpy, dbx_dpx = jnp.gradient(bx)
+    dby_dpy, dby_dpx = jnp.gradient(by)
+    dxb_dpy, dxb_dpx = jnp.gradient(xb)
+    dyb_dpy, dyb_dpx = jnp.gradient(yb)
+    det_x = dxb_dpx * dyb_dpy - dxb_dpy * dyb_dpx
+    tiny = jnp.asarray(1e-30, bx.dtype)
+    safe = jnp.where(jnp.abs(det_x) < tiny,
+                     jnp.where(det_x < 0, -tiny, tiny), det_x)
+    # A = B X^{-1}, X^{-1} = adj(X)/det(X).
+    a11 = (dbx_dpx * dyb_dpy - dbx_dpy * dyb_dpx) / safe
+    a12 = (dbx_dpy * dxb_dpx - dbx_dpx * dxb_dpy) / safe
+    a21 = (dby_dpx * dyb_dpy - dby_dpy * dyb_dpx) / safe
+    a22 = (dby_dpy * dxb_dpx - dby_dpx * dxb_dpy) / safe
+    kappa = 1.0 - (a11 + a22) / 2.0
+    gamma1 = -(a11 - a22) / 2.0
+    gamma2 = -(a12 + a21) / 2.0
+    omega = (a21 - a12) / 2.0
+    return kappa, gamma1, gamma2, omega
+
+
 def fermat_tau(metric, r_e, theta_f, phi_f, p_r_f, p_th_f, xi,
                t_hit, escaped):
     """Plane-wave-referenced (Fermat) arrival time per ray.

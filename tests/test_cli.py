@@ -168,6 +168,14 @@ def test_cli_lens_magnification(workdir):
     assert rc == 0 and out.exists()
 
 
+def test_cli_lens_shear(workdir):
+    from light_path_tracer_tpu.cli import main
+    out = workdir / "shear.png"
+    rc = main(["lens", "--shear", str(out), "--size", "48",
+               "--fov-v", "40", "--a", "0.5"])
+    assert rc == 0 and out.exists()
+
+
 def test_cli_lens_find_images(workdir, capsys):
     from light_path_tracer_tpu.cli import main
     theta_e_deg = np.degrees(np.sqrt(4.0 / 1000.0))

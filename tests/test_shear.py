@@ -1,0 +1,153 @@
+"""Weak-lensing decomposition maps (pipeline.render_shear /
+render.lens_jacobian_decomposition).
+
+The lens map's Jacobian A = dbeta/dx decomposes into convergence
+kappa, tidal shear (gamma1, gamma2), and rotation omega. Oracles are
+point-lens physics plus a symmetry null:
+
+  * gamma = theta_E^2 / theta^2, TANGENTIALLY oriented
+    ((gamma1, gamma2) = -gamma (cos 2phi, sin 2phi)), for a weak-field
+    point lens — the textbook shear law.
+  * mu = 1 / det A = 1 / ((1-kappa)^2 - gamma^2 + omega^2) must match
+    the point-lens total magnification 1/(1 - (theta_E/theta)^4).
+  * omega == 0 for ANY static spacetime (the exact lens map of a
+    spherically symmetric metric is radial, hence curl-free), while
+    frame dragging makes it nonzero: a direct map-level spin
+    observable.  The raw omega map carries a grid-symmetric sin(4 phi)
+    finite-difference artifact, but that artifact is orthogonal to the
+    azimuthal m=0 (net twist) and m=1 moments, where Kerr a=0.9 sits
+    two to three orders of magnitude above the measured a=0 floor
+    (f32 floor |m| <~ 7e-5 vs Kerr m0 ~ 2.1e-3, m1 ~ 1.4e-2; measured
+    on this geometry, r_obs=100M, theta_E ~ 11.46 deg).
+
+No reference counterpart (the reference renders lensed images only);
+geometry matches tests/test_magnification.py (40-deg FOV contains the
+full critical structure).
+"""
+
+import numpy as np
+import pytest
+
+from light_path_tracer_tpu.pipeline import render_shear
+from light_path_tracer_tpu.utils.config import SceneConfig, RenderConfig
+
+N = 128
+CFG = RenderConfig(dtype="float32", backend="xla")
+THETA_E = np.degrees(np.sqrt(4.0 / 100.0))  # Einstein radius, deg
+
+
+def _polar(n):
+    """Approximate angular radius/azimuth (deg) per pixel for the
+    40-deg-FOV grid (small-angle chart; only used to select annuli)."""
+    ang = (np.arange(n) - (n - 1) / 2) / (n / 2) * 20.0
+    xx, yy = np.meshgrid(ang, ang)
+    return np.sqrt(xx**2 + yy**2), np.arctan2(yy, xx)
+
+
+@pytest.fixture(scope="module")
+def shear_static():
+    scene = SceneConfig(M=1.0, a=0.0, vertical_fov_deg=40.0)
+    maps, stats = render_shear(scene, (N, N), CFG)
+    return {k: np.asarray(v) for k, v in maps.items()}, stats
+
+
+@pytest.fixture(scope="module")
+def shear_kerr():
+    scene = SceneConfig(M=1.0, a=0.9, vertical_fov_deg=40.0)
+    maps, stats = render_shear(scene, (N, N), CFG)
+    return {k: np.asarray(v) for k, v in maps.items()}, stats
+
+
+def test_gamma_matches_point_lens_oracle(shear_static):
+    maps, _ = shear_static
+    g = maps["gamma"]
+    th, _ = _polar(N)
+    band = (th > 15.0) & (th < 19.0) & np.isfinite(g)
+    assert band.sum() > 500
+    oracle = np.radians(THETA_E) ** 2 / np.radians(th) ** 2
+    ratio = g[band] / oracle[band]
+    # Median 1.04 measured: the few % above 1 is the real strong-field
+    # correction at theta only ~1.5 theta_E (plus finite escape-sphere
+    # residual bending), not an estimator error.
+    assert 0.95 < np.median(ratio) < 1.15
+    assert np.percentile(ratio, 90) < 1.25
+
+
+def test_shear_is_tangential(shear_static):
+    maps, _ = shear_static
+    g1, g2, g = maps["gamma1"], maps["gamma2"], maps["gamma"]
+    th, phi = _polar(N)
+    band = (th > 15.0) & (th < 19.0) & np.isfinite(g)
+    cos_sim = -(g1[band] * np.cos(2 * phi[band])
+                + g2[band] * np.sin(2 * phi[band]))
+    cos_sim /= np.maximum(g[band], 1e-30)
+    assert np.median(cos_sim) > 0.995
+
+
+def test_kappa_small_far_grows_inward(shear_static):
+    maps, _ = shear_static
+    k = maps["kappa"]
+    th, _ = _polar(N)
+    far = (th > 15.0) & (th < 19.0) & np.isfinite(k)
+    near = (th > 8.0) & (th < 12.0) & np.isfinite(k)
+    # kappa -> 0 in the weak field; genuinely nonzero strong-field
+    # focusing closer in (0.11 vs 0.026 measured).
+    assert np.median(np.abs(k[far])) < 0.06
+    assert np.median(np.abs(k[near])) > np.median(np.abs(k[far]))
+
+
+def test_mu_consistency_with_point_lens(shear_static):
+    maps, _ = shear_static
+    k, g, om = maps["kappa"], maps["gamma"], maps["omega"]
+    th, _ = _polar(N)
+    band = (th > 15.0) & (th < 19.0) & np.isfinite(g)
+    mu = 1.0 / ((1.0 - k[band]) ** 2 - g[band] ** 2 + om[band] ** 2)
+    u2 = (np.radians(THETA_E) / np.radians(th[band])) ** 2
+    mu_oracle = 1.0 / (1.0 - u2**2)
+    ratio = mu / mu_oracle
+    assert 1.0 < np.median(ratio) < 1.2
+
+
+def test_omega_frame_dragging_moments(shear_static, shear_kerr):
+    """The headline physics: the azimuthal m=0/m=1 moments of omega
+    are a frame-dragging null test.  Static floor ~7e-5; Kerr a=0.9
+    reads m0 ~ +2.1e-3 (net twist, sign = spin sense) and
+    m1 ~ +1.4e-2."""
+    th, phi = _polar(N)
+
+    def moments(om):
+        band = (th > 6.0) & (th < 8.0) & np.isfinite(om)
+        assert band.sum() > 300
+        return (np.mean(om[band]),
+                np.mean(om[band] * np.sin(phi[band])))
+
+    m0_s, m1_s = moments(shear_static[0]["omega"])
+    m0_k, m1_k = moments(shear_kerr[0]["omega"])
+    assert abs(m0_s) < 5e-4 and abs(m1_s) < 5e-4
+    assert m0_k > 1.5e-3 and m1_k > 8e-3
+    assert m0_k > 4.0 * abs(m0_s)
+    assert m1_k > 25.0 * abs(m1_s)
+
+
+def test_shadow_nan_and_stats(shear_static):
+    maps, stats = shear_static
+    assert stats["shadow_pixels"] > 0
+    assert not np.isfinite(maps["gamma"][N // 2, N // 2])
+    assert np.isfinite(stats["gamma_max"]) and stats["gamma_max"] > 1.0
+    assert np.isfinite(stats["omega_abs_max"])
+    assert set(maps) == {"kappa", "gamma1", "gamma2", "omega", "gamma"}
+    for v in maps.values():
+        assert v.shape == (N, N) and v.dtype == np.float32
+
+
+def test_sharded_equals_single_device():
+    from light_path_tracer_tpu.parallel.mesh import make_mesh
+
+    scene = SceneConfig(M=1.0, a=0.4, vertical_fov_deg=40.0)
+    cfg = RenderConfig(dtype="float64")
+    m1, _ = render_shear(scene, (48, 48), cfg)
+    m8, _ = render_shear(scene, (48, 48), cfg, mesh=make_mesh())
+    for key in m1:
+        np.testing.assert_allclose(np.asarray(m8[key]),
+                                   np.asarray(m1[key]),
+                                   rtol=1e-8, atol=1e-10)
