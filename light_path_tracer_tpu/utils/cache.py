@@ -3,11 +3,76 @@
 First compiles of the big tracer programs cost minutes over the TPU
 tunnel; caching them on disk makes every later process (CLI runs, bench,
 tests) start in seconds. Safe to call multiple times.
+
+Host guard: CPU-backend cache entries embed AOT-compiled machine code
+for the EXACT host CPU (feature flags and all) — deserializing an entry
+written on a different machine SEGFAULTS the process inside
+jax.compilation_cache.get_executable_and_time (observed when the work
+tree migrates between driver hosts). enable_compilation_cache therefore
+fingerprints the machine (CPU model + flags + jax/jaxlib versions) into
+a marker file and WIPES the cache directory when the fingerprint
+changes; a cold cache costs recompiles, a stale one costs the process.
 """
 
 from __future__ import annotations
 
+import hashlib
 import os
+import shutil
+
+_FINGERPRINT_FILE = "host_fingerprint"
+
+
+def _machine_fingerprint() -> str:
+    import platform
+
+    parts = [platform.machine(), platform.system()]
+    try:
+        import jax
+        import jaxlib
+        parts += [jax.__version__, jaxlib.__version__]
+    except Exception:
+        pass
+    try:
+        with open("/proc/cpuinfo") as f:
+            info = f.read()
+        for key in ("model name", "flags"):
+            for line in info.splitlines():
+                if line.startswith(key):
+                    parts.append(line)
+                    break
+    except OSError:
+        pass
+    return hashlib.sha256("|".join(parts).encode()).hexdigest()
+
+
+def _guard_host_change(path: str) -> None:
+    marker = os.path.join(path, _FINGERPRINT_FILE)
+    fp = _machine_fingerprint()
+    try:
+        with open(marker) as f:
+            stale = f.read().strip() != fp
+    except OSError:
+        # No marker: a pre-guard cache may hold foreign entries — treat
+        # as unknown provenance and start clean once.
+        stale = len(os.listdir(path)) > 0
+    if stale:
+        for entry in os.listdir(path):
+            if entry == _FINGERPRINT_FILE:
+                continue
+            full = os.path.join(path, entry)
+            try:
+                if os.path.isdir(full):
+                    shutil.rmtree(full, ignore_errors=True)
+                else:
+                    os.unlink(full)
+            except OSError:
+                pass
+    try:
+        with open(marker, "w") as f:
+            f.write(fp)
+    except OSError:
+        pass
 
 
 def enable_compilation_cache(path: str | None = None) -> None:
@@ -16,6 +81,7 @@ def enable_compilation_cache(path: str | None = None) -> None:
     path = path or os.environ.get(
         "LPT_COMPILE_CACHE", os.path.expanduser("~/.cache/lpt_xla"))
     os.makedirs(path, exist_ok=True)
+    _guard_host_change(path)
     try:
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)

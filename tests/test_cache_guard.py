@@ -1,0 +1,52 @@
+"""Host-change guard on the persistent XLA compilation cache
+(utils/cache.py): CPU-backend entries embed machine code for the exact
+host CPU, and deserializing a foreign entry segfaults the process —
+the guard must wipe on fingerprint mismatch (or unknown provenance)
+and keep entries on a matching host."""
+
+import os
+
+from light_path_tracer_tpu.utils.cache import (
+    enable_compilation_cache, _machine_fingerprint, _FINGERPRINT_FILE)
+
+
+def _populate(path, name="jit_foo-cache"):
+    os.makedirs(os.path.join(path, name), exist_ok=True)
+    with open(os.path.join(path, name, "blob"), "wb") as f:
+        f.write(b"\x00" * 16)
+
+
+def test_wipes_on_fingerprint_mismatch(tmp_path, monkeypatch):
+    cache = str(tmp_path / "c1")
+    os.makedirs(cache)
+    _populate(cache)
+    with open(os.path.join(cache, _FINGERPRINT_FILE), "w") as f:
+        f.write("not-this-machine")
+    monkeypatch.setenv("LPT_COMPILE_CACHE", cache)
+    enable_compilation_cache()
+    assert not os.path.exists(os.path.join(cache, "jit_foo-cache"))
+    with open(os.path.join(cache, _FINGERPRINT_FILE)) as f:
+        assert f.read().strip() == _machine_fingerprint()
+
+
+def test_wipes_unknown_provenance(tmp_path, monkeypatch):
+    # Pre-guard cache: entries but no marker -> start clean once.
+    cache = str(tmp_path / "c2")
+    os.makedirs(cache)
+    _populate(cache)
+    monkeypatch.setenv("LPT_COMPILE_CACHE", cache)
+    enable_compilation_cache()
+    assert not os.path.exists(os.path.join(cache, "jit_foo-cache"))
+
+
+def test_keeps_entries_on_matching_host(tmp_path, monkeypatch):
+    cache = str(tmp_path / "c3")
+    monkeypatch.setenv("LPT_COMPILE_CACHE", cache)
+    enable_compilation_cache()          # writes the marker
+    _populate(cache)
+    enable_compilation_cache()          # same host: must keep entries
+    assert os.path.exists(os.path.join(cache, "jit_foo-cache", "blob"))
+
+
+def test_fingerprint_is_stable():
+    assert _machine_fingerprint() == _machine_fingerprint()
