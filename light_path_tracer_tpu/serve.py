@@ -15,7 +15,7 @@ Protocol (JSON over HTTP, no external deps):
 
     POST /render
         {"mode": "shadow" | "lens" | "disk" | "composite"
-                 | "magnification" | "caustics" | "timedelay"
+                 | "magnification" | "caustics" | "timedelay" | "shear"
                  | "volumetric" | "star",
          "scene":  {... SceneConfig fields, angles in DEGREES ...},
          "render": {... RenderConfig fields ...},
@@ -257,6 +257,14 @@ class RenderService:
                     render_time_delay)
                 img, _stats = render_time_delay(scene, tuple(size),
                                                 cfg)
+            elif mode == "shear":
+                # Weak-lensing decomposition: ship the five maps
+                # stacked (kappa, gamma1, gamma2, omega, gamma).
+                from light_path_tracer_tpu.pipeline import render_shear
+                maps, _stats = render_shear(scene, tuple(size), cfg)
+                img = np.stack([np.asarray(maps[k]) for k in
+                                ("kappa", "gamma1", "gamma2",
+                                 "omega", "gamma")])
             elif mode == "volumetric":
                 from light_path_tracer_tpu.volumetric import (
                     render_volumetric, RIAFConfig)
@@ -347,7 +355,7 @@ def make_server(host: str = "127.0.0.1", port: int = 0,
                     mode = req.get("mode", "shadow")
                     if mode not in ("shadow", "lens", "disk",
                                     "composite", "magnification",
-                                    "caustics", "timedelay",
+                                    "caustics", "timedelay", "shear",
                                     "volumetric", "star"):
                         raise ValueError(f"unknown mode {mode!r}")
                     scene = _scene_from_json(req.get("scene", {}))
@@ -362,7 +370,7 @@ def make_server(host: str = "127.0.0.1", port: int = 0,
                            if mode in ("lens", "composite") else None)
                     size = req.get("size", [256, 256])
                     if mode in ("shadow", "disk", "magnification",
-                                "caustics", "timedelay",
+                                "caustics", "timedelay", "shear",
                                 "volumetric", "star"):
                         if (len(size) != 2
                                 or any(int(v) <= 0 for v in size)):
@@ -396,6 +404,20 @@ def make_server(host: str = "127.0.0.1", port: int = 0,
                         from light_path_tracer_tpu.render import (
                             magnification_display)
                         img = magnification_display(img)
+                    elif mode == "shear" and fmt == "png":
+                        # Raw stacked maps are an npy product; the
+                        # png ships the omega (frame-dragging) panel
+                        # on a symmetric diverging scale, NaN black.
+                        import matplotlib.cm as _cm
+                        om = np.asarray(img[3], np.float64)
+                        fin = np.isfinite(om)
+                        lim = (float(np.percentile(np.abs(om[fin]),
+                                                   99.0))
+                               if fin.any() else 1.0) or 1.0
+                        rgba = _cm.RdBu_r(
+                            np.clip(0.5 + 0.5 * om / lim, 0.0, 1.0))
+                        rgba[~fin] = (0.0, 0.0, 0.0, 1.0)
+                        img = rgba
                     elif mode in ("caustics", "timedelay") \
                             and fmt == "png":
                         # Raw A / tau maps are npy products; for png,

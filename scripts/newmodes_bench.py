@@ -128,6 +128,7 @@ def main():
     from light_path_tracer_tpu.pipeline import (render_caustics,
                                                 render_microlens_curve,
                                                 render_shadow,
+                                                render_shear,
                                                 render_time_delay)
     from light_path_tracer_tpu.models import CustomMetric
     from light_path_tracer_tpu.models.custom import kerr_covariant
@@ -177,6 +178,10 @@ def main():
             _kerr_ref, s.psi_y),
         "time-delay map": lambda s: render_time_delay(
             SceneConfig(psi_y=s.psi_y, **weak_kw), size, cfg),
+        "shear decomposition": lambda s: render_shear(
+            SceneConfig(psi_y=s.psi_y, M=1.0, a=0.9,
+                        r_obs_mult=100.0, vertical_fov_deg=40.0,
+                        theta_obs=np.pi / 2), size, cfg),
     })
 
     n_rays = args.size * args.size

@@ -395,6 +395,24 @@ def test_caustics_and_timedelay_modes(server_url):
     assert status2 == 200 and hdr2["Content-Type"] == "image/png"
 
 
+def test_shear_mode(server_url):
+    url, _server = server_url
+    payload = {"mode": "shear", "size": [24, 24], "format": "npy",
+               "scene": {"a": 0.5, "vertical_fov_deg": 40.0},
+               "render": {"dtype": "float32"}}
+    status, body, _hdr = _post(url, payload)
+    assert status == 200
+    maps = _npy(body)
+    # (kappa, gamma1, gamma2, omega, gamma) stacked.
+    assert maps.shape == (5, 24, 24)
+    gamma = maps[4]
+    fin = np.isfinite(gamma)
+    assert fin.any() and (gamma[fin] >= 0).all()
+    payload["format"] = "png"
+    status2, _body2, hdr2 = _post(url, payload)
+    assert status2 == 200 and hdr2["Content-Type"] == "image/png"
+
+
 def test_custom_metric_rejected_over_http(server_url):
     url, _server = server_url
     payload = {"mode": "shadow", "size": [16, 16],
