@@ -2,7 +2,10 @@
 
 Each module-level callable follows the plug-in contract
 (models/custom.py): (r, th) -> (g_tt, g_tphi, g_rr, g_thth, g_phiphi),
-batched jax.numpy, parameters closed over. Run e.g.
+batched jax.numpy, parameters closed over. The `mp_binary` example is
+the INSTANCE form of the plug-in (a ready CustomMetric — needed when a
+metric wants more than the five components, here a non-spherical
+capture predicate). Run e.g.
 
     python -m light_path_tracer_tpu shadow --size 512 \
         --metric-py examples/user_metric.py:hayward --output hayward.png
@@ -10,6 +13,13 @@ batched jax.numpy, parameters closed over. Run e.g.
     python -m light_path_tracer_tpu shadow --size 512 --a 0.9 \
         --metric-py examples/user_metric.py:rotating_hayward \
         --output rotating_hayward.png
+
+    # BINARY black-hole shadow (two extremal charged holes, exact
+    # static solution) — keep the step budget modest: throat-bound
+    # rays integrate to max_steps before classifying as captured.
+    python -m light_path_tracer_tpu shadow --size 256 --fov-v 20 \
+        --r-obs 60 --max-steps 6000 \
+        --metric-py examples/user_metric.py:mp_binary --output mp.png
 
 The Hayward regular black hole (Hayward 2006, PRL 96, 031103) replaces
 the singular Schwarzschild core with a de Sitter core of length scale
@@ -37,6 +47,68 @@ def hayward(r, th):
     zero = jnp.zeros_like(r * th)
     return (-f + zero, zero, 1.0 / f + zero,
             r * r + zero, r * r * sin2)
+
+
+def mp_binary_covariant(m1, m2, s):
+    """Majumdar-Papapetrou BINARY: two extremal (|Q_i| = m_i) charged
+    black holes in static equilibrium (gravity balances electrostatic
+    repulsion) — an EXACT solution, and axisymmetric when the holes
+    sit on the polar axis at z = +-s, so it fits the plug-in contract.
+
+    In isotropic coordinates ds^2 = -U^-2 dt^2 + U^2 dx.dx with
+    U = 1 + m1/d1 + m2/d2; in the spherical chart the spatial part is
+    diagonal: g_rr = U^2, g_thth = U^2 r^2, g_phiphi = U^2 r^2 sin^2.
+    Each horizon is the POINT d_i = 0 (an infinitely deep extremal
+    throat), so capture cannot be a centered sphere — mp_binary below
+    pairs this with captured_fn (deep-potential test U > U_CAP, safely
+    inside each hole's photon sphere where U = 2 for an isolated
+    extremal hole) and a tiny capture_radius_override so the corridor
+    between the holes stays traceable."""
+    def fn(r, th):
+        sin2 = jnp.maximum(jnp.sin(th) ** 2, _SIN2_FLOOR)
+        cos_th = jnp.cos(th)
+        d1 = jnp.sqrt(jnp.maximum(
+            r * r + s * s - 2.0 * r * s * cos_th, 1e-30))
+        d2 = jnp.sqrt(jnp.maximum(
+            r * r + s * s + 2.0 * r * s * cos_th, 1e-30))
+        U = 1.0 + m1 / d1 + m2 / d2
+        U2 = U * U
+        return (-1.0 / U2, jnp.zeros_like(U), U2,
+                U2 * r * r, U2 * r * r * sin2)
+    return fn
+
+
+def _mp_captured(m1, m2, s, u_cap=8.0):
+    def fn(r, th):
+        cos_th = jnp.cos(th)
+        d1 = jnp.sqrt(jnp.maximum(
+            r * r + s * s - 2.0 * r * s * cos_th, 1e-30))
+        d2 = jnp.sqrt(jnp.maximum(
+            r * r + s * s + 2.0 * r * s * cos_th, 1e-30))
+        return (1.0 + m1 / d1 + m2 / d2) > u_cap
+    return fn
+
+
+MP_M1, MP_M2, MP_S = 0.5, 0.5, 6.0
+
+# The instance form of the plug-in: --metric-py .../user_metric.py:mp_binary
+# M = m1 + m2 calibrates the far-field camera screen. alpha_crit is
+# display-only here (two shadows — no single critical circle exists);
+# the value is the outer shadow edge at the recommended r_obs = 60M:
+# (MP_S + 4 m1) / 60. Render with --max-steps ~6000: throat-bound rays
+# classify as captured at the budget (captured_fn), never at a sphere.
+def _make_mp_binary():
+    from light_path_tracer_tpu.models import CustomMetric
+    return CustomMetric(
+        M=MP_M1 + MP_M2, a=0.0,
+        covariant_fn=mp_binary_covariant(MP_M1, MP_M2, MP_S),
+        captured_fn=_mp_captured(MP_M1, MP_M2, MP_S),
+        capture_radius_override=0.02,
+        alpha_crit_override=(MP_S + 4.0 * MP_M1) / 60.0,
+        label=f"MP binary m1={MP_M1} m2={MP_M2} s={MP_S}")
+
+
+mp_binary = _make_mp_binary()
 
 
 def rotating_hayward(r, th):

@@ -93,6 +93,11 @@ def _add_render_args(p):
                    choices=["dp45", "dop853", "rk4"],
                    help="Kerr integrator (dp45 = reference-parity "
                         "adaptive default)")
+    p.add_argument("--max-steps", type=int, default=200000,
+                   help="adaptive-step budget per ray (reference "
+                        "parity 200000; lower it for metrics whose "
+                        "trapped rays never cross a capture sphere, "
+                        "e.g. the Majumdar-Papapetrou binary example)")
     p.add_argument("--bilinear", action="store_true",
                    help="bilinear background-texture sampling (smoother "
                         "than the reference's nearest-texel gather)")
@@ -165,11 +170,12 @@ def _scene_from(args):
             raise SystemExit(
                 "error: --metric-py is mutually exclusive with "
                 "--Q/--eps3 (the user metric defines the spacetime)")
-        from light_path_tracer_tpu.models import (
-            CustomMetric, load_covariant_fn)
-        custom = CustomMetric(M=args.M, a=args.a,
-                              covariant_fn=load_covariant_fn(spec),
-                              label=spec)
+        from light_path_tracer_tpu.models import load_user_metric
+        custom = load_user_metric(spec, M=args.M, a=args.a)
+        if (custom.M != args.M or custom.a != args.a) and (
+                args.M != 1.0 or args.a != 0.0):
+            print(f"note: {spec} is a CustomMetric instance with "
+                  f"M={custom.M}, a={custom.a}; ignoring --M/--a")
     return SceneConfig(
         M=args.M, a=args.a, Q=getattr(args, "Q", 0.0),
         eps3=getattr(args, "eps3", 0.0),
@@ -199,6 +205,7 @@ def _render_cfg_from(args):
     progress = getattr(args, "progress", "off")
     return RenderConfig(
         dtype=args.dtype,
+        max_steps=getattr(args, "max_steps", 200000),
         chunk_size=args.chunk_size or None,
         use_tb_symmetry=not args.no_symmetry,
         render_loop_around=getattr(args, "loop_around", False),

@@ -10,7 +10,7 @@ from light_path_tracer_tpu.models.johannsen_psaltis import (
     JohannsenPsaltis)
 from light_path_tracer_tpu.models.custom import (
     CustomMetric, kerr_covariant, reissner_nordstrom_covariant,
-    load_covariant_fn)
+    load_covariant_fn, load_user_metric)
 
 
 def make_metric(M: float = 1.0, a: float = 0.0,
@@ -37,4 +37,4 @@ def make_metric(M: float = 1.0, a: float = 0.0,
 __all__ = ["Metric", "Schwarzschild", "Kerr", "ReissnerNordstrom",
            "KerrNewman", "JohannsenPsaltis", "CustomMetric",
            "kerr_covariant", "reissner_nordstrom_covariant",
-           "load_covariant_fn", "make_metric"]
+           "load_covariant_fn", "load_user_metric", "make_metric"]

@@ -111,6 +111,17 @@ def load_covariant_fn(spec: str) -> Callable:
     trust boundary equivalent to `python FILE.py`; it is deliberately
     NOT reachable through the HTTP serving layer.
     """
+    fn = _load_attr(spec)
+    if not callable(fn):
+        raise TypeError(f"{spec}: {attr_of(spec)} is not callable")
+    return fn
+
+
+def attr_of(spec: str) -> str:
+    return spec.rsplit(":", 1)[1] if ":" in spec else spec
+
+
+def _load_attr(spec: str):
     if ":" not in spec:
         raise ValueError(
             f"--metric-py expects FILE.py:ATTR, got {spec!r}")
@@ -122,10 +133,27 @@ def load_covariant_fn(spec: str) -> Callable:
     module_spec = importlib.util.spec_from_file_location(name, path)
     module = importlib.util.module_from_spec(module_spec)
     module_spec.loader.exec_module(module)
-    fn = getattr(module, attr)
-    if not callable(fn):
-        raise TypeError(f"{spec}: {attr} is not callable")
-    return fn
+    return getattr(module, attr)
+
+
+def load_user_metric(spec: str, M: float = 1.0,
+                     a: float = 0.0) -> "CustomMetric":
+    """Load a user metric from "FILE.py:ATTR" — ATTR may be either a
+    covariant-components callable (wrapped in CustomMetric with the
+    given M, a) or a ready CustomMetric INSTANCE (returned as-is; its
+    own M/a/capture/captured_fn configuration wins — the instance form
+    exists exactly for metrics that need more than the five components,
+    e.g. the Majumdar-Papapetrou binary's captured_fn + small capture
+    sphere, examples/user_metric.py:mp_binary). Same local trust
+    boundary as load_covariant_fn."""
+    obj = _load_attr(spec)
+    if isinstance(obj, CustomMetric):
+        return obj
+    if not callable(obj):
+        raise TypeError(
+            f"{spec}: {attr_of(spec)} is neither a covariant-"
+            f"components callable nor a CustomMetric instance")
+    return CustomMetric(M=M, a=a, covariant_fn=obj, label=spec)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -151,6 +179,25 @@ class CustomMetric(Kerr):
     covariant_fn: Callable = None
     label: str = "custom"
     capture_radius_override: float | None = None
+    #: Optional epilogue capture predicate (r, th) -> bool array, for
+    #: metrics whose trapped region is NOT a centered sphere (e.g. the
+    #: multi-center Majumdar-Papapetrou binary, whose extremal throats
+    #: are points on the axis in isotropic coordinates). Rays flagged
+    #: here classify as CAPTURED at trace end. The HOT-LOOP early exit
+    #: remains the scalar capture sphere — flagged rays integrate to
+    #: the step/lambda budget first (physically honest: an extremal
+    #: throat is asymptotically deep; bound the cost with max_steps).
+    #: Pair it with a small capture_radius_override so the default
+    #: Kerr-r_+ sphere does not swallow legitimate escape corridors.
+    captured_fn: Callable | None = None
+    #: Optional fixed critical angle (radians). The traced bisection
+    #: (models/numeric.py) assumes ONE centered shadow with a monotone
+    #: captured->escaped transition per azimuth — meaningless (and,
+    #: without a capture sphere to exit on, slow) for multi-center
+    #: metrics. The value feeds stats/printouts and the loop-around
+    #: palette edge only, never the physics; it does NOT rescale with
+    #: r_obs, so match it to the observer radius you render from.
+    alpha_crit_override: float | None = None
 
     #: jax.grad of the user callable does not lower inside the Mosaic
     #: tile kernel; ops.batch._kerr_backend resolves this family to
@@ -263,6 +310,13 @@ class CustomMetric(Kerr):
         is_captured = captured | (r_f <= r_capture * 1.1)
         bad_state = ~(jnp.isfinite(r_f) & jnp.isfinite(th_f)
                       & jnp.isfinite(phi_f))
+        if self.captured_fn is not None:
+            # User trapped-region predicate (finite states only — a
+            # NaN coordinate must stay INVALID, not become captured).
+            r_q = jnp.where(bad_state, jnp.asarray(1.0, dtype), r_f)
+            th_q = jnp.where(bad_state, jnp.asarray(1.0, dtype), th_f)
+            is_captured = is_captured | (~bad_state
+                                         & self.captured_fn(r_q, th_q))
 
         sin_th = jnp.sin(th_f)
         cos_th = jnp.cos(th_f)
@@ -303,7 +357,10 @@ class CustomMetric(Kerr):
     def alpha_crit(self, r_obs, theta_obs=None, n_azimuth: int = 16,
                    iters: int = 26, max_steps: int = 60000) -> float:
         """Critical angle by bisection on traced outcomes — no closed
-        form exists for a general metric (models/numeric.py)."""
+        form exists for a general metric (models/numeric.py).
+        alpha_crit_override short-circuits it (multi-center metrics)."""
+        if self.alpha_crit_override is not None:
+            return float(self.alpha_crit_override)
         return alpha_crit_traced(self, r_obs, theta_obs,
                                  n_azimuth=n_azimuth, iters=iters,
                                  max_steps=max_steps)
