@@ -21,6 +21,12 @@ capture predicate). Run e.g.
         --r-obs 60 --max-steps 6000 \
         --metric-py examples/user_metric.py:mp_binary --output mp.png
 
+    # Massless Ellis wormhole (horizonless; the signature scan turns
+    # the throat into the capture surface automatically)
+    python -m light_path_tracer_tpu shadow --size 256 --fov-v 20 \
+        --r-obs 60 --metric-py examples/user_metric.py:ellis_wormhole \
+        --output wormhole.png
+
 The Hayward regular black hole (Hayward 2006, PRL 96, 031103) replaces
 the singular Schwarzschild core with a de Sitter core of length scale
 l: f(r) = 1 - 2 M r^2 / (r^3 + 2 M l^2). Asymptotically Schwarzschild
@@ -109,6 +115,47 @@ def _make_mp_binary():
 
 
 mp_binary = _make_mp_binary()
+
+
+def ellis_covariant(b):
+    """Ellis-Bronnikov MASSLESS wormhole in the areal chart r > b:
+
+        ds^2 = -dt^2 + dr^2 / (1 - b^2/r^2) + r^2 dOmega^2
+
+    (Ellis 1973 drainhole at zero mass parameter). g_tt = -1 exactly:
+    no redshift, no Shapiro delay — light bends by the QUADRATIC law
+    bend = pi b^2 / (4 b_imp^2) (vs Schwarzschild's 4M/b_imp), the
+    classic observational discriminator. The light ring sits AT the
+    throat r = b (critical impact parameter = b, so the shadow edge is
+    exactly arcsin(b / r_obs)); rays inside it cross into the other
+    asymptotic region — in this one-sided chart g_rr flips sign at the
+    throat, which CustomMetric's signature scan detects automatically
+    and converts into a capture surface at 1.02 b (throat-crossers
+    render black, the standard one-sided wormhole-shadow convention).
+    """
+    def fn(r, th):
+        sin2 = jnp.maximum(jnp.sin(th) ** 2, _SIN2_FLOOR)
+        zero = jnp.zeros_like(r * th)
+        g_rr = 1.0 / (1.0 - (b * b) / (r * r))
+        return (-1.0 + zero, zero, g_rr + zero,
+                r * r + zero, r * r * sin2)
+    return fn
+
+
+WH_THROAT = 2.0
+
+
+def _make_ellis():
+    from light_path_tracer_tpu.models import CustomMetric
+    # M = 0 is honest (massless): the Bardeen screen mapping reduces
+    # to the exact flat-space pinhole, and alpha_crit bisection seeds
+    # its bracket from the scanned capture surface instead of 3rt3 M.
+    return CustomMetric(M=0.0, a=0.0,
+                        covariant_fn=ellis_covariant(WH_THROAT),
+                        label=f"Ellis wormhole b={WH_THROAT}")
+
+
+ellis_wormhole = _make_ellis()
 
 
 def rotating_hayward(r, th):

@@ -51,6 +51,11 @@ def alpha_crit_traced(metric, r_obs, theta_obs=None, n_azimuth: int = 16,
     # azimuth's boundary ray is still not escaping (strong deformations
     # can grow the shadow past any fixed guess).
     b_schw = 3.0 * np.sqrt(3.0) * metric.M
+    if b_schw <= 0.0:
+        # Massless metric (e.g. the Ellis wormhole example): the only
+        # intrinsic scale is the capture surface itself.
+        b_schw = max(3.0 * float(metric.capture_radius()),
+                     0.05 * float(r_obs))
     hi0 = min(np.pi / 2, 3.0 * np.arcsin(
         min(1.0, b_schw / float(r_obs))))
     lo = np.full(n_azimuth, 1e-5)
