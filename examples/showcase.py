@@ -17,6 +17,7 @@ Produces:
   volumetric_polarized.png   EVPA ticks from Stokes path integrals
   neutron_star_caps.png      neutron-star surface with two hot caps
   pulse_profile.png          NICER-style rotational light curve
+  binary_and_wormhole.png    MP binary shadows + massless Ellis wormhole
 """
 
 import argparse
@@ -266,6 +267,32 @@ def main():
     fig.savefig(os.path.join(args.outdir, "custom_metric_hayward.png"),
                 dpi=110)
     print("wrote", os.path.join(args.outdir, "custom_metric_hayward.png"))
+
+    # --- instance-form user metrics: binary MP + massless wormhole ---
+    from light_path_tracer_tpu.models.custom import load_user_metric
+    here = os.path.dirname(os.path.abspath(__file__))
+    fig, axes = plt.subplots(1, 2, figsize=(9, 4.6))
+    for ax, (label, attr, steps) in zip(axes, [
+            ("Majumdar-Papapetrou binary (m=0.5+0.5, s=6M)",
+             "mp_binary", 6000),
+            ("massless Ellis wormhole (throat b=2)",
+             "ellis_wormhole", 60000)]):
+        metric = load_user_metric(
+            os.path.join(here, "user_metric.py") + ":" + attr)
+        sc = SceneConfig(M=1.0, a=0.0, r_obs_mult=60.0,
+                         vertical_fov_deg=20.0, custom_metric=metric)
+        img, _st = render_shadow(sc, (size // 2, size // 2),
+                                 RenderConfig(max_steps=steps))
+        ax.imshow(np.asarray(img), cmap="gray")
+        ax.set_title(label, fontsize=9)
+        ax.axis("off")
+    fig.suptitle("CustomMetric instance form: two resolved shadows "
+                 "with an escape corridor; a throat-capture shadow",
+                 fontsize=10)
+    fig.tight_layout()
+    fig.savefig(os.path.join(args.outdir, "binary_and_wormhole.png"),
+                dpi=110)
+    print("wrote", os.path.join(args.outdir, "binary_and_wormhole.png"))
 
     # --- source-plane products: caustics, microlens curve, time delays ---
     from light_path_tracer_tpu.pipeline import (render_caustics,
