@@ -32,6 +32,15 @@ def test_no_command_shows_help(capsys):
     assert main([]) == 2
 
 
+def test_max_steps_flag_plumbs_into_render_config():
+    from light_path_tracer_tpu.cli import _render_cfg_from
+    p = build_parser()
+    args = p.parse_args(["shadow", "--max-steps", "6000"])
+    assert _render_cfg_from(args).max_steps == 6000
+    args = p.parse_args(["shadow"])
+    assert _render_cfg_from(args).max_steps == 200000
+
+
 def test_cli_shadow_analytic(workdir):
     rc = main(["shadow", "--size", "48", "--analytic",
                "--output", "s.png"])
