@@ -162,6 +162,119 @@ def _encode_image(img: np.ndarray, fmt: str) -> tuple[bytes, str]:
     return buf.getvalue(), "image/png"
 
 
+def _display_encode(mode: str, img: np.ndarray, fmt: str) -> np.ndarray:
+    """PNG display encodings for the raw-map modes (npy ships the raw
+    arrays untouched): signed-mu display for magnification, the omega
+    panel on a diverging scale for shear, log-compressed inferno /
+    viridis for caustics / timedelay. Shared by the HTTP handler and
+    the offline `render_request` replay."""
+    if fmt != "png":
+        return img
+    if mode == "magnification":
+        from light_path_tracer_tpu.render import magnification_display
+        return magnification_display(img)
+    if mode == "shear":
+        # Raw stacked maps are an npy product; the png ships the
+        # omega (frame-dragging) panel on a symmetric diverging
+        # scale, NaN black.
+        import matplotlib.cm as _cm
+        om = np.asarray(img[3], np.float64)
+        fin = np.isfinite(om)
+        lim = (float(np.percentile(np.abs(om[fin]), 99.0))
+               if fin.any() else 1.0) or 1.0
+        rgba = _cm.RdBu_r(np.clip(0.5 + 0.5 * om / lim, 0.0, 1.0))
+        rgba[~fin] = (0.0, 0.0, 0.0, 1.0)
+        return rgba
+    if mode in ("caustics", "timedelay"):
+        # Raw A / tau maps are npy products; for png, log-compress
+        # (NaN shadow -> black).
+        import matplotlib.cm as _cm
+        raw = np.asarray(img, np.float64)
+        disp = np.log10(1.0 + np.nan_to_num(
+            np.maximum(raw, 0.0), nan=0.0))
+        lim = float(np.nanpercentile(disp, 99.5)) or 1.0
+        cmap = _cm.inferno if mode == "caustics" else _cm.viridis
+        rgba = cmap(np.clip(disp / lim, 0.0, 1.0))
+        rgba[~np.isfinite(raw)] = (0.0, 0.0, 0.0, 1.0)
+        return rgba
+    return img
+
+
+_MODES = ("shadow", "lens", "disk", "composite", "magnification",
+          "caustics", "timedelay", "shear", "volumetric", "star")
+
+
+def decode_request(req: dict, source_image=None):
+    """Decode one /render request dict into RenderService.render()
+    arguments. Shared verbatim by the HTTP handler and the offline
+    replay (`render_request` / CLI `request` subcommand), so a
+    recorded production request replays against the exact serving
+    contract. Raises ValueError/TypeError/KeyError on anything
+    malformed (the HTTP layer maps those to 400).
+
+    source_image, when given, replaces the request's `image_b64` for
+    lens/composite (the CLI loads it from a local path); the HTTP
+    path never passes it, so a missing image_b64 stays a client error.
+    """
+    mode = req.get("mode", "shadow")
+    if mode not in _MODES:
+        raise ValueError(f"unknown mode {mode!r}")
+    scene = _scene_from_json(req.get("scene", {}))
+    cfg = _render_cfg_from_json(req.get("render", {}))
+    disk = (_disk_cfg_from_json(req.get("disk", {}))
+            if mode in ("disk", "composite") else None)
+    riaf = (_riaf_cfg_from_json(req.get("riaf", {}))
+            if mode == "volumetric" else None)
+    star = (_star_cfg_from_json(req.get("star", {}))
+            if mode == "star" else None)
+    if mode in ("lens", "composite"):
+        src = (source_image if source_image is not None
+               else _decode_image(req["image_b64"]))
+    else:
+        src = None
+    size = req.get("size", [256, 256])
+    if mode in ("shadow", "disk", "magnification", "caustics",
+                "timedelay", "shear", "volumetric", "star"):
+        if len(size) != 2 or any(int(v) <= 0 for v in size):
+            raise ValueError(
+                f"size must be two positive ints, got {size!r}")
+        size = [int(v) for v in size]
+    deadline_s = req.get("deadline_s")
+    if deadline_s is not None:
+        deadline_s = float(deadline_s)
+        if deadline_s < 0:
+            raise ValueError("deadline_s must be >= 0")
+    return (mode, scene, cfg, disk, riaf, star, src, size, deadline_s)
+
+
+def render_request(req: dict, svc=None, source_image=None,
+                   fmt: str | None = None):
+    """Render one /render-shaped request dict WITHOUT the HTTP layer.
+
+    The offline twin of POST /render: same decode, same mode dispatch
+    (RenderService), same display encodings — the returned body is
+    byte-compatible with the HTTP response for the same request. Use
+    it to replay recorded production requests locally
+    (`python -m light_path_tracer_tpu request req.json`) or as a
+    library entry point for batch scene files.
+
+    Returns (body_bytes, content_type, seconds, "warm"|"cold").
+    `fmt` overrides the request's "format" field; `source_image`
+    replaces image_b64 for lens/composite.
+    """
+    (mode, scene, cfg, disk, riaf, star, src, size,
+     deadline_s) = decode_request(req, source_image=source_image)
+    if fmt is None:
+        fmt = req.get("format", "png")
+    service = svc if svc is not None else RenderService()
+    img, dt, cache = service.render(
+        mode, scene, cfg, size=size, source_image=src, disk=disk,
+        riaf=riaf, star=star, deadline_s=deadline_s)
+    img = _display_encode(mode, img, fmt)
+    body, ctype = _encode_image(img, fmt)
+    return body, ctype, dt, cache
+
+
 class Overloaded(RuntimeError):
     """Too many requests already waiting for the render lock."""
 
@@ -352,37 +465,8 @@ def make_server(host: str = "127.0.0.1", port: int = 0,
                 try:
                     length = int(self.headers.get("Content-Length", "0"))
                     req = json.loads(self.rfile.read(length) or b"{}")
-                    mode = req.get("mode", "shadow")
-                    if mode not in ("shadow", "lens", "disk",
-                                    "composite", "magnification",
-                                    "caustics", "timedelay", "shear",
-                                    "volumetric", "star"):
-                        raise ValueError(f"unknown mode {mode!r}")
-                    scene = _scene_from_json(req.get("scene", {}))
-                    cfg = _render_cfg_from_json(req.get("render", {}))
-                    disk = (_disk_cfg_from_json(req.get("disk", {}))
-                            if mode in ("disk", "composite") else None)
-                    riaf = (_riaf_cfg_from_json(req.get("riaf", {}))
-                            if mode == "volumetric" else None)
-                    star = (_star_cfg_from_json(req.get("star", {}))
-                            if mode == "star" else None)
-                    src = (_decode_image(req["image_b64"])
-                           if mode in ("lens", "composite") else None)
-                    size = req.get("size", [256, 256])
-                    if mode in ("shadow", "disk", "magnification",
-                                "caustics", "timedelay", "shear",
-                                "volumetric", "star"):
-                        if (len(size) != 2
-                                or any(int(v) <= 0 for v in size)):
-                            raise ValueError(
-                                f"size must be two positive ints, "
-                                f"got {size!r}")
-                        size = [int(v) for v in size]
-                    deadline_s = req.get("deadline_s")
-                    if deadline_s is not None:
-                        deadline_s = float(deadline_s)
-                        if deadline_s < 0:
-                            raise ValueError("deadline_s must be >= 0")
+                    (mode, scene, cfg, disk, riaf, star, src, size,
+                     deadline_s) = decode_request(req)
                 except Exception as exc:        # noqa: BLE001 — client
                     self._reply_json(400, {"error":
                                            f"{type(exc).__name__}: {exc}"})
@@ -398,40 +482,7 @@ def make_server(host: str = "127.0.0.1", port: int = 0,
                         disk=disk, riaf=riaf, star=star,
                         deadline_s=deadline_s)
                     fmt = req.get("format", "png")
-                    if mode == "magnification" and fmt == "png":
-                        # Raw signed mu (with NaN shadow) is an npy
-                        # product; for png, ship the display encoding.
-                        from light_path_tracer_tpu.render import (
-                            magnification_display)
-                        img = magnification_display(img)
-                    elif mode == "shear" and fmt == "png":
-                        # Raw stacked maps are an npy product; the
-                        # png ships the omega (frame-dragging) panel
-                        # on a symmetric diverging scale, NaN black.
-                        import matplotlib.cm as _cm
-                        om = np.asarray(img[3], np.float64)
-                        fin = np.isfinite(om)
-                        lim = (float(np.percentile(np.abs(om[fin]),
-                                                   99.0))
-                               if fin.any() else 1.0) or 1.0
-                        rgba = _cm.RdBu_r(
-                            np.clip(0.5 + 0.5 * om / lim, 0.0, 1.0))
-                        rgba[~fin] = (0.0, 0.0, 0.0, 1.0)
-                        img = rgba
-                    elif mode in ("caustics", "timedelay") \
-                            and fmt == "png":
-                        # Raw A / tau maps are npy products; for png,
-                        # log-compress (NaN shadow -> black).
-                        import matplotlib.cm as _cm
-                        raw = np.asarray(img, np.float64)
-                        disp = np.log10(1.0 + np.nan_to_num(
-                            np.maximum(raw, 0.0), nan=0.0))
-                        lim = float(np.nanpercentile(disp, 99.5)) or 1.0
-                        cmap = (_cm.inferno if mode == "caustics"
-                                else _cm.viridis)
-                        rgba = cmap(np.clip(disp / lim, 0.0, 1.0))
-                        rgba[~np.isfinite(raw)] = (0.0, 0.0, 0.0, 1.0)
-                        img = rgba
+                    img = _display_encode(mode, img, fmt)
                     body, ctype = _encode_image(img, fmt)
                 except Overloaded as exc:
                     self._reply(503,
