@@ -6,8 +6,28 @@ and keep entries on a matching host."""
 
 import os
 
+import pytest
+
 from light_path_tracer_tpu.utils.cache import (
     enable_compilation_cache, _machine_fingerprint, _FINGERPRINT_FILE)
+
+
+@pytest.fixture(autouse=True)
+def _restore_jax_cache_config():
+    """enable_compilation_cache flips PROCESS-WIDE jax config (cache
+    dir + min-compile-time threshold). Without restoring it, every
+    later test in the suite serializes its >2s CPU executables into
+    this module's pytest tmp dir — XLA:CPU executable serialization
+    has been observed to SEGFAULT the suite (put_executable_and_time)
+    under full-suite load, and CI must not depend on that fragile AOT
+    export path at all."""
+    import jax
+    old_dir = jax.config.jax_compilation_cache_dir
+    old_min = jax.config.jax_persistent_cache_min_compile_time_secs
+    yield
+    jax.config.update("jax_compilation_cache_dir", old_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                      old_min)
 
 
 def _populate(path, name="jit_foo-cache"):
