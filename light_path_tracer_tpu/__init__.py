@@ -66,6 +66,10 @@ __all__ = [
     "trace_batch",
     "find_point_images",
     "LensedImage",
+    "render_panorama",
+    "render_pano_image",
+    "build_pano_lookups",
+    "grid_sky",
 ]
 
 _LAZY = {
@@ -121,6 +125,12 @@ _LAZY = {
     "find_point_images": ("light_path_tracer_tpu.images",
                           "find_point_images"),
     "LensedImage": ("light_path_tracer_tpu.images", "LensedImage"),
+    "render_panorama": ("light_path_tracer_tpu.pano", "render_panorama"),
+    "render_pano_image": ("light_path_tracer_tpu.pano",
+                          "render_pano_image"),
+    "build_pano_lookups": ("light_path_tracer_tpu.pano",
+                           "build_pano_lookups"),
+    "grid_sky": ("light_path_tracer_tpu.pano", "grid_sky"),
 }
 
 

@@ -313,7 +313,13 @@ class _KerrHotPath:
                  + g_thth * p_th * p_th
                  + g_phiphi * p_phi * p_phi)
         p_r_sq = -other / g_rr
-        p_r = -jnp.sqrt(jnp.maximum(p_r_sq, 0.0))
+        # Radial branch: the Bardeen screen construction folds alpha and
+        # pi - alpha together (rho ~ sin alpha, metrics.py:148-218) — the
+        # reference's inward root is correct only for the forward-looking
+        # pinhole FOV. Backward rays (panorama chart) start outward:
+        # p^r = g^rr p_r > 0. Bitwise unchanged for alpha <= pi/2.
+        p_r = jnp.where(jnp.cos(alphas) >= 0.0, -1.0, 1.0) * jnp.sqrt(
+            jnp.maximum(p_r_sq, 0.0))
 
         invalid = jnp.broadcast_to(bad_obs, alphas.shape)
         r0 = jnp.broadcast_to(r, alphas.shape)

@@ -87,7 +87,10 @@ class ReissnerNordstrom(Schwarzschild):
         w0_sq = (1.0 / (b_safe * b_safe) - u0 * u0
                  + 2.0 * M * u0 ** 3 - Q2 * u0 ** 4)
         invalid = (b == 0.0) | (w0_sq < 0.0) | (f0 <= 0.0)
-        w0 = jnp.sqrt(jnp.maximum(w0_sq, 0.0))
+        # Outward branch for backward-looking rays (panorama chart);
+        # see Schwarzschild.orbit_initial_state.
+        w0 = jnp.where(jnp.cos(alphas) >= 0.0, 1.0, -1.0) * jnp.sqrt(
+            jnp.maximum(w0_sq, 0.0))
         return u0, w0, invalid
 
     # ---- full 8-D Hamiltonian path ----

@@ -85,7 +85,14 @@ class Schwarzschild(Metric):
         b_safe = jnp.where(b == 0.0, 1.0, b)
         w0_sq = 1.0 / (b_safe * b_safe) - u0 * u0 + 2.0 * M * u0 * u0 * u0
         invalid = (b == 0.0) | (w0_sq < 0.0) | (f0 <= 0.0)
-        w0 = jnp.sqrt(jnp.maximum(w0_sq, 0.0))
+        # Radial branch: the reference only ever traces forward-looking
+        # rays (alpha <= pi/2, within a pinhole FOV) and hard-codes the
+        # inward root (metrics.py:52-63). Backward rays (the panorama
+        # chart's alpha > pi/2 hemisphere) start moving OUTWARD, i.e.
+        # du/dphi < 0. sign(cos alpha) selects the branch; bitwise
+        # unchanged for every alpha < pi/2 path.
+        w0 = jnp.where(jnp.cos(alphas) >= 0.0, 1.0, -1.0) * jnp.sqrt(
+            jnp.maximum(w0_sq, 0.0))
         return u0, w0, invalid
 
     def orbit_extract_angle(self, phi, u, w):

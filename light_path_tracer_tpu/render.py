@@ -62,8 +62,11 @@ def _bilinear_gather(src_flat, px, py, height, width, channels, wrap):
     (loop-around mode) wraps corners modulo the image; otherwise corners
     clamp to the edge (the out-of-bounds CLASSIFICATION stays the
     nearest-rule sentinel in the caller, so only in-bounds smoothing
-    changes vs nearest sampling).
+    changes vs nearest sampling). `wrap` may also be a (wrap_y, wrap_x)
+    pair for per-axis control — the equirect panorama chart wraps in
+    longitude (x) but clamps at the poles (y).
     """
+    wrap_y, wrap_x = wrap if isinstance(wrap, tuple) else (wrap, wrap)
     x0 = jnp.floor(px)
     y0 = jnp.floor(py)
     tx = (px - x0)[..., None]
@@ -72,12 +75,8 @@ def _bilinear_gather(src_flat, px, py, height, width, channels, wrap):
     y0 = y0.astype(jnp.int32)
 
     def at(yy, xx):
-        if wrap:
-            yy = jnp.mod(yy, height)
-            xx = jnp.mod(xx, width)
-        else:
-            yy = jnp.clip(yy, 0, height - 1)
-            xx = jnp.clip(xx, 0, width - 1)
+        yy = jnp.mod(yy, height) if wrap_y else jnp.clip(yy, 0, height - 1)
+        xx = jnp.mod(xx, width) if wrap_x else jnp.clip(xx, 0, width - 1)
         return src_flat[yy * width + xx]
 
     v00 = at(y0, x0)
