@@ -557,7 +557,10 @@ def cmd_lens(args) -> int:
 
     t0 = time.perf_counter()
     if _is_proc0():
-        mpimg.imsave(args.output, np.clip(np.asarray(result), 0.0, 1.0))
+        # On-device uint8 quantization: 4x less readback through the
+        # tunnel, byte-identical PNG (utils/save.py; round-4 item 5).
+        from light_path_tracer_tpu.utils.save import save_png
+        save_png(args.output, result)
     timings["save_image"] = time.perf_counter() - t0
     timings["total"] = timings.get("total", 0.0) + timings["save_image"]
 
@@ -637,8 +640,15 @@ def cmd_shadow(args) -> int:
         img, stats = render_shadow(scene, (args.size, args.size), cfg,
                                    analytic=args.analytic)
     if _is_proc0():
-        mpimg.imsave(args.output, np.asarray(img), cmap="gray",
-                     vmin=0, vmax=1)
+        # uint8 colormap-index readback (1 B/px vs 4) + host-side LUT
+        # with bytes=True: byte-identical to the float cmap="gray"
+        # save (pinned in tests/test_save.py; round-4 item 5 — this is
+        # the 4k AA path whose f32 readback was the ~1 s floor).
+        from matplotlib import cm as _cm
+        from light_path_tracer_tpu.utils.save import quantize_cmap_index
+        mpimg.imsave(args.output,
+                     _cm.gray(np.asarray(quantize_cmap_index(img)),
+                              bytes=True))
     t = stats["timings"]
     mode = ("analytic threshold" if args.analytic
             else (f"integrated, {stats['aa_samples']}x AA"
@@ -876,7 +886,11 @@ def cmd_volumetric(args) -> int:
 
     img, stats = render_volumetric(scene, (args.size, args.size), cfg,
                                    riaf)
-    mpimg.imsave(args.output, cm.afmhot(np.asarray(img))[..., :3])
+    # Read back a 1-byte/px colormap index instead of the f32 image;
+    # LUT applied host-side, byte-identical PNG (utils/save.py).
+    from light_path_tracer_tpu.utils.save import quantize_cmap_index
+    mpimg.imsave(args.output, cm.afmhot(np.asarray(
+        quantize_cmap_index(img)))[..., :3])
     t = stats["timings"]
     print(f"Volumetric ({args.profile}): {args.size}x{args.size}, "
           f"a={scene.a}, "
@@ -949,7 +963,9 @@ def cmd_star(args) -> int:
 
     img, stats = render_star(scene, (args.size, args.size), cfg, star,
                              phase=np.radians(args.phase_deg))
-    mpimg.imsave(args.output, cm.afmhot(np.asarray(img))[..., :3])
+    from light_path_tracer_tpu.utils.save import quantize_cmap_index
+    mpimg.imsave(args.output, cm.afmhot(np.asarray(
+        quantize_cmap_index(img)))[..., :3])
     t = stats["timings"]
     print(f"Star ({args.radius}M): {args.size}x{args.size}, "
           f"apparent radius "
@@ -1317,9 +1333,13 @@ def cmd_disk(args) -> int:
         img, stats = render_disk(scene, (args.size, args.size), cfg, disk)
     if args.spectrum == "blackbody":
         # Physically colored (linear sRGB): gamma-encode for the PNG.
+        # (Host-side: device-f32 pow differs from this float64 pow in
+        # the last ulp, which could flip a truncated texel — the
+        # byte-identical guarantee of utils/save.py would not hold.)
         colored = np.clip(np.asarray(img), 0.0, 1.0) ** (1.0 / 2.2)
     else:
-        colored = cm.afmhot(np.asarray(img))[..., :3]
+        from light_path_tracer_tpu.utils.save import quantize_cmap_index
+        colored = cm.afmhot(np.asarray(quantize_cmap_index(img)))[..., :3]
     if _is_proc0():
         mpimg.imsave(args.output, colored)
     t = stats["timings"]
@@ -2129,6 +2149,16 @@ def main(argv=None) -> int:
             process_id=args.process_id,
             timeout_s=args.init_timeout)
     from light_path_tracer_tpu.utils.cache import enable_compilation_cache
+    # The persistent-cache settings are process-global too; snapshot
+    # them BEFORE enabling so the finally below restores them (a leaked
+    # jax_compilation_cache_dir made pytest write — and once segfault
+    # in — the on-disk cache long after main() returned).
+    for key in ("jax_compilation_cache_dir",
+                "jax_persistent_cache_min_compile_time_secs"):
+        try:
+            restore[key] = getattr(jax.config, key)
+        except AttributeError:
+            pass
     enable_compilation_cache()
     try:
         if not getattr(args, "fn", None):
@@ -2136,10 +2166,10 @@ def main(argv=None) -> int:
             return 2
         return args.fn(args)
     finally:
-        # Both settings are process-global; restore them so in-process
-        # callers (tests, notebooks) can invoke main() repeatedly with
-        # different flags. (The already-initialized backend persists —
-        # only the CONFIG is restored.)
+        # All captured settings are process-global; restore them so
+        # in-process callers (tests, notebooks) can invoke main()
+        # repeatedly with different flags. (The already-initialized
+        # backend persists — only the CONFIG is restored.)
         for key, val in restore.items():
             jax.config.update(key, val)
 

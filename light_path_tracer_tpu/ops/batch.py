@@ -33,9 +33,12 @@ def _kerr_backend(backend, dtype, metric=None):
     """Resolve 'auto' to the Pallas fused kernel on TPU float32.
 
     A metric can opt out of the Mosaic kernel by setting
-    supports_pallas = False (none of the shipped families do — the
-    tile kernel is metric-generic); such metrics resolve to XLA and
-    reject an explicit backend='pallas'."""
+    supports_pallas = False (of the shipped families only CustomMetric
+    does — its RHS is jax.grad of an arbitrary user callable, which
+    does not lower under Mosaic; Johannsen-Psaltis gained a
+    hand-derived RHS in round 4 and rides the tile kernel like
+    Kerr/KN); such metrics resolve to XLA and reject an explicit
+    backend='pallas'."""
     if metric is not None and not getattr(metric, "supports_pallas",
                                           True):
         if backend == "pallas":

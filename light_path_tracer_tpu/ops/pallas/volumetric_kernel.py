@@ -1,0 +1,186 @@
+"""Pallas TPU tile kernel for the volumetric radiative-transfer trace.
+
+Round-3 verdict item 3: the entire volumetric family (thin emission,
+self-absorbed transfer) previously ran on the XLA shared adaptive loop
+regardless of cfg.backend, because the Pallas tile kernel did not carry
+the extra error-controlled state component. This kernel closes that gap:
+it is the same VMEM-resident fused-trace design as
+ops/pallas/kerr_trace_kernel.py (one Pallas program per (rows, 128) ray
+tile, per-tile `lax.while_loop` early exit), but the integrated state is
+the 6- or 7-component volumetric state — [r, theta, phi, p_r, p_theta]
+plus the error-controlled path-integral extras of
+ops/kerr_trace.trace_rays_volumetric (kerr_trace.py:307-397):
+
+    thin:      y[5] = I,  dI/dlambda   = emission(y5)
+    absorbed:  y[5] = I,  dI/dlambda   = exp(-tau) * emission(y5)
+               y[6] = tau, dtau/dlambda = chi(y5)
+
+The numerics are shared, not duplicated: the kernel body calls the same
+shape-polymorphic ops.kerr_trace.dp45_integrate with the same extra_rhs
+closure the XLA path builds, so XLA-vs-Pallas agreement is a
+backend-arithmetic diff, pinned in tests/test_pallas.py (interpret mode)
+and by the on-chip smoke artifact (scripts/chip_smoke.py).
+
+Certain-capture early exit stays OFF (r_plunge=None), exactly as on the
+XLA path: plunging photons collect emission down to the capture surface.
+
+Emissivity restrictions: emission_fn/absorption_fn must lower under
+Mosaic — the shipped RIAF profiles (volumetric._profile_fns: exp, sqrt,
+pow, sigmoid, cos) all do; anything needing atan2/acos must stay on the
+XLA path (same rule as the mu-chart conversion, kerr_trace_kernel.py).
+
+No reference counterpart (the reference renders background lensing
+only; /root/reference/image_lens.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from light_path_tracer_tpu.ops.kerr_trace import (
+    dp45_integrate, finalize_angles, get_tols, _h_init_for,
+    RUNNING, INVALID)
+from light_path_tracer_tpu.ops.pallas.kerr_trace_kernel import (
+    LANE, DEFAULT_ROWS)
+from light_path_tracer_tpu.ops.types import VolumetricResult
+
+
+def _volumetric_tile_kernel(alpha_ref, theta_ref, valid_ref, *out_refs,
+                            metric, r_obs, theta_obs, lambda_max,
+                            max_steps, tols, emission_fn, absorption_fn,
+                            method):
+    (r_out, th_out, phi_out, pr_out, pth_out, em_out, tau_out,
+     status_out, steps_out) = out_refs
+    alphas = alpha_ref[:]
+    thetas = theta_ref[:]
+    valid = valid_ref[:] > 0.5
+    dtype = alphas.dtype
+
+    y0, p_t, p_phi, invalid0 = metric.initial_conditions_5d(
+        r_obs, alphas, thetas, theta_obs)
+    status0 = jnp.where(invalid0 | ~valid, INVALID, RUNNING).astype(
+        jnp.int32)
+
+    # Same extra-state construction as the XLA path
+    # (kerr_trace.trace_rays_volumetric) — incl. the -30 tau floor that
+    # bounds exp(+|tau|) on unphysical RK stage probes.
+    if absorption_fn is None:
+        y0 = (*y0, jnp.zeros_like(y0[0]))
+        extra = lambda y, pt, pp: (emission_fn(y[:5], pt, pp),)
+    else:
+        y0 = (*y0, jnp.zeros_like(y0[0]), jnp.zeros_like(y0[0]))
+        extra = lambda y, pt, pp: (
+            jnp.exp(-jnp.maximum(y[6], -30.0))
+            * emission_fn(y[:5], pt, pp),
+            absorption_fn(y[:5], pt, pp))
+
+    y_f, status_f, _lam_f, steps = dp45_integrate(
+        metric, y0, p_t, p_phi, status0,
+        atol=jnp.full_like(alphas, tols["atol"]),
+        rtol=jnp.full_like(alphas, tols["rtol"]),
+        h_min=jnp.asarray(tols["h_min"], dtype),
+        tiny_err=tols["tiny_err"],
+        r_capture=jnp.asarray(metric.capture_radius(), dtype),
+        r_escape=jnp.asarray(r_obs * 2.0, dtype),
+        lambda_max=lambda_max, h_init=_h_init_for(r_obs, dtype),
+        max_steps=max_steps, method=method, extra_rhs=extra)
+
+    r_out[:] = y_f[0]
+    th_out[:] = y_f[1]
+    phi_out[:] = y_f[2]
+    pr_out[:] = y_f[3]
+    pth_out[:] = y_f[4]
+    em_out[:] = y_f[5]
+    tau_out[:] = y_f[6] if absorption_fn is not None else jnp.zeros_like(
+        y_f[0])
+    status_out[:] = status_f
+    steps_out[:] = jnp.full(steps_out.shape, steps, jnp.int32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("metric", "r_obs", "theta_obs", "emission_fn",
+                     "lambda_max", "max_steps", "precision", "method",
+                     "absorption_fn", "tile_rows", "interpret"))
+def trace_rays_volumetric_pallas(metric, r_obs, alphas, thetas,
+                                 theta_obs, emission_fn,
+                                 lambda_max: float,
+                                 max_steps: int = 200000,
+                                 precision: str = "fast",
+                                 method: str = "dp45",
+                                 absorption_fn=None,
+                                 tile_rows: int = DEFAULT_ROWS,
+                                 interpret: bool = False):
+    """Pallas-fused volumetric batch tracer; drop-in for
+    ops.kerr_trace.trace_rays_volumetric (same signature head, same
+    VolumetricResult return). float32 only — the XLA path remains the
+    float64 oracle tier. emission_fn/absorption_fn must be
+    cached/stable function objects (jit static args —
+    volumetric.make_transfer_fns lru_caches per (metric, config))."""
+    dtype = alphas.dtype
+    if dtype != jnp.float32:
+        raise ValueError("pallas path is float32-only; got " + str(dtype))
+    tols = get_tols(dtype, precision)
+
+    n = alphas.shape[0]
+    tile = tile_rows * LANE
+    n_pad = max(1, -(-n // tile)) * tile
+    n_tiles = n_pad // tile
+
+    def pad(x, fill):
+        return jnp.concatenate(
+            [x, jnp.full((n_pad - n,), fill, x.dtype)]) if n_pad > n else x
+
+    alphas_p = pad(alphas, 0.1).reshape(n_tiles * tile_rows, LANE)
+    thetas_p = pad(thetas, 0.0).reshape(n_tiles * tile_rows, LANE)
+    valid_p = pad(jnp.ones((n,), dtype), 0.0).reshape(
+        n_tiles * tile_rows, LANE)
+
+    kernel = functools.partial(
+        _volumetric_tile_kernel, metric=metric, r_obs=float(r_obs),
+        theta_obs=float(theta_obs), lambda_max=float(lambda_max),
+        max_steps=max_steps, tols=tols, emission_fn=emission_fn,
+        absorption_fn=absorption_fn, method=method)
+
+    block = pl.BlockSpec((tile_rows, LANE), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+    f32 = jax.ShapeDtypeStruct((n_tiles * tile_rows, LANE), dtype)
+    i32 = jax.ShapeDtypeStruct((n_tiles * tile_rows, LANE), jnp.int32)
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[block, block, block],
+        out_specs=(block,) * 9,
+        out_shape=(f32,) * 7 + (i32, i32),
+        interpret=interpret,
+    )(alphas_p, thetas_p, valid_p)
+
+    # Same cross-backend n_steps contract as the shadow kernel: total
+    # lock-step iterations summed over independently scheduled tiles.
+    n_steps = jnp.sum(outs[8].reshape(n_tiles, -1)[:, 0])
+    (r_f, th_f, phi_f, pr_f, pth_f, em_f, tau_f) = (
+        o.reshape(n_pad)[:n] for o in outs[:7])
+    status_f = outs[7].reshape(n_pad)[:n]
+
+    zero = jnp.asarray(0.0, dtype)
+    em = jnp.where(status_f == INVALID, zero, em_f)
+    tau = (jnp.zeros_like(em) if absorption_fn is None
+           else jnp.where(status_f == INVALID, zero, tau_f))
+
+    # Extraction outside the kernel (finalize_angles needs acos, which
+    # Mosaic does not lower — same split as the shadow kernel).
+    _y0, p_t, p_phi, _inv = metric.initial_conditions_5d(
+        float(r_obs), alphas, thetas, float(theta_obs))
+    final_alpha, n_half, status_out = finalize_angles(
+        metric, (r_f, th_f, phi_f, pr_f, pth_f), p_t, p_phi, status_f)
+    # em keys off the INTEGRATION status, not status_out (same rationale
+    # as the XLA path: a degenerate angle extraction does not erase the
+    # physically accumulated emission).
+    return VolumetricResult(em, final_alpha, n_half, status_out, n_steps,
+                            tau)

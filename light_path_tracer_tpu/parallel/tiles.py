@@ -31,6 +31,24 @@ def _pad_rows(grid, rows_to):
         [grid, jnp.broadcast_to(grid[-1:], (pad,) + grid.shape[1:])], axis=0)
 
 
+def _mesh_sync(mesh, outputs):
+    """Serialize sharded dispatches on CPU meshes.
+
+    XLA:CPU's in-process collectives (including shard_map's implicit
+    output gather) have a hard 40 s rendezvous timeout and ABORT the
+    process when it expires. On an oversubscribed host (1 core, 8
+    virtual devices) an asynchronously dispatched sharded program can
+    starve one participant thread while the main thread is busy tracing
+    the NEXT program — observed as `InProcessCommunicator::AllReduce …
+    only 7 of 8 arrived` killing the test suite. Blocking on the
+    outputs before returning removes the overlap; real TPU meshes keep
+    full async dispatch.
+    """
+    if mesh.devices.flat[0].platform == "cpu":
+        jax.block_until_ready(outputs)
+    return outputs
+
+
 def trace_grid_sharded(metric, r_obs, alpha_grid, theta_grid=None,
                        theta_obs=np.pi / 2, refine_grid=None, *,
                        mesh: Mesh, lambda_max=None, max_steps=200000,
@@ -105,13 +123,15 @@ def trace_grid_sharded(metric, r_obs, alpha_grid, theta_grid=None,
                                  P(axis, None)))
         fa, nh, st = jax.jit(f)(alpha_p, theta_p, refine_p)
 
-    return fa[inv_perm][:H], nh[inv_perm][:H], st[inv_perm][:H]
+    return _mesh_sync(
+        mesh, (fa[inv_perm][:H], nh[inv_perm][:H], st[inv_perm][:H]))
 
 
 def trace_disk_grid_sharded(metric, r_obs, alpha_grid, theta_grid,
                             theta_obs, disk, *, mesh: Mesh,
                             lambda_max=None, max_steps=200000,
-                            backend="auto", layout="stripes"):
+                            backend="auto", layout="stripes",
+                            record_momentum=False):
     """Disk-mode trace of an (H, W) grid sharded row-wise over `mesh`.
 
     Same tile-DP pattern as trace_grid_sharded (each device runs its own
@@ -143,7 +163,8 @@ def trace_disk_grid_sharded(metric, r_obs, alpha_grid, theta_grid,
 
     per_tile, out_specs = disk_per_tile(metric, r_obs, theta_obs,
                                         lambda_max, max_steps, disk,
-                                        backend, axis)
+                                        backend, axis,
+                                        record_momentum=record_momentum)
     spec = P(axis, None)
     f = shard_map(per_tile, mesh=mesh, in_specs=(spec, spec),
                   out_specs=out_specs)
@@ -152,14 +173,14 @@ def trace_disk_grid_sharded(metric, r_obs, alpha_grid, theta_grid,
     def unplace(grid):
         return grid[inv_perm][:H]
 
-    return DiskTraceResult(
+    return _mesh_sync(mesh, DiskTraceResult(
         unplace(res.status), unplace(res.n_hits),
         tuple(unplace(r) for r in res.r_hits), unplace(res.xi),
         jnp.sum(res.n_steps), unplace(res.final_alpha),
         unplace(res.n_half), tuple(unplace(p) for p in res.phi_hits),
         tuple(unplace(x) for x in res.xi_hits),
         tuple(unplace(p) for p in res.pr_hits),
-        tuple(unplace(p) for p in res.pth_hits))
+        tuple(unplace(p) for p in res.pth_hits)))
 
 
 def disk_slots(disk) -> range:
@@ -167,7 +188,7 @@ def disk_slots(disk) -> range:
 
 
 def disk_per_tile(metric, r_obs, theta_obs, lambda_max, max_steps, disk,
-                  backend, axis):
+                  backend, axis, record_momentum=False):
     """(per_tile fn, shard_map out_specs) for disk-mode tile DP — the
     ONE definition of the DiskTraceResult tile pytree, shared by the
     single-host (trace_disk_grid_sharded) and multi-host
@@ -175,16 +196,21 @@ def disk_per_tile(metric, r_obs, theta_obs, lambda_max, max_steps, disk,
     construction cannot diverge. Tilted/warped disks also carry
     per-crossing angular momentum (xi_hits) — dropping it would
     silently compute the Doppler about the wrong axis downstream.
+    record_momentum adds the per-crossing (p_r, p_theta) slots the
+    polarized-disk path needs (polarization.render_polarization
+    mesh=).
     """
     from light_path_tracer_tpu.disk import trace_disk_rays, DiskTraceResult
 
     tilted = disk.tilt != 0.0 or disk.warp_radius is not None
     n_xi = disk.max_hits if tilted else 0
+    n_mom = disk.max_hits if record_momentum else 0
 
     def per_tile(a, t):
         res = trace_disk_rays(
             metric, float(r_obs), a.ravel(), t.ravel(), float(theta_obs),
-            float(lambda_max), max_steps, disk, backend=backend)
+            float(lambda_max), max_steps, disk, backend=backend,
+            record_momentum=record_momentum)
         return DiskTraceResult(
             res.status.reshape(a.shape),
             res.n_hits.reshape(a.shape),
@@ -203,12 +229,10 @@ def disk_per_tile(metric, r_obs, theta_obs, lambda_max, max_steps, disk,
             tuple(p.reshape(a.shape) for p in res.pth_hits))
 
     spec = P(axis, None)
-    # Crossing momenta (pr/pth) are the polarization path's opt-in
-    # (record_momentum) and polarization is single-chip by design —
-    # the sharded tile pytree carries the default empty tuples.
     out_specs = DiskTraceResult(
         spec, spec, (spec,) * disk.max_hits, spec, spec, spec, spec,
-        (spec,) * disk.max_hits, (spec,) * n_xi, (), ())
+        (spec,) * disk.max_hits, (spec,) * n_xi,
+        (spec,) * n_mom, (spec,) * n_mom)
     return per_tile, out_specs
 
 
@@ -274,10 +298,10 @@ def trace_volumetric_grid_sharded(metric, r_obs, alpha_grid, theta_grid,
     def unplace(grid):
         return grid[inv_perm][:H]
 
-    return VolumetricResult(
+    return _mesh_sync(mesh, VolumetricResult(
         unplace(res.emission), unplace(res.final_alpha),
         unplace(res.n_half_orbits), unplace(res.status),
-        jnp.sum(res.n_steps), unplace(res.optical_depth))
+        jnp.sum(res.n_steps), unplace(res.optical_depth)))
 
 
 def trace_surface_grid_sharded(metric, r_obs, alpha_grid, theta_grid,
@@ -330,8 +354,8 @@ def trace_surface_grid_sharded(metric, r_obs, alpha_grid, theta_grid,
     def unplace(grid):
         return grid[inv_perm][:H]
 
-    return SurfaceResult(*(unplace(f) for f in res[:9]),
-                         jnp.sum(res.n_steps))
+    return _mesh_sync(mesh, SurfaceResult(*(unplace(f) for f in res[:9]),
+                                          jnp.sum(res.n_steps)))
 
 
 def trace_spectral_grid_sharded(metric, r_obs, alpha_grid, theta_grid,
@@ -387,11 +411,11 @@ def trace_spectral_grid_sharded(metric, r_obs, alpha_grid, theta_grid,
     def unplace(grid):
         return grid[inv_perm][:H]
 
-    return SpectralResult(
+    return _mesh_sync(mesh, SpectralResult(
         tuple(unplace(e) for e in res.emission),
         unplace(res.tau_hat), unplace(res.final_alpha),
         unplace(res.n_half_orbits), unplace(res.status),
-        jnp.sum(res.n_steps))
+        jnp.sum(res.n_steps)))
 
 
 def trace_aux_grid_sharded(metric, r_obs, alpha_grid, theta_grid,
@@ -452,7 +476,7 @@ def trace_aux_grid_sharded(metric, r_obs, alpha_grid, theta_grid,
     def unplace(grid):
         return grid[inv_perm][:H]
 
-    return ExtrasResult(
+    return _mesh_sync(mesh, ExtrasResult(
         tuple(unplace(e) for e in res.extras),
         unplace(res.final_alpha), unplace(res.n_half_orbits),
-        unplace(res.status), jnp.sum(res.n_steps))
+        unplace(res.status), jnp.sum(res.n_steps)))

@@ -254,10 +254,44 @@ def observed_polarization(metric, r_obs, theta_obs, alphas, thetas,
     return x, y, ok
 
 
+def _trace_disk_momentum(metric, scene, cfg, disk, alpha, theta,
+                         mesh=None):
+    """The polarized paths' disk trace (crossing momenta recorded),
+    single-device or tile-DP over `mesh`; returns a DiskTraceResult of
+    FLAT ray arrays either way (the polarization algebra is written
+    over flat arrays). Shared by render_polarization and
+    hotspot_qu_loop."""
+    if mesh is not None:
+        from light_path_tracer_tpu.parallel.tiles import (
+            trace_disk_grid_sharded)
+        g = trace_disk_grid_sharded(
+            metric, scene.r_obs, alpha, theta, scene.theta_obs,
+            disk, mesh=mesh,
+            lambda_max=max(5000.0, 6.0 * scene.r_obs),
+            max_steps=cfg.max_steps, backend=cfg.backend,
+            record_momentum=True)
+        return type(g)(
+            g.status.ravel(), g.n_hits.ravel(),
+            tuple(r.ravel() for r in g.r_hits),
+            g.xi.ravel(), g.n_steps,
+            g.final_alpha.ravel(), g.n_half.ravel(),
+            tuple(p.ravel() for p in g.phi_hits),
+            tuple(x.ravel() for x in g.xi_hits),
+            tuple(p.ravel() for p in g.pr_hits),
+            tuple(p.ravel() for p in g.pth_hits))
+    return trace_disk_rays(
+        metric, scene.r_obs, alpha.ravel(), theta.ravel(),
+        scene.theta_obs, max(5000.0, 6.0 * scene.r_obs),
+        cfg.max_steps, disk, backend=cfg.backend,
+        precision=cfg.precision, method=cfg.integrator,
+        two_pass=cfg.two_pass, pass1_steps=cfg.pass1_steps,
+        record_momentum=True)
+
+
 def render_polarization(scene: SceneConfig, resolution,
                         cfg: RenderConfig = RenderConfig(),
                         disk: DiskConfig = DiskConfig(),
-                        field: str = "toroidal"):
+                        field: str = "toroidal", mesh=None):
     """Polarized accretion-disk image; returns (evpa, pol_frac,
     intensity, stats) as (H, W) float32 arrays.
 
@@ -267,6 +301,12 @@ def render_polarization(scene: SceneConfig, resolution,
     intensity: the imaging path's (unpolarized) emission for the same
     trace. First (opaque) crossing only; the camera must be BH-centered
     (psi = 0 — the screen-basis mapping assumes it).
+
+    mesh: optional jax.sharding.Mesh — shard the disk trace row-wise
+    over its devices (parallel/tiles.trace_disk_grid_sharded with
+    record_momentum); the polarization epilogue is O(pixels)
+    elementwise. Single-device equality is pinned in
+    tests/test_sharding.py.
     """
     if any(abs(p) > 1e-12 for p in scene.psi):
         raise ValueError("render_polarization requires psi = (0, 0) "
@@ -289,13 +329,8 @@ def render_polarization(scene: SceneConfig, resolution,
         out.append((alpha, theta))
 
     with timer.stage("precompute") as out:
-        res = trace_disk_rays(
-            metric, scene.r_obs, alpha.ravel(), theta.ravel(),
-            scene.theta_obs, max(5000.0, 6.0 * scene.r_obs),
-            cfg.max_steps, disk, backend=cfg.backend,
-            precision=cfg.precision, method=cfg.integrator,
-            two_pass=cfg.two_pass, pass1_steps=cfg.pass1_steps,
-            record_momentum=True)
+        res = _trace_disk_momentum(metric, scene, cfg, disk, alpha,
+                                   theta, mesh=mesh)
         out.append(res.status)
 
     with timer.stage("render") as out:
@@ -388,7 +423,7 @@ def save_polarization_figure(path, evpa, pol_frac, intensity,
 def hotspot_qu_loop(scene: SceneConfig, resolution, times,
                     cfg: RenderConfig = RenderConfig(),
                     disk: DiskConfig = DiskConfig(),
-                    spot=None, field: str = "toroidal"):
+                    spot=None, field: str = "toroidal", mesh=None):
     """Integrated Stokes (Q, U) vs time for an orbiting hot spot — the
     polarization "loop" observable (GRAVITY / EHT Sgr A* flares): as
     the spot circles the hole, the net EVPA of the integrated emission
@@ -424,13 +459,8 @@ def hotspot_qu_loop(scene: SceneConfig, resolution, times,
         out.append((alpha, theta))
 
     with timer.stage("precompute") as out:
-        res = trace_disk_rays(
-            metric, scene.r_obs, alpha.ravel(), theta.ravel(),
-            scene.theta_obs, max(5000.0, 6.0 * scene.r_obs),
-            cfg.max_steps, disk, backend=cfg.backend,
-            precision=cfg.precision, method=cfg.integrator,
-            two_pass=cfg.two_pass, pass1_steps=cfg.pass1_steps,
-            record_momentum=True)
+        res = _trace_disk_momentum(metric, scene, cfg, disk, alpha,
+                                   theta, mesh=mesh)
         out.append(res.status)
 
     with timer.stage("render") as out:

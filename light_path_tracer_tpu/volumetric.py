@@ -712,9 +712,11 @@ def render_volumetric(scene: SceneConfig, resolution,
     per-pixel path integrals as a NumPy array for quantitative use
     (the visibility/observables pipeline takes it directly).
 
-    The integrator backend is the XLA shared adaptive loop regardless
-    of cfg.backend (the emissivity rides the error-controlled state;
-    the Pallas tile kernel does not carry the extra component).
+    Backend: cfg.backend resolves exactly like the shadow/lens paths
+    (ops.batch._kerr_backend) — 'auto' picks the Pallas volumetric tile
+    kernel on TPU float32 (ops/pallas/volumetric_kernel.py: the 6/7-
+    component error-controlled state in VMEM), the XLA shared adaptive
+    loop elsewhere (and always for float64 oracle runs).
     mesh: a jax.sharding.Mesh routes the trace through row-striped
     tile DP (parallel.tiles.trace_volumetric_grid_sharded).
     """
@@ -745,7 +747,13 @@ def render_volumetric(scene: SceneConfig, resolution,
                 precision=cfg.precision, method=cfg.integrator,
                 absorption_fn=absorption_fn)
         else:
-            res = trace_rays_volumetric(
+            from light_path_tracer_tpu.ops.batch import _kerr_backend
+            if _kerr_backend(cfg.backend, dtype, metric) == "pallas":
+                from light_path_tracer_tpu.ops.pallas.volumetric_kernel \
+                    import trace_rays_volumetric_pallas as vol_fn
+            else:
+                vol_fn = trace_rays_volumetric
+            res = vol_fn(
                 metric, scene.r_obs, alpha.ravel(), theta.ravel(),
                 scene.theta_obs, emission_fn,
                 max(5000.0, 6.0 * scene.r_obs), cfg.max_steps,

@@ -32,6 +32,15 @@ def main():
     ap.add_argument("--reps", type=int, default=2)
     ap.add_argument("--only", default=None,
                     help="substring filter on mode names")
+    ap.add_argument("--backend", default="xla",
+                    choices=["xla", "pallas", "auto"],
+                    help="integrator backend for modes that take "
+                         "cfg.backend (volumetric family rides the "
+                         "Pallas tile kernel on TPU f32 when "
+                         "'pallas'/'auto')")
+    ap.add_argument("--json", default=None,
+                    help="append one JSON line per mode to this file "
+                         "(the committed NEWMODES artifact)")
     args = ap.parse_args()
 
     import jax
@@ -51,7 +60,7 @@ def main():
     from light_path_tracer_tpu.disk import keplerian_omega
 
     size = (args.size, args.size)
-    cfg = RenderConfig(backend="xla")
+    cfg = RenderConfig(backend=args.backend)
     period = 2 * np.pi / abs(float(keplerian_omega(1.0, 0.9, 6.0, True)))
     movie_times = tuple(period * k / 8 for k in range(8))
 
@@ -148,6 +157,7 @@ def main():
     _kerr_ref = _Kerr(M=1.0, a=0.9)
 
     def _trace_only(metric, jitter):
+        from light_path_tracer_tpu.ops.batch import trace_batch
         rng = np.random.default_rng(int(jitter * 1e6) % 2**31)
         n = args.size * args.size
         alphas = jnp.asarray(rng.uniform(0.005, 0.3, n), jnp.float32)
@@ -155,9 +165,13 @@ def main():
                              jnp.float32)
         timer = StageTimer()
         with timer.stage("precompute") as out:
-            res = trace_rays_kerr(metric, 100.0, alphas, thetas,
-                                  np.pi / 2, jnp.zeros(n, bool),
-                                  5000.0, 200000)
+            # 'pallas' -> 'auto' so metrics with supports_pallas=False
+            # (the autodiff custom metric) fall back instead of raising.
+            res = trace_batch(metric, 100.0, alphas, thetas,
+                              np.pi / 2, jnp.zeros(n, bool),
+                              lambda_max=5000.0, max_steps=200000,
+                              backend=("auto" if args.backend == "pallas"
+                                       else args.backend))
             out.append(res.final_alpha)
         return None, {"timings": timer.finish(),
                       "integrator_steps": int(res.n_steps)}
@@ -184,11 +198,27 @@ def main():
                         theta_obs=np.pi / 2), size, cfg),
     })
 
+    # Kerr-Newman (charged) trace + image-plane magnification map —
+    # the two round-3 modes the table previously missed (VERDICT r3
+    # item 2). KN follows the direct-trace pattern (the fused shadow
+    # pipeline's scene is a static arg; jitter would recompile);
+    # magnification rides psi_y like the other source-plane rows.
+    from light_path_tracer_tpu.models import KerrNewman
+    from light_path_tracer_tpu.pipeline import render_magnification
+    _kn = KerrNewman(M=1.0, a=0.6, Q=0.6)
+    modes.update({
+        "kerr-newman trace": lambda s: _trace_only(_kn, s.psi_y),
+        "magnification map": lambda s: render_magnification(
+            SceneConfig(psi_y=s.psi_y, **weak_kw), size, cfg)[1:],
+    })
+
     n_rays = args.size * args.size
     print(f"# newmodes bench: {args.size}^2, device={args.device}, "
           f"platform={jax.devices()[0].platform}")
     print(f"{'mode':<22} {'steps':>8} {'precomp_s':>10} "
           f"{'Mrays/s':>8}")
+    import json
+    jf = open(args.json, "a") if args.json else None
     for name, fn in modes.items():
         if args.only and args.only not in name:
             continue
@@ -203,6 +233,17 @@ def main():
             best = dt if best is None else min(best, dt)
         print(f"{name:<22} {steps:>8,} {best:>10.3f} "
               f"{n_rays / max(best, 1e-9) / 1e6:>8.2f}")
+        if jf is not None:
+            jf.write(json.dumps({
+                "mode": name, "size": args.size,
+                "backend": args.backend,
+                "platform": jax.devices()[0].platform,
+                "steps": int(steps), "precompute_s": round(best, 4),
+                "mrays_per_s": round(n_rays / max(best, 1e-9) / 1e6,
+                                     3)}) + "\n")
+            jf.flush()
+    if jf is not None:
+        jf.close()
 
 
 if __name__ == "__main__":

@@ -30,10 +30,33 @@ def _restore_jax_cache_config():
                       old_min)
 
 
+@pytest.fixture(autouse=True)
+def _lift_pytest_optout(monkeypatch):
+    """conftest.py hard-disables the persistent cache for the whole
+    suite (LPT_COMPILE_CACHE_OFF); these tests exercise the enable path
+    itself, so lift the opt-out locally."""
+    monkeypatch.delenv("LPT_COMPILE_CACHE_OFF", raising=False)
+
+
 def _populate(path, name="jit_foo-cache"):
     os.makedirs(os.path.join(path, name), exist_ok=True)
     with open(os.path.join(path, name, "blob"), "wb") as f:
         f.write(b"\x00" * 16)
+
+
+def test_optout_env_is_a_noop(tmp_path, monkeypatch):
+    """With LPT_COMPILE_CACHE_OFF set (as conftest does for the whole
+    suite), enable_compilation_cache must neither touch the directory
+    nor flip jax config — this is what keeps cli/serve entry points
+    cache-free under pytest."""
+    import jax
+    cache = str(tmp_path / "c0")
+    monkeypatch.setenv("LPT_COMPILE_CACHE", cache)
+    monkeypatch.setenv("LPT_COMPILE_CACHE_OFF", "1")
+    before = jax.config.jax_compilation_cache_dir
+    enable_compilation_cache()
+    assert not os.path.exists(cache)
+    assert jax.config.jax_compilation_cache_dir == before
 
 
 def test_wipes_on_fingerprint_mismatch(tmp_path, monkeypatch):

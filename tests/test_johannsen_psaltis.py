@@ -198,3 +198,75 @@ def test_alpha_crit_bracket_expands_for_strong_deformation():
     ac = jp.alpha_crit(r_obs, np.pi / 2, n_azimuth=8, iters=14,
                        max_steps=30000)
     assert hi0 * 1.1 < ac < np.pi / 2          # beyond the old cap
+
+
+def test_hand_rhs_matches_autodiff_oracle():
+    """Round-4 hand-derived rhs5 vs the jax.grad-of-Hamiltonian form
+    (rhs5_autodiff over the same _inv_terms): roundoff-level agreement
+    on random states — the same hand-vs-autodiff contract Kerr and
+    Kerr-Newman pin."""
+    m = JohannsenPsaltis(1.0, 0.7, eps3=2.5)
+    rng = np.random.default_rng(0)
+    n = 2048
+    r = jnp.asarray(rng.uniform(m.capture_radius() * 1.05, 80.0, n))
+    th = jnp.asarray(rng.uniform(0.05, np.pi - 0.05, n))
+    state = (r, th, jnp.asarray(rng.uniform(-np.pi, np.pi, n)),
+             jnp.asarray(rng.normal(0, 1, n)),
+             jnp.asarray(rng.normal(0, 3, n)))
+    p_phi = jnp.asarray(rng.normal(0, 4, n))
+    hand = m.rhs5(state, -1.0, p_phi)
+    auto = m.rhs5_autodiff(state, -1.0, p_phi)
+    for x, z in zip(hand, auto):
+        x, z = np.asarray(x), np.asarray(z)
+        rel = np.abs(x - z) / np.maximum(np.abs(z), 1e-12)
+        assert rel.max() < 1e-8
+
+
+def test_hand_rhs_negative_eps3_matches_autodiff():
+    """The deformed-barrier regime (eps3 < 0 moves the pathology
+    outside r_+): same oracle agreement there."""
+    m = JohannsenPsaltis(1.0, 0.5, eps3=-3.0)
+    rng = np.random.default_rng(1)
+    n = 1024
+    r = jnp.asarray(rng.uniform(m.capture_radius() * 1.05, 50.0, n))
+    th = jnp.asarray(rng.uniform(0.1, np.pi - 0.1, n))
+    state = (r, th, jnp.zeros(n),
+             jnp.asarray(rng.normal(0, 1, n)),
+             jnp.asarray(rng.normal(0, 3, n)))
+    p_phi = jnp.asarray(rng.normal(0, 4, n))
+    hand = m.rhs5(state, -1.0, p_phi)
+    auto = m.rhs5_autodiff(state, -1.0, p_phi)
+    for x, z in zip(hand, auto):
+        x, z = np.asarray(x), np.asarray(z)
+        rel = np.abs(x - z) / np.maximum(np.abs(z), 1e-12)
+        assert rel.max() < 1e-8
+
+
+def test_jp_runs_on_pallas_tile_kernel():
+    """supports_pallas lifted (round 4): the Mosaic tile kernel traces
+    JP (interpret mode here; real-chip parity in SMOKE artifacts) and
+    agrees with the XLA path."""
+    from light_path_tracer_tpu.ops.pallas.kerr_trace_kernel import (
+        trace_rays_kerr_pallas)
+
+    m = JohannsenPsaltis(1.0, 0.9, eps3=2.0)
+    assert getattr(m, "supports_pallas", True)
+    rng = np.random.default_rng(2)
+    n = 256
+    ac = m.alpha_crit(R_OBS)
+    alphas = jnp.asarray(rng.uniform(0.3 * ac, 4 * ac, n), jnp.float32)
+    thetas = jnp.asarray(rng.uniform(-np.pi, np.pi, n), jnp.float32)
+    refine = jnp.zeros(n, bool)
+    rp = trace_rays_kerr_pallas(m, R_OBS, alphas, thetas, np.pi / 2,
+                                refine, 5000.0, 20000, tile_rows=2,
+                                interpret=True)
+    rx = trace_rays_kerr(m, R_OBS, alphas, thetas, np.pi / 2, refine,
+                         5000.0, 20000)
+    sp, sx = np.asarray(rp.status), np.asarray(rx.status)
+    assert (sp == sx).mean() > 0.99
+    both = (sp == 1) & (sx == 1)
+    alb = np.asarray(alphas)
+    stable = both & (np.abs(alb - ac) > 0.05 * ac)
+    d = np.abs(np.asarray(rp.final_alpha)[stable]
+               - np.asarray(rx.final_alpha)[stable])
+    assert np.percentile(d, 99) < 1e-3

@@ -230,3 +230,41 @@ def test_pallas_mu_formulation_matches_theta():
     d = np.abs(np.asarray(r_mu.final_alpha)[stable]
                - np.asarray(r_th.final_alpha)[stable])
     assert np.percentile(d, 99) < 1e-3
+
+
+def test_volumetric_pallas_matches_xla():
+    """The volumetric tile kernel (ops/pallas/volumetric_kernel.py)
+    carries the error-controlled emission component through the same
+    dp45_integrate body as the XLA path: interpret-mode results must
+    agree to backend arithmetic, thin AND self-absorbed."""
+    from light_path_tracer_tpu.ops.kerr_trace import trace_rays_volumetric
+    from light_path_tracer_tpu.ops.pallas.volumetric_kernel import (
+        trace_rays_volumetric_pallas)
+    from light_path_tracer_tpu.volumetric import (RIAFConfig,
+                                                  make_transfer_fns)
+
+    m = Kerr(M=1.0, a=0.9)
+    rng = np.random.default_rng(3)
+    n = 300   # > one (2, 128) tile -> padding lanes exercised
+    ac = m.alpha_crit(R_OBS)
+    alphas = jnp.asarray(rng.uniform(0.3 * ac, 4 * ac, n), jnp.float32)
+    thetas = jnp.asarray(rng.uniform(-np.pi, np.pi, n), jnp.float32)
+
+    for riaf in (RIAFConfig(),                      # thin torus
+                 RIAFConfig(alpha0=0.5)):           # self-absorbed
+        em_fn, ab_fn = make_transfer_fns(m, riaf)
+        rp = trace_rays_volumetric_pallas(
+            m, R_OBS, alphas, thetas, np.pi / 2, em_fn, 5000.0, 4000,
+            absorption_fn=ab_fn, tile_rows=2, interpret=True)
+        rx = trace_rays_volumetric(
+            m, R_OBS, alphas, thetas, np.pi / 2, em_fn, 5000.0, 4000,
+            absorption_fn=ab_fn)
+        sp, sx = np.asarray(rp.status), np.asarray(rx.status)
+        assert (sp == sx).mean() > 0.99
+        ep, ex = np.asarray(rp.emission), np.asarray(rx.emission)
+        ok = sp == sx
+        scale = max(float(np.abs(ex).max()), 1e-12)
+        assert np.percentile(np.abs(ep[ok] - ex[ok]) / scale, 99) < 1e-4
+        tp, tx = (np.asarray(rp.optical_depth),
+                  np.asarray(rx.optical_depth))
+        assert np.percentile(np.abs(tp[ok] - tx[ok]), 99) < 1e-3

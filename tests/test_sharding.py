@@ -261,6 +261,32 @@ def test_spectral_and_polarized_sharded_equal_single_device():
                                rtol=1e-8, atol=1e-10)
 
 
+def test_polarized_disk_sharded_equal_single_device():
+    """Polarized-disk tile DP (render_polarization mesh= →
+    trace_disk_grid_sharded with record_momentum): EVPA / pol-frac /
+    intensity maps match the single-device path."""
+    from light_path_tracer_tpu.disk import DiskConfig
+    from light_path_tracer_tpu.polarization import render_polarization
+    from light_path_tracer_tpu.utils.config import (RenderConfig,
+                                                    SceneConfig)
+
+    mesh = make_mesh()
+    scene = SceneConfig(M=1.0, a=0.9, r_obs_mult=R_OBS,
+                        theta_obs=np.radians(60.0),
+                        vertical_fov_deg=16.0)
+    cfg = RenderConfig(backend="xla", dtype="float64")
+    disk = DiskConfig(r_out=18.0)
+    e1, p1, i1, st1 = render_polarization(scene, (24, 24), cfg, disk)
+    e8, p8, i8, st8 = render_polarization(scene, (24, 24), cfg, disk,
+                                          mesh=mesh)
+    np.testing.assert_allclose(i8, i1, rtol=1e-10, atol=1e-14)
+    np.testing.assert_allclose(p8, p1, rtol=1e-10, atol=1e-14)
+    fin = np.isfinite(e1)
+    np.testing.assert_array_equal(fin, np.isfinite(e8))
+    np.testing.assert_allclose(e8[fin], e1[fin], rtol=1e-8, atol=1e-10)
+    assert st8["disk_pixels"] == st1["disk_pixels"]
+
+
 def test_volumetric_absorbed_sharded_equals_single_device():
     """Self-absorbed transfer rides the same tile DP: sharded
     (emission, optical depth) match the single-device trace."""
