@@ -212,6 +212,19 @@ def main():
             SceneConfig(psi_y=s.psi_y, **weak_kw), size, cfg)[1:],
     })
 
+    # Round-4 additions: the polarized DISK (render_polarization needs
+    # psi = 0, so jitter rides the FOV like the other BH-centered
+    # rows) and the Johannsen-Psaltis hand-RHS trace (Pallas tier
+    # since round 4).
+    from light_path_tracer_tpu.models import JohannsenPsaltis
+    from light_path_tracer_tpu.polarization import render_polarization
+    _jp = JohannsenPsaltis(M=1.0, a=0.9, eps3=2.0)
+    modes.update({
+        "polarized disk": lambda s: render_polarization(
+            _fov_scene(s), size, cfg)[3:],
+        "johannsen-psaltis trace": lambda s: _trace_only(_jp, s.psi_y),
+    })
+
     n_rays = args.size * args.size
     print(f"# newmodes bench: {args.size}^2, device={args.device}, "
           f"platform={jax.devices()[0].platform}")
