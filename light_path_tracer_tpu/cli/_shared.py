@@ -105,6 +105,11 @@ def _add_multihost_args(p):
     p.add_argument("--init-timeout", type=float, default=60.0,
                    help="seconds to wait for the full cluster to join "
                         "before failing with a clear error")
+    p.add_argument("--heartbeat-timeout", type=float, default=None,
+                   help="seconds before a peer process that died "
+                        "mid-render is detected and the survivors "
+                        "error out of their blocked collective "
+                        "(default: jax's 100 s)")
 
 
 def _multihost_mesh(args):

@@ -53,6 +53,7 @@ def main(argv=None) -> int:
         from light_path_tracer_tpu.parallel.multihost import (
             initialize_multihost)
         initialize_multihost(
+            heartbeat_timeout_s=args.heartbeat_timeout,
             coordinator_address=args.coordinator,
             num_processes=args.num_processes,
             process_id=args.process_id,

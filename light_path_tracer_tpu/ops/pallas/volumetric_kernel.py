@@ -106,7 +106,8 @@ def _volumetric_tile_kernel(alpha_ref, theta_ref, valid_ref, *out_refs,
     jax.jit,
     static_argnames=("metric", "r_obs", "theta_obs", "emission_fn",
                      "lambda_max", "max_steps", "precision", "method",
-                     "absorption_fn", "tile_rows", "interpret"))
+                     "absorption_fn", "tile_rows", "interpret",
+                     "return_unconverged"))
 def trace_rays_volumetric_pallas(metric, r_obs, alphas, thetas,
                                  theta_obs, emission_fn,
                                  lambda_max: float,
@@ -115,7 +116,8 @@ def trace_rays_volumetric_pallas(metric, r_obs, alphas, thetas,
                                  method: str = "dp45",
                                  absorption_fn=None,
                                  tile_rows: int = DEFAULT_ROWS,
-                                 interpret: bool = False):
+                                 interpret: bool = False,
+                                 return_unconverged: bool = False):
     """Pallas-fused volumetric batch tracer; drop-in for
     ops.kerr_trace.trace_rays_volumetric (same signature head, same
     VolumetricResult return). float32 only — the XLA path remains the
@@ -182,5 +184,69 @@ def trace_rays_volumetric_pallas(metric, r_obs, alphas, thetas,
     # em keys off the INTEGRATION status, not status_out (same rationale
     # as the XLA path: a degenerate angle extraction does not erase the
     # physically accumulated emission).
-    return VolumetricResult(em, final_alpha, n_half, status_out, n_steps,
-                            tau)
+    result = VolumetricResult(em, final_alpha, n_half, status_out,
+                              n_steps, tau)
+    if return_unconverged:
+        # Raw RUNNING after the step budget: neither event fired nor
+        # lambda exhausted — the two-pass driver re-traces these.
+        return result, status_f == RUNNING
+    return result
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("metric", "r_obs", "theta_obs", "emission_fn",
+                     "lambda_max", "max_steps", "precision", "method",
+                     "absorption_fn", "pass1_steps", "slots",
+                     "tile_rows", "interpret"))
+def trace_rays_volumetric_two_pass(metric, r_obs, alphas, thetas,
+                                   theta_obs, emission_fn,
+                                   lambda_max: float,
+                                   max_steps: int = 200000,
+                                   precision: str = "fast",
+                                   method: str = "dp45",
+                                   absorption_fn=None,
+                                   pass1_steps: int = 4096,
+                                   slots: int = 1024,
+                                   tile_rows: int = DEFAULT_ROWS,
+                                   interpret: bool = False):
+    """Straggler-contained volumetric tracing (round-4 measurement: a
+    pointing-dependent near-critical photon-ring orbiter legitimately
+    integrates to lambda_max in tiny steps, grinding the full 200k-step
+    budget and pinning its tile — 1.15 s vs 0.036 s for the identical
+    256² torus one jitter step away; the capped run's emission was
+    bit-identical, but correctness cannot rely on that).
+
+    Same design as trace_rays_kerr_two_pass: a `pass1_steps`-capped
+    pass over all tiles, then a full-budget re-trace FROM SCRATCH of
+    only the unconverged lanes on minimal (8, 128) tiles — the
+    path integral re-accumulates from lambda=0, so the merge is exact,
+    not an approximation. All one jitted program (no host sync)."""
+    res1, unconv = trace_rays_volumetric_pallas(
+        metric, r_obs, alphas, thetas, theta_obs, emission_fn,
+        lambda_max, pass1_steps, precision=precision, method=method,
+        absorption_fn=absorption_fn, tile_rows=tile_rows,
+        interpret=interpret, return_unconverged=True)
+
+    n = alphas.shape[0]
+    slots = min(slots, n)
+    idx = jnp.nonzero(unconv, size=slots, fill_value=0)[0]
+    res2 = trace_rays_volumetric_pallas(
+        metric, r_obs, alphas[idx], thetas[idx], theta_obs,
+        emission_fn, lambda_max, max_steps, precision=precision,
+        method=method, absorption_fn=absorption_fn, tile_rows=8,
+        interpret=interpret)
+
+    take = unconv[idx]
+    em = res1.emission.at[idx].set(
+        jnp.where(take, res2.emission, res1.emission[idx]))
+    fa = res1.final_alpha.at[idx].set(
+        jnp.where(take, res2.final_alpha, res1.final_alpha[idx]))
+    nh = res1.n_half_orbits.at[idx].set(
+        jnp.where(take, res2.n_half_orbits, res1.n_half_orbits[idx]))
+    st = res1.status.at[idx].set(
+        jnp.where(take, res2.status, res1.status[idx]))
+    tau = res1.optical_depth.at[idx].set(
+        jnp.where(take, res2.optical_depth, res1.optical_depth[idx]))
+    return VolumetricResult(em, fa, nh, st,
+                            res1.n_steps + res2.n_steps, tau)

@@ -34,7 +34,8 @@ def initialize_multihost(coordinator_address: str | None = None,
                          num_processes: int | None = None,
                          process_id: int | None = None,
                          local_device_ids=None,
-                         timeout_s: float | None = None):
+                         timeout_s: float | None = None,
+                         heartbeat_timeout_s: float | None = None):
     """Join (or start, for process 0) the jax.distributed control plane.
 
     Must run before any other JAX call in the process. On real
@@ -44,23 +45,40 @@ def initialize_multihost(coordinator_address: str | None = None,
 
     timeout_s bounds the wait for the full cluster to join (default:
     jax's own 300 s); a missing peer then fails HERE with a clear
-    RuntimeError instead of hanging into the first collective. Failure
-    AFTER initialization: the coordinator heartbeat detects a dead
-    process and shuts the remaining ones down with a "peer disconnect"
-    error at their next collective (the final image allgather — the
-    hot loop itself is collective-free, so a render in flight runs its
-    local shards to completion first). docs/scaling.md "Multi-host
-    failure behavior".
+    RuntimeError instead of hanging into the first collective.
+
+    heartbeat_timeout_s bounds DETECTION OF A PEER DYING MID-RENDER
+    (jax.distributed's heartbeat_timeout_seconds, default 100 s): a
+    survivor blocked in a cross-process collective (the final image
+    allgather — the hot loop itself is collective-free, so a render in
+    flight runs its local shards to completion first) errors out with
+    a clear distributed-runtime error within ~this window instead of
+    hanging. CLI: --heartbeat-timeout. Pinned by
+    tests/test_multihost.py::test_peer_death_mid_render_fails_survivor
+    (2-process cluster, one killed between renders). docs/scaling.md
+    "Multi-host failure behavior".
     """
     kwargs = {}
     if timeout_s is not None:
         kwargs["initialization_timeout"] = int(timeout_s)
+    if heartbeat_timeout_s is not None:
+        kwargs["heartbeat_timeout_seconds"] = int(heartbeat_timeout_s)
     try:
-        jax.distributed.initialize(
-            coordinator_address=coordinator_address,
-            num_processes=num_processes,
-            process_id=process_id,
-            local_device_ids=local_device_ids, **kwargs)
+        try:
+            jax.distributed.initialize(
+                coordinator_address=coordinator_address,
+                num_processes=num_processes,
+                process_id=process_id,
+                local_device_ids=local_device_ids, **kwargs)
+        except TypeError:
+            # Older jax without heartbeat_timeout_seconds: the knob
+            # degrades to jax's built-in default rather than failing.
+            kwargs.pop("heartbeat_timeout_seconds", None)
+            jax.distributed.initialize(
+                coordinator_address=coordinator_address,
+                num_processes=num_processes,
+                process_id=process_id,
+                local_device_ids=local_device_ids, **kwargs)
     except RuntimeError as exc:   # already initialized
         if "already" not in str(exc).lower():
             raise TimeoutError(

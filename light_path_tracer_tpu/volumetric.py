@@ -749,8 +749,20 @@ def render_volumetric(scene: SceneConfig, resolution,
         else:
             from light_path_tracer_tpu.ops.batch import _kerr_backend
             if _kerr_backend(cfg.backend, dtype, metric) == "pallas":
-                from light_path_tracer_tpu.ops.pallas.volumetric_kernel \
-                    import trace_rays_volumetric_pallas as vol_fn
+                # two_pass "auto" = ON here (like the disk path): a
+                # pointing-dependent near-critical orbiter grinds the
+                # full step budget and pins its tile — measured 4.6x
+                # on the jittered 256² torus at ~26 ms clean-grid
+                # overhead, bitwise-identical output (BASELINE.md
+                # round 4).
+                if cfg.two_pass is False:
+                    from light_path_tracer_tpu.ops.pallas \
+                        .volumetric_kernel import (
+                            trace_rays_volumetric_pallas as vol_fn)
+                else:
+                    from light_path_tracer_tpu.ops.pallas \
+                        .volumetric_kernel import (
+                            trace_rays_volumetric_two_pass as vol_fn)
             else:
                 vol_fn = trace_rays_volumetric
             res = vol_fn(

@@ -242,8 +242,14 @@ def main():
             out = fn(scene(rep + 1))
             st = out[-1]
             dt = st["timings"].get("precompute", 0.0)
-            steps = st.get("integrator_steps", 0)
-            best = dt if best is None else min(best, dt)
+            if best is None or dt < best:
+                # Keep steps FROM THE BEST REP: pointing jitter can
+                # move a near-critical grazer into the 200k-step
+                # budget on one rep (legit physics, ~30x that rep) —
+                # pairing best-time with last-rep steps misreads as
+                # "200k steps in 30 ms".
+                best = dt
+                steps = st.get("integrator_steps", 0)
         print(f"{name:<22} {steps:>8,} {best:>10.3f} "
               f"{n_rays / max(best, 1e-9) / 1e6:>8.2f}")
         if jf is not None:

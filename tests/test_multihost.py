@@ -252,3 +252,67 @@ def test_cli_multihost_init_timeout_clear_error(tmp_path):
     assert ("initialization failed" in log or "DEADLINE_EXCEEDED" in log
             or "deadline" in log.lower() or "timed out" in log.lower()), \
         log[-3000:]
+
+
+def test_peer_death_mid_render_fails_survivor(tmp_path):
+    """Round-4 verdict item 7: kill one process between renders in a
+    2-process cluster; the survivor's next cross-process collective
+    must error out with a clear message in BOUNDED time (the
+    heartbeat_timeout_s knob, 10 s in the worker) instead of hanging
+    the job."""
+    import time as _time
+
+    port = _free_port()
+    repo_root = os.path.dirname(os.path.dirname(_WORKER))
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env["PYTHONPATH"] = os.pathsep.join(
+        p for p in (env.get("PYTHONPATH"), repo_root) if p)
+    env.pop("XLA_FLAGS", None)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+
+    outs = [str(tmp_path / f"proc{i}.npy") for i in range(2)]
+    modes = ["survive", "die"]   # proc 0 = coordinator stays up
+    procs = [
+        subprocess.Popen(
+            [sys.executable, _WORKER, str(i), "2", str(port), outs[i],
+             modes[i]],
+            env=env, cwd=repo_root,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for i in range(2)]
+
+    t0 = _time.monotonic()
+    logs = {}
+    try:
+        out1, _ = procs[1].communicate(timeout=600)
+        logs[1] = out1.decode(errors="replace")
+        # The dying worker must have completed render 1 and hard-exited.
+        assert procs[1].returncode == 42, logs[1][-3000:]
+        # The survivor must now FAIL its post-crash render within a
+        # bounded window (heartbeat 10 s + detection/teardown grace),
+        # not hang: generous bound far below the 100 s default it
+        # would take without the knob, and far below "forever".
+        out0, _ = procs[0].communicate(timeout=240)
+        logs[0] = out0.decode(errors="replace")
+    except subprocess.TimeoutExpired:
+        for q in procs:
+            q.kill()
+        pytest.fail("survivor hung after peer death "
+                    f"(elapsed {_time.monotonic() - t0:.0f}s): "
+                    + logs.get(1, "")[-2000:])
+
+    log0 = logs[0]
+    assert procs[0].returncode != 0, log0[-3000:]
+    assert "post-crash render" in log0
+    assert "UNEXPECTEDLY succeeded" not in log0
+    # The failure is a clear distributed-runtime error, not a generic
+    # crash: accept the usual vocabulary across jax/gloo versions.
+    lowered = log0.lower()
+    assert any(k in lowered for k in
+               ("heartbeat", "disconnect", "unavailable", "peer",
+                "connection", "shut down", "shutdown", "barrier",
+                "timed out", "deadline")), log0[-3000:]
+
+    # First render (pre-crash) completed and matches on both processes.
+    fa0 = np.load(outs[0])
+    fa1 = np.load(outs[1])
+    np.testing.assert_array_equal(fa0, fa1)

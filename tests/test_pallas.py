@@ -268,3 +268,37 @@ def test_volumetric_pallas_matches_xla():
         tp, tx = (np.asarray(rp.optical_depth),
                   np.asarray(rx.optical_depth))
         assert np.percentile(np.abs(tp[ok] - tx[ok]), 99) < 1e-3
+
+
+def test_volumetric_two_pass_matches_single_pass():
+    """Straggler containment on the volumetric kernel: the capped pass
+    + full-budget re-trace of unconverged lanes reproduces the
+    single-pass result exactly (the re-trace restarts the path
+    integral from lambda=0, so the merge is exact)."""
+    from light_path_tracer_tpu.ops.pallas.volumetric_kernel import (
+        trace_rays_volumetric_pallas, trace_rays_volumetric_two_pass)
+    from light_path_tracer_tpu.volumetric import (RIAFConfig,
+                                                  make_transfer_fns)
+
+    m = Kerr(M=1.0, a=0.9)
+    rng = np.random.default_rng(9)
+    n = 300
+    ac = m.alpha_crit(R_OBS)
+    # cluster near the critical angle so pass 1's cap actually bites
+    alphas = jnp.asarray(rng.uniform(0.9 * ac, 1.1 * ac, n), jnp.float32)
+    thetas = jnp.asarray(rng.uniform(-np.pi, np.pi, n), jnp.float32)
+    em_fn, ab_fn = make_transfer_fns(m, RIAFConfig(alpha0=0.4))
+
+    r1 = trace_rays_volumetric_pallas(
+        m, R_OBS, alphas, thetas, np.radians(80.0), em_fn, 5000.0,
+        8000, absorption_fn=ab_fn, tile_rows=2, interpret=True)
+    r2 = trace_rays_volumetric_two_pass(
+        m, R_OBS, alphas, thetas, np.radians(80.0), em_fn, 5000.0,
+        8000, absorption_fn=ab_fn, pass1_steps=256, slots=128,
+        tile_rows=2, interpret=True)
+    np.testing.assert_array_equal(np.asarray(r1.status),
+                                  np.asarray(r2.status))
+    np.testing.assert_array_equal(np.asarray(r1.emission),
+                                  np.asarray(r2.emission))
+    np.testing.assert_array_equal(np.asarray(r1.optical_depth),
+                                  np.asarray(r2.optical_depth))
