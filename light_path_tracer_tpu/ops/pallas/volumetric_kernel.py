@@ -250,3 +250,168 @@ def trace_rays_volumetric_two_pass(metric, r_obs, alphas, thetas,
         jnp.where(take, res2.optical_depth, res1.optical_depth[idx]))
     return VolumetricResult(em, fa, nh, st,
                             res1.n_steps + res2.n_steps, tau)
+
+
+# ---------------------------------------------------------------------------
+# Generic coupled-extras tile kernel: the Pallas tier for EVERY
+# error-controlled-extras trace (multi-frequency spectra, flare movies,
+# polarized volumetric Stokes transport, photon-ring order buckets) —
+# the same VMEM design as the volumetric kernel above, with N extra
+# state components and optional per-ray auxiliary constants riding
+# extra input tiles. Shares dp45_integrate; XLA-vs-Pallas agreement is
+# interpret-pinned (tests/test_pallas.py) and chip-pinned
+# (scripts/chip_smoke.py).
+# ---------------------------------------------------------------------------
+
+
+def _extras_tile_kernel(alpha_ref, theta_ref, valid_ref, *refs,
+                        metric, r_obs, theta_obs, lambda_max,
+                        max_steps, tols, transfer_fn, n_extras, n_aux,
+                        method):
+    aux = tuple(r[:] for r in refs[:n_aux])
+    out_refs = refs[n_aux:]
+    state_outs = out_refs[:5]
+    extra_outs = out_refs[5:5 + n_extras]
+    status_out, steps_out = out_refs[5 + n_extras:]
+
+    alphas = alpha_ref[:]
+    thetas = theta_ref[:]
+    valid = valid_ref[:] > 0.5
+    dtype = alphas.dtype
+
+    y0, p_t, p_phi, invalid0 = metric.initial_conditions_5d(
+        r_obs, alphas, thetas, theta_obs)
+    status0 = jnp.where(invalid0 | ~valid, INVALID, RUNNING).astype(
+        jnp.int32)
+    zeros = jnp.zeros_like(y0[0])
+    y0 = (*y0, *([zeros] * n_extras))
+    if n_aux:
+        extra = lambda y, pt, pp: transfer_fn(y, pt, pp, aux)
+    else:
+        extra = transfer_fn
+
+    y_f, status_f, _lam_f, steps = dp45_integrate(
+        metric, y0, p_t, p_phi, status0,
+        atol=jnp.full_like(alphas, tols["atol"]),
+        rtol=jnp.full_like(alphas, tols["rtol"]),
+        h_min=jnp.asarray(tols["h_min"], dtype),
+        tiny_err=tols["tiny_err"],
+        r_capture=jnp.asarray(metric.capture_radius(), dtype),
+        r_escape=jnp.asarray(r_obs * 2.0, dtype),
+        lambda_max=lambda_max, h_init=_h_init_for(r_obs, dtype),
+        max_steps=max_steps, method=method, extra_rhs=extra)
+
+    for k in range(5):
+        state_outs[k][:] = y_f[k]
+    for k in range(n_extras):
+        extra_outs[k][:] = y_f[5 + k]
+    status_out[:] = status_f
+    steps_out[:] = jnp.full(steps_out.shape, steps, jnp.int32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("metric", "r_obs", "theta_obs", "transfer_fn",
+                     "n_extras", "lambda_max", "max_steps", "precision",
+                     "method", "tile_rows", "interpret"))
+def trace_rays_aux_pallas(metric, r_obs, alphas, thetas, theta_obs,
+                          transfer_fn, n_extras: int, aux,
+                          lambda_max: float, max_steps: int = 200000,
+                          precision: str = "fast",
+                          method: str = "dp45",
+                          tile_rows: int = DEFAULT_ROWS,
+                          interpret: bool = False):
+    """Pallas-fused generic coupled-extras tracer; drop-in for
+    ops.kerr_trace.trace_rays_aux (same ExtrasResult contract).
+    float32 only. `aux` must be a flat tuple of per-ray (N,) arrays
+    (the polarized path's four Walker-Penrose constants are the
+    shipped example); pass () for aux-free transfer functions."""
+    from light_path_tracer_tpu.ops.types import ExtrasResult
+    dtype = alphas.dtype
+    if dtype != jnp.float32:
+        raise ValueError("pallas path is float32-only; got " + str(dtype))
+    tols = get_tols(dtype, precision)
+    aux = tuple(aux) if aux is not None else ()
+
+    n = alphas.shape[0]
+    tile = tile_rows * LANE
+    n_pad = max(1, -(-n // tile)) * tile
+    n_tiles = n_pad // tile
+
+    def pad(x, fill):
+        return jnp.concatenate(
+            [x, jnp.full((n_pad - n,), fill, x.dtype)]) if n_pad > n else x
+
+    def tile_of(x, fill=0.0):
+        return pad(jnp.asarray(x, dtype), fill).reshape(
+            n_tiles * tile_rows, LANE)
+
+    alphas_p = tile_of(alphas, 0.1)
+    thetas_p = tile_of(thetas)
+    valid_p = tile_of(jnp.ones((n,), dtype))
+    aux_p = tuple(tile_of(a) for a in aux)
+
+    kernel = functools.partial(
+        _extras_tile_kernel, metric=metric, r_obs=float(r_obs),
+        theta_obs=float(theta_obs), lambda_max=float(lambda_max),
+        max_steps=max_steps, tols=tols, transfer_fn=transfer_fn,
+        n_extras=n_extras, n_aux=len(aux), method=method)
+
+    block = pl.BlockSpec((tile_rows, LANE), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+    f32 = jax.ShapeDtypeStruct((n_tiles * tile_rows, LANE), dtype)
+    i32 = jax.ShapeDtypeStruct((n_tiles * tile_rows, LANE), jnp.int32)
+    n_out = 5 + n_extras
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[block] * (3 + len(aux)),
+        out_specs=(block,) * (n_out + 2),
+        out_shape=(f32,) * n_out + (i32, i32),
+        interpret=interpret,
+    )(alphas_p, thetas_p, valid_p, *aux_p)
+
+    n_steps = jnp.sum(outs[n_out + 1].reshape(n_tiles, -1)[:, 0])
+    flat = [o.reshape(n_pad)[:n] for o in outs[:n_out]]
+    status_f = outs[n_out].reshape(n_pad)[:n]
+
+    zero = jnp.asarray(0.0, dtype)
+    ok = status_f != INVALID
+    extras = tuple(jnp.where(ok, flat[5 + i], zero)
+                   for i in range(n_extras))
+    _y0, p_t, p_phi, _inv = metric.initial_conditions_5d(
+        float(r_obs), alphas, thetas, float(theta_obs))
+    final_alpha, n_half, status_out = finalize_angles(
+        metric, tuple(flat[:5]), p_t, p_phi, status_f)
+    return ExtrasResult(extras, final_alpha, n_half, status_out,
+                        n_steps)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("metric", "r_obs", "theta_obs", "transfer_fn",
+                     "n_bands", "lambda_max", "max_steps", "precision",
+                     "method", "tile_rows", "interpret"))
+def trace_rays_spectral_pallas(metric, r_obs, alphas, thetas,
+                               theta_obs, transfer_fn, n_bands: int,
+                               lambda_max: float,
+                               max_steps: int = 200000,
+                               precision: str = "fast",
+                               method: str = "dp45",
+                               tile_rows: int = DEFAULT_ROWS,
+                               interpret: bool = False):
+    """Pallas tier for ops.kerr_trace.trace_rays_spectral: the
+    (tau_hat, I_1..I_n) coupled-extras state on VMEM tiles (extras[0]
+    is the shared reduced optical depth). Same SpectralResult
+    contract."""
+    from light_path_tracer_tpu.ops.types import SpectralResult
+    # transfer_fn takes (y, p_t, p_phi) — no aux — and
+    # trace_rays_aux_pallas passes it through unchanged when aux=().
+    res = trace_rays_aux_pallas(
+        metric, r_obs, alphas, thetas, theta_obs, transfer_fn,
+        1 + n_bands, (), lambda_max, max_steps, precision=precision,
+        method=method, tile_rows=tile_rows, interpret=interpret)
+    return SpectralResult(res.extras[1:], res.extras[0],
+                          res.final_alpha, res.n_half_orbits,
+                          res.status, res.n_steps)

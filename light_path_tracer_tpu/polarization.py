@@ -729,7 +729,19 @@ def render_polarized_volumetric(scene: SceneConfig, resolution,
                 mesh=mesh, max_steps=cfg.max_steps,
                 precision=cfg.precision, method=cfg.integrator)
         else:
-            res = trace_rays_aux(
+            from light_path_tracer_tpu.ops.batch import _kerr_backend
+            if _kerr_backend(cfg.backend, alpha.dtype,
+                             metric) == "pallas":
+                # Round-4 fast tier: Stokes (I, Q, U) transport on the
+                # generic coupled-extras VMEM tile kernel, with the
+                # four camera-side Walker-Penrose constants riding
+                # per-ray aux input tiles.
+                from light_path_tracer_tpu.ops.pallas \
+                    .volumetric_kernel import trace_rays_aux_pallas
+                aux_fn = trace_rays_aux_pallas
+            else:
+                aux_fn = trace_rays_aux
+            res = aux_fn(
                 metric, scene.r_obs, alpha, theta, scene.theta_obs,
                 transfer_fn, 3, (k11, k21, k12, k22),
                 max(5000.0, 6.0 * scene.r_obs), cfg.max_steps,

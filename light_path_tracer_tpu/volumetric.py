@@ -609,7 +609,16 @@ def _trace_spectral(metric, scene, alpha, theta, transfer_fn, n_bands,
             emission=tuple(e.ravel() for e in res.emission),
             tau_hat=res.tau_hat.ravel(),
             status=res.status.ravel())
-    return trace_rays_spectral(
+    from light_path_tracer_tpu.ops.batch import _kerr_backend
+    if _kerr_backend(cfg.backend, alpha.dtype, metric) == "pallas":
+        # Round-4 fast tier: the generic coupled-extras tile kernel
+        # carries the (tau_hat, I_1..I_n) state on VMEM
+        # (ops/pallas/volumetric_kernel.trace_rays_spectral_pallas).
+        from light_path_tracer_tpu.ops.pallas.volumetric_kernel import (
+            trace_rays_spectral_pallas as spectral_fn)
+    else:
+        spectral_fn = trace_rays_spectral
+    return spectral_fn(
         metric, scene.r_obs, alpha, theta, scene.theta_obs,
         transfer_fn, n_bands, max(5000.0, 6.0 * scene.r_obs),
         cfg.max_steps, precision=cfg.precision, method=cfg.integrator)

@@ -216,6 +216,79 @@ def main():
             status_frac=round(status_frac, 4), em_rel_p99=p99,
             em_total=float(ex.sum()))
 
+    # --- generic coupled-extras kernel (spectral + polarized aux) ---
+    def spectral_case():
+        from light_path_tracer_tpu.ops.kerr_trace import (
+            trace_rays_spectral)
+        from light_path_tracer_tpu.ops.pallas.volumetric_kernel import (
+            trace_rays_spectral_pallas)
+        from light_path_tracer_tpu.volumetric import (
+            RIAFConfig, make_spectral_transfer)
+        m = Kerr(M=1.0, a=0.9)
+        ac = m.alpha_crit(R_OBS)
+        alphas, thetas = _angles(n, 8, ac)
+        riaf = RIAFConfig(g_power=4.0, alpha0=1.0, opacity_index=2.0)
+        freqs = (0.5, 2.0)
+        tf = make_spectral_transfer(m, riaf, freqs)
+        rp = trace_rays_spectral_pallas(
+            m, R_OBS, alphas, thetas, np.radians(80.0), tf,
+            len(freqs), 5000.0, 20000)
+        rx = trace_rays_spectral(
+            m, R_OBS, alphas, thetas, np.radians(80.0), tf,
+            len(freqs), 5000.0, 20000)
+        sp, sx = np.asarray(rp.status), np.asarray(rx.status)
+        status_frac = float((sp == sx).mean())
+        ok = sp == sx
+        worst = 0.0
+        for bp, bx in zip(rp.emission, rx.emission):
+            bp, bx = np.asarray(bp), np.asarray(bx)
+            scale = max(float(np.abs(bx).max()), 1e-12)
+            worst = max(worst, float(np.percentile(
+                np.abs(bp[ok] - bx[ok]) / scale, 99)))
+        return (status_frac > 0.99 and worst < 1e-3), dict(
+            status_frac=round(status_frac, 4), band_rel_p99=worst)
+
+    def aux_case():
+        from light_path_tracer_tpu.ops.kerr_trace import trace_rays_aux
+        from light_path_tracer_tpu.ops.pallas.volumetric_kernel import (
+            trace_rays_aux_pallas)
+        from light_path_tracer_tpu.polarization import (
+            k_contravariant, make_polarized_volumetric_transfer,
+            observer_basis, walker_penrose)
+        from light_path_tracer_tpu.volumetric import RIAFConfig
+        m = Kerr(M=1.0, a=0.9)
+        ac = m.alpha_crit(R_OBS)
+        alphas, thetas = _angles(n, 9, ac)
+        tf = make_polarized_volumetric_transfer(m, RIAFConfig(),
+                                                "toroidal", 0.7)
+        y0, _p_t, p_phi, _inv = m.initial_conditions_5d(
+            R_OBS, alphas, thetas, np.radians(80.0))
+        Mj = jnp.asarray(1.0, jnp.float32)
+        aj = jnp.asarray(0.9, jnp.float32)
+        k_cam = k_contravariant(Mj, aj, y0[0], y0[1], y0[3], y0[4],
+                                p_phi)
+        e1, e2 = observer_basis(Mj, aj, R_OBS, np.radians(80.0), k_cam)
+        k11, k21 = walker_penrose(aj, y0[0], y0[1], k_cam, e1)
+        k12, k22 = walker_penrose(aj, y0[0], y0[1], k_cam, e2)
+        aux = (k11, k21, k12, k22)
+        rp = trace_rays_aux_pallas(
+            m, R_OBS, alphas, thetas, np.radians(80.0), tf, 3, aux,
+            5000.0, 20000)
+        rx = trace_rays_aux(
+            m, R_OBS, alphas, thetas, np.radians(80.0), tf, 3, aux,
+            5000.0, 20000)
+        sp, sx = np.asarray(rp.status), np.asarray(rx.status)
+        status_frac = float((sp == sx).mean())
+        ok = sp == sx
+        worst = 0.0
+        for ep, ex in zip(rp.extras, rx.extras):
+            ep, ex = np.asarray(ep), np.asarray(ex)
+            scale = max(float(np.abs(ex).max()), 1e-12)
+            worst = max(worst, float(np.percentile(
+                np.abs(ep[ok] - ex[ok]) / scale, 99)))
+        return (status_frac > 0.99 and worst < 1e-3), dict(
+            status_frac=round(status_frac, 4), stokes_rel_p99=worst)
+
     # --- fused whole-pipeline program -------------------------------
     def fused_case():
         from light_path_tracer_tpu.pipeline import render_scene
@@ -246,6 +319,8 @@ def main():
     run("disk", disk_case)
     run("volumetric_thin", lambda: vol_case(False))
     run("volumetric_absorbed", lambda: vol_case(True))
+    run("spectral_extras", spectral_case)
+    run("polarized_aux", aux_case)
     run("fused_pipeline", fused_case)
 
     all_ok = all(r["ok"] for r in results)

@@ -302,3 +302,85 @@ def test_volumetric_two_pass_matches_single_pass():
                                   np.asarray(r2.emission))
     np.testing.assert_array_equal(np.asarray(r1.optical_depth),
                                   np.asarray(r2.optical_depth))
+
+
+def test_spectral_pallas_matches_xla():
+    """Generic coupled-extras tile kernel, spectral form: (tau_hat,
+    I_1..I_n) bands from the VMEM kernel match the XLA path."""
+    from light_path_tracer_tpu.ops.kerr_trace import trace_rays_spectral
+    from light_path_tracer_tpu.ops.pallas.volumetric_kernel import (
+        trace_rays_spectral_pallas)
+    from light_path_tracer_tpu.volumetric import (RIAFConfig,
+                                                  make_spectral_transfer)
+
+    m = Kerr(M=1.0, a=0.9)
+    rng = np.random.default_rng(11)
+    n = 300
+    ac = m.alpha_crit(R_OBS)
+    alphas = jnp.asarray(rng.uniform(0.3 * ac, 4 * ac, n), jnp.float32)
+    thetas = jnp.asarray(rng.uniform(-np.pi, np.pi, n), jnp.float32)
+    riaf = RIAFConfig(g_power=4.0, alpha0=1.0, opacity_index=2.0)
+    freqs = (0.5, 2.0)
+    tf = make_spectral_transfer(m, riaf, freqs)
+
+    rp = trace_rays_spectral_pallas(
+        m, R_OBS, alphas, thetas, np.radians(80.0), tf, len(freqs),
+        5000.0, 4000, tile_rows=2, interpret=True)
+    rx = trace_rays_spectral(
+        m, R_OBS, alphas, thetas, np.radians(80.0), tf, len(freqs),
+        5000.0, 4000)
+    sp, sx = np.asarray(rp.status), np.asarray(rx.status)
+    assert (sp == sx).mean() > 0.99
+    ok = sp == sx
+    for bp, bx in zip(rp.emission, rx.emission):
+        bp, bx = np.asarray(bp), np.asarray(bx)
+        scale = max(float(np.abs(bx).max()), 1e-12)
+        assert np.percentile(np.abs(bp[ok] - bx[ok]) / scale, 99) < 1e-4
+    tp, tx = np.asarray(rp.tau_hat), np.asarray(rx.tau_hat)
+    assert np.percentile(np.abs(tp[ok] - tx[ok]), 99) < 1e-3
+
+
+def test_aux_pallas_matches_xla_polarized():
+    """Generic coupled-extras tile kernel with per-ray aux constants:
+    the polarized-volumetric Stokes transport (4 Walker-Penrose aux
+    tiles, 3 extras) matches the XLA trace_rays_aux."""
+    from light_path_tracer_tpu.ops.kerr_trace import trace_rays_aux
+    from light_path_tracer_tpu.ops.pallas.volumetric_kernel import (
+        trace_rays_aux_pallas)
+    from light_path_tracer_tpu.polarization import (
+        k_contravariant, make_polarized_volumetric_transfer,
+        observer_basis, walker_penrose)
+    from light_path_tracer_tpu.volumetric import RIAFConfig
+
+    m = Kerr(M=1.0, a=0.9)
+    rng = np.random.default_rng(12)
+    n = 300
+    ac = m.alpha_crit(R_OBS)
+    alphas = jnp.asarray(rng.uniform(0.3 * ac, 4 * ac, n), jnp.float32)
+    thetas = jnp.asarray(rng.uniform(-np.pi, np.pi, n), jnp.float32)
+    tf = make_polarized_volumetric_transfer(m, RIAFConfig(), "toroidal",
+                                        0.7)
+
+    y0, _p_t, p_phi, _inv = m.initial_conditions_5d(
+        R_OBS, alphas, thetas, np.radians(80.0))
+    Mj = jnp.asarray(1.0, jnp.float32)
+    aj = jnp.asarray(0.9, jnp.float32)
+    k_cam = k_contravariant(Mj, aj, y0[0], y0[1], y0[3], y0[4], p_phi)
+    e1, e2 = observer_basis(Mj, aj, R_OBS, np.radians(80.0), k_cam)
+    k11, k21 = walker_penrose(aj, y0[0], y0[1], k_cam, e1)
+    k12, k22 = walker_penrose(aj, y0[0], y0[1], k_cam, e2)
+    aux = (k11, k21, k12, k22)
+
+    rp = trace_rays_aux_pallas(
+        m, R_OBS, alphas, thetas, np.radians(80.0), tf, 3, aux,
+        5000.0, 4000, tile_rows=2, interpret=True)
+    rx = trace_rays_aux(
+        m, R_OBS, alphas, thetas, np.radians(80.0), tf, 3, aux,
+        5000.0, 4000)
+    sp, sx = np.asarray(rp.status), np.asarray(rx.status)
+    assert (sp == sx).mean() > 0.99
+    ok = sp == sx
+    for ep, ex in zip(rp.extras, rx.extras):
+        ep, ex = np.asarray(ep), np.asarray(ex)
+        scale = max(float(np.abs(ex).max()), 1e-12)
+        assert np.percentile(np.abs(ep[ok] - ex[ok]) / scale, 99) < 1e-4
