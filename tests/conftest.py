@@ -10,6 +10,18 @@ import os
 import sys
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# XLA:CPU splits large modules across a codegen thread pool; two
+# monolithic-suite runs (round 3: test_polarization.py:290, round 4:
+# test_polarization.py:220) died with a SIGSEGV inside
+# backend_compile_and_load on this 1-core host, always ~45+ min /
+# hundreds of compiles in, on the suite's largest programs — the
+# signature of a parallel-codegen race whose per-compile probability
+# accumulates. Serialize codegen under pytest (compile is not what the
+# suite measures).
+_flags = os.environ.get("XLA_FLAGS", "")
+if "parallel_codegen" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_cpu_parallel_codegen_split_count=1").strip()
 # The persistent XLA compilation cache must NEVER be on under pytest:
 # its writer segfaulted mid-suite (round-3 verdict weak #1b), and tests
 # should not touch ~/.cache. utils/cache.enable_compilation_cache
