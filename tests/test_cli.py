@@ -47,6 +47,7 @@ def test_cli_shadow_analytic(workdir):
     assert rc == 0 and os.path.exists("s.png")
 
 
+@pytest.mark.slow
 def test_cli_shadow_integrated(workdir):
     rc = main(["shadow", "--size", "32", "--a", "0.8", "--dtype",
                "float64", "--output", "s.png"])
@@ -124,6 +125,7 @@ def test_cli_lens_aa(workdir):
     assert rc == 0 and os.path.exists("laa.png")
 
 
+@pytest.mark.slow
 def test_cli_composite_aa(workdir):
     src = np.full((24, 32, 3), 0.4, np.float32)
     mpimg.imsave("bg.png", src)
@@ -133,6 +135,7 @@ def test_cli_composite_aa(workdir):
     assert rc == 0 and os.path.exists("caa.png")
 
 
+@pytest.mark.slow
 def test_cli_animate_flyby(workdir):
     """`animate --flyby R0:R1 --boost-to B` writes a GIF; the traced
     (r_obs, boost) carry makes every frame after the first one
@@ -169,6 +172,7 @@ def test_cli_device_and_x64_flags(workdir, tmp_path):
     assert "truncated to dtype float32" not in r.stderr
 
 
+@pytest.mark.slow
 def test_cli_lens_magnification(workdir):
     from light_path_tracer_tpu.cli import main
     out = workdir / "mag.png"
@@ -185,6 +189,7 @@ def test_cli_lens_shear(workdir):
     assert rc == 0 and out.exists()
 
 
+@pytest.mark.slow
 def test_cli_lens_find_images(workdir, capsys):
     from light_path_tracer_tpu.cli import main
     theta_e_deg = np.degrees(np.sqrt(4.0 / 1000.0))
@@ -197,6 +202,7 @@ def test_cli_lens_find_images(workdir, capsys):
     assert main(["lens", "--find-images", "nope"]) == 2
 
 
+@pytest.mark.slow
 def test_cli_volumetric_absorbed(workdir):
     rc = main(["volumetric", "--size", "24", "--a", "0.9",
                "--theta-obs", "80", "--alpha0", "0.2",
@@ -204,6 +210,7 @@ def test_cli_volumetric_absorbed(workdir):
     assert rc == 0 and os.path.exists("v.png")
 
 
+@pytest.mark.slow
 def test_cli_volumetric_jet(workdir):
     rc = main(["volumetric", "--size", "24", "--a", "0.9",
                "--theta-obs", "70", "--profile", "jet",
@@ -212,6 +219,7 @@ def test_cli_volumetric_jet(workdir):
     assert rc == 0 and os.path.exists("jet.png")
 
 
+@pytest.mark.slow
 def test_cli_star_image_and_pulse(workdir):
     rc = main(["star", "--size", "24", "--radius", "5", "--omega",
                "0.02", "--fov-v", "8", "--output", "ns.png"])

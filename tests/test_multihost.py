@@ -22,6 +22,9 @@ from light_path_tracer_tpu import camera
 from light_path_tracer_tpu.parallel.multihost import trace_grid_multihost
 from light_path_tracer_tpu.parallel.mesh import make_mesh
 
+
+pytestmark = pytest.mark.slow  # full-matrix lane: --runslow
+
 _WORKER = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
 
 

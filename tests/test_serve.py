@@ -68,6 +68,7 @@ def test_shadow_roundtrip_and_warm_cache(server_url):
     assert any(s["count"] >= 2 for s in shadow_sigs)
 
 
+@pytest.mark.slow
 def test_lens_and_composite_roundtrip(server_url):
     url, _server = server_url
     rng = np.random.default_rng(2)
@@ -287,6 +288,7 @@ def test_healthz_responsive_while_render_lock_held(busy_server):
     assert _time.perf_counter() - t0 < 2.0
 
 
+@pytest.mark.slow
 def test_charged_scene_over_http(server_url):
     """SceneConfig.Q flows through the JSON scene dict: a charged
     shadow is smaller than the uncharged one at equal spin."""
@@ -366,6 +368,7 @@ def test_star_mode(server_url):
     assert status3 == 400 and b"spot" in body3
 
 
+@pytest.mark.slow
 def test_caustics_and_timedelay_modes(server_url):
     url, _server = server_url
     payload = {"mode": "caustics", "size": [24, 24], "format": "npy",

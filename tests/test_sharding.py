@@ -1,5 +1,6 @@
 """Multi-device tile-DP tests on the virtual 8-device CPU mesh (SURVEY §4e)."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -9,6 +10,9 @@ from light_path_tracer_tpu.parallel.mesh import make_mesh
 from light_path_tracer_tpu.parallel.tiles import trace_grid_sharded
 from light_path_tracer_tpu.ops import trace_rays_kerr, trace_rays_schwarzschild
 from light_path_tracer_tpu import camera
+
+
+pytestmark = pytest.mark.slow  # full-matrix lane: --runslow
 
 DIM = (24, 16)
 FOV = camera.fov_from_vertical(np.radians(40.0), DIM)
