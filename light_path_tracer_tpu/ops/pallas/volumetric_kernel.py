@@ -313,14 +313,16 @@ def _extras_tile_kernel(alpha_ref, theta_ref, valid_ref, *refs,
     jax.jit,
     static_argnames=("metric", "r_obs", "theta_obs", "transfer_fn",
                      "n_extras", "lambda_max", "max_steps", "precision",
-                     "method", "tile_rows", "interpret"))
+                     "method", "tile_rows", "interpret",
+                     "return_unconverged"))
 def trace_rays_aux_pallas(metric, r_obs, alphas, thetas, theta_obs,
                           transfer_fn, n_extras: int, aux,
                           lambda_max: float, max_steps: int = 200000,
                           precision: str = "fast",
                           method: str = "dp45",
                           tile_rows: int = DEFAULT_ROWS,
-                          interpret: bool = False):
+                          interpret: bool = False,
+                          return_unconverged: bool = False):
     """Pallas-fused generic coupled-extras tracer; drop-in for
     ops.kerr_trace.trace_rays_aux (same ExtrasResult contract).
     float32 only. `aux` must be a flat tuple of per-ray (N,) arrays
@@ -384,8 +386,90 @@ def trace_rays_aux_pallas(metric, r_obs, alphas, thetas, theta_obs,
         float(r_obs), alphas, thetas, float(theta_obs))
     final_alpha, n_half, status_out = finalize_angles(
         metric, tuple(flat[:5]), p_t, p_phi, status_f)
-    return ExtrasResult(extras, final_alpha, n_half, status_out,
-                        n_steps)
+    result = ExtrasResult(extras, final_alpha, n_half, status_out,
+                          n_steps)
+    if return_unconverged:
+        return result, status_f == RUNNING
+    return result
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("metric", "r_obs", "theta_obs", "transfer_fn",
+                     "n_extras", "lambda_max", "max_steps", "precision",
+                     "method", "pass1_steps", "slots", "tile_rows",
+                     "interpret"))
+def trace_rays_aux_two_pass(metric, r_obs, alphas, thetas, theta_obs,
+                            transfer_fn, n_extras: int, aux,
+                            lambda_max: float, max_steps: int = 200000,
+                            precision: str = "fast",
+                            method: str = "dp45",
+                            pass1_steps: int = 4096,
+                            slots: int = 1024,
+                            tile_rows: int = DEFAULT_ROWS,
+                            interpret: bool = False):
+    """Straggler-contained coupled-extras tracing: same exact-merge
+    design as trace_rays_volumetric_two_pass (the re-trace restarts
+    every path integral from lambda=0). Measured trigger: the
+    order-decomposition's winding-bucket state at some pointings
+    carries a photon-ring orbiter grinding the full budget (200k
+    steps, 1.3 s at 256² vs ~0.03 s clean — BASELINE.md round 4)."""
+    from light_path_tracer_tpu.ops.types import ExtrasResult
+    aux = tuple(aux) if aux is not None else ()
+    res1, unconv = trace_rays_aux_pallas(
+        metric, r_obs, alphas, thetas, theta_obs, transfer_fn,
+        n_extras, aux, lambda_max, pass1_steps, precision=precision,
+        method=method, tile_rows=tile_rows, interpret=interpret,
+        return_unconverged=True)
+
+    n = alphas.shape[0]
+    slots = min(slots, n)
+    idx = jnp.nonzero(unconv, size=slots, fill_value=0)[0]
+    res2 = trace_rays_aux_pallas(
+        metric, r_obs, alphas[idx], thetas[idx], theta_obs,
+        transfer_fn, n_extras, tuple(a[idx] for a in aux),
+        lambda_max, max_steps, precision=precision, method=method,
+        tile_rows=8, interpret=interpret)
+
+    take = unconv[idx]
+    extras = tuple(
+        e1.at[idx].set(jnp.where(take, e2, e1[idx]))
+        for e1, e2 in zip(res1.extras, res2.extras))
+    fa = res1.final_alpha.at[idx].set(
+        jnp.where(take, res2.final_alpha, res1.final_alpha[idx]))
+    nh = res1.n_half_orbits.at[idx].set(
+        jnp.where(take, res2.n_half_orbits, res1.n_half_orbits[idx]))
+    st = res1.status.at[idx].set(
+        jnp.where(take, res2.status, res1.status[idx]))
+    return ExtrasResult(extras, fa, nh, st, res1.n_steps + res2.n_steps)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("metric", "r_obs", "theta_obs", "transfer_fn",
+                     "n_bands", "lambda_max", "max_steps", "precision",
+                     "method", "pass1_steps", "slots", "tile_rows",
+                     "interpret"))
+def trace_rays_spectral_two_pass(metric, r_obs, alphas, thetas,
+                                 theta_obs, transfer_fn, n_bands: int,
+                                 lambda_max: float,
+                                 max_steps: int = 200000,
+                                 precision: str = "fast",
+                                 method: str = "dp45",
+                                 pass1_steps: int = 4096,
+                                 slots: int = 1024,
+                                 tile_rows: int = DEFAULT_ROWS,
+                                 interpret: bool = False):
+    """Straggler-contained spectral tracing (SpectralResult contract)."""
+    from light_path_tracer_tpu.ops.types import SpectralResult
+    res = trace_rays_aux_two_pass(
+        metric, r_obs, alphas, thetas, theta_obs, transfer_fn,
+        1 + n_bands, (), lambda_max, max_steps, precision=precision,
+        method=method, pass1_steps=pass1_steps, slots=slots,
+        tile_rows=tile_rows, interpret=interpret)
+    return SpectralResult(res.extras[1:], res.extras[0],
+                          res.final_alpha, res.n_half_orbits,
+                          res.status, res.n_steps)
 
 
 @functools.partial(

@@ -735,10 +735,16 @@ def render_polarized_volumetric(scene: SceneConfig, resolution,
                 # Round-4 fast tier: Stokes (I, Q, U) transport on the
                 # generic coupled-extras VMEM tile kernel, with the
                 # four camera-side Walker-Penrose constants riding
-                # per-ray aux input tiles.
-                from light_path_tracer_tpu.ops.pallas \
-                    .volumetric_kernel import trace_rays_aux_pallas
-                aux_fn = trace_rays_aux_pallas
+                # per-ray aux input tiles; two_pass "auto" = ON
+                # (straggler containment, exact merge).
+                if cfg.two_pass is False:
+                    from light_path_tracer_tpu.ops.pallas \
+                        .volumetric_kernel import (
+                            trace_rays_aux_pallas as aux_fn)
+                else:
+                    from light_path_tracer_tpu.ops.pallas \
+                        .volumetric_kernel import (
+                            trace_rays_aux_two_pass as aux_fn)
             else:
                 aux_fn = trace_rays_aux
             res = aux_fn(

@@ -612,10 +612,16 @@ def _trace_spectral(metric, scene, alpha, theta, transfer_fn, n_bands,
     from light_path_tracer_tpu.ops.batch import _kerr_backend
     if _kerr_backend(cfg.backend, alpha.dtype, metric) == "pallas":
         # Round-4 fast tier: the generic coupled-extras tile kernel
-        # carries the (tau_hat, I_1..I_n) state on VMEM
-        # (ops/pallas/volumetric_kernel.trace_rays_spectral_pallas).
-        from light_path_tracer_tpu.ops.pallas.volumetric_kernel import (
-            trace_rays_spectral_pallas as spectral_fn)
+        # carries the (tau_hat, I_1..I_n) state on VMEM; two_pass
+        # "auto" = ON (a pointing-dependent photon-ring orbiter can
+        # grind the full step budget — measured 1.3 s vs ~0.03 s at
+        # 256² on the order decomposition, BASELINE.md round 4).
+        if cfg.two_pass is False:
+            from light_path_tracer_tpu.ops.pallas.volumetric_kernel \
+                import trace_rays_spectral_pallas as spectral_fn
+        else:
+            from light_path_tracer_tpu.ops.pallas.volumetric_kernel \
+                import trace_rays_spectral_two_pass as spectral_fn
     else:
         spectral_fn = trace_rays_spectral
     return spectral_fn(

@@ -1,5 +1,6 @@
 """Supersampled-AA tests: offsets, boundary smoothing, mesh tiling."""
 
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -38,6 +39,7 @@ def test_shadow_aa_smooths_boundary():
     assert s4["total_rays"] == 48 * 48 * 4
 
 
+@pytest.mark.slow
 def test_shadow_aa_on_mesh_matches_single_device():
     scene = SceneConfig(M=1.0, a=0.9, r_obs_mult=100.0)
     cfg = RenderConfig(dtype="float64")
@@ -50,6 +52,7 @@ def test_shadow_aa_on_mesh_matches_single_device():
     np.testing.assert_array_equal(np.asarray(img_m), np.asarray(img_1))
 
 
+@pytest.mark.slow
 def test_aa_tb_symmetry_exact_single_sample():
     """aa_samples=1 has offset (0,0) — flip-closed — so the symmetric
     (half-trace) render must match the full-trace render: the mirrored
@@ -138,6 +141,7 @@ def test_scene_aa_render():
     assert stats["aa_samples"] == 2
 
 
+@pytest.mark.slow
 def test_disk_aa_smooths_inner_edge():
     """AA disk render: same gross structure as the 1-sample render but
     with strictly more intermediate (partial-coverage) pixel values on
@@ -166,6 +170,7 @@ def test_disk_aa_smooths_inner_edge():
     assert partial(img4) > partial(img1)
 
 
+@pytest.mark.slow
 def test_composite_aa_smooths_and_matches_bulk():
     import numpy as np
     from light_path_tracer_tpu.utils.config import SceneConfig, RenderConfig

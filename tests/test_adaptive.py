@@ -61,6 +61,7 @@ def test_edge_score_ranks_winding_over_gradient():
     assert winding_cols > 1e2 * smooth
 
 
+@pytest.mark.slow
 def test_shadow_adaptive_equals_uniform_aa():
     """With the default 5% budget the whole edge set is covered, so the
     adaptive shadow must equal the uniform-AA shadow EXACTLY (refined
@@ -75,6 +76,7 @@ def test_shadow_adaptive_equals_uniform_aa():
     assert st["refined_pixels"] == int(0.10 * 48 * 48)
 
 
+@pytest.mark.slow
 def test_shadow_adaptive_tb_symmetry_matches_uniform():
     """With equatorial mirror symmetry ON (the default for theta_obs =
     pi/2, psi_y = 0), the adaptive shadow must still equal the uniform
@@ -105,6 +107,7 @@ def test_shadow_adaptive_schwarzschild():
     np.testing.assert_array_equal(np.asarray(img_a), np.asarray(img_u))
 
 
+@pytest.mark.slow
 def test_scene_adaptive_full_budget_equals_uniform():
     """refine_frac=1.0 refines every pixel: the adaptive lensed render
     is the uniform-AA render (up to float accumulation order)."""

@@ -74,6 +74,7 @@ def test_rn_alpha_crit_vs_analytic():
     assert abs(ac_traced - ac_analytic) / ac_analytic < 1e-3
 
 
+@pytest.mark.slow
 def test_jp_covariant_matches_jp_class():
     """The JP covariant form through CustomMetric == JohannsenPsaltis."""
     M, a, eps3 = 1.0, 0.5, 1.5
@@ -140,6 +141,7 @@ def test_scene_config_metric_dispatch():
     hash(scene)
 
 
+@pytest.mark.slow
 def test_render_shadow_custom_metric():
     """End-to-end shadow render through the pipeline with a custom
     metric: the rotating-Hayward image must agree with Kerr's at the

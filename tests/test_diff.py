@@ -49,6 +49,7 @@ def test_scan_tracer_matches_while_rk4():
     assert d.max() < 1e-9  # same stepper, same events, f64
 
 
+@pytest.mark.slow
 def test_grad_matches_finite_difference():
     alphas, thetas = _rays(n_alpha=3, n_theta=4)
 
@@ -71,6 +72,7 @@ def test_grad_matches_finite_difference():
     assert abs(g - fd) < 1e-4 * max(1.0, abs(fd))
 
 
+@pytest.mark.slow
 def test_grad_wrt_mass_and_radius_finite():
     alphas, thetas = _rays(n_alpha=2, n_theta=3)
 
@@ -87,6 +89,7 @@ def test_grad_wrt_mass_and_radius_finite():
     assert float(gM) != 0.0
 
 
+@pytest.mark.slow
 def test_fit_recovers_spin():
     # Weak-deflection rays: the final-alpha field there is SMOOTH in
     # the spin (near-critical rays oscillate — e^(pi*w) sensitivity —

@@ -1,5 +1,6 @@
 """Accretion-disk extension tests: ISCO, redshift physics, rendering."""
 
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -203,6 +204,7 @@ def _starfield(h, w, seed=5):
     return img
 
 
+@pytest.mark.slow
 def test_composite_empty_disk_matches_plain_lens():
     """A zero-width disk degenerates the composite to the plain lensed
     render (same trace, same renderer semantics)."""
@@ -502,6 +504,7 @@ def test_tilted_kerr_disk_renders():
     assert np.abs(np.asarray(img_t) - np.asarray(img_eq)).max() > 0.05
 
 
+@pytest.mark.slow
 def test_warped_disk_limits_and_renders():
     """Warped disk: warp_radius -> 0 reproduces the flat tilted plane,
     a huge warp_radius reproduces the equatorial disk, and an
@@ -533,6 +536,7 @@ def test_warped_disk_limits_and_renders():
     assert np.abs(np.asarray(img_mid) - np.asarray(img_eq)).max() > 0.03
 
 
+@pytest.mark.slow
 def test_composite_aa_stacked_matches_loop():
     """The stacked-pass composite AA (one compiled trace kernel, all
     offsets) must reproduce the per-offset loop path exactly — same
@@ -558,6 +562,7 @@ def test_composite_aa_stacked_matches_loop():
     assert st_s["total_rays"] == st_l["total_rays"]
 
 
+@pytest.mark.slow
 def test_composite_aa_stacked_blackbody_encode_matches_loop():
     """Stacked == loop with the blackbody spectrum + per-pass display
     encoding (the CLI quality path) and a translucent disk."""
@@ -579,6 +584,7 @@ def test_composite_aa_stacked_blackbody_encode_matches_loop():
     assert np.array_equal(st_s["disk_mask"], st_l["disk_mask"])
 
 
+@pytest.mark.slow
 def test_disk_integrator_config_plumbed():
     """RenderConfig.integrator reaches the disk tracer: dop853 runs and
     agrees with dp45; the fixed-step rk4 comparison path (no crossing
@@ -637,6 +643,7 @@ def test_multi_disk_single_plane_limit():
     assert stM["n_disks"] == 1
 
 
+@pytest.mark.slow
 def test_multi_disk_two_planes_equatorial_plus_tilted():
     """Equatorial inner disk + tilted translucent outer ring in ONE
     trace: both planes record pixels; the second plane's empty limit

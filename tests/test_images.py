@@ -112,6 +112,7 @@ def test_no_images_outside_fov():
     assert stats["n_candidates"] == 0
 
 
+@pytest.mark.slow
 def test_kerr_frame_dragging_asymmetry():
     """a = 0.9 equatorial observer: frame dragging makes the lens map
     azimuthally asymmetric — a source at +beta_x and its mirror at
@@ -138,6 +139,7 @@ def test_kerr_frame_dragging_asymmetry():
     assert abs(kerr_plus - kerr_minus) > 1e-4
 
 
+@pytest.mark.slow
 def test_mesh_sharded_equality():
     """Coarse pass sharded over the virtual 8-device mesh: identical
     images (positions to float64 roundoff of the same refinement)."""

@@ -381,6 +381,7 @@ def test_mu_and_theta_formulations_agree():
                                   np.asarray(r_th.n_half_orbits)[esc])
 
 
+@pytest.mark.slow
 def test_dop853_agrees_with_dp45_f64():
     """Higher-order pair cross-check: DOP853 and DP45 integrate the same
     geodesics (both at f64 reference tolerances)."""
@@ -410,6 +411,7 @@ def test_dop853_agrees_with_dp45_f64():
     assert int(r_d8.n_steps) < int(r_dp.n_steps)
 
 
+@pytest.mark.slow
 def test_dop853_f32_no_nan_freeze():
     """Regression: f32 DOP853 stage derivatives can overflow to inf with
     y5 still finite; the resulting NaN error estimate must reject the

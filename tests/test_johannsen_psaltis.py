@@ -87,6 +87,7 @@ def test_hamiltonian_conserved_along_flow():
     assert float(jnp.max(jnp.abs(H))) < 1e-7
 
 
+@pytest.mark.slow
 def test_alpha_crit_bisection_and_deformation_ordering():
     # eps3 = 0 must reproduce Kerr's analytic shadow envelope; the
     # deformation shifts it monotonically (eps3 < 0 grows the shadow,
@@ -135,6 +136,7 @@ def test_static_photon_sphere_oracle():
     assert abs(alpha_traced - alpha_expect) / alpha_expect < 1e-3
 
 
+@pytest.mark.slow
 def test_shadow_render_and_cli_dispatch():
     from light_path_tracer_tpu.pipeline import render_shadow
     from light_path_tracer_tpu.utils.config import (SceneConfig,
@@ -242,6 +244,7 @@ def test_hand_rhs_negative_eps3_matches_autodiff():
         assert rel.max() < 1e-8
 
 
+@pytest.mark.slow
 def test_jp_runs_on_pallas_tile_kernel():
     """supports_pallas lifted (round 4): the Mosaic tile kernel traces
     JP (interpret mode here; real-chip parity in SMOKE artifacts) and

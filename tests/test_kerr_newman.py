@@ -248,6 +248,7 @@ def test_charged_keplerian_omega_and_redshift():
     assert (np.diff(g) > 0).all() and (g < 1.0).all()
 
 
+@pytest.mark.slow
 def test_charged_disk_render():
     """End-to-end accretion disk around a charged BH, both a=0 (RN
     geometry) and a!=0 (KN); the Q->0 limit matches the Kerr render."""
@@ -279,6 +280,7 @@ def test_charged_disk_render():
     assert float(np.asarray(img_rn).max()) > 0.0
 
 
+@pytest.mark.slow
 def test_kn_plunge_early_exit_is_pure_optimization():
     """Certain-capture early exit (general-Delta photon band) must not
     change any outcome or any escaped ray's heading vs a no-plunge

@@ -28,6 +28,7 @@ def paczynski(u):
     return (u ** 2 + 2.0) / (u * np.sqrt(u ** 2 + 4.0))
 
 
+@pytest.mark.slow
 def test_paczynski_curve():
     u, A, stats = render_microlens_curve(
         WEAK, (256, 256), CFG, impact_u=1.0, span_u=4.0,
@@ -76,6 +77,7 @@ def test_kerr_caustics_run():
     assert np.isfinite(amap).all() and stats["A_max"] > 1.0
 
 
+@pytest.mark.slow
 def test_cli_caustics_and_microlens(tmp_path, monkeypatch):
     from light_path_tracer_tpu.cli import main
     monkeypatch.chdir(tmp_path)

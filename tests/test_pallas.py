@@ -101,6 +101,7 @@ def test_schwarzschild_pallas_matches_xla():
     assert int(rp.status[-1]) == 0   # alpha = 0 invalid lane
 
 
+@pytest.mark.slow
 def test_two_pass_matches_single_pass():
     """Capped pass + straggler retrace == full single pass."""
     from light_path_tracer_tpu.ops.pallas.kerr_trace_kernel import (
@@ -134,6 +135,7 @@ def test_two_pass_matches_single_pass():
     assert np.percentile(d, 99) < 1e-3
 
 
+@pytest.mark.slow
 def test_pallas_dynamic_r_obs_matches_static():
     """dynamic_params=(M, a, r_obs): the traced observer radius (flyby
     SMEM path) reproduces the static-folded kernel — escape radius,
@@ -167,6 +169,7 @@ def test_pallas_dynamic_r_obs_matches_static():
     assert np.percentile(d, 99) < 1e-4 and d.max() < 1e-3
 
 
+@pytest.mark.slow
 def test_pallas_dop853_matches_xla():
     """The opt-in dop853 integrator through the Pallas tile kernel
     (interpret mode) agrees with the XLA path — the shared
@@ -232,6 +235,7 @@ def test_pallas_mu_formulation_matches_theta():
     assert np.percentile(d, 99) < 1e-3
 
 
+@pytest.mark.slow
 def test_volumetric_pallas_matches_xla():
     """The volumetric tile kernel (ops/pallas/volumetric_kernel.py)
     carries the error-controlled emission component through the same
@@ -270,6 +274,7 @@ def test_volumetric_pallas_matches_xla():
         assert np.percentile(np.abs(tp[ok] - tx[ok]), 99) < 1e-3
 
 
+@pytest.mark.slow
 def test_volumetric_two_pass_matches_single_pass():
     """Straggler containment on the volumetric kernel: the capped pass
     + full-budget re-trace of unconverged lanes reproduces the
@@ -304,6 +309,7 @@ def test_volumetric_two_pass_matches_single_pass():
                                   np.asarray(r2.optical_depth))
 
 
+@pytest.mark.slow
 def test_spectral_pallas_matches_xla():
     """Generic coupled-extras tile kernel, spectral form: (tau_hat,
     I_1..I_n) bands from the VMEM kernel match the XLA path."""
@@ -340,6 +346,7 @@ def test_spectral_pallas_matches_xla():
     assert np.percentile(np.abs(tp[ok] - tx[ok]), 99) < 1e-3
 
 
+@pytest.mark.slow
 def test_aux_pallas_matches_xla_polarized():
     """Generic coupled-extras tile kernel with per-ray aux constants:
     the polarized-volumetric Stokes transport (4 Walker-Penrose aux
@@ -384,3 +391,45 @@ def test_aux_pallas_matches_xla_polarized():
         ep, ex = np.asarray(ep), np.asarray(ex)
         scale = max(float(np.abs(ex).max()), 1e-12)
         assert np.percentile(np.abs(ep[ok] - ex[ok]) / scale, 99) < 1e-4
+
+
+def test_aux_two_pass_matches_single_pass():
+    """Coupled-extras straggler containment: capped pass + full-budget
+    re-trace (with the aux tiles gathered alongside) reproduces the
+    single-pass result exactly."""
+    from light_path_tracer_tpu.ops.pallas.volumetric_kernel import (
+        trace_rays_aux_pallas, trace_rays_aux_two_pass)
+    from light_path_tracer_tpu.polarization import (
+        k_contravariant, make_polarized_volumetric_transfer,
+        observer_basis, walker_penrose)
+    from light_path_tracer_tpu.volumetric import RIAFConfig
+
+    m = Kerr(M=1.0, a=0.9)
+    rng = np.random.default_rng(14)
+    n = 300
+    ac = m.alpha_crit(R_OBS)
+    alphas = jnp.asarray(rng.uniform(0.9 * ac, 1.1 * ac, n), jnp.float32)
+    thetas = jnp.asarray(rng.uniform(-np.pi, np.pi, n), jnp.float32)
+    tf = make_polarized_volumetric_transfer(m, RIAFConfig(), "toroidal",
+                                            0.7)
+    y0, _p_t, p_phi, _inv = m.initial_conditions_5d(
+        R_OBS, alphas, thetas, np.radians(80.0))
+    Mj = jnp.asarray(1.0, jnp.float32)
+    aj = jnp.asarray(0.9, jnp.float32)
+    k_cam = k_contravariant(Mj, aj, y0[0], y0[1], y0[3], y0[4], p_phi)
+    e1, e2 = observer_basis(Mj, aj, R_OBS, np.radians(80.0), k_cam)
+    k11, k21 = walker_penrose(aj, y0[0], y0[1], k_cam, e1)
+    k12, k22 = walker_penrose(aj, y0[0], y0[1], k_cam, e2)
+    aux = (k11, k21, k12, k22)
+
+    r1 = trace_rays_aux_pallas(
+        m, R_OBS, alphas, thetas, np.radians(80.0), tf, 3, aux,
+        5000.0, 8000, tile_rows=2, interpret=True)
+    r2 = trace_rays_aux_two_pass(
+        m, R_OBS, alphas, thetas, np.radians(80.0), tf, 3, aux,
+        5000.0, 8000, pass1_steps=256, slots=128, tile_rows=2,
+        interpret=True)
+    np.testing.assert_array_equal(np.asarray(r1.status),
+                                  np.asarray(r2.status))
+    for e1_, e2_ in zip(r1.extras, r2.extras):
+        np.testing.assert_array_equal(np.asarray(e1_), np.asarray(e2_))

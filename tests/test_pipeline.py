@@ -1,5 +1,6 @@
 """End-to-end pipeline tests: shadow geometry, symmetry, full renders."""
 
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -47,6 +48,7 @@ def test_kerr_shadow_displaced():
     assert abs(cy - 23.5) < 1.0
 
 
+@pytest.mark.slow
 def test_tb_symmetry_mirror_semantics():
     """The symmetry path traces half the rows and mirrors them — the
     reference's exact semantics (image_lens.py:218-229, 272-276), which
@@ -160,6 +162,7 @@ def test_invalid_rays_surface_as_shadow():
     assert np.isfinite(float(r2.final_alpha[1]))
 
 
+@pytest.mark.slow
 def test_fused_lens_path_matches_staged():
     """render_scene's default single-program fused path (camera grids +
     trace + fold + render in ONE dispatch) is exact against the staged

@@ -204,6 +204,7 @@ def test_polarization_requires_centered_camera():
         pol.render_polarization(scene, (8, 8), CFG, DiskConfig())
 
 
+@pytest.mark.slow
 def test_hotspot_qu_loop_closes_and_rotates():
     """Polarized hot-spot flare: (Q, U) traces a CLOSED loop with
     nonzero area once per orbit (the GRAVITY/EHT flare signature), and
@@ -249,6 +250,7 @@ def _render_volumetric_pol(a, inc_deg, field, res=(32, 32), **riaf_kw):
                                            field=field)
 
 
+@pytest.mark.slow
 def test_volumetric_toroidal_radial_ticks_weak_field():
     """Distant emitting shell, near-face-on: every path element's
     E ~ k x B is image-radial for a toroidal field — the integrated
@@ -266,6 +268,7 @@ def test_volumetric_toroidal_radial_ticks_weak_field():
     assert np.nanmax(pf[good]) > 0.6
 
 
+@pytest.mark.slow
 def test_volumetric_radial_field_azimuthal_ticks():
     evpa, _pf, inten, _st = _render_volumetric_pol(0.0, 20.0, "radial")
     radial = _image_angles(evpa.shape)
@@ -274,6 +277,7 @@ def test_volumetric_radial_field_azimuthal_ticks():
     assert np.degrees(np.median(d)) < 5.0
 
 
+@pytest.mark.slow
 def test_volumetric_pol_mirror_symmetry_and_depolarization():
     """a = 0: the phi -> -phi isometry maps the PROGRADE scene to the
     image-mirrored RETROGRADE scene exactly (mirroring the image alone

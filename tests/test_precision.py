@@ -5,12 +5,14 @@ the reference; this proves the f32 TPU-native tier stays within the gate
 relative to f64 on full rendered images.
 """
 
+import pytest
 import numpy as np
 
 from light_path_tracer_tpu.utils.config import SceneConfig, RenderConfig
 from light_path_tracer_tpu.pipeline import render_shadow, render_scene
 
 
+@pytest.mark.slow
 def test_shadow_f32_vs_f64_rmse():
     scene = SceneConfig(M=1.0, a=0.9, r_obs_mult=100.0)
     img32, _ = render_shadow(scene, (96, 96), RenderConfig(dtype="float32"))
@@ -23,6 +25,7 @@ def test_shadow_f32_vs_f64_rmse():
     assert np.mean(img32 != img64) < 1e-3
 
 
+@pytest.mark.slow
 def test_lensed_f32_vs_f64_rmse():
     # Smooth texture: the realistic case. (A white-noise texture instead
     # measures texel-flip probability — f32's ~2e-4 rad angle error is a
@@ -69,6 +72,7 @@ def test_gate_tier_presets():
         get_tols(jnp.float32, "ultra")
 
 
+@pytest.mark.slow
 def test_precision_tiers_monotone_angle_error():
     """f32 tier ladder fast -> precise -> gate: final-alpha error vs the
     f64 reference-tolerance oracle shrinks monotonically."""
@@ -102,6 +106,7 @@ def test_precision_tiers_monotone_angle_error():
     assert errs["gate"] < 1e-4, errs
 
 
+@pytest.mark.slow
 def test_gate_configuration_passes_image_gate_small():
     """The gate tier (dtype=float64, precision='gate', atol 1e-7)
     passes the image-RMSE < 1e-3 gate vs the reference-tolerance f64

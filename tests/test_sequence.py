@@ -1,5 +1,6 @@
 """Animation-path tests: traced-psi camera + one-compile sequences."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -26,6 +27,7 @@ def test_dynamic_camera_matches_static():
                                    atol=1e-12)
 
 
+@pytest.mark.slow
 def test_shadow_sequence_one_compile():
     scene = SceneConfig(M=1.0, a=0.8, r_obs_mult=100.0)
     psis = [(0.0, 0.0), (0.0, 0.01), (0.005, -0.01)]
@@ -51,6 +53,7 @@ def test_shadow_sequence_one_compile():
     assert len(more) == 2
 
 
+@pytest.mark.slow
 def test_lensed_sequence():
     rng = np.random.default_rng(0)
     src = rng.random((32, 40, 3)).astype(np.float32)
@@ -65,6 +68,7 @@ def test_lensed_sequence():
                               np.asarray(frames[1]))
 
 
+@pytest.mark.slow
 def test_param_sequence_spin_sweep():
     """Traced (M, a): one compile serves a spin ramp; frames match the
     static pipeline's shadows."""
@@ -98,6 +102,7 @@ def test_param_sequence_spin_sweep():
                               np.asarray(frames[2]))
 
 
+@pytest.mark.slow
 def test_flyby_shadow_approach():
     """render_flyby: (r_obs, boost) in the traced carry — one compile
     for an approach; shadow grows as the observer closes in, shrinks
@@ -128,6 +133,7 @@ def test_flyby_shadow_approach():
     assert np.array_equal(np.asarray(frames[0]), np.asarray(seq[0]))
 
 
+@pytest.mark.slow
 def test_flyby_lensed_and_psi_override():
     """Lensed flyby frames: finite, vary along the approach, and accept
     per-frame psi in the 4-tuple form."""
@@ -185,6 +191,7 @@ def test_dynamic_boost_camera_matches_static():
     np.testing.assert_array_equal(np.asarray(td0), np.asarray(t0))
 
 
+@pytest.mark.slow
 def test_charged_pan_sequence_and_flyby_rejection():
     """Pan sequences carry the static Kerr-Newman metric; the
     traced-metric paths (flyby, param sweeps) reject charge."""

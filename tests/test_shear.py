@@ -140,6 +140,7 @@ def test_shadow_nan_and_stats(shear_static):
         assert v.shape == (N, N) and v.dtype == np.float32
 
 
+@pytest.mark.slow
 def test_sharded_equals_single_device():
     from light_path_tracer_tpu.parallel.mesh import make_mesh
 

@@ -61,6 +61,7 @@ def test_line_profile_spin_extends_red_wing():
     assert red9 < red0 - 0.1
 
 
+@pytest.mark.slow
 def test_line_profile_supersampled_preserves_total_flux():
     """aa_samples multiplies the crossing samples but divides the
     weights, so total flux is preserved. Tested with a FLAT emission

@@ -13,6 +13,7 @@ The reference has no subring decomposition; its winding palette
 (/root/reference/image_lens.py:287-293) is the closest analogue.
 """
 
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -56,6 +57,7 @@ def test_per_slot_partition_exact():
                                   np.asarray(total_i))
 
 
+@pytest.mark.slow
 def test_decomposed_total_matches_translucent_render():
     """Full-plane order-indexed recording vs in-disk recording: the
     total emission agrees (ray-by-ray the same crossings emit, they
@@ -155,6 +157,7 @@ def test_recording_window_excludes_annulus_leakage():
     assert narrow[0] < wide[0]
 
 
+@pytest.mark.slow
 def test_volumetric_subring_visibility_null_recovers_diameter():
     """Cross-module pin: the n=1 lensed-ring layer of the volumetric
     decomposition, pushed through the visibility pipeline, yields a

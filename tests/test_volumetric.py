@@ -108,6 +108,7 @@ def test_absorption_saturates_to_source_function():
     assert (np.asarray(res.optical_depth) > 20.0).all()
 
 
+@pytest.mark.slow
 def test_absorption_dims_pointwise_and_thin_mode_tau_is_zero():
     """Same emissivity, absorption on: every pixel dims (exp(-tau) <= 1
     inside the integral), and the thin mode reports zero optical
@@ -218,6 +219,7 @@ def test_ssa_turnover_and_frequency_dependent_photosphere():
         render_volumetric_spectrum(scene, (8, 8), (), CFG, riaf)
 
 
+@pytest.mark.slow
 def test_movie_stationary_frames_identical_and_periodic():
     """Flare-movie wiring: with no blob every frame is IDENTICAL (the
     retarded-time machinery must not perturb a stationary emissivity),
@@ -244,6 +246,7 @@ def test_movie_stationary_frames_identical_and_periodic():
                   - st2["emission"][0]).max() > 1e-3
 
 
+@pytest.mark.slow
 def test_movie_blob_orbits_and_beams():
     """Physical orderings over one orbit: the light curve is Doppler
     modulated (approaching > receding), and the emission-weighted
@@ -309,6 +312,7 @@ def _mirror_halves(em):
     return em[:, 1:h].sum(), em[:, h + 1:].sum()
 
 
+@pytest.mark.slow
 def test_torus_doppler_crescent_and_retrograde_flip():
     """Edge-on rotating torus: the approaching side is Doppler-beamed
     (g^3), producing a strongly one-sided crescent; reversing the flow
@@ -384,6 +388,7 @@ def test_render_volumetric_image_contract():
     assert st["integrator_steps"] > 0
 
 
+@pytest.mark.slow
 def test_decomposed_partition_and_winding_counter():
     """Photon-ring decomposition: the order layers partition the
     single-band image (same transfer, gated by the smooth winding
@@ -437,6 +442,7 @@ def test_decomposed_demagnification_physics():
     assert (layers >= 0.0).all()
 
 
+@pytest.mark.slow
 def test_decomposed_absorption_screens_every_order():
     """With alpha0 > 0 every order dims (shared optical depth) and the
     tau map rides stats; layers stay a partition of the absorbed
@@ -500,6 +506,7 @@ class TestJet:
         g0 = float(g_jet0(state(-1.0 / f), p_t, p_phi)[0])
         assert g0 == pytest.approx(np.sqrt(f), rel=1e-12)
 
+    @pytest.mark.slow
     def test_one_sided_beaming_and_mirror(self):
         """The approaching cone outshines the receding one, and
         flipping the observer to the other hemisphere flips the
