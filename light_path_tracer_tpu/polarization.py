@@ -434,6 +434,10 @@ def hotspot_qu_loop(scene: SceneConfig, resolution, times,
     surface-brightness pattern advects. Returns (times, I, Q, U,
     stats) with I/Q/U (T,) arrays (flux units of the imaging path;
     Q + iU = sum_px I_px p_px exp(2 i chi_px)).
+
+    mesh: optional jax.sharding.Mesh — the single disk trace shards
+    row-wise like render_polarization's (the per-time reductions are
+    O(pixels) host-side epilogues).
     """
     import jax
 

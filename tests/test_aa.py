@@ -77,6 +77,7 @@ def test_aa_tb_symmetry_exact_single_sample():
             img_tb[rows:], img_tb[1:height - rows + 1][::-1])
 
 
+@pytest.mark.slow
 def test_aa_tb_symmetry_close_multi_sample():
     """With a non-flip-closed pattern (RG4) the bottom half samples at
     mirrored offsets — an equally-valid 4x pattern: images agree except
@@ -108,6 +109,7 @@ def test_aa_tb_symmetry_skipped_off_equator():
     assert stats["traced_rays"] == 16 * 16 * 2   # no halving
 
 
+@pytest.mark.slow
 def test_scene_aa_tb_symmetry_close():
     """Lensed AA render with mirror symmetry stays close to the full
     trace on a smooth texture (boundary pixels sample mirrored offsets)."""

@@ -7,6 +7,7 @@ static frame before tracing, and observed frequencies pick up the
 per-pixel Doppler factor.
 """
 
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -106,6 +107,7 @@ def test_integrated_shadow_shrinks_when_approaching():
     assert 0 < n_toward < n_static
 
 
+@pytest.mark.slow
 def test_boosted_blackbody_disk_is_bluer():
     """Flying toward the disk blueshifts it: the blue channel fraction
     rises versus the static observer."""

@@ -122,6 +122,7 @@ def test_scene_adaptive_full_budget_equals_uniform():
     assert st["refined_pixels"] == 32 * 32
 
 
+@pytest.mark.slow
 def test_scene_adaptive_partial_budget_converges_toward_uniform():
     """A partial budget must (a) reproduce uniform AA exactly on the
     refined pixels and (b) reduce the whole-image distance to uniform

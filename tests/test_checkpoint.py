@@ -43,6 +43,7 @@ def test_save_load_roundtrip(tmp_path):
     assert load_lookup(str(bad)) is None
 
 
+@pytest.mark.slow
 def test_cached_precompute_hit_matches_miss(tmp_path):
     scene = SceneConfig(M=1.0, a=0.7, r_obs_mult=100.0)
     cfg = RenderConfig(dtype="float64", chunk_size=None)
@@ -65,6 +66,7 @@ def test_cached_precompute_hit_matches_miss(tmp_path):
     assert not hit3
 
 
+@pytest.mark.slow
 def test_chunk_resume_after_crash(tmp_path, monkeypatch):
     """Kill a chunked precompute after 2 completed chunks; resuming
     loads those chunks from disk, re-traces only the rest, and matches a
@@ -139,6 +141,7 @@ def test_resume_requires_chunking():
         cached_precompute(scene, cfg, (8, 8), (0.1, 0.1), resume=True)
 
 
+@pytest.mark.slow
 def test_orbax_session_roundtrip(tmp_path):
     """Orbax render-session save/restore: tables round-trip exactly and
     a mismatched configuration is refused."""

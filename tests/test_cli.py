@@ -76,6 +76,7 @@ def test_cli_disk(workdir):
     assert rc == 0 and os.path.exists("d.png")
 
 
+@pytest.mark.slow
 def test_cli_disk_decompose(workdir, capsys):
     rc = main(["disk", "--a", "0.0", "--size", "48",
                "--inclination", "70", "--fov-v", "14",
@@ -151,6 +152,7 @@ def test_cli_animate_flyby_bad_spec(workdir):
                  "--flyby", "oops"]) == 2
 
 
+@pytest.mark.slow
 def test_cli_device_and_x64_flags(workdir, tmp_path):
     """--device cpu + --dtype float64 must run on the CPU backend with
     x64 actually enabled (no silent float32 truncation). Subprocess:

@@ -43,6 +43,7 @@ def _trace_fan(metric, n=48, r_obs=100.0, seed=0):
     return np.asarray(res.status), np.asarray(res.final_alpha)
 
 
+@pytest.mark.slow
 def test_kerr_closure_identity():
     """CustomMetric(kerr_covariant) == Kerr, ray for ray."""
     M, a = 1.0, 0.7
@@ -164,6 +165,7 @@ def test_render_shadow_custom_metric():
     assert 0 < (img_h == 0).sum() < (img_k == 0).sum()
 
 
+@pytest.mark.slow
 def test_cli_metric_py(tmp_path, monkeypatch):
     from light_path_tracer_tpu.cli import main
     monkeypatch.chdir(tmp_path)

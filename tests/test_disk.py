@@ -42,6 +42,7 @@ def test_doppler_sign():
     assert g_app > g_rec
 
 
+@pytest.mark.slow
 def test_disk_render_edge_on_asymmetry():
     scene = SceneConfig(M=1.0, a=0.9, r_obs_mult=100.0,
                         vertical_fov_deg=30.0,
@@ -58,6 +59,7 @@ def test_disk_render_edge_on_asymmetry():
     assert hi / max(lo, 1e-9) > 2.0
 
 
+@pytest.mark.slow
 def test_disk_translucent_more_pixels():
     """Non-opaque disk shows secondary-image crossings -> never fewer
     contributing pixels than the opaque disk."""
@@ -71,6 +73,7 @@ def test_disk_translucent_more_pixels():
     assert s_tr["disk_pixels"] >= s_op["disk_pixels"]
 
 
+@pytest.mark.slow
 def test_disk_pallas_matches_xla():
     """Pallas disk-mode kernel vs the XLA path (interpret mode)."""
     from light_path_tracer_tpu.models import Kerr
@@ -147,6 +150,7 @@ def test_disk_temperature_profile():
     assert T[-1] < T[i_peak]                     # outer decline
 
 
+@pytest.mark.slow
 def test_blackbody_disk_render():
     """Color disk: (H, W, 3), finite, approaching-side (Doppler) brighter
     AND bluer than the receding side."""
@@ -169,6 +173,7 @@ def test_blackbody_disk_render():
     assert bf(bright) > bf(dim)
 
 
+@pytest.mark.slow
 def test_center_column_crossings_after_polar_pass():
     """Regression: the L = 0 center-column rays pass OVER the pole and
     hit the equatorial plane at theta = -pi/2 (double-cover chart); the
@@ -227,6 +232,7 @@ def test_composite_empty_disk_matches_plain_lens():
     assert np.median(d) < 1e-9
 
 
+@pytest.mark.slow
 def test_composite_opaque_blocks_background():
     """Opaque composite: disk-hit pixels show the disk, everything else
     is exactly the no-disk lensed background."""
@@ -260,6 +266,7 @@ def test_composite_opaque_blocks_background():
     assert (d.max(axis=-1)[free] < 1e-6).mean() > 0.98
 
 
+@pytest.mark.slow
 def test_composite_translucent_is_additive():
     """Translucent composite >= its own background everywhere (emission
     only adds light)."""
@@ -277,6 +284,7 @@ def test_composite_translucent_is_additive():
     assert (np.asarray(comp) >= np.asarray(base) - 1e-6).mean() > 0.99
 
 
+@pytest.mark.slow
 def test_crossing_phi_recorded_and_backends_agree():
     """phi_hits: finite azimuth wherever a crossing is recorded, and the
     Pallas kernel agrees with the XLA path."""
@@ -398,6 +406,7 @@ def test_textured_disk_frames_render():
     assert np.abs(frames[1] - frames[0]).max() > 0.02
 
 
+@pytest.mark.slow
 def test_retrograde_disk_swaps_doppler_side():
     """Retrograde orbits approach on the opposite limb: the bright
     (beamed) half of the image swaps sides, and r_isco moves out
@@ -462,6 +471,7 @@ def test_center_column_phi_is_physical_azimuth():
     assert jump_l.max() < 1.0 and jump_r.max() < 1.0
 
 
+@pytest.mark.slow
 def test_tilted_disk_schwarzschild_rotation_equivalence():
     """a=0 oracle: by spherical symmetry, a disk tilted by iota with
     line of nodes at lam=pi/2 (the rotation axis lies in the observer's
@@ -673,6 +683,7 @@ def test_multi_disk_two_planes_equatorial_plus_tilted():
     assert np.allclose(np.asarray(img_e), np.asarray(img_1), atol=1e-12)
 
 
+@pytest.mark.slow
 def test_multi_disk_opaque_occludes_second_plane():
     """An opaque near disk terminates rays, so a translucent far plane
     records FEWER crossings than when traced alone (occlusion via the
@@ -702,6 +713,7 @@ def test_multi_disk_validates_mixed_spectra():
                           [DiskConfig(), DiskConfig(spectrum="blackbody")])
 
 
+@pytest.mark.slow
 def test_disk_pallas_accepts_precision_and_method():
     """Regression: precision/method reach the Pallas disk kernel as
     STATIC jit args (a plain string arg raised TypeError in r3)."""
@@ -721,6 +733,7 @@ def test_disk_pallas_accepts_precision_and_method():
     assert int(np.asarray(res.n_steps)) > 0
 
 
+@pytest.mark.slow
 def test_disk_two_pass_matches_single_pass():
     """Pallas disk two-pass straggler containment (interpret mode)
     reproduces the single-pass results: statuses, hit records, and
@@ -757,6 +770,7 @@ def test_disk_two_pass_matches_single_pass():
     assert np.median(np.abs(fa1[free] - fa2[free])) < 1e-5
 
 
+@pytest.mark.slow
 def test_crossing_momentum_null_condition_and_backends_agree():
     """pr_hits/pth_hits: the recorded crossing momentum, with the
     conserved (p_t=-1, p_phi), satisfies the null condition

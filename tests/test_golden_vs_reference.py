@@ -160,6 +160,7 @@ def test_camera_matches_reference_camera():
     np.testing.assert_allclose(g_us, g_rf, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_e2e_kerr_image_matches_reference_pipeline():
     """Capstone: full small Kerr lensed render vs the reference pipeline
     run end-to-end (its pure-Python fallback), RMSE gate on the image."""

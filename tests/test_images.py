@@ -88,6 +88,7 @@ def test_point_lens_delay_and_winding(weak_u1):
     assert secondary.winding == 1
 
 
+@pytest.mark.slow
 def test_far_source_demagnified_counter_image():
     """u = 3: the primary tends to the unlensed star (mu -> 1), the
     counter-image is strongly demagnified, and the delay exceeds u=1's."""
@@ -103,6 +104,7 @@ def test_far_source_demagnified_counter_image():
     assert dt > dt1
 
 
+@pytest.mark.slow
 def test_no_images_outside_fov():
     """A source far outside the traced field has no candidate cells."""
     imgs, stats = find_point_images(WEAK, (0.6, 0.0),

@@ -109,6 +109,7 @@ def test_kerr_capture_inside_shadow():
     assert np.isnan(float(res.final_alpha[0]))
 
 
+@pytest.mark.slow
 def test_kerr_frame_dragging_asymmetry():
     """Frame dragging: left/right screen edges behave differently for
     a > 0 (the shadow is displaced); a = 0 is symmetric."""
@@ -156,6 +157,7 @@ def test_conservation_along_trajectory():
     assert np.max(np.abs(H)) < 1e-6
 
 
+@pytest.mark.slow
 def test_chunked_and_sorted_equal_unchunked():
     m = Kerr(M=1.0, a=0.8)
     rng = np.random.default_rng(3)
@@ -176,6 +178,7 @@ def test_chunked_and_sorted_equal_unchunked():
                                   np.asarray(chunked.n_half_orbits))
 
 
+@pytest.mark.slow
 def test_f32_close_to_f64():
     """float32 path accuracy vs float64 (drives the RMSE<1e-3 gate)."""
     m = Kerr(M=1.0, a=0.9)
@@ -219,6 +222,7 @@ def test_axis_refine_tightens_result():
                                np.asarray(fine.final_alpha), atol=1e-4)
 
 
+@pytest.mark.slow
 def test_rk4_agrees_with_dp45():
     """Adaptive-vs-fixed-step cross-check (SURVEY §4.2b)."""
     from light_path_tracer_tpu.ops.kerr_rk4 import trace_rays_kerr_rk4
@@ -283,6 +287,7 @@ def test_polar_observer_no_nans():
     assert (s == 1).sum() > 0 and (s == -1).sum() > 0
 
 
+@pytest.mark.slow
 def test_early_capture_equivalence():
     """Certain-plunge termination changes no outcome or escaped angle."""
     m = Kerr(M=1.0, a=0.9)
@@ -349,6 +354,7 @@ def test_adaptive_trajectory_recorder():
     assert abs(states[-1, 1] - 2 * R_OBS) < 1e-2
 
 
+@pytest.mark.slow
 def test_mu_and_theta_formulations_agree():
     """Full-trace equivalence of the production mu-form and the
     reference-parity theta-form (same geodesics, different step

@@ -42,6 +42,7 @@ def test_eps3_zero_rhs_matches_kerr_hand_form():
                                    rtol=0, atol=1e-13)
 
 
+@pytest.mark.slow
 def test_eps3_zero_trace_matches_kerr():
     alphas, thetas = _rays()
     kw = dict(axis_refine=jnp.zeros(5, bool), lambda_max=5000.0,
@@ -106,6 +107,7 @@ def test_alpha_crit_bisection_and_deformation_ordering():
     assert num0 - num_p > 1e-3 * num0
 
 
+@pytest.mark.slow
 def test_static_photon_sphere_oracle():
     """a = 0, eps3 != 0: the deformed static metric's critical angle
     from first principles — photon sphere where (C/f)' = 0, critical
@@ -166,6 +168,7 @@ def test_disk_and_sequence_reject_eps3():
         _scene_metric(SceneConfig(M=1.0, a=0.5, eps3=1.0))
 
 
+@pytest.mark.slow
 def test_capture_radius_tracks_the_barrier():
     # eps3 < 0 moves the g^rr pole OUTSIDE Kerr's horizon; the capture
     # surface must clear it (else rays die as NaN instead of
@@ -188,6 +191,7 @@ def test_capture_radius_tracks_the_barrier():
     assert int(res.status[0]) == -1
 
 
+@pytest.mark.slow
 def test_alpha_crit_bracket_expands_for_strong_deformation():
     """Strong eps3 < 0 (barrier at r = (-eps3)^(1/3) M = 10M for a=0)
     grows the shadow past the 3x-Schwarzschild initial bisection

@@ -132,6 +132,7 @@ def test_a_zero_matches_reissner_nordstrom_orbit_path():
             == np.asarray(res_rn.n_half_orbits)[ok]).all()
 
 
+@pytest.mark.slow
 def test_kn_trace_q0_matches_kerr():
     """Q = 0 KN traces match Kerr's XLA path closely (same dynamics,
     autodiff vs hand RHS — bitwise-identical derivatives up to op
@@ -152,6 +153,7 @@ def test_kn_trace_q0_matches_kerr():
     assert np.median(d) < 1e-8
 
 
+@pytest.mark.slow
 def test_kn_pallas_matches_xla():
     """The metric-generic Pallas tile kernel (interpret mode on CPU)
     agrees with the XLA path for Kerr-Newman."""
@@ -338,6 +340,7 @@ def test_polarization_rejects_charge():
         render_polarization(SceneConfig(M=1.0, a=0.5, Q=0.5), (8, 8))
 
 
+@pytest.mark.slow
 def test_kn_shadow_end_to_end():
     """make_metric dispatch + pipeline shadow: the KN shadow sits
     between the same-spin Kerr (larger) and nothing."""

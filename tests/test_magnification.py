@@ -66,6 +66,7 @@ def test_rotational_symmetry(mu_map):
     assert np.median(d / scale) < 0.05
 
 
+@pytest.mark.slow
 def test_kerr_map_runs_and_breaks_symmetry():
     scene = SceneConfig(M=1.0, a=0.9, vertical_fov_deg=40.0)
     mu, stats = render_magnification(

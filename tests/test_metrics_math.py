@@ -140,6 +140,7 @@ def test_kerr_a0_rhs_matches_schwarzschild_8d():
     np.testing.assert_allclose(dk, ds, rtol=1e-12, atol=1e-12)
 
 
+@pytest.mark.slow
 def test_mass_scale_invariance():
     """GR scale invariance: scaling (M, r_obs) together leaves all
     angular results unchanged — validates M enters every formula only

@@ -43,6 +43,7 @@ def test_paczynski_curve():
     assert stats["A_peak"] == pytest.approx(paczynski(1.0), rel=0.02)
 
 
+@pytest.mark.slow
 def test_caustic_map_point_caustic():
     amap, extent, stats = render_caustics(WEAK, (256, 256), CFG,
                                           bins=64)
@@ -68,6 +69,7 @@ def test_caustic_map_point_caustic():
     assert np.median(np.abs(amap[annulus] - flipped[annulus])) < 0.2
 
 
+@pytest.mark.slow
 def test_kerr_caustics_run():
     scene = SceneConfig(M=1.0, a=0.9, r_obs_mult=1000.0,
                         vertical_fov_deg=40.0)

@@ -229,6 +229,7 @@ def test_centroid_track_shapes_and_rgb():
     np.testing.assert_allclose(tr_rgb, tr_gray, atol=1e-12)
 
 
+@pytest.mark.slow
 def test_centroid_flare_wobble_physics():
     """Volumetric flare movie: the photocenter wanders (the GRAVITY
     wobble), by LESS than the blob's orbital angular diameter (the

@@ -44,10 +44,12 @@ def _compare(n, tile_rows, seed=0, spin=0.9):
     assert np.percentile(d, 99) < 1e-3
 
 
+@pytest.mark.slow
 def test_pallas_matches_xla_single_tile():
     _compare(n=8 * 128, tile_rows=8)
 
 
+@pytest.mark.slow
 def test_pallas_matches_xla_multi_tile_with_padding():
     # 3000 rays over 2 tiles of 1024 -> padding lanes exercised.
     _compare(n=3000, tile_rows=8, seed=1)
@@ -200,6 +202,7 @@ def test_pallas_dop853_matches_xla():
     assert np.percentile(d, 99) < 1e-3
 
 
+@pytest.mark.slow
 def test_pallas_mu_formulation_matches_theta():
     """The opt-in transcendental-free mu formulation through the Pallas
     kernel (the hybrid tracer's pass-1 configuration): same geodesics
@@ -393,6 +396,7 @@ def test_aux_pallas_matches_xla_polarized():
         assert np.percentile(np.abs(ep[ok] - ex[ok]) / scale, 99) < 1e-4
 
 
+@pytest.mark.slow
 def test_aux_two_pass_matches_single_pass():
     """Coupled-extras straggler containment: capped pass + full-budget
     re-trace (with the aux tiles gathered alongside) reproduces the

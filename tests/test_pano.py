@@ -105,6 +105,7 @@ def test_shadow_solid_angle_schwarzschild():
     assert abs(frac - expect) < 0.15 * expect
 
 
+@pytest.mark.slow
 def test_shadow_solid_angle_kerr_bounded():
     # Kerr's alpha_crit is the shadow ENVELOPE (max over the asymmetric
     # silhouette), so the cone fraction is an UPPER bound; the shadow
@@ -123,6 +124,7 @@ def test_shadow_solid_angle_kerr_bounded():
     assert not np.isnan(np.asarray(out.final_alpha))[backward].any()
 
 
+@pytest.mark.slow
 def test_tb_fold_equals_full():
     rng = np.random.default_rng(2)
     sky = rng.random((17, 32, 3)).astype(np.float32)
@@ -143,6 +145,7 @@ def test_tb_fold_equals_full():
     assert d.max() < 1e-2
 
 
+@pytest.mark.slow
 def test_mesh_sharded_equals_single_device():
     devs = np.array(jax.devices()[:4])
     from jax.sharding import Mesh

@@ -136,6 +136,7 @@ def test_uint8_source_normalized():
     assert np.asarray(out.image).max() <= 1.0
 
 
+@pytest.mark.slow
 def test_invalid_rays_surface_as_shadow():
     """Failure handling (SURVEY §5): numerically invalid rays surface as
     status 0 / NaN final_alpha and render black, never crash."""

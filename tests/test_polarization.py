@@ -43,6 +43,7 @@ def _g4(M, a):
     return g
 
 
+@pytest.mark.slow
 def test_walker_penrose_conserved_along_transported_polarization():
     M, a = 1.0, 0.9
     metric = Kerr(M=M, a=a)
@@ -156,6 +157,7 @@ def _ang_diff_mod_pi(x, y):
     return np.abs(d)
 
 
+@pytest.mark.slow
 def test_toroidal_field_gives_radial_ticks_weak_field():
     """Nearly face-on, far from the hole: B azimuthal in the image, k
     along the line of sight, so E ~ k x B is image-RADIAL. Pins the
@@ -178,6 +180,7 @@ def test_radial_field_gives_azimuthal_ticks_weak_field():
     assert np.degrees(np.median(d)) < 20.0
 
 
+@pytest.mark.slow
 def test_vertical_field_faceon_weakly_polarized():
     """B parallel to the line of sight emits little synchrotron
     polarization: sin^2(xi) far below the toroidal case."""

@@ -94,6 +94,7 @@ def test_lens_and_composite_roundtrip(server_url):
     assert comp.shape == (32, 40, 3) and np.isfinite(comp).all()
 
 
+@pytest.mark.slow
 def test_disk_png_roundtrip(server_url):
     url, _server = server_url
     status, body, hdr = _post(url, {
@@ -324,6 +325,7 @@ def test_magnification_mode(server_url):
     assert status2 == 200 and hdr2["Content-Type"] == "image/png"
 
 
+@pytest.mark.slow
 def test_volumetric_mode(server_url):
     url, _server = server_url
     payload = {"mode": "volumetric", "size": [24, 24], "format": "npy",
@@ -398,6 +400,7 @@ def test_caustics_and_timedelay_modes(server_url):
     assert status2 == 200 and hdr2["Content-Type"] == "image/png"
 
 
+@pytest.mark.slow
 def test_shear_mode(server_url):
     url, _server = server_url
     payload = {"mode": "shear", "size": [24, 24], "format": "npy",

@@ -24,6 +24,7 @@ def _profile(a, inc_deg, res=(64, 64), **kw):
     return line_profile(scene, res, CFG, DiskConfig(), n_bins=40, **kw)
 
 
+@pytest.mark.slow
 def test_line_profile_edge_on_doppler_horns():
     """Edge-on disk: blue horn beyond g=1 (approaching limb beams), red
     wing well below (receding limb + gravitational redshift), and the
@@ -91,6 +92,7 @@ def test_line_profile_energy_scaling():
     np.testing.assert_allclose(f2, f, rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_line_profile_empty_fov_raises():
     scene = SceneConfig(M=1.0, a=0.0, r_obs_mult=100.0,
                         theta_obs=np.radians(80.0),

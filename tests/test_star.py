@@ -95,6 +95,7 @@ def _spot_excess(R, fov_deg, spot_t):
     return (st1["brightness"].sum() - b0) / b0
 
 
+@pytest.mark.slow
 def test_antipodal_spot_visible_only_for_compact_star():
     """Strong lensing: for R = 3.3M (just outside the 3M photon
     sphere) the whole surface is visible, so a spot at the exact
@@ -133,6 +134,7 @@ def test_rotational_doppler_asymmetry_and_flip():
     np.testing.assert_allclose(r_ret, l_pro, rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_pulse_profile_modulation_and_retarded_phase():
     """A rotating equatorial spot pulses; the light-travel-delay mode
     produces a finite, different profile (each element evaluated at

@@ -39,6 +39,7 @@ def _trace(metric, inc_deg, size=96, fov_deg=14.0, disk=None):
     return disk, res
 
 
+@pytest.mark.slow
 def test_per_slot_partition_exact():
     """Summing per_slot contributions reproduces the default return
     bit-for-bit (same trace, same emission math)."""
@@ -90,6 +91,7 @@ def test_decomposed_total_matches_translucent_render():
     assert flux[0] / total > 0.75
 
 
+@pytest.mark.slow
 def test_face_on_demagnification_near_pi():
     """a=0, near-face-on: consecutive subring fluxes fall by e^-gamma
     with gamma within a factor ~1.5 of the Schwarzschild asymptote pi
@@ -114,6 +116,7 @@ def test_face_on_demagnification_near_pi():
     assert mr[0] > mr[1] > mr[2] > st["alpha_crit"] * 0.97
 
 
+@pytest.mark.slow
 def test_kerr_and_blackbody_layers():
     """a=0.9 blackbody decomposition: color layers, decreasing flux.
 
@@ -140,6 +143,7 @@ def test_kerr_and_blackbody_layers():
     assert float(jnp.max(disp[2])) < float(jnp.max(disp[0]))
 
 
+@pytest.mark.slow
 def test_recording_window_excludes_annulus_leakage():
     """Crossings outside [r_in, r_out] must not emit: shrinking r_out
     shrinks per-order flux, never grows it (the annulus mask, not the

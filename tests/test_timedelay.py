@@ -34,6 +34,7 @@ def _trace(alphas, thetas, metric=None, disk=DISK, record_time=True,
         precision=precision, record_time=record_time)
 
 
+@pytest.mark.slow
 def test_radial_capture_time_analytic():
     # A near-radial ray (b = r sin(1e-3) ~ 0.1M: bending negligible)
     # is captured; its t_end must match the analytic Schwarzschild
@@ -105,6 +106,7 @@ def test_far_side_arrives_later():
     assert gap < 3.0 * expect
 
 
+@pytest.mark.slow
 def test_recording_is_pure_observation():
     # The trace itself must be bitwise-unchanged by record_time.
     alphas = np.linspace(0.02, 0.3, 12)
@@ -122,6 +124,7 @@ def test_recording_is_pure_observation():
                                   np.asarray(off.final_alpha))
 
 
+@pytest.mark.slow
 def test_light_curve_delay_skews_but_preserves_flux_scale():
     from light_path_tracer_tpu.spectra import hotspot_light_curve
     from light_path_tracer_tpu.disk import HotSpot, keplerian_omega

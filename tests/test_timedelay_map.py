@@ -131,6 +131,7 @@ def test_world_beta_crossing_side():
     assert bx[1] > 0 and bx[1] == pytest.approx(cx[1], abs=1e-6)
 
 
+@pytest.mark.slow
 def test_inclined_observer_runs():
     scene = SceneConfig(M=1.0, a=0.5, r_obs_mult=1000.0,
                         vertical_fov_deg=40.0,

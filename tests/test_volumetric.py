@@ -158,6 +158,7 @@ def test_spectral_single_band_reduces_to_absorbed_trace():
     assert int(r2.n_steps) == int(r1.n_steps)
 
 
+@pytest.mark.slow
 def test_spectral_thin_bands_exactly_proportional():
     """alpha0 = 0: every band integrates the same weight up to the
     analytic f^-s factor (s = g_power - 3), so the band images are
@@ -180,6 +181,7 @@ def test_spectral_thin_bands_exactly_proportional():
     np.testing.assert_allclose(em[2], 0.5 * em[1], rtol=1e-6, atol=tiny)
 
 
+@pytest.mark.slow
 def test_ssa_turnover_and_frequency_dependent_photosphere():
     """Synchrotron-self-absorption phenomenology: with opacity_index
     q > s the SED rises on the optically thick side and falls on the
@@ -277,6 +279,7 @@ def test_movie_blob_orbits_and_beams():
     assert np.ptp(cols) > 3.0      # sweeps a real fraction of the image
 
 
+@pytest.mark.slow
 def test_charged_hooks_reduce_to_kerr_at_zero_charge():
     """The emission function reads the metric through the _two_M_r /
     _Delta_b hooks; at Q = 0 the Kerr-Newman volumetric trace must
@@ -334,6 +337,7 @@ def test_torus_doppler_crescent_and_retrograde_flip():
                                rtol=0.02, atol=1e-4 * em_pro.max())
 
 
+@pytest.mark.slow
 def test_torus_face_on_is_nearly_symmetric():
     """Near-face-on: the line-of-sight component of the orbital
     velocity scales as sin(inclination), so the Doppler asymmetry
@@ -420,6 +424,7 @@ def test_decomposed_partition_and_winding_counter():
     assert abs(np.median(w[ordinary]) - 1.0) < 0.02
 
 
+@pytest.mark.slow
 def test_decomposed_demagnification_physics():
     """a=0 near-face-on: order fluxes decrease steeply and the n=1->2
     demagnification exponent is near the Schwarzschild Lyapunov
@@ -536,6 +541,7 @@ class TestJet:
         top3, bot3 = halves(90.0)
         assert top3 / bot3 == pytest.approx(1.0, rel=0.05)
 
+    @pytest.mark.slow
     def test_jet_beta_zero_is_symmetric(self):
         cfg = RenderConfig(dtype="float64", max_steps=30000)
         riaf = RIAFConfig(profile="jet", jet_beta=0.0, index=-1.0,
