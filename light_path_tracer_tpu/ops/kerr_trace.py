@@ -303,13 +303,14 @@ def finalize_angles(metric, y_f, p_t, p_phi, status_f):
     jax.jit,
     static_argnames=("metric", "r_obs", "theta_obs", "emission_fn",
                      "lambda_max", "max_steps", "precision", "method",
-                     "absorption_fn"))
+                     "absorption_fn", "sat_window"))
 def trace_rays_volumetric(metric, r_obs, alphas, thetas, theta_obs,
                           emission_fn, lambda_max: float,
                           max_steps: int = 200000,
                           precision: str = "fast",
                           method: str = "dp45",
-                          absorption_fn=None):
+                          absorption_fn=None,
+                          sat_window: int = 0):
     """Trace rays accumulating a volumetric radiative-transfer integral.
 
     emission_fn(y5, p_t, p_phi) -> per-lane emissivity weight (e.g.
@@ -382,7 +383,9 @@ def trace_rays_volumetric(metric, r_obs, alphas, thetas, theta_obs,
         r_capture=jnp.asarray(metric.capture_radius(), dtype),
         r_escape=jnp.asarray(r_obs * 2.0, dtype),
         lambda_max=lambda_max, h_init=_h_init_for(r_obs, dtype),
-        max_steps=max_steps, method=method, extra_rhs=extra)
+        max_steps=max_steps, method=method, extra_rhs=extra,
+        sat_window=sat_window, sat_monitor=(0,),
+        sat_r_max=saturation_r_max(metric) if sat_window else None)
 
     zero = jnp.asarray(0.0, dtype)
     em = jnp.where(status_f == INVALID, zero, y_f[5])
@@ -401,12 +404,14 @@ def trace_rays_volumetric(metric, r_obs, alphas, thetas, theta_obs,
     jax.jit,
     static_argnames=("metric", "r_obs", "theta_obs", "transfer_fn",
                      "n_bands", "lambda_max", "max_steps", "precision",
-                     "method"))
+                     "method", "sat_window", "sat_monitor"))
 def trace_rays_spectral(metric, r_obs, alphas, thetas, theta_obs,
                         transfer_fn, n_bands: int, lambda_max: float,
                         max_steps: int = 200000,
                         precision: str = "fast",
-                        method: str = "dp45"):
+                        method: str = "dp45",
+                        sat_window: int = 0,
+                        sat_monitor: tuple = None):
     """Multi-frequency radiative-transfer trace: ONE geodesic
     integration carrying 1 + n_bands coupled extra state components.
 
@@ -419,10 +424,18 @@ def trace_rays_spectral(metric, r_obs, alphas, thetas, theta_obs,
     tau_i = f_i^(1-q) tau_hat). All components ride the embedded
     error estimator. XLA path only; transfer_fn must be a
     cached/stable function object (jit static arg).
+
+    sat_window > 0 enables the emission-saturation early exit
+    (dp45_integrate docstring); sat_monitor lists the INTENSITY extras
+    indices (default: the n_bands band integrals — callers reusing this
+    state layout for movies/order buckets pass their own frame/bucket
+    indices, skipping bookkeeping components like t or the winding m).
     """
     from light_path_tracer_tpu.ops.types import SpectralResult
     dtype = alphas.dtype
     tols = get_tols(dtype, precision)
+    if sat_monitor is None:
+        sat_monitor = tuple(range(1, 1 + n_bands))
 
     y0, p_t, p_phi, invalid0 = metric.initial_conditions_5d(
         r_obs, alphas, thetas, theta_obs)
@@ -439,7 +452,9 @@ def trace_rays_spectral(metric, r_obs, alphas, thetas, theta_obs,
         r_capture=jnp.asarray(metric.capture_radius(), dtype),
         r_escape=jnp.asarray(r_obs * 2.0, dtype),
         lambda_max=lambda_max, h_init=_h_init_for(r_obs, dtype),
-        max_steps=max_steps, method=method, extra_rhs=transfer_fn)
+        max_steps=max_steps, method=method, extra_rhs=transfer_fn,
+        sat_window=sat_window, sat_monitor=sat_monitor,
+        sat_r_max=saturation_r_max(metric) if sat_window else None)
 
     zero = jnp.asarray(0.0, dtype)
     ok = status_f != INVALID
@@ -455,11 +470,13 @@ def trace_rays_spectral(metric, r_obs, alphas, thetas, theta_obs,
     jax.jit,
     static_argnames=("metric", "r_obs", "theta_obs", "transfer_fn",
                      "n_extras", "lambda_max", "max_steps",
-                     "precision", "method"))
+                     "precision", "method", "sat_window",
+                     "sat_monitor"))
 def trace_rays_aux(metric, r_obs, alphas, thetas, theta_obs,
                    transfer_fn, n_extras: int, aux,
                    lambda_max: float, max_steps: int = 200000,
-                   precision: str = "fast", method: str = "dp45"):
+                   precision: str = "fast", method: str = "dp45",
+                   sat_window: int = 0, sat_monitor: tuple = ()):
     """Generic coupled-extras trace with per-ray auxiliary constants.
 
     transfer_fn(y, p_t, p_phi, aux) -> tuple of n_extras derivatives;
@@ -491,7 +508,9 @@ def trace_rays_aux(metric, r_obs, alphas, thetas, theta_obs,
         r_capture=jnp.asarray(metric.capture_radius(), dtype),
         r_escape=jnp.asarray(r_obs * 2.0, dtype),
         lambda_max=lambda_max, h_init=_h_init_for(r_obs, dtype),
-        max_steps=max_steps, method=method, extra_rhs=extra)
+        max_steps=max_steps, method=method, extra_rhs=extra,
+        sat_window=sat_window, sat_monitor=sat_monitor,
+        sat_r_max=saturation_r_max(metric) if sat_window else None)
 
     zero = jnp.asarray(0.0, dtype)
     ok = status_f != INVALID
@@ -564,13 +583,40 @@ def trace_rays_surface(metric, r_obs, alphas, thetas, theta_obs,
                          final_alpha, n_half, status_out, steps)
 
 
+def saturation_r_max(metric):
+    """Radial band bound for the emission-saturation early exit.
+
+    Only lanes currently whirling inside/near the spherical-photon-orbit
+    shell are allowed to exit on saturation: a lane OUTSIDE this band
+    showing no emission change is merely transiting empty space (it may
+    yet reach the emitting region), while a lane that has spent a full
+    saturation window inside the band without any monitored change is a
+    trapped near-critical orbiter whose remaining budget provably adds
+    nothing (BASELINE.md round 4: a 2048-step cap on the grinding
+    pointing reproduced the 200k-step run bitwise). 1.2x the outermost
+    unstable photon orbit bounds every spherical photon orbit with
+    margin; metrics without the closed form fall back to the photon
+    sphere / twice the capture surface (purely conservative — a smaller
+    band only disables the optimization).
+    """
+    upr = getattr(metric, "unstable_photon_radii", None)
+    if upr is not None:
+        r_band = max(float(r) for r in upr())
+    elif getattr(metric, "R_PHOTON", None) is not None:
+        r_band = float(metric.R_PHOTON)
+    else:
+        r_band = 2.0 * float(metric.capture_radius())
+    return 1.2 * r_band
+
+
 def dp45_integrate(metric, y0, p_t, p_phi, status0, *, atol, rtol, h_min,
                    tiny_err, r_capture, r_escape, lambda_max, h_init,
                    max_steps, event_interp="hermite", disk_plane=None,
                    max_disk_hits=2, r_plunge=None, formulation="theta",
                    method="dp45", disk_normal=None, extra_disks=None,
                    record_momentum=False, record_time=False,
-                   extra_rhs=None):
+                   extra_rhs=None, sat_window=0, sat_monitor=(),
+                   sat_r_max=None):
     """The shared lock-step adaptive integration loop (DP45 or DOP853).
 
     method selects the embedded Runge-Kutta pair:
@@ -605,6 +651,30 @@ def dp45_integrate(metric, y0, p_t, p_phi, status0, *, atol, rtol, h_min,
     metric.rhs5_mu (caller converts y0 with metric.state_to_mu and the
     result back with metric.state_from_mu). disk_plane's theta_plane is
     always given in theta; it is converted here for 'mu'.
+
+    Emission-saturation early exit (sat_window > 0; extras traces only):
+    a near-critical photon-ring orbiter neither captures nor escapes —
+    it whirls inside the photon shell in shrinking steps until it grinds
+    the full step budget (measured: 204,819 steps on the canonical
+    volumetric-decomposition pointing, 8x slower than every sibling
+    mode, NEWMODES_r04). Once such a lane's accumulated path integrals
+    stop changing AT ALL (each step's increment h * d(extras) is
+    bitwise-absorbed below 1 ulp of the running totals — BASELINE.md
+    round 4 proved a 2048-step cap bitwise-identical to the full run on
+    that pointing), the remaining budget provably contributes nothing.
+    A lane exits when, for `sat_window` CONSECUTIVE accepted steps, no
+    component of y[5 + i] for i in `sat_monitor` changed bitwise, AND
+    its r lies inside the trapped-orbit band r <= sat_r_max
+    (saturation_r_max(metric) — the band guard keeps a not-yet-emitting
+    lane still transiting toward the source from exiting early; outside
+    the band a lane cannot be trapped, so its no-change streak is
+    transit, not saturation). Exit sets lam = lambda_max: the lane
+    reads as budget-complete (status RUNNING, like genuine lambda
+    exhaustion) and the two-pass drivers do not re-trace it. Monitor
+    only intensity-like extras — bookkeeping coordinates (winding m,
+    coordinate time t, optical depth tau) keep changing on a trapped
+    orbiter forever, and growing tau/m only decreases/re-buckets FUTURE
+    emission, which the criterion already requires to be zero.
     """
     dtype = y0[0].dtype
     lam_max = jnp.asarray(lambda_max, dtype)
@@ -748,13 +818,22 @@ def dp45_integrate(metric, y0, p_t, p_phi, status0, *, atol, rtol, h_min,
         hits0 = {"n": jnp.zeros((), jnp.int32), "r": (), "phi": (),
                  "pr": (), "pth": (), "down": (), "xi": (), "t": ()}
 
+    if sat_window and not sat_monitor:
+        raise ValueError("sat_window > 0 needs a non-empty sat_monitor "
+                         "(with nothing monitored every in-band lane "
+                         "would 'saturate')")
+    # Dummy 0-d counter keeps the carry structure uniform when off.
+    sat_cnt0 = (jnp.zeros(y0[0].shape, jnp.int32) if sat_window
+                else jnp.zeros((), jnp.int32))
+    sat_r_band = (jnp.asarray(sat_r_max, dtype) if sat_window else None)
+
     def cond(carry):
-        step, y, k1, h, lam, status, hits = carry
+        step, y, k1, h, lam, status, hits, _sat = carry
         running = (status == RUNNING) & (lam < lam_max)
         return (step < max_steps) & jnp.any(running)
 
     def body(carry):
-        step, y, k1, h, lam, status, hits = carry
+        step, y, k1, h, lam, status, hits, sat_cnt = carry
         running = (status == RUNNING) & (lam < lam_max)
         h_eff = jnp.minimum(h, lam_max - lam)
         h_eff = jnp.maximum(h_eff, 0.0)
@@ -930,6 +1009,22 @@ def dp45_integrate(metric, y0, p_t, p_phi, status0, *, atol, rtol, h_min,
                                jnp.where(esc, ESCAPED, status))
         status_out = jnp.where(underflow | corrupt, INVALID, status_out)
         status_out = status_out.astype(jnp.int32)
+
+        sat_cnt_out = sat_cnt
+        if sat_window:
+            # Emission-saturation exit (see docstring): count consecutive
+            # accepted steps whose monitored path integrals were bitwise
+            # no-ops; a full window inside the trapped-orbit band ends
+            # the lane as budget-complete (lam := lam_max).
+            changed = jnp.zeros(upd.shape, bool)
+            for i in sat_monitor:
+                changed = changed | (y_out[5 + i] != y[5 + i])
+            sat_cnt_out = jnp.where(
+                upd, jnp.where(changed, 0, sat_cnt + 1), sat_cnt)
+            saturated = (upd & (sat_cnt_out >= sat_window)
+                         & (status_out == RUNNING)
+                         & (y_out[0] <= sat_r_band))
+            lam_out = jnp.where(saturated, lam_max, lam_out)
 
         hits_out = hits
         if record_time:
@@ -1113,11 +1208,13 @@ def dp45_integrate(metric, y0, p_t, p_phi, status0, *, atol, rtol, h_min,
             if record_time:
                 hits_out["t_now"] = jnp.where(upd, t_stop, t_now)
 
-        return step + 1, y_out, k1_out, h_new, lam_out, status_out, hits_out
+        return (step + 1, y_out, k1_out, h_new, lam_out, status_out,
+                hits_out, sat_cnt_out)
 
-    carry0 = (jnp.asarray(0, jnp.int32), y0, k1_0, h0, lam0, status0, hits0)
-    step_f, y_f, _k1_f, _h_f, lam_f, status_f, hits_f = jax.lax.while_loop(
-        cond, body, carry0)
+    carry0 = (jnp.asarray(0, jnp.int32), y0, k1_0, h0, lam0, status0,
+              hits0, sat_cnt0)
+    (step_f, y_f, _k1_f, _h_f, lam_f, status_f, hits_f,
+     _sat_f) = jax.lax.while_loop(cond, body, carry0)
     if disk_plane is not None:
         return y_f, status_f, lam_f, step_f, hits_f
     return y_f, status_f, lam_f, step_f

@@ -44,7 +44,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from light_path_tracer_tpu.ops.kerr_trace import (
     dp45_integrate, finalize_angles, get_tols, _h_init_for,
-    RUNNING, INVALID)
+    saturation_r_max, RUNNING, INVALID)
 from light_path_tracer_tpu.ops.pallas.kerr_trace_kernel import (
     LANE, DEFAULT_ROWS)
 from light_path_tracer_tpu.ops.types import VolumetricResult
@@ -53,8 +53,8 @@ from light_path_tracer_tpu.ops.types import VolumetricResult
 def _volumetric_tile_kernel(alpha_ref, theta_ref, valid_ref, *out_refs,
                             metric, r_obs, theta_obs, lambda_max,
                             max_steps, tols, emission_fn, absorption_fn,
-                            method):
-    (r_out, th_out, phi_out, pr_out, pth_out, em_out, tau_out,
+                            method, sat_window):
+    (r_out, th_out, phi_out, pr_out, pth_out, em_out, tau_out, lam_out,
      status_out, steps_out) = out_refs
     alphas = alpha_ref[:]
     thetas = theta_ref[:]
@@ -79,7 +79,7 @@ def _volumetric_tile_kernel(alpha_ref, theta_ref, valid_ref, *out_refs,
             * emission_fn(y[:5], pt, pp),
             absorption_fn(y[:5], pt, pp))
 
-    y_f, status_f, _lam_f, steps = dp45_integrate(
+    y_f, status_f, lam_f, steps = dp45_integrate(
         metric, y0, p_t, p_phi, status0,
         atol=jnp.full_like(alphas, tols["atol"]),
         rtol=jnp.full_like(alphas, tols["rtol"]),
@@ -88,7 +88,9 @@ def _volumetric_tile_kernel(alpha_ref, theta_ref, valid_ref, *out_refs,
         r_capture=jnp.asarray(metric.capture_radius(), dtype),
         r_escape=jnp.asarray(r_obs * 2.0, dtype),
         lambda_max=lambda_max, h_init=_h_init_for(r_obs, dtype),
-        max_steps=max_steps, method=method, extra_rhs=extra)
+        max_steps=max_steps, method=method, extra_rhs=extra,
+        sat_window=sat_window, sat_monitor=(0,),
+        sat_r_max=saturation_r_max(metric) if sat_window else None)
 
     r_out[:] = y_f[0]
     th_out[:] = y_f[1]
@@ -98,6 +100,7 @@ def _volumetric_tile_kernel(alpha_ref, theta_ref, valid_ref, *out_refs,
     em_out[:] = y_f[5]
     tau_out[:] = y_f[6] if absorption_fn is not None else jnp.zeros_like(
         y_f[0])
+    lam_out[:] = lam_f
     status_out[:] = status_f
     steps_out[:] = jnp.full(steps_out.shape, steps, jnp.int32)
 
@@ -107,7 +110,7 @@ def _volumetric_tile_kernel(alpha_ref, theta_ref, valid_ref, *out_refs,
     static_argnames=("metric", "r_obs", "theta_obs", "emission_fn",
                      "lambda_max", "max_steps", "precision", "method",
                      "absorption_fn", "tile_rows", "interpret",
-                     "return_unconverged"))
+                     "return_unconverged", "sat_window"))
 def trace_rays_volumetric_pallas(metric, r_obs, alphas, thetas,
                                  theta_obs, emission_fn,
                                  lambda_max: float,
@@ -117,7 +120,8 @@ def trace_rays_volumetric_pallas(metric, r_obs, alphas, thetas,
                                  absorption_fn=None,
                                  tile_rows: int = DEFAULT_ROWS,
                                  interpret: bool = False,
-                                 return_unconverged: bool = False):
+                                 return_unconverged: bool = False,
+                                 sat_window: int = 0):
     """Pallas-fused volumetric batch tracer; drop-in for
     ops.kerr_trace.trace_rays_volumetric (same signature head, same
     VolumetricResult return). float32 only — the XLA path remains the
@@ -147,7 +151,8 @@ def trace_rays_volumetric_pallas(metric, r_obs, alphas, thetas,
         _volumetric_tile_kernel, metric=metric, r_obs=float(r_obs),
         theta_obs=float(theta_obs), lambda_max=float(lambda_max),
         max_steps=max_steps, tols=tols, emission_fn=emission_fn,
-        absorption_fn=absorption_fn, method=method)
+        absorption_fn=absorption_fn, method=method,
+        sat_window=sat_window)
 
     block = pl.BlockSpec((tile_rows, LANE), lambda i: (i, 0),
                          memory_space=pltpu.VMEM)
@@ -158,17 +163,17 @@ def trace_rays_volumetric_pallas(metric, r_obs, alphas, thetas,
         kernel,
         grid=(n_tiles,),
         in_specs=[block, block, block],
-        out_specs=(block,) * 9,
-        out_shape=(f32,) * 7 + (i32, i32),
+        out_specs=(block,) * 10,
+        out_shape=(f32,) * 8 + (i32, i32),
         interpret=interpret,
     )(alphas_p, thetas_p, valid_p)
 
     # Same cross-backend n_steps contract as the shadow kernel: total
     # lock-step iterations summed over independently scheduled tiles.
-    n_steps = jnp.sum(outs[8].reshape(n_tiles, -1)[:, 0])
-    (r_f, th_f, phi_f, pr_f, pth_f, em_f, tau_f) = (
-        o.reshape(n_pad)[:n] for o in outs[:7])
-    status_f = outs[7].reshape(n_pad)[:n]
+    n_steps = jnp.sum(outs[9].reshape(n_tiles, -1)[:, 0])
+    (r_f, th_f, phi_f, pr_f, pth_f, em_f, tau_f, lam_f) = (
+        o.reshape(n_pad)[:n] for o in outs[:8])
+    status_f = outs[8].reshape(n_pad)[:n]
 
     zero = jnp.asarray(0.0, dtype)
     em = jnp.where(status_f == INVALID, zero, em_f)
@@ -187,9 +192,11 @@ def trace_rays_volumetric_pallas(metric, r_obs, alphas, thetas,
     result = VolumetricResult(em, final_alpha, n_half, status_out,
                               n_steps, tau)
     if return_unconverged:
-        # Raw RUNNING after the step budget: neither event fired nor
-        # lambda exhausted — the two-pass driver re-traces these.
-        return result, status_f == RUNNING
+        # Raw RUNNING after the step budget AND lambda budget left:
+        # neither event fired, lambda not exhausted, not saturation-
+        # exited (both of which park lam at lambda_max) — only these
+        # need the two-pass full-depth re-trace.
+        return result, (status_f == RUNNING) & (lam_f < lambda_max)
     return result
 
 
@@ -198,7 +205,7 @@ def trace_rays_volumetric_pallas(metric, r_obs, alphas, thetas,
     static_argnames=("metric", "r_obs", "theta_obs", "emission_fn",
                      "lambda_max", "max_steps", "precision", "method",
                      "absorption_fn", "pass1_steps", "slots",
-                     "tile_rows", "interpret"))
+                     "tile_rows", "interpret", "sat_window"))
 def trace_rays_volumetric_two_pass(metric, r_obs, alphas, thetas,
                                    theta_obs, emission_fn,
                                    lambda_max: float,
@@ -209,7 +216,8 @@ def trace_rays_volumetric_two_pass(metric, r_obs, alphas, thetas,
                                    pass1_steps: int = 4096,
                                    slots: int = 1024,
                                    tile_rows: int = DEFAULT_ROWS,
-                                   interpret: bool = False):
+                                   interpret: bool = False,
+                                   sat_window: int = 0):
     """Straggler-contained volumetric tracing (round-4 measurement: a
     pointing-dependent near-critical photon-ring orbiter legitimately
     integrates to lambda_max in tiny steps, grinding the full 200k-step
@@ -226,7 +234,8 @@ def trace_rays_volumetric_two_pass(metric, r_obs, alphas, thetas,
         metric, r_obs, alphas, thetas, theta_obs, emission_fn,
         lambda_max, pass1_steps, precision=precision, method=method,
         absorption_fn=absorption_fn, tile_rows=tile_rows,
-        interpret=interpret, return_unconverged=True)
+        interpret=interpret, return_unconverged=True,
+        sat_window=sat_window)
 
     n = alphas.shape[0]
     slots = min(slots, n)
@@ -235,7 +244,7 @@ def trace_rays_volumetric_two_pass(metric, r_obs, alphas, thetas,
         metric, r_obs, alphas[idx], thetas[idx], theta_obs,
         emission_fn, lambda_max, max_steps, precision=precision,
         method=method, absorption_fn=absorption_fn, tile_rows=8,
-        interpret=interpret)
+        interpret=interpret, sat_window=sat_window)
 
     take = unconv[idx]
     em = res1.emission.at[idx].set(
@@ -267,12 +276,12 @@ def trace_rays_volumetric_two_pass(metric, r_obs, alphas, thetas,
 def _extras_tile_kernel(alpha_ref, theta_ref, valid_ref, *refs,
                         metric, r_obs, theta_obs, lambda_max,
                         max_steps, tols, transfer_fn, n_extras, n_aux,
-                        method):
+                        method, sat_window, sat_monitor):
     aux = tuple(r[:] for r in refs[:n_aux])
     out_refs = refs[n_aux:]
     state_outs = out_refs[:5]
     extra_outs = out_refs[5:5 + n_extras]
-    status_out, steps_out = out_refs[5 + n_extras:]
+    lam_out, status_out, steps_out = out_refs[5 + n_extras:]
 
     alphas = alpha_ref[:]
     thetas = theta_ref[:]
@@ -290,7 +299,7 @@ def _extras_tile_kernel(alpha_ref, theta_ref, valid_ref, *refs,
     else:
         extra = transfer_fn
 
-    y_f, status_f, _lam_f, steps = dp45_integrate(
+    y_f, status_f, lam_f, steps = dp45_integrate(
         metric, y0, p_t, p_phi, status0,
         atol=jnp.full_like(alphas, tols["atol"]),
         rtol=jnp.full_like(alphas, tols["rtol"]),
@@ -299,12 +308,15 @@ def _extras_tile_kernel(alpha_ref, theta_ref, valid_ref, *refs,
         r_capture=jnp.asarray(metric.capture_radius(), dtype),
         r_escape=jnp.asarray(r_obs * 2.0, dtype),
         lambda_max=lambda_max, h_init=_h_init_for(r_obs, dtype),
-        max_steps=max_steps, method=method, extra_rhs=extra)
+        max_steps=max_steps, method=method, extra_rhs=extra,
+        sat_window=sat_window, sat_monitor=sat_monitor,
+        sat_r_max=saturation_r_max(metric) if sat_window else None)
 
     for k in range(5):
         state_outs[k][:] = y_f[k]
     for k in range(n_extras):
         extra_outs[k][:] = y_f[5 + k]
+    lam_out[:] = lam_f
     status_out[:] = status_f
     steps_out[:] = jnp.full(steps_out.shape, steps, jnp.int32)
 
@@ -314,7 +326,7 @@ def _extras_tile_kernel(alpha_ref, theta_ref, valid_ref, *refs,
     static_argnames=("metric", "r_obs", "theta_obs", "transfer_fn",
                      "n_extras", "lambda_max", "max_steps", "precision",
                      "method", "tile_rows", "interpret",
-                     "return_unconverged"))
+                     "return_unconverged", "sat_window", "sat_monitor"))
 def trace_rays_aux_pallas(metric, r_obs, alphas, thetas, theta_obs,
                           transfer_fn, n_extras: int, aux,
                           lambda_max: float, max_steps: int = 200000,
@@ -322,7 +334,9 @@ def trace_rays_aux_pallas(metric, r_obs, alphas, thetas, theta_obs,
                           method: str = "dp45",
                           tile_rows: int = DEFAULT_ROWS,
                           interpret: bool = False,
-                          return_unconverged: bool = False):
+                          return_unconverged: bool = False,
+                          sat_window: int = 0,
+                          sat_monitor: tuple = ()):
     """Pallas-fused generic coupled-extras tracer; drop-in for
     ops.kerr_trace.trace_rays_aux (same ExtrasResult contract).
     float32 only. `aux` must be a flat tuple of per-ray (N,) arrays
@@ -357,7 +371,8 @@ def trace_rays_aux_pallas(metric, r_obs, alphas, thetas, theta_obs,
         _extras_tile_kernel, metric=metric, r_obs=float(r_obs),
         theta_obs=float(theta_obs), lambda_max=float(lambda_max),
         max_steps=max_steps, tols=tols, transfer_fn=transfer_fn,
-        n_extras=n_extras, n_aux=len(aux), method=method)
+        n_extras=n_extras, n_aux=len(aux), method=method,
+        sat_window=sat_window, sat_monitor=sat_monitor)
 
     block = pl.BlockSpec((tile_rows, LANE), lambda i: (i, 0),
                          memory_space=pltpu.VMEM)
@@ -369,14 +384,15 @@ def trace_rays_aux_pallas(metric, r_obs, alphas, thetas, theta_obs,
         kernel,
         grid=(n_tiles,),
         in_specs=[block] * (3 + len(aux)),
-        out_specs=(block,) * (n_out + 2),
-        out_shape=(f32,) * n_out + (i32, i32),
+        out_specs=(block,) * (n_out + 3),
+        out_shape=(f32,) * (n_out + 1) + (i32, i32),
         interpret=interpret,
     )(alphas_p, thetas_p, valid_p, *aux_p)
 
-    n_steps = jnp.sum(outs[n_out + 1].reshape(n_tiles, -1)[:, 0])
+    n_steps = jnp.sum(outs[n_out + 2].reshape(n_tiles, -1)[:, 0])
     flat = [o.reshape(n_pad)[:n] for o in outs[:n_out]]
-    status_f = outs[n_out].reshape(n_pad)[:n]
+    lam_f = outs[n_out].reshape(n_pad)[:n]
+    status_f = outs[n_out + 1].reshape(n_pad)[:n]
 
     zero = jnp.asarray(0.0, dtype)
     ok = status_f != INVALID
@@ -389,7 +405,10 @@ def trace_rays_aux_pallas(metric, r_obs, alphas, thetas, theta_obs,
     result = ExtrasResult(extras, final_alpha, n_half, status_out,
                           n_steps)
     if return_unconverged:
-        return result, status_f == RUNNING
+        # Same contract as the volumetric kernel: only step-budget-
+        # capped lanes (lambda budget left, not saturation-exited)
+        # need the full-depth re-trace.
+        return result, (status_f == RUNNING) & (lam_f < lambda_max)
     return result
 
 
@@ -398,7 +417,7 @@ def trace_rays_aux_pallas(metric, r_obs, alphas, thetas, theta_obs,
     static_argnames=("metric", "r_obs", "theta_obs", "transfer_fn",
                      "n_extras", "lambda_max", "max_steps", "precision",
                      "method", "pass1_steps", "slots", "tile_rows",
-                     "interpret"))
+                     "interpret", "sat_window", "sat_monitor"))
 def trace_rays_aux_two_pass(metric, r_obs, alphas, thetas, theta_obs,
                             transfer_fn, n_extras: int, aux,
                             lambda_max: float, max_steps: int = 200000,
@@ -407,7 +426,9 @@ def trace_rays_aux_two_pass(metric, r_obs, alphas, thetas, theta_obs,
                             pass1_steps: int = 4096,
                             slots: int = 1024,
                             tile_rows: int = DEFAULT_ROWS,
-                            interpret: bool = False):
+                            interpret: bool = False,
+                            sat_window: int = 0,
+                            sat_monitor: tuple = ()):
     """Straggler-contained coupled-extras tracing: same exact-merge
     design as trace_rays_volumetric_two_pass (the re-trace restarts
     every path integral from lambda=0). Measured trigger: the
@@ -420,7 +441,8 @@ def trace_rays_aux_two_pass(metric, r_obs, alphas, thetas, theta_obs,
         metric, r_obs, alphas, thetas, theta_obs, transfer_fn,
         n_extras, aux, lambda_max, pass1_steps, precision=precision,
         method=method, tile_rows=tile_rows, interpret=interpret,
-        return_unconverged=True)
+        return_unconverged=True, sat_window=sat_window,
+        sat_monitor=sat_monitor)
 
     n = alphas.shape[0]
     slots = min(slots, n)
@@ -429,7 +451,8 @@ def trace_rays_aux_two_pass(metric, r_obs, alphas, thetas, theta_obs,
         metric, r_obs, alphas[idx], thetas[idx], theta_obs,
         transfer_fn, n_extras, tuple(a[idx] for a in aux),
         lambda_max, max_steps, precision=precision, method=method,
-        tile_rows=8, interpret=interpret)
+        tile_rows=8, interpret=interpret, sat_window=sat_window,
+        sat_monitor=sat_monitor)
 
     take = unconv[idx]
     extras = tuple(
@@ -449,7 +472,7 @@ def trace_rays_aux_two_pass(metric, r_obs, alphas, thetas, theta_obs,
     static_argnames=("metric", "r_obs", "theta_obs", "transfer_fn",
                      "n_bands", "lambda_max", "max_steps", "precision",
                      "method", "pass1_steps", "slots", "tile_rows",
-                     "interpret"))
+                     "interpret", "sat_window", "sat_monitor"))
 def trace_rays_spectral_two_pass(metric, r_obs, alphas, thetas,
                                  theta_obs, transfer_fn, n_bands: int,
                                  lambda_max: float,
@@ -459,14 +482,19 @@ def trace_rays_spectral_two_pass(metric, r_obs, alphas, thetas,
                                  pass1_steps: int = 4096,
                                  slots: int = 1024,
                                  tile_rows: int = DEFAULT_ROWS,
-                                 interpret: bool = False):
+                                 interpret: bool = False,
+                                 sat_window: int = 0,
+                                 sat_monitor: tuple = None):
     """Straggler-contained spectral tracing (SpectralResult contract)."""
     from light_path_tracer_tpu.ops.types import SpectralResult
+    if sat_monitor is None:
+        sat_monitor = tuple(range(1, 1 + n_bands))
     res = trace_rays_aux_two_pass(
         metric, r_obs, alphas, thetas, theta_obs, transfer_fn,
         1 + n_bands, (), lambda_max, max_steps, precision=precision,
         method=method, pass1_steps=pass1_steps, slots=slots,
-        tile_rows=tile_rows, interpret=interpret)
+        tile_rows=tile_rows, interpret=interpret,
+        sat_window=sat_window, sat_monitor=sat_monitor)
     return SpectralResult(res.extras[1:], res.extras[0],
                           res.final_alpha, res.n_half_orbits,
                           res.status, res.n_steps)
@@ -476,7 +504,8 @@ def trace_rays_spectral_two_pass(metric, r_obs, alphas, thetas,
     jax.jit,
     static_argnames=("metric", "r_obs", "theta_obs", "transfer_fn",
                      "n_bands", "lambda_max", "max_steps", "precision",
-                     "method", "tile_rows", "interpret"))
+                     "method", "tile_rows", "interpret", "sat_window",
+                     "sat_monitor"))
 def trace_rays_spectral_pallas(metric, r_obs, alphas, thetas,
                                theta_obs, transfer_fn, n_bands: int,
                                lambda_max: float,
@@ -484,18 +513,23 @@ def trace_rays_spectral_pallas(metric, r_obs, alphas, thetas,
                                precision: str = "fast",
                                method: str = "dp45",
                                tile_rows: int = DEFAULT_ROWS,
-                               interpret: bool = False):
+                               interpret: bool = False,
+                               sat_window: int = 0,
+                               sat_monitor: tuple = None):
     """Pallas tier for ops.kerr_trace.trace_rays_spectral: the
     (tau_hat, I_1..I_n) coupled-extras state on VMEM tiles (extras[0]
     is the shared reduced optical depth). Same SpectralResult
     contract."""
     from light_path_tracer_tpu.ops.types import SpectralResult
+    if sat_monitor is None:
+        sat_monitor = tuple(range(1, 1 + n_bands))
     # transfer_fn takes (y, p_t, p_phi) — no aux — and
     # trace_rays_aux_pallas passes it through unchanged when aux=().
     res = trace_rays_aux_pallas(
         metric, r_obs, alphas, thetas, theta_obs, transfer_fn,
         1 + n_bands, (), lambda_max, max_steps, precision=precision,
-        method=method, tile_rows=tile_rows, interpret=interpret)
+        method=method, tile_rows=tile_rows, interpret=interpret,
+        sat_window=sat_window, sat_monitor=sat_monitor)
     return SpectralResult(res.extras[1:], res.extras[0],
                           res.final_alpha, res.n_half_orbits,
                           res.status, res.n_steps)

@@ -240,7 +240,8 @@ def trace_volumetric_grid_sharded(metric, r_obs, alpha_grid, theta_grid,
                                   theta_obs, emission_fn, *, mesh: Mesh,
                                   lambda_max=None, max_steps=200000,
                                   precision="fast", method="dp45",
-                                  layout="stripes", absorption_fn=None):
+                                  layout="stripes", absorption_fn=None,
+                                  sat_window=0):
     """Volumetric trace of an (H, W) grid sharded row-wise over `mesh`.
 
     Same tile-DP pattern as trace_grid_sharded: each device integrates
@@ -280,7 +281,7 @@ def trace_volumetric_grid_sharded(metric, r_obs, alpha_grid, theta_grid,
             metric, float(r_obs), a.ravel(), t.ravel(),
             float(theta_obs), emission_fn, float(lambda_max),
             max_steps, precision=precision, method=method,
-            absorption_fn=absorption_fn)
+            absorption_fn=absorption_fn, sat_window=sat_window)
         return VolumetricResult(
             res.emission.reshape(a.shape),
             res.final_alpha.reshape(a.shape),
@@ -362,7 +363,8 @@ def trace_spectral_grid_sharded(metric, r_obs, alpha_grid, theta_grid,
                                 theta_obs, transfer_fn, n_bands, *,
                                 mesh: Mesh, lambda_max=None,
                                 max_steps=200000, precision="fast",
-                                method="dp45", layout="stripes"):
+                                method="dp45", layout="stripes",
+                                sat_window=0, sat_monitor=None):
     """Multi-frequency radiative-transfer trace of an (H, W) grid
     sharded row-wise over `mesh` (volumetric.render_volumetric_spectrum
     / _movie tile DP). Returns a SpectralResult of (H, W) grids."""
@@ -392,7 +394,8 @@ def trace_spectral_grid_sharded(metric, r_obs, alpha_grid, theta_grid,
         res = trace_rays_spectral(
             metric, float(r_obs), a.ravel(), t.ravel(),
             float(theta_obs), transfer_fn, n_bands, float(lambda_max),
-            max_steps, precision=precision, method=method)
+            max_steps, precision=precision, method=method,
+            sat_window=sat_window, sat_monitor=sat_monitor)
         return SpectralResult(
             tuple(e.reshape(a.shape) for e in res.emission),
             res.tau_hat.reshape(a.shape),
@@ -422,7 +425,8 @@ def trace_aux_grid_sharded(metric, r_obs, alpha_grid, theta_grid,
                            theta_obs, transfer_fn, n_extras,
                            aux_grids, *, mesh: Mesh, lambda_max=None,
                            max_steps=200000, precision="fast",
-                           method="dp45", layout="stripes"):
+                           method="dp45", layout="stripes",
+                           sat_window=0, sat_monitor=()):
     """Coupled-extras trace with per-ray aux constants, sharded
     row-wise over `mesh` (polarized volumetric tile DP:
     polarization.render_polarized_volumetric mesh path). aux_grids is
@@ -456,7 +460,8 @@ def trace_aux_grid_sharded(metric, r_obs, alpha_grid, theta_grid,
             metric, float(r_obs), a.ravel(), t.ravel(),
             float(theta_obs), transfer_fn, n_extras,
             tuple(g.ravel() for g in aux), float(lambda_max),
-            max_steps, precision=precision, method=method)
+            max_steps, precision=precision, method=method,
+            sat_window=sat_window, sat_monitor=sat_monitor)
         return ExtrasResult(
             tuple(e.reshape(a.shape) for e in res.extras),
             res.final_alpha.reshape(a.shape),

@@ -731,7 +731,8 @@ def render_polarized_volumetric(scene: SceneConfig, resolution,
                 tuple(k.reshape(resolution)
                       for k in (k11, k21, k12, k22)),
                 mesh=mesh, max_steps=cfg.max_steps,
-                precision=cfg.precision, method=cfg.integrator)
+                precision=cfg.precision, method=cfg.integrator,
+                sat_window=cfg.sat_window, sat_monitor=(0, 1, 2))
         else:
             from light_path_tracer_tpu.ops.batch import _kerr_backend
             if _kerr_backend(cfg.backend, alpha.dtype,
@@ -751,11 +752,16 @@ def render_polarized_volumetric(scene: SceneConfig, resolution,
                             trace_rays_aux_two_pass as aux_fn)
             else:
                 aux_fn = trace_rays_aux
+            # Saturation monitor: all three Stokes path integrals
+            # (I, Q, U) — Q/U oscillate in sign along a whirl, but the
+            # exit requires EVERY component bitwise-frozen, so a lane
+            # still depolarizing cannot exit.
             res = aux_fn(
                 metric, scene.r_obs, alpha, theta, scene.theta_obs,
                 transfer_fn, 3, (k11, k21, k12, k22),
                 max(5000.0, 6.0 * scene.r_obs), cfg.max_steps,
-                precision=cfg.precision, method=cfg.integrator)
+                precision=cfg.precision, method=cfg.integrator,
+                sat_window=cfg.sat_window, sat_monitor=(0, 1, 2))
         out.append(res.status)
 
     I_map, Q_map, U_map = (np.asarray(e).reshape(resolution)

@@ -118,6 +118,21 @@ class RenderConfig:
     # Measured ~2x at 1024^2 vs single-pass tiles (BASELINE.md).
     two_pass: str | bool = "auto"
     pass1_steps: int = 512
+    # Emission-saturation early exit for the volumetric/extras family
+    # (ops/kerr_trace.dp45_integrate docstring): a trapped photon-ring
+    # orbiter whose monitored path integrals were bitwise-unchanged for
+    # this many CONSECUTIVE accepted steps while inside the photon-shell
+    # band exits as budget-complete instead of grinding the max_steps
+    # budget (measured round 4: the order-decomposition mode ground
+    # 204,819 steps, 8x its siblings, while a 2048-step cap was already
+    # bitwise-identical). The window must exceed the longest in-band
+    # dwell of a legitimately escaping ray (~100 accepted steps measured
+    # at "gate" tolerance on the a=0.9 capture boundary; 2048 is ~20x
+    # that, and the chip grinder runs 200k) — an undersized window can
+    # exit a near-critical ray before it collects far-field emission it
+    # would have reached within budget. 0 disables (every lane runs to
+    # termination / budget, the pre-round-5 behavior).
+    sat_window: int = 2048
     axis_refine_frac: float = 0.07     # Y_AXIS_REFINE_FRAC
     use_tb_symmetry: bool = True       # top/bottom mirror when applicable
     render_loop_around: bool = False

@@ -556,9 +556,15 @@ def render_volumetric_movie(scene: SceneConfig, resolution, times,
         # extras trace): "tau_hat" slot carries t; with absorption the
         # first "band" carries tau and the frames follow.
         n_extra_bands = len(times) + (1 if absorbing else 0)
+        # Saturation monitor: the frame intensities only (index 0 is t,
+        # which advances forever on a trapped orbiter; the optional tau
+        # likewise — both are bookkeeping, not emission).
+        frame0 = 1 + (1 if absorbing else 0)
         res = _trace_spectral(metric, scene, alpha.ravel(),
                               theta.ravel(), transfer_fn,
-                              n_extra_bands, cfg, mesh, resolution)
+                              n_extra_bands, cfg, mesh, resolution,
+                              sat_monitor=tuple(
+                                  range(frame0, 1 + n_extra_bands)))
         out.append(res.status)
 
     bands = res.emission[1:] if absorbing else res.emission
@@ -593,9 +599,15 @@ def render_volumetric_movie(scene: SceneConfig, resolution, times,
 
 
 def _trace_spectral(metric, scene, alpha, theta, transfer_fn, n_bands,
-                    cfg, mesh, resolution):
+                    cfg, mesh, resolution, sat_monitor=None):
     """Dispatch a spectral/movie trace single-device or row-sharded
-    over a mesh; returns a flat-raveled SpectralResult either way."""
+    over a mesh; returns a flat-raveled SpectralResult either way.
+
+    sat_monitor: indices (into the FULL extras tuple) of the intensity
+    components the emission-saturation exit watches (cfg.sat_window);
+    None = the default band layout (tau_hat, I_1..I_n). Movie/order
+    callers pass their own frame/bucket indices so bookkeeping
+    components (t, winding m, tau) are never monitored."""
     from light_path_tracer_tpu.ops.kerr_trace import trace_rays_spectral
     if mesh is not None:
         from light_path_tracer_tpu.parallel.tiles import (
@@ -604,7 +616,8 @@ def _trace_spectral(metric, scene, alpha, theta, transfer_fn, n_bands,
             metric, scene.r_obs, alpha.reshape(resolution),
             theta.reshape(resolution), scene.theta_obs, transfer_fn,
             n_bands, mesh=mesh, max_steps=cfg.max_steps,
-            precision=cfg.precision, method=cfg.integrator)
+            precision=cfg.precision, method=cfg.integrator,
+            sat_window=cfg.sat_window, sat_monitor=sat_monitor)
         return res._replace(
             emission=tuple(e.ravel() for e in res.emission),
             tau_hat=res.tau_hat.ravel(),
@@ -627,7 +640,8 @@ def _trace_spectral(metric, scene, alpha, theta, transfer_fn, n_bands,
     return spectral_fn(
         metric, scene.r_obs, alpha, theta, scene.theta_obs,
         transfer_fn, n_bands, max(5000.0, 6.0 * scene.r_obs),
-        cfg.max_steps, precision=cfg.precision, method=cfg.integrator)
+        cfg.max_steps, precision=cfg.precision, method=cfg.integrator,
+        sat_window=cfg.sat_window, sat_monitor=sat_monitor)
 
 
 def render_volumetric_spectrum(scene: SceneConfig, resolution, freqs,
@@ -671,6 +685,8 @@ def render_volumetric_spectrum(scene: SceneConfig, resolution, freqs,
         out.append((alpha, theta))
 
     with timer.stage("precompute") as out:
+        # Default monitor = the band intensities (extras 1..n; index 0
+        # is the shared reduced optical depth tau_hat).
         res = _trace_spectral(metric, scene, alpha.ravel(),
                               theta.ravel(), transfer_fn, len(freqs),
                               cfg, mesh, resolution)
@@ -760,7 +776,7 @@ def render_volumetric(scene: SceneConfig, resolution,
                 metric, scene.r_obs, alpha, theta, scene.theta_obs,
                 emission_fn, mesh=mesh, max_steps=cfg.max_steps,
                 precision=cfg.precision, method=cfg.integrator,
-                absorption_fn=absorption_fn)
+                absorption_fn=absorption_fn, sat_window=cfg.sat_window)
         else:
             from light_path_tracer_tpu.ops.batch import _kerr_backend
             if _kerr_backend(cfg.backend, dtype, metric) == "pallas":
@@ -785,7 +801,7 @@ def render_volumetric(scene: SceneConfig, resolution,
                 scene.theta_obs, emission_fn,
                 max(5000.0, 6.0 * scene.r_obs), cfg.max_steps,
                 precision=cfg.precision, method=cfg.integrator,
-                absorption_fn=absorption_fn)
+                absorption_fn=absorption_fn, sat_window=cfg.sat_window)
         out.append(res.emission)
 
     with timer.stage("render") as out:
@@ -854,9 +870,16 @@ def render_volumetric_decomposed(scene: SceneConfig, resolution,
 
     with timer.stage("precompute") as out:
         n_extra_bands = n_orders + (1 if absorbing else 0)
+        # Saturation monitor: the order-bucket intensities only (index
+        # 0 is the winding coordinate m, which grows every half-orbit
+        # of a trapped photon-ring orbiter — exactly the lane the exit
+        # is for; the optional tau likewise keeps accumulating).
+        bucket0 = 1 + (1 if absorbing else 0)
         res = _trace_spectral(metric, scene, alpha.ravel(),
                               theta.ravel(), transfer_fn,
-                              n_extra_bands, cfg, mesh, resolution)
+                              n_extra_bands, cfg, mesh, resolution,
+                              sat_monitor=tuple(
+                                  range(bucket0, 1 + n_extra_bands)))
         out.append(res.status)
 
     orders = res.emission[1:] if absorbing else res.emission
