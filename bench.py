@@ -29,10 +29,21 @@ CPU_BASELINE_RAYS_PER_SEC = 162.7    # measured 2026-08-16, see BASELINE.md
 NATIVE_CPU_RAYS_PER_SEC = 57_500.0   # recorded fallback, see BASELINE.md
 
 
+_JSON_SINK = None   # set by --json: every emitted line is also appended
+#   to that file, so `bench.py --all --json BENCH_ALL_r{N}.json` leaves
+#   ONE committed artifact carrying every headline number (round-5
+#   verdict item 6: no more prose-only performance claims — README and
+#   docs/modes.md are mechanically checked against the artifacts by
+#   scripts/check_numbers.py, which runs in the fast test lane).
+
+
 def _emit(metric, value, unit, **extra):
     line = {"metric": metric, "value": round(value, 1), "unit": unit}
     line.update(extra)
     print(json.dumps(line), flush=True)
+    if _JSON_SINK is not None:
+        with open(_JSON_SINK, "a") as fh:
+            fh.write(json.dumps(line) + "\n")
 
 
 def measure_native_cpu(size, spin, n_sample=1500):
@@ -225,7 +236,13 @@ def main():
                         help="headline-config Kerr integrator")
     parser.add_argument("--all", action="store_true",
                         help="run every BASELINE.json config")
+    parser.add_argument("--json", default=None, metavar="PATH",
+                        help="also append every emitted JSON line to "
+                             "PATH (the committed BENCH_ALL artifact)")
     args = parser.parse_args()
+    if args.json:
+        global _JSON_SINK
+        _JSON_SINK = args.json
 
     if args.dtype == "float64":
         import jax

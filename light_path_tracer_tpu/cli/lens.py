@@ -199,6 +199,15 @@ def cmd_lens(args) -> int:
     height, width = img.shape[:2]
     print(f"Image: {width}x{height}")
 
+    # Warm the save-path uint8 quantize compile CONCURRENTLY with the
+    # trace: the first compile at a fresh output shape costs ~1-2 min
+    # on this tunnel and used to stall the final save (utils/save.py
+    # prewarm_save; round-5 verdict item 8). The lensed result is
+    # (H, W, 3) float32 regardless of the source image's dtype.
+    if _is_proc0():
+        from light_path_tracer_tpu.utils.save import prewarm_save
+        prewarm_save((height, width, 3))
+
     r_obs = scene.r_obs
     metric = scene.metric()
     alpha_crit = metric.alpha_crit(r_obs)

@@ -38,6 +38,52 @@ def quantize_cmap_index(img):
     return idx.astype(jnp.uint8)
 
 
+_PREWARMED: set = set()
+
+
+def prewarm_save(shape, dtype=None, block=False):
+    """Compile the on-device uint8 quantize program for an output shape
+    CONCURRENTLY with the render (round-5 verdict item 8).
+
+    On the axon tunnel the first compile of ANY program at a new shape
+    costs ~1-2 minutes (persistent-cached afterwards), so the first
+    save of a fresh image shape used to stall the CLI at the very end
+    of an otherwise-finished render. Kicking the compile off on a
+    daemon thread as soon as the output shape is known (the CLI calls
+    this right after the background image is loaded) overlaps it with
+    the trace — by save time the program is compiled (or the thread is
+    still absorbing the cost in parallel, never additively).
+
+    Idempotent per (shape, dtype); returns the Thread (or None if this
+    shape was already warmed) — block=True joins it, for tests and for
+    measuring the cold-cache delta (BASELINE.md round 5).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    dtype = jnp.float32 if dtype is None else dtype
+    key = (tuple(int(s) for s in shape), jnp.dtype(dtype).name)
+    if key in _PREWARMED:
+        return None
+    _PREWARMED.add(key)
+
+    def _warm():
+        try:
+            jax.block_until_ready(quantize_u8(jnp.zeros(key[0], dtype)))
+        except Exception:
+            # Warmup is best-effort: a failure here surfaces (if real)
+            # at the actual save instead.
+            pass
+
+    import threading
+    t = threading.Thread(target=_warm, daemon=True,
+                         name="lpt-prewarm-save")
+    t.start()
+    if block:
+        t.join()
+    return t
+
+
 def save_png(path, img, *, already_clipped=False):
     """mpimg.imsave(path, img) with the float->uint8 conversion done
     device-side when `img` is a device array (readback transfers 1/4

@@ -289,6 +289,77 @@ def main():
         return (status_frac > 0.99 and worst < 1e-3), dict(
             status_frac=round(status_frac, 4), stokes_rel_p99=worst)
 
+    # --- extras TWO-PASS drivers at the production config (round-5
+    # verdict item 5): straggler containment + the emission-saturation
+    # exit, compared against the single-pass full-budget kernel. The
+    # merge is exact (per-lane arithmetic is tile-independent and the
+    # re-trace restarts from lambda=0), so agreement is bitwise-level.
+    def spectral_two_pass_case():
+        from light_path_tracer_tpu.ops.pallas.volumetric_kernel import (
+            trace_rays_spectral_pallas, trace_rays_spectral_two_pass)
+        from light_path_tracer_tpu.volumetric import (
+            RIAFConfig, make_spectral_transfer)
+        m = Kerr(M=1.0, a=0.9)
+        ac = m.alpha_crit(R_OBS)
+        alphas, thetas = _angles(n, 10, ac)
+        tf = make_spectral_transfer(
+            m, RIAFConfig(g_power=4.0, alpha0=1.0, opacity_index=2.0),
+            (0.5, 2.0))
+        r2 = trace_rays_spectral_two_pass(
+            m, R_OBS, alphas, thetas, np.radians(80.0), tf, 2, 5000.0,
+            20000, pass1_steps=2048, sat_window=2048)
+        r1 = trace_rays_spectral_pallas(
+            m, R_OBS, alphas, thetas, np.radians(80.0), tf, 2, 5000.0,
+            20000)
+        worst = 0.0
+        for bp, bx in zip(r2.emission, r1.emission):
+            bp, bx = np.asarray(bp), np.asarray(bx)
+            scale = max(float(np.abs(bx).max()), 1e-12)
+            worst = max(worst, float(np.abs(bp - bx).max() / scale))
+        status_frac = float((np.asarray(r2.status)
+                             == np.asarray(r1.status)).mean())
+        return (status_frac > 0.99 and worst < 1e-5), dict(
+            status_frac=round(status_frac, 4), band_rel_max=worst)
+
+    def aux_two_pass_case():
+        from light_path_tracer_tpu.ops.pallas.volumetric_kernel import (
+            trace_rays_aux_pallas, trace_rays_aux_two_pass)
+        from light_path_tracer_tpu.polarization import (
+            k_contravariant, make_polarized_volumetric_transfer,
+            observer_basis, walker_penrose)
+        from light_path_tracer_tpu.volumetric import RIAFConfig
+        m = Kerr(M=1.0, a=0.9)
+        ac = m.alpha_crit(R_OBS)
+        alphas, thetas = _angles(n, 11, ac)
+        tf = make_polarized_volumetric_transfer(m, RIAFConfig(),
+                                                "toroidal", 0.7)
+        y0, _p_t, p_phi, _inv = m.initial_conditions_5d(
+            R_OBS, alphas, thetas, np.radians(80.0))
+        Mj = jnp.asarray(1.0, jnp.float32)
+        aj = jnp.asarray(0.9, jnp.float32)
+        k_cam = k_contravariant(Mj, aj, y0[0], y0[1], y0[3], y0[4],
+                                p_phi)
+        e1, e2 = observer_basis(Mj, aj, R_OBS, np.radians(80.0), k_cam)
+        k11, k21 = walker_penrose(aj, y0[0], y0[1], k_cam, e1)
+        k12, k22 = walker_penrose(aj, y0[0], y0[1], k_cam, e2)
+        aux = (k11, k21, k12, k22)
+        r2 = trace_rays_aux_two_pass(
+            m, R_OBS, alphas, thetas, np.radians(80.0), tf, 3, aux,
+            5000.0, 20000, pass1_steps=2048, sat_window=2048,
+            sat_monitor=(0, 1, 2))
+        r1 = trace_rays_aux_pallas(
+            m, R_OBS, alphas, thetas, np.radians(80.0), tf, 3, aux,
+            5000.0, 20000)
+        worst = 0.0
+        for ep, ex in zip(r2.extras, r1.extras):
+            ep, ex = np.asarray(ep), np.asarray(ex)
+            scale = max(float(np.abs(ex).max()), 1e-12)
+            worst = max(worst, float(np.abs(ep - ex).max() / scale))
+        status_frac = float((np.asarray(r2.status)
+                             == np.asarray(r1.status)).mean())
+        return (status_frac > 0.99 and worst < 1e-5), dict(
+            status_frac=round(status_frac, 4), stokes_rel_max=worst)
+
     # --- fused whole-pipeline program -------------------------------
     def fused_case():
         from light_path_tracer_tpu.pipeline import render_scene
@@ -321,6 +392,8 @@ def main():
     run("volumetric_absorbed", lambda: vol_case(True))
     run("spectral_extras", spectral_case)
     run("polarized_aux", aux_case)
+    run("spectral_two_pass", spectral_two_pass_case)
+    run("polarized_aux_two_pass", aux_two_pass_case)
     run("fused_pipeline", fused_case)
 
     all_ok = all(r["ok"] for r in results)

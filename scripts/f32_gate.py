@@ -23,7 +23,17 @@ configuration (step 2b below). Run under the default environment
 (JAX_PLATFORMS=axon with the axon plugin on PYTHONPATH — do NOT
 override JAX_PLATFORMS; the CPU backend is always registered too).
 Prints one JSON line per tier; record them in GATE_r{N}.jsonl and
-BASELINE.md.
+BASELINE.md. THE GATE IS A PER-ROUND ARTIFACT (round-5 verdict item
+2): regenerate GATE_r{N}.jsonl alongside BENCH/MULTICHIP/SMOKE every
+round — round 4 shipped kernel changes (Pallas volumetric default, JP
+hand RHS, extras kernels) without re-running it.
+
+The final row is the round-5 volumetric full-scale gate: a 256^2 Kerr
+a=0.9 torus image on the f32 Pallas extras tier (production config,
+incl. the emission-saturation exit) vs the f64 XLA reference-tolerance
+oracle on 8,192 sampled rays — per-pixel emission relative-error
+percentiles plus the sampled mean-flux error, so the round-4 flagship
+tier has a full-scale accuracy gate rather than only 32^2 smoke parity.
 """
 
 import json
@@ -124,6 +134,91 @@ def main():
         _evaluate(precision, jax, jnp, np, camera, render_lensed_image,
                   dim, fov, alpha_crit, cpu, a32, alpha64, fa32, w32,
                   fa64, w64, iy, ix, n_sample, dt32, dt64, rng)
+
+    _volumetric_gate(jax, jnp, cpu, accel)
+
+
+def _volumetric_gate(jax, jnp, cpu, accel):
+    """Round-5 volumetric accuracy gate (module docstring, last
+    paragraph): f32 Pallas extras tier at full 256^2 vs the f64 XLA
+    reference-tolerance oracle on sampled rays."""
+    import dataclasses
+
+    from light_path_tracer_tpu import camera
+    from light_path_tracer_tpu.ops.kerr_trace import (
+        trace_rays_volumetric)
+    from light_path_tracer_tpu.utils.config import (RenderConfig,
+                                                    SceneConfig)
+    from light_path_tracer_tpu.volumetric import (RIAFConfig,
+                                                  make_transfer_fns,
+                                                  render_volumetric)
+
+    dim = (256, 256)
+    n_sample = 8192
+    scene = SceneConfig(M=1.0, a=0.9, r_obs_mult=100.0,
+                        theta_obs=float(np.radians(80.0)),
+                        vertical_fov_deg=16.0)
+    riaf = RIAFConfig()                      # the production torus
+    cfg = RenderConfig(backend="auto")       # Pallas on TPU f32,
+    #   two-pass containment + saturation exit at production defaults
+
+    # --- f32 production tier: full grid on the accelerator ---
+    with jax.default_device(accel):
+        _img, st32 = render_volumetric(scene, dim, cfg, riaf)
+        em32 = np.asarray(st32["emission"], np.float64)
+        # Timing rep: jittered pointing so the tunnel cannot serve a
+        # memoized repeat (the first call paid the compile).
+        scene_j = dataclasses.replace(scene, psi_y=1e-5)
+        t0 = time.perf_counter()
+        _img_t, st_t = render_volumetric(scene_j, dim, cfg, riaf)
+        dt32 = st_t["timings"]["precompute"]
+        del t0
+
+    # --- f64 XLA oracle (reference tolerances) on sampled rays ---
+    metric = scene.metric()
+    em_fn, ab_fn = make_transfer_fns(metric, riaf)
+    fov = camera.fov_from_vertical(scene.vertical_fov, dim)
+    rng = np.random.default_rng(11)
+    flat = rng.choice(dim[0] * dim[1], size=n_sample, replace=False)
+    iy, ix = np.unravel_index(flat, dim)
+    with jax.default_device(cpu):
+        a64 = np.asarray(camera.build_alpha_lookup(
+            dim, fov, psi=scene.psi, dtype=jnp.float64))
+        t64 = np.asarray(camera.build_theta_lookup(
+            dim, fov, psi=scene.psi, dtype=jnp.float64))
+        t0 = time.perf_counter()
+        res64 = trace_rays_volumetric(
+            metric, scene.r_obs, jnp.asarray(a64[iy, ix]),
+            jnp.asarray(t64[iy, ix]), scene.theta_obs, em_fn,
+            max(5000.0, 6.0 * scene.r_obs), cfg.max_steps,
+            absorption_fn=ab_fn)
+        em64 = np.asarray(res64.emission, np.float64)
+        dt64 = time.perf_counter() - t0
+
+    # --- emission relative error, scaled by the oracle image peak
+    # (per-pixel division would explode on the empty far field, where
+    # both tiers agree the emission is ~0) ---
+    scale = max(float(em64.max()), 1e-30)
+    rel = np.abs(em32[iy, ix] - em64) / scale
+    flux_rel = abs(float(em32[iy, ix].mean() - em64.mean())) / max(
+        float(em64.mean()), 1e-30)
+    print(json.dumps({
+        "metric": "f32_pallas_vs_f64_volumetric_emission_256sq_torus",
+        "unit": "relative_to_peak",
+        "value": round(float(np.sqrt(np.mean(rel ** 2))), 8),
+        "gate": 1e-2,
+        "pass_p99_rel_gate": bool(np.percentile(rel, 99) < 1e-2),
+        "pass_flux_gate": bool(flux_rel < 1e-3),
+        "rel_err_median": float(np.median(rel)),
+        "rel_err_p99": float(np.percentile(rel, 99)),
+        "rel_err_max": float(rel.max()),
+        "sampled_flux_rel_err": flux_rel,
+        "n_sampled_pixels": n_sample,
+        "sat_window": cfg.sat_window,
+        "f32_full_grid_seconds": round(float(dt32), 3),
+        "f32_rays_per_sec": round(dim[0] * dim[1] / float(dt32), 1),
+        "f64_oracle_sample_seconds": round(dt64, 2),
+    }))
 
 
 def _evaluate(precision, jax, jnp, np, camera, render_lensed_image, dim,

@@ -69,3 +69,21 @@ def test_gray_cmap_bytes_roundtrip_identical(tmp_path):
     idx = np.asarray(quantize_cmap_index(jnp.asarray(img)))
     mpimg.imsave(str(f2), cm.gray(idx, bytes=True))
     assert f1.read_bytes() == f2.read_bytes()
+
+
+def test_prewarm_save_is_idempotent_and_harmless(tmp_path):
+    """prewarm_save compiles the quantize program ahead of the save
+    (round-5 item 8): the warm thread completes, a repeat is a no-op,
+    and the subsequent save is byte-identical to an unwarmed one."""
+    from light_path_tracer_tpu.utils.save import prewarm_save, save_png
+    shape = (17, 23, 3)
+    t = prewarm_save(shape, block=True)
+    assert t is not None and not t.is_alive()
+    assert prewarm_save(shape) is None          # already warmed
+    rng = np.random.default_rng(5)
+    img = rng.random(shape).astype(np.float32)
+    f1 = tmp_path / "warm.png"
+    f2 = tmp_path / "ref.png"
+    save_png(str(f1), jnp.asarray(img))
+    mpimg.imsave(str(f2), (np.clip(img, 0, 1) * 255).astype(np.uint8))
+    assert f1.read_bytes() == f2.read_bytes()
