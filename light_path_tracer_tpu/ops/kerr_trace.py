@@ -653,18 +653,21 @@ def dp45_integrate(metric, y0, p_t, p_phi, status0, *, atol, rtol, h_min,
     always given in theta; it is converted here for 'mu'.
 
     Emission-saturation early exit (sat_window > 0; extras traces only):
-    a near-critical photon-ring orbiter neither captures nor escapes —
-    it whirls inside the photon shell in shrinking steps until it grinds
-    the full step budget (measured: 204,819 steps on the canonical
-    volumetric-decomposition pointing, 8x slower than every sibling
-    mode, NEWMODES_r04). Once such a lane's accumulated path integrals
-    stop changing AT ALL (each step's increment h * d(extras) is
-    bitwise-absorbed below 1 ulp of the running totals — BASELINE.md
-    round 4 proved a 2048-step cap bitwise-identical to the full run on
-    that pointing), the remaining budget provably contributes nothing.
-    A lane exits when, for `sat_window` CONSECUTIVE accepted steps, no
-    component of y[5 + i] for i in `sat_monitor` changed bitwise, AND
-    its r lies inside the trapped-orbit band r <= sat_r_max
+    a near-critical photon-ring lane neither captures nor escapes — it
+    grinds the full step budget (measured: 204,819 steps on the
+    canonical volumetric-decomposition pointing, 8x slower than every
+    sibling mode, NEWMODES_r04). Probing that grinder showed a Mosaic-
+    arithmetic REJECT LIMIT CYCLE: the lane's entire state freezes
+    bitwise from ~step 500 (r=2.5466 — inside the photon shell —
+    lam=104.246, identical at every budget from 512 to 20,000 steps)
+    while the same ray terminates in 175 steps on the XLA path. Once a
+    lane's monitored path integrals stop changing AT ALL, the remaining
+    budget provably contributes nothing. A lane exits when, for
+    `sat_window` CONSECUTIVE attempts (accepted or rejected — a
+    rejected attempt cannot change the extras by construction, and the
+    limit-cycled grinder never accepts again), no component of
+    y[5 + i] for i in `sat_monitor` changed bitwise, AND its r lies
+    inside the trapped-orbit band r <= sat_r_max
     (saturation_r_max(metric) — the band guard keeps a not-yet-emitting
     lane still transiting toward the source from exiting early; outside
     the band a lane cannot be trapped, so its no-change streak is
@@ -672,9 +675,10 @@ def dp45_integrate(metric, y0, p_t, p_phi, status0, *, atol, rtol, h_min,
     reads as budget-complete (status RUNNING, like genuine lambda
     exhaustion) and the two-pass drivers do not re-trace it. Monitor
     only intensity-like extras — bookkeeping coordinates (winding m,
-    coordinate time t, optical depth tau) keep changing on a trapped
-    orbiter forever, and growing tau/m only decreases/re-buckets FUTURE
-    emission, which the criterion already requires to be zero.
+    coordinate time t, optical depth tau) keep changing on a genuinely
+    whirling orbiter forever, and growing tau/m only decreases/
+    re-buckets FUTURE emission, which the criterion already requires to
+    be zero.
     """
     dtype = y0[0].dtype
     lam_max = jnp.asarray(lambda_max, dtype)
@@ -1012,16 +1016,26 @@ def dp45_integrate(metric, y0, p_t, p_phi, status0, *, atol, rtol, h_min,
 
         sat_cnt_out = sat_cnt
         if sat_window:
-            # Emission-saturation exit (see docstring): count consecutive
-            # accepted steps whose monitored path integrals were bitwise
-            # no-ops; a full window inside the trapped-orbit band ends
-            # the lane as budget-complete (lam := lam_max).
+            # Emission-saturation exit (see docstring): count
+            # consecutive ATTEMPTS — accepted or rejected — whose
+            # monitored path integrals were bitwise no-ops; a full
+            # window inside the trapped-orbit band ends the lane as
+            # budget-complete (lam := lam_max). Counting attempts, not
+            # accepted steps, is load-bearing: the measured grinder
+            # (the decomposition mode's 204,819-step pointing,
+            # NEWMODES_r04) is a Mosaic-arithmetic REJECT LIMIT CYCLE —
+            # its whole state freezes bitwise from ~step 500 (probed:
+            # r=2.5466, lam=104.246, every component identical at step
+            # budgets 512 through 20,000) and it never accepts again,
+            # so an accepted-step counter would never fire. A rejected
+            # attempt cannot change the extras by construction, so it
+            # legitimately extends the no-change streak.
             changed = jnp.zeros(upd.shape, bool)
             for i in sat_monitor:
                 changed = changed | (y_out[5 + i] != y[5 + i])
             sat_cnt_out = jnp.where(
-                upd, jnp.where(changed, 0, sat_cnt + 1), sat_cnt)
-            saturated = (upd & (sat_cnt_out >= sat_window)
+                running, jnp.where(changed, 0, sat_cnt + 1), sat_cnt)
+            saturated = (running & (sat_cnt_out >= sat_window)
                          & (status_out == RUNNING)
                          & (y_out[0] <= sat_r_band))
             lam_out = jnp.where(saturated, lam_max, lam_out)

@@ -120,17 +120,19 @@ class RenderConfig:
     pass1_steps: int = 512
     # Emission-saturation early exit for the volumetric/extras family
     # (ops/kerr_trace.dp45_integrate docstring): a trapped photon-ring
-    # orbiter whose monitored path integrals were bitwise-unchanged for
-    # this many CONSECUTIVE accepted steps while inside the photon-shell
-    # band exits as budget-complete instead of grinding the max_steps
-    # budget (measured round 4: the order-decomposition mode ground
-    # 204,819 steps, 8x its siblings, while a 2048-step cap was already
-    # bitwise-identical). The window must exceed the longest in-band
-    # dwell of a legitimately escaping ray (~100 accepted steps measured
-    # at "gate" tolerance on the a=0.9 capture boundary; 2048 is ~20x
-    # that, and the chip grinder runs 200k) — an undersized window can
-    # exit a near-critical ray before it collects far-field emission it
-    # would have reached within budget. 0 disables (every lane runs to
+    # lane whose monitored path integrals were bitwise-unchanged for
+    # this many CONSECUTIVE integrator attempts while inside the
+    # photon-shell band exits as budget-complete instead of grinding
+    # the max_steps budget. The measured grinder (round 4: the order-
+    # decomposition mode ground 204,819 steps, 8x its siblings) is a
+    # Mosaic-arithmetic reject limit cycle whose whole state freezes
+    # bitwise from ~step 500 — attempts-counting catches it; accepted-
+    # step counting would never fire. The window must exceed the
+    # longest in-band no-change dwell of a legitimately progressing ray
+    # (~100 steps measured at "gate" tolerance on the a=0.9 capture
+    # boundary; 2048 is ~20x that) — an undersized window can exit a
+    # near-critical ray before it collects far-field emission it would
+    # have reached within budget. 0 disables (every lane runs to
     # termination / budget, the pre-round-5 behavior).
     sat_window: int = 2048
     axis_refine_frac: float = 0.07     # Y_AXIS_REFINE_FRAC
