@@ -826,18 +826,20 @@ def dp45_integrate(metric, y0, p_t, p_phi, status0, *, atol, rtol, h_min,
         raise ValueError("sat_window > 0 needs a non-empty sat_monitor "
                          "(with nothing monitored every in-band lane "
                          "would 'saturate')")
-    # Dummy 0-d counter keeps the carry structure uniform when off.
+    # Dummy 0-d counters keep the carry structure uniform when off.
     sat_cnt0 = (jnp.zeros(y0[0].shape, jnp.int32) if sat_window
+                else jnp.zeros((), jnp.int32))
+    frz_cnt0 = (jnp.zeros(y0[0].shape, jnp.int32) if sat_window
                 else jnp.zeros((), jnp.int32))
     sat_r_band = (jnp.asarray(sat_r_max, dtype) if sat_window else None)
 
     def cond(carry):
-        step, y, k1, h, lam, status, hits, _sat = carry
+        step, y, k1, h, lam, status, hits, _sat, _frz = carry
         running = (status == RUNNING) & (lam < lam_max)
         return (step < max_steps) & jnp.any(running)
 
     def body(carry):
-        step, y, k1, h, lam, status, hits, sat_cnt = carry
+        step, y, k1, h, lam, status, hits, sat_cnt, frz_cnt = carry
         running = (status == RUNNING) & (lam < lam_max)
         h_eff = jnp.minimum(h, lam_max - lam)
         h_eff = jnp.maximum(h_eff, 0.0)
@@ -1015,6 +1017,7 @@ def dp45_integrate(metric, y0, p_t, p_phi, status0, *, atol, rtol, h_min,
         status_out = status_out.astype(jnp.int32)
 
         sat_cnt_out = sat_cnt
+        frz_cnt_out = frz_cnt
         if sat_window:
             # Emission-saturation exit (see docstring): count
             # consecutive ATTEMPTS — accepted or rejected — whose
@@ -1035,9 +1038,25 @@ def dp45_integrate(metric, y0, p_t, p_phi, status0, *, atol, rtol, h_min,
                 changed = changed | (y_out[5 + i] != y[5 + i])
             sat_cnt_out = jnp.where(
                 running, jnp.where(changed, 0, sat_cnt + 1), sat_cnt)
-            saturated = (running & (sat_cnt_out >= sat_window)
-                         & (status_out == RUNNING)
-                         & (y_out[0] <= sat_r_band))
+            # Frozen-state exit, band-free: a lane whose ENTIRE state
+            # is bitwise-unchanged for a full window cannot be making
+            # legal progress anywhere — a monotone reject-shrink streak
+            # underflows h_min (INVALID) within ~300 attempts, and any
+            # accepted step moves the dynamics by >> 1 ulp unless h has
+            # collapsed below ulp-effectiveness — so a 2048-attempt
+            # freeze is a numerical limit cycle at ANY radius (512^2
+            # grids produce them outside the photon-shell band too:
+            # polar-plunge columns freeze at large r).
+            changed_state = changed
+            for k in range(len(y0)):
+                changed_state = changed_state | (y_out[k] != y[k])
+            frz_cnt_out = jnp.where(
+                running, jnp.where(changed_state, 0, frz_cnt + 1),
+                frz_cnt)
+            saturated = (running & (status_out == RUNNING)
+                         & (((sat_cnt_out >= sat_window)
+                             & (y_out[0] <= sat_r_band))
+                            | (frz_cnt_out >= sat_window)))
             lam_out = jnp.where(saturated, lam_max, lam_out)
 
         hits_out = hits
@@ -1223,12 +1242,12 @@ def dp45_integrate(metric, y0, p_t, p_phi, status0, *, atol, rtol, h_min,
                 hits_out["t_now"] = jnp.where(upd, t_stop, t_now)
 
         return (step + 1, y_out, k1_out, h_new, lam_out, status_out,
-                hits_out, sat_cnt_out)
+                hits_out, sat_cnt_out, frz_cnt_out)
 
     carry0 = (jnp.asarray(0, jnp.int32), y0, k1_0, h0, lam0, status0,
-              hits0, sat_cnt0)
+              hits0, sat_cnt0, frz_cnt0)
     (step_f, y_f, _k1_f, _h_f, lam_f, status_f, hits_f,
-     _sat_f) = jax.lax.while_loop(cond, body, carry0)
+     _sat_f, _frz_f) = jax.lax.while_loop(cond, body, carry0)
     if disk_plane is not None:
         return y_f, status_f, lam_f, step_f, hits_f
     return y_f, status_f, lam_f, step_f

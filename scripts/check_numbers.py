@@ -83,7 +83,9 @@ def check(errors):
         if path is None:
             continue
         for row in _lines(path):
-            if "shadow_1024sq_rays_per_sec_chip" in row.get("metric", ""):
+            metric = row.get("metric", "")
+            if (metric.startswith("kerr_a")
+                    and "shadow_1024sq_rays_per_sec_chip" in metric):
                 headline = (row, os.path.basename(path))
         if headline:
             break

@@ -37,7 +37,17 @@ tier has a full-scale accuracy gate rather than only 32^2 smoke parity.
 """
 
 import json
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+# The volumetric gate traces the Pallas extras kernel with x64 enabled
+# (the oracle needs it); tracing the large integrator body then nests
+# past CPython's default 1000-frame recursion limit.
+sys.setrecursionlimit(100000)
 
 import numpy as np
 

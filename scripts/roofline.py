@@ -40,7 +40,12 @@ and the per-round ROOFLINE_r{N}.jsonl artifact.
 import argparse
 import functools
 import json
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 import numpy as np
 import jax
@@ -211,23 +216,36 @@ def _extras_rows(rate_fma, overhead):
         n_comp = 5 + mode["n_extras"]
         rhs = _rhs_flops_per_lane(m, mode["extra"], mode["n_extras"])
         flops_step = 6.0 * rhs + 86.0 * n_comp + 55.0
-        steps_box = {}
 
         def run(i, _run=mode["run"]):
             a_i = al * np.float32(1.0 + 1e-5 * i)
             out = _run(a_i)
-            steps_box["steps"] = int(out.n_steps)   # forces readback
-            return np.asarray(out.final_alpha[0])
+            steps = int(out.n_steps)                 # forces readback
+            np.asarray(out.final_alpha[0])
+            return steps
 
-        t = _timed(run) - overhead
-        achieved = steps_box["steps"] * lanes * flops_step / t
+        # Pair each rep's time with ITS OWN step count: pointing
+        # jitter moves which lanes grind between reps, so best-time
+        # with another rep's steps fabricates impossible rates (first
+        # recording of this section measured 7x "utilization").
+        run(0)   # warm/compile
+        best = None
+        for i in range(4):
+            t0 = time.perf_counter()
+            steps = run(i + 1)
+            dt = time.perf_counter() - t0
+            if best is None or dt / max(steps, 1) < best[0]:
+                best = (dt / max(steps, 1), dt, steps)
+        _per, dt, steps = best
+        t = dt - overhead
+        achieved = steps * lanes * flops_step / t
         print(json.dumps({
             "metric": f"{name}_achieved_f32",
             "value": round(achieved / 1e12, 3), "unit": "TFLOP/s",
             "components": n_comp,
             "rhs_flops_per_lane_xla_cost_analysis": round(rhs, 1),
             "flops_per_lane_step": round(flops_step, 1),
-            "tile_steps": steps_box["steps"],
+            "tile_steps": steps,
             "compute_seconds": round(t, 4),
             "utilization_vs_measured_fma_peak":
                 round(achieved / rate_fma, 3)}))
