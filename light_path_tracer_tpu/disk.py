@@ -856,7 +856,14 @@ def keplerian_omega(M, a, r, prograde: bool = True, Q: float = 0.0):
         x = xp.sqrt(xp.maximum(M * r - Q * Q, 0.0))
         s = 1.0 if prograde else -1.0
         return s * x / (r * r + s * a * x)
-    sqrtM = xp.sqrt(M)
+    # M is always a static Python number — fold sqrt(M) at trace time,
+    # as a PYTHON float (weak type): jnp.sqrt(python_float)
+    # materializes a default-dtype scalar OP in the jaxpr, which under
+    # jax_enable_x64 is float64 and does not lower inside Mosaic
+    # kernels (the volumetric accuracy gate traces this closure in an
+    # x64 process) — while an np.float64 scalar is a STRONG type that
+    # silently promotes the f32 while_loop carry (see _g_jet's gamma).
+    sqrtM = float(np.sqrt(M)) if np.isscalar(M) else xp.sqrt(M)
     if prograde:
         return sqrtM / (r ** 1.5 + a * sqrtM)
     return -sqrtM / (r ** 1.5 - a * sqrtM)

@@ -303,7 +303,12 @@ class _KerrHotPath:
 
         Theta = jnp.maximum(
             Q - cos_th * cos_th * (L * L / sin2 - a * a * E * E), 0.0)
-        p_th_sign = jnp.where(cos_screen > 0.0, -1.0, 1.0).astype(dtype)
+        # dtype-pinned sign constants: weak-float where-branches
+        # broadcast to a DEFAULT-dtype array (float64 under x64) before
+        # the astype, and 64-bit vectors do not lower inside Mosaic
+        # kernels traced in an x64-enabled process.
+        one = jnp.asarray(1.0, dtype)
+        p_th_sign = jnp.where(cos_screen > 0.0, -one, one)
         p_th = p_th_sign * jnp.sqrt(Theta)
 
         (g_tt, g_tphi, g_rr, g_thth, g_phiphi,
@@ -318,7 +323,7 @@ class _KerrHotPath:
         # reference's inward root is correct only for the forward-looking
         # pinhole FOV. Backward rays (panorama chart) start outward:
         # p^r = g^rr p_r > 0. Bitwise unchanged for alpha <= pi/2.
-        p_r = jnp.where(jnp.cos(alphas) >= 0.0, -1.0, 1.0) * jnp.sqrt(
+        p_r = jnp.where(jnp.cos(alphas) >= 0.0, -one, one) * jnp.sqrt(
             jnp.maximum(p_r_sq, 0.0))
 
         invalid = jnp.broadcast_to(bad_obs, alphas.shape)

@@ -91,7 +91,10 @@ class Schwarzschild(Metric):
         # chart's alpha > pi/2 hemisphere) start moving OUTWARD, i.e.
         # du/dphi < 0. sign(cos alpha) selects the branch; bitwise
         # unchanged for every alpha < pi/2 path.
-        w0 = jnp.where(jnp.cos(alphas) >= 0.0, 1.0, -1.0) * jnp.sqrt(
+        one = jnp.asarray(1.0, alphas.dtype)   # dtype-pinned: weak
+        # where-branches broadcast to default dtype (f64 under x64),
+        # which does not lower inside Mosaic kernels.
+        w0 = jnp.where(jnp.cos(alphas) >= 0.0, one, -one) * jnp.sqrt(
             jnp.maximum(w0_sq, 0.0))
         return u0, w0, invalid
 

@@ -36,10 +36,17 @@ import jax.numpy as jnp
 from light_path_tracer_tpu.ops import tableau as tb
 from light_path_tracer_tpu.ops.types import TraceResult
 
-RUNNING = 2
-ESCAPED = 1
-CAPTURED = -1
-INVALID = 0
+# np.int32 (a STRONG type in JAX promotion), not Python int: under
+# jax_enable_x64 a weak-int literal inside jnp.where promotes the
+# status lattice to int64, and the int64->int32 cast that follows
+# infinitely recurses in Mosaic's convert-element-type lowering when
+# the same code is traced inside a Pallas kernel (observed round 5:
+# the volumetric accuracy gate runs the f32 Pallas tier in an
+# x64-enabled process for its f64 oracle).
+RUNNING = np.int32(2)
+ESCAPED = np.int32(1)
+CAPTURED = np.int32(-1)
+INVALID = np.int32(0)
 
 # Tolerance presets: (atol, rtol) normal / axis-refined. float64 matches
 # the reference (metrics.py:431-432). Three float32 tiers, calibrated by

@@ -21,10 +21,12 @@ import jax.numpy as jnp
 
 from light_path_tracer_tpu.ops.types import TraceResult
 
-RUNNING = 2
-ESCAPED = 1
-CAPTURED = -1
-INVALID = 0
+# np.int32, not Python int — same x64/Mosaic lowering hazard as
+# ops.kerr_trace (see the comment on its status constants).
+RUNNING = np.int32(2)
+ESCAPED = np.int32(1)
+CAPTURED = np.int32(-1)
+INVALID = np.int32(0)
 
 
 def _lerp_frac(prev, nxt, target):

@@ -58,7 +58,6 @@ def prewarm_save(shape, dtype=None, block=False):
     shape was already warmed) — block=True joins it, for tests and for
     measuring the cold-cache delta (BASELINE.md round 5).
     """
-    import jax
     import jax.numpy as jnp
 
     dtype = jnp.float32 if dtype is None else dtype
@@ -69,7 +68,14 @@ def prewarm_save(shape, dtype=None, block=False):
 
     def _warm():
         try:
-            jax.block_until_ready(quantize_u8(jnp.zeros(key[0], dtype)))
+            # np.asarray, not block_until_ready: on the axon tunnel a
+            # bare block can return before the server-side compile has
+            # actually run (the block-without-fetch trap,
+            # BASELINE.md round 5) — only a host FETCH forces the
+            # quantize chain compiled, executed, and the uint8
+            # transfer path initialized. The fetch itself releases the
+            # GIL while it waits, so the render keeps tracing.
+            np.asarray(quantize_u8(jnp.zeros(key[0], dtype)))
         except Exception:
             # Warmup is best-effort: a failure here surfaces (if real)
             # at the actual save instead.

@@ -172,17 +172,26 @@ def _volumetric_gate(jax, jnp, cpu, accel):
     cfg = RenderConfig(backend="auto")       # Pallas on TPU f32,
     #   two-pass containment + saturation exit at production defaults
 
-    # --- f32 production tier: full grid on the accelerator ---
-    with jax.default_device(accel):
-        _img, st32 = render_volumetric(scene, dim, cfg, riaf)
-        em32 = np.asarray(st32["emission"], np.float64)
-        # Timing rep: jittered pointing so the tunnel cannot serve a
-        # memoized repeat (the first call paid the compile).
-        scene_j = dataclasses.replace(scene, psi_y=1e-5)
-        t0 = time.perf_counter()
-        _img_t, st_t = render_volumetric(scene_j, dim, cfg, riaf)
-        dt32 = st_t["timings"]["precompute"]
-        del t0
+    # --- f32 production tier: full grid on the accelerator.
+    # x64 OFF for this block: production never runs with x64, and the
+    # Mosaic lowering rejects the 64-bit scalars/vectors that global
+    # x64 promotion sprinkles into traced closures (observed round 5:
+    # an int64->int32 convert recursed forever; after pinning the
+    # status lattice to int32, float64 literal scalars were next). ---
+    jax.config.update("jax_enable_x64", False)
+    try:
+        with jax.default_device(accel):
+            _img, st32 = render_volumetric(scene, dim, cfg, riaf)
+            em32 = np.asarray(st32["emission"], np.float64)
+            # Timing rep: jittered pointing so the tunnel cannot serve
+            # a memoized repeat (the first call paid the compile).
+            scene_j = dataclasses.replace(scene, psi_y=1e-5)
+            t0 = time.perf_counter()
+            _img_t, st_t = render_volumetric(scene_j, dim, cfg, riaf)
+            dt32 = st_t["timings"]["precompute"]
+            del t0
+    finally:
+        jax.config.update("jax_enable_x64", True)
 
     # --- f64 XLA oracle (reference tolerances) on sampled rays ---
     metric = scene.metric()

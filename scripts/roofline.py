@@ -4,11 +4,28 @@
 Both sides are MEASURED on the same device, with the same timing
 protocol, rather than quoted from datasheets:
 
-  * VPU f32 peak: a Pallas FMA-chain kernel on VMEM tiles, rate taken as
-    the MARGINAL cost between two chain lengths — this cancels the
-    ~27 ms fixed host-readback latency of this TPU tunnel (every timing
-    here forces a scalar readback, because bare block_until_ready can be
-    served from tunnel-side memoization for repeated programs).
+  * VPU f32 peak, FOUR probes that together pin the machine model
+    (round-5 findings, each measured because the previous one's story
+    failed — see BASELINE.md "roofline, round 5"):
+      (a) serial FMA chain over a (512,128) VMEM block — 1.78 TFLOP/s;
+      (b) "fma8", 8 independent (512,128) accumulators — SLOWER
+          (0.55x): 512 live vregs, the loop spills through VMEM;
+      (c) "fma_reg", 8 independent (8,128) accumulators, fully
+          register-resident — 1.02x the serial chain, proving ~1.8 TF
+          is the genuine FMA-port ceiling (no hidden multi-ALU FMA
+          headroom, and (a) was not VMEM-bound);
+      (d) "vliw_mix", register-resident 2 FMA + 3 add + 3 mul chains —
+          the TPU core is VLIW, and bodies MIXING op types co-issue
+          across ports, exceeding the pure-FMA number. This is the
+          honest ceiling for the mixed-arithmetic DP45 bodies, whose
+          achieved counted-flop rates (spectral/order/Stokes extras)
+          measurably exceed (a)-(c) — the steps counters were audited
+          against the XLA path (equal), so the rates are real.
+    Rates are taken as the MARGINAL cost between two chain lengths —
+    this cancels the ~27 ms fixed host-readback latency of this TPU
+    tunnel (every timing here forces a scalar readback, because bare
+    block_until_ready can be served from tunnel-side memoization for
+    repeated programs).
   * sin() throughput: same protocol with a sin chain (the theta-form RHS
     costs 2 transcendentals per evaluation).
   * Achieved: the Kerr tracer's FLOP/s from its own step counters times
@@ -66,9 +83,69 @@ def _chain_kernel(x_ref, o_ref, *, k, op):
     b = jnp.float32(1e-7)
     if op == "fma":
         body = lambda _, v: v * a + b
+        o_ref[:] = jax.lax.fori_loop(0, k, body, x)
+    elif op == "fma8":
+        # 8 INDEPENDENT chains per element: exposes the instruction-
+        # level parallelism the serial chain denies the VPU's multiple
+        # ALUs/pipelines. k here counts per-chain iterations; total
+        # flops per element per iteration = 8 FMAs. MEASURED SLOWER
+        # than the serial chain (0.55x): 8 live (512,128) accumulators
+        # = 512 vregs, far past the register file — every iteration
+        # spills through VMEM.
+        cs = tuple(jnp.float32(1e-7 * (j + 1)) for j in range(8))
+        body = lambda _, vs: tuple(v * a + c for v, c in zip(vs, cs))
+        vs0 = tuple(x + jnp.float32(0.01 * j) for j in range(8))
+        vs = jax.lax.fori_loop(0, k, body, vs0)
+        acc = vs[0]
+        for v in vs[1:]:
+            acc = acc + v
+        o_ref[:] = acc
+    elif op == "vliw_mix":
+        # MIXED-PORT register-resident chain: 2 FMA + 3 add + 3 mul
+        # independent (8,128) accumulators. The TPU core is VLIW — if
+        # add/mul issue in slots the pure-FMA chain leaves empty, the
+        # counted-flop rate exceeds the "FMA peak". This is the
+        # measured ceiling the mixed-arithmetic DP45 bodies should be
+        # compared against. Counted flops per iteration per element:
+        # 2*2 (fma) + 3 (add) + 3 (mul) = 10.
+        cs = tuple(jnp.float32(1e-7 * (j + 1)) for j in range(3))
+        ds = tuple(jnp.float32(1.0000001 + 1e-8 * j) for j in range(3))
+
+        def body(_, vs):
+            f1, f2, a1, a2, a3, m1, m2, m3 = vs
+            return (f1 * a + b, f2 * a + b,
+                    a1 + cs[0], a2 + cs[1], a3 + cs[2],
+                    m1 * ds[0], m2 * ds[1], m3 * ds[2])
+
+        x8 = x_ref[0:8, :]
+        vs0 = tuple(x8 + jnp.float32(0.01 * j) for j in range(8))
+        vs = jax.lax.fori_loop(0, k, body, vs0)
+        acc = vs[0]
+        for v in vs[1:]:
+            acc = acc + v
+        o_ref[:] = jnp.zeros(o_ref.shape, acc.dtype)
+        o_ref[0:8, :] = acc
+    elif op == "fma_reg":
+        # REGISTER-RESIDENT peak: 8 independent (8,128) accumulators =
+        # 8 vregs, which fit the register file — the loop touches no
+        # VMEM at all. This is the true multi-ALU compute ceiling; the
+        # serial (512,128) chain above streams its 256 KB block through
+        # VMEM every iteration (64 vregs live), so it measures the
+        # VMEM-roundtrip bound instead. k counts per-chain iterations;
+        # flops per iteration = 8 FMAs x 1024 elements per tile.
+        x8 = x_ref[0:8, :]
+        cs = tuple(jnp.float32(1e-7 * (j + 1)) for j in range(8))
+        body = lambda _, vs: tuple(v * a + c for v, c in zip(vs, cs))
+        vs0 = tuple(x8 + jnp.float32(0.01 * j) for j in range(8))
+        vs = jax.lax.fori_loop(0, k, body, vs0)
+        acc = vs[0]
+        for v in vs[1:]:
+            acc = acc + v
+        o_ref[:] = jnp.zeros(o_ref.shape, acc.dtype)
+        o_ref[0:8, :] = acc
     else:
         body = lambda _, v: jnp.sin(v)
-    o_ref[:] = jax.lax.fori_loop(0, k, body, x)
+        o_ref[:] = jax.lax.fori_loop(0, k, body, x)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "op"))
@@ -104,8 +181,16 @@ def measure_chain(op, k):
 
 
 def _rhs_flops_per_lane(metric, extra, n_extras, n_lanes=256):
-    """XLA cost analysis of the mode's full RHS closure (the exact
-    function dp45_integrate evaluates 6x per step), per lane."""
+    """Per-STAGE amortized flops of the mode's full RHS closure, by XLA
+    cost analysis of SIX evaluations at six different states with the
+    stage-invariant inputs (p_t, p_phi, any aux constants captured in
+    the closure) shared — exactly the structure of one unrolled DP45
+    attempt, so subexpressions that depend only on the invariants are
+    CSE/hoisted by the compiler ONCE per attempt, as the real kernel
+    hoists them once per trace. A single-evaluation count charges those
+    invariant terms 6x per step; round 5's first extras recording did,
+    and the aux-heavy polarized row came out at an impossible 2.4x the
+    measured VPU peak — the diagnostic that exposed this."""
     cpu = jax.devices("cpu")[0]
     ones = jnp.ones((n_lanes,), jnp.float32)
     p_t, p_phi = -ones, 0.31 * ones
@@ -116,16 +201,29 @@ def _rhs_flops_per_lane(metric, extra, n_extras, n_lanes=256):
             return base
         return (*base, *extra(y, p_t, p_phi))
 
+    def f6(ys6):
+        outs = [f(y) for y in ys6]
+        acc = outs[0]
+        for o in outs[1:]:
+            acc = tuple(a + b for a, b in zip(acc, o))
+        return acc
+
     vals = [10.0, 1.2, 0.3, -0.1, 0.2] + [0.05] * n_extras
-    ys = tuple(jnp.full((n_lanes,), v, jnp.float32) for v in vals)
+    ys6 = tuple(
+        tuple(jnp.full((n_lanes,), v * (1.0 + 0.01 * s), jnp.float32)
+              for v in vals)
+        for s in range(6))
     with jax.default_device(cpu):
-        cost = jax.jit(f).lower(ys).compile().cost_analysis()
+        cost = jax.jit(f6).lower(ys6).compile().cost_analysis()
     if isinstance(cost, (list, tuple)):
         cost = cost[0]
-    return float(cost["flops"]) / n_lanes
+    # The 5 adds per component that merge the six outputs are probe
+    # scaffolding, not RHS work.
+    n_comp = 5 + n_extras
+    return (float(cost["flops"]) / n_lanes - 5.0 * n_comp) / 6.0
 
 
-def _extras_rows(rate_fma, overhead):
+def _extras_rows(rate_fma, overhead, rate_ceiling):
     """Roofline rows for the volumetric/extras tile kernels."""
     from light_path_tracer_tpu import camera
     from light_path_tracer_tpu.models import Kerr
@@ -247,8 +345,10 @@ def _extras_rows(rate_fma, overhead):
             "flops_per_lane_step": round(flops_step, 1),
             "tile_steps": steps,
             "compute_seconds": round(t, 4),
-            "utilization_vs_measured_fma_peak":
-                round(achieved / rate_fma, 3)}))
+            "utilization_vs_fma_chain_peak":
+                round(achieved / rate_fma, 3),
+            "utilization_vs_mixed_port_ceiling":
+                round(achieved / rate_ceiling, 3)}))
 
 
 def main():
@@ -268,6 +368,46 @@ def main():
                       "fixed_readback_overhead_ms":
                           round(overhead * 1e3, 1)}))
 
+    # ILP peak: 8 independent chains per element. The serial chain
+    # above is the single-dependency-issue bound (what a latency-bound
+    # body achieves); wide integrator states carry many independent
+    # component updates per step, so the multi-ALU/pipelined bound is
+    # the honest denominator for the extras kernels.
+    t1i, t2i = (measure_chain("fma8", k1 // 8),
+                measure_chain("fma8", k2 // 8))
+    rate_ilp = N_ELEM * (k2 - k1) * 2 / (t2i - t1i)
+    print(json.dumps({"metric": "vpu_f32_fma_peak_ilp8",
+                      "value": round(rate_ilp / 1e12, 3),
+                      "unit": "TFLOP/s",
+                      "ilp_speedup_vs_serial_chain":
+                          round(rate_ilp / rate_fma, 2)}))
+
+    # Register-resident ceiling: 8 (8,128) accumulators live entirely
+    # in vregs, zero VMEM traffic in the loop. Work per (8x scaled) k
+    # matches the serial chain's marginal flops — see _chain_kernel.
+    t1r, t2r = (measure_chain("fma_reg", 8 * k1),
+                measure_chain("fma_reg", 8 * k2))
+    rate_reg = N_ELEM * (k2 - k1) * 2 / (t2r - t1r)
+    print(json.dumps({"metric": "vpu_f32_fma_peak_register_resident",
+                      "value": round(rate_reg / 1e12, 3),
+                      "unit": "TFLOP/s",
+                      "speedup_vs_serial_chain":
+                          round(rate_reg / rate_fma, 2)}))
+
+    # Mixed-port VLIW ceiling: 2 FMA + 3 add + 3 mul chains in
+    # registers, 10 counted flops per (8,128)-element per iteration
+    # (see _chain_kernel). Marginal counted flops between the two k's:
+    # N_TILES tiles x 1024 elements x 10 flops x 8*(k2-k1) iterations.
+    t1m, t2m = (measure_chain("vliw_mix", 8 * k1),
+                measure_chain("vliw_mix", 8 * k2))
+    rate_mix = N_TILES * 1024 * 10 * 8 * (k2 - k1) / (t2m - t1m)
+    print(json.dumps({"metric": "vpu_f32_mixed_port_peak_vliw",
+                      "value": round(rate_mix / 1e12, 3),
+                      "unit": "TFLOP/s",
+                      "speedup_vs_fma_chain":
+                          round(rate_mix / rate_fma, 2)}))
+    rate_best = max(rate_fma, rate_reg, rate_mix)
+
     t1s, t2s = measure_chain("sin", k1 // 4), measure_chain("sin", k2 // 4)
     rate_sin = N_ELEM * (k2 - k1) / 4 / (t2s - t1s)
     print(json.dumps({"metric": "vpu_f32_sin_throughput_marginal",
@@ -276,7 +416,7 @@ def main():
                           round(rate_fma / 2 / rate_sin, 1)}))
 
     if args.extras:
-        _extras_rows(rate_fma, overhead)
+        _extras_rows(rate_fma, overhead, rate_best)
     if args.skip_lens:
         return
 
@@ -313,8 +453,10 @@ def main():
         "tile_steps": steps_box["steps"],
         "compute_seconds": round(t_kerr, 4),
         "flops_per_lane_step_assumed": flops_per_lane_step,
-        "utilization_vs_measured_fma_peak":
-            round(achieved / rate_fma, 3)}))
+        "utilization_vs_fma_chain_peak":
+            round(achieved / rate_fma, 3),
+        "utilization_vs_mixed_port_ceiling":
+            round(achieved / rate_best, 3)}))
 
 
 if __name__ == "__main__":
