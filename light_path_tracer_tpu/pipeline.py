@@ -451,21 +451,50 @@ def render_magnification(scene: SceneConfig, resolution,
     fov = camera.fov_from_vertical(scene.vertical_fov, resolution)
     dtype = _dtype_of(cfg)
 
-    with timer.stage("precompute") as out:
-        pre = _precompute_eager(scene, cfg, resolution, fov)
-        out.append(pre.final_alpha)
-
-    with timer.stage("render") as out:
-        theta_lookup = camera.build_theta_lookup(
-            resolution, fov, psi=scene.psi, dtype=dtype,
-            boost=scene.boost)
+    metric = scene.metric()
+    whole_grid = cfg.chunk_size is None or (
+        cfg.chunk_size >= resolution[0] * resolution[1])
+    single = (not metric.is_spherically_symmetric and whole_grid
+              and not cfg.progress)
+    if single:
+        # ONE program: precompute + magnification epilogue, camera
+        # lookups traced (see _magnification_single).
         frame = camera.psi_frame(scene.psi)
-        packed = _magnification_fused(
-            pre.final_alpha.astype(dtype), theta_lookup,
-            jnp.asarray(frame.d, dtype), jnp.asarray(frame.e_x, dtype),
-            jnp.asarray(frame.e_y, dtype),
-            jnp.asarray(pre.integrator_steps), tuple(resolution), fov)
-        out.append(packed)
+        alpha_lookup, theta_lookup = _mode_lookups(scene, resolution,
+                                                   fov, dtype)
+        refine_cols = jnp.asarray(camera.axis_refine_columns(
+            resolution, fov, psi=scene.psi,
+            refine_frac=cfg.axis_refine_frac, boost=scene.boost))
+        use_tb = _use_tb(scene, cfg)
+        traced_rays = ((resolution[0] + 1) // 2 if use_tb
+                       else resolution[0]) * resolution[1]
+        with timer.stage("precompute") as out:
+            packed = _magnification_single(
+                metric, scene.r_obs, alpha_lookup, theta_lookup,
+                refine_cols, scene.theta_obs, cfg, tuple(resolution),
+                fov, use_tb, jnp.asarray(frame.d, dtype),
+                jnp.asarray(frame.e_x, dtype),
+                jnp.asarray(frame.e_y, dtype))
+            out.append(packed)
+    else:
+        with timer.stage("precompute") as out:
+            pre = _precompute_eager(scene, cfg, resolution, fov)
+            out.append(pre.final_alpha)
+        traced_rays = pre.traced_rays
+
+        with timer.stage("render") as out:
+            theta_lookup = camera.build_theta_lookup(
+                resolution, fov, psi=scene.psi, dtype=dtype,
+                boost=scene.boost)
+            frame = camera.psi_frame(scene.psi)
+            packed = _magnification_fused(
+                pre.final_alpha.astype(dtype), theta_lookup,
+                jnp.asarray(frame.d, dtype),
+                jnp.asarray(frame.e_x, dtype),
+                jnp.asarray(frame.e_y, dtype),
+                jnp.asarray(pre.integrator_steps), tuple(resolution),
+                fov)
+            out.append(packed)
 
     flat = np.asarray(packed)              # one tunnel fetch
     n_px = int(np.prod(resolution))
@@ -474,8 +503,8 @@ def render_magnification(scene: SceneConfig, resolution,
     finite = np.isfinite(mu_np)
     stats = {
         "timings": timer.finish(),
-        "total_rays": pre.total_rays,
-        "traced_rays": pre.traced_rays,
+        "total_rays": n_px,
+        "traced_rays": traced_rays,
         "integrator_steps": int(flat[-1]),
         "shadow_pixels": int((~finite).sum()),
         "mu_abs_max": float(np.abs(mu_np[finite]).max()) if finite.any()
@@ -505,14 +534,13 @@ def _metric_5d(metric):
         "(initial_conditions_5d) and no known a = 0 equivalent")
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("metric", "r_obs", "theta_obs", "max_steps",
-                     "precision", "method", "record_time", "resolution"))
-def _surface_beta_fused(metric, r_obs, alpha_lookup, theta_lookup,
-                        theta_obs, max_steps, precision, method,
-                        record_time, resolution):
-    """ONE XLA program: surface trace + the side-exact source chart.
+def _surface_beta_body(metric, r_obs, alpha_lookup, theta_lookup,
+                       theta_obs, max_steps, precision, method,
+                       record_time, resolution):
+    """Trace-to-escape + the side-exact source chart, as a plain traced
+    body shared by every jitted entry that embeds it (the standalone
+    `_surface_beta_fused` program and the per-mode single-program
+    wrappers below).
 
     Round-5 verdict item 4: the source-plane modes (time delay,
     microlens, caustics, magnification, shear) measured 5-25x below the
@@ -537,6 +565,21 @@ def _surface_beta_fused(metric, r_obs, alpha_lookup, theta_lookup,
         metric, 2.0 * r_obs, res.theta, res.phi, res.p_r,
         res.p_theta, res.xi, res.status == ESCAPED, theta_obs)
     return bx.reshape(resolution), by.reshape(resolution), res
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("metric", "r_obs", "theta_obs", "max_steps",
+                     "precision", "method", "record_time", "resolution"))
+def _surface_beta_fused(metric, r_obs, alpha_lookup, theta_lookup,
+                        theta_obs, max_steps, precision, method,
+                        record_time, resolution):
+    """ONE XLA program: surface trace + the side-exact source chart
+    (`_surface_beta_body`). Standalone entry for callers that need the
+    raw (bx, by, res) — the mesh path and images.find_point_images."""
+    return _surface_beta_body(metric, r_obs, alpha_lookup, theta_lookup,
+                              theta_obs, max_steps, precision, method,
+                              record_time, resolution)
 
 
 def _trace_escape_beta(scene: SceneConfig, cfg: RenderConfig,
@@ -647,9 +690,8 @@ def _magnification_fused(final_alpha, theta_lookup, d, e_x, e_y,
         mu.ravel(), jnp.reshape(n_steps, (1,)).astype(mu.dtype)])
 
 
-@functools.partial(jax.jit, static_argnames=("resolution", "fov",
-                                             "boost"))
-def _shear_fused(bx, by, d, e_x, e_y, n_steps, resolution, fov, boost):
+def _shear_epilogue(bx, by, d, e_x, e_y, n_steps, resolution, fov,
+                    boost):
     from light_path_tracer_tpu import render as _render
     from light_path_tracer_tpu.camera import _view_grids, aberrate_view
 
@@ -680,6 +722,158 @@ def _shear_fused(bx, by, d, e_x, e_y, n_steps, resolution, fov, boost):
         jnp.reshape(n_steps, (1,)).astype(jnp.float32)])
 
 
+@functools.partial(jax.jit, static_argnames=("resolution", "fov",
+                                             "boost"))
+def _shear_fused(bx, by, d, e_x, e_y, n_steps, resolution, fov, boost):
+    return _shear_epilogue(bx, by, d, e_x, e_y, n_steps, resolution,
+                           fov, boost)
+
+
+# ---------------------------------------------------------------------
+# Single-program source-plane modes (round-5, second pass). The fused
+# trace and the fused epilogue above are still TWO programs — two
+# tunnel dispatches plus an intermediate (bx, by) materialization —
+# and the measured breakdown (BASELINE.md round-5) shows these
+# 77-step traces are bound by exactly those per-dispatch floor units
+# (~26-455 ms each on the axon tunnel). Each wrapper below embeds
+# `_surface_beta_body` AND the mode's epilogue in ONE jitted program
+# whose output is the packed payload: one launch, one fetch, nothing
+# intermediate. The mesh path keeps the two-stage structure (the
+# sharded trace cannot live inside a single-device jit).
+# ---------------------------------------------------------------------
+
+
+def _mode_lookups(scene, resolution, fov, dtype):
+    """Camera lookup tables as traced inputs (pointing jitter reuses
+    the compile)."""
+    alpha_lookup = camera.build_alpha_lookup(
+        resolution, fov, psi=scene.psi, dtype=dtype, boost=scene.boost)
+    theta_lookup = camera.build_theta_lookup(
+        resolution, fov, psi=scene.psi, dtype=dtype, boost=scene.boost)
+    return alpha_lookup, theta_lookup.astype(dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("metric", "r_obs", "theta_obs", "max_steps",
+                     "precision", "method", "resolution", "fov",
+                     "beta_max", "bins"))
+def _caustics_single(metric, r_obs, alpha_lookup, theta_lookup,
+                     theta_obs, max_steps, precision, method,
+                     resolution, fov, beta_max, bins):
+    from light_path_tracer_tpu.render import source_plane_map
+
+    bx, by, res = _surface_beta_body(
+        metric, r_obs, alpha_lookup, theta_lookup, theta_obs,
+        max_steps, precision, method, False, resolution)
+    amap, _extent = source_plane_map(bx, by, resolution, fov, beta_max,
+                                     bins)
+    return jnp.concatenate([
+        amap.ravel(),
+        jnp.reshape(res.n_steps, (1,)).astype(amap.dtype)])
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("metric", "r_obs", "theta_obs", "max_steps",
+                     "precision", "method", "resolution", "fov",
+                     "source_radius"))
+def _microlens_single(metric, r_obs, alpha_lookup, theta_lookup,
+                      theta_obs, max_steps, precision, method,
+                      resolution, fov, track, source_radius):
+    from light_path_tracer_tpu.render import microlens_light_curve
+
+    bx, by, res = _surface_beta_body(
+        metric, r_obs, alpha_lookup, theta_lookup, theta_obs,
+        max_steps, precision, method, False, resolution)
+    curve = microlens_light_curve(bx, by, resolution, fov, track,
+                                  source_radius)
+    return jnp.concatenate([
+        curve, jnp.reshape(res.n_steps, (1,)).astype(curve.dtype)])
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("metric", "r_obs", "theta_obs", "max_steps",
+                     "precision", "method", "resolution", "r_e"))
+def _tau_single(metric, r_obs, alpha_lookup, theta_lookup, theta_obs,
+                max_steps, precision, method, resolution, r_e):
+    from light_path_tracer_tpu.ops.kerr_trace import ESCAPED
+    from light_path_tracer_tpu.render import fermat_tau
+
+    bx, by, res = _surface_beta_body(
+        metric, r_obs, alpha_lookup, theta_lookup, theta_obs,
+        max_steps, precision, method, True, resolution)
+    escaped = res.status == ESCAPED
+    tau = fermat_tau(metric, r_e, res.theta, res.phi, res.p_r,
+                     res.p_theta, res.xi, res.t_hit, escaped)
+    tau = tau - jnp.nanmin(tau)
+    dtype = tau.dtype
+    return jnp.concatenate([
+        tau.ravel(), bx.ravel().astype(dtype), by.ravel().astype(dtype),
+        jnp.reshape(res.n_steps, (1,)).astype(dtype)])
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("metric", "r_obs", "theta_obs", "max_steps",
+                     "precision", "method", "resolution", "fov",
+                     "boost"))
+def _shear_single(metric, r_obs, alpha_lookup, theta_lookup, theta_obs,
+                  max_steps, precision, method, resolution, fov,
+                  d, e_x, e_y, boost):
+    bx, by, res = _surface_beta_body(
+        metric, r_obs, alpha_lookup, theta_lookup, theta_obs,
+        max_steps, precision, method, False, resolution)
+    return _shear_epilogue(bx, by, d, e_x, e_y, res.n_steps,
+                           resolution, fov, boost)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("metric", "r_obs", "theta_obs", "cfg",
+                     "resolution", "fov", "use_tb"))
+def _magnification_single(metric, r_obs, alpha_lookup, theta_lookup,
+                          refine_cols, theta_obs, cfg, resolution, fov,
+                          use_tb, d, e_x, e_y):
+    """ONE program: the standard (final-alpha) precompute + the
+    magnification epilogue. The 5-D trace path of `_precompute_eager`'s
+    non-spherical branch with the camera lookups as TRACED inputs (the
+    benchmark's pointing jitter reuses the compile; `_precompute_fused`
+    takes the scene statically and would recompile per jitter)."""
+    height, width = resolution
+    from light_path_tracer_tpu import render as _render
+
+    trace_rows = (height + 1) // 2 if use_tb else height
+    alpha_t = alpha_lookup[:trace_rows, :].ravel()
+    theta_t = theta_lookup[:trace_rows, :].ravel()
+    refine_t = jnp.broadcast_to(refine_cols[None, :],
+                                (trace_rows, width)).ravel()
+    res = trace_batch(
+        metric, r_obs, alpha_t, theta_t, theta_obs, refine_t,
+        chunk_size=None, sort_by_difficulty=cfg.sort_by_difficulty,
+        max_steps=cfg.max_steps, backend=cfg.backend,
+        integrator=cfg.integrator, event_interp=cfg.event_interp,
+        two_pass=cfg.two_pass, pass1_steps=cfg.pass1_steps,
+        formulation=cfg.formulation, precision=cfg.precision)
+    fa_rows = res.final_alpha.reshape(
+        (trace_rows, width)).astype(jnp.float32)
+    if use_tb:
+        top_half = height // 2
+        fa = jnp.full((height, width), jnp.nan, jnp.float32)
+        fa = fa.at[:trace_rows].set(fa_rows)
+        if top_half > 0:
+            fa = fa.at[height - top_half:].set(fa[:top_half][::-1])
+    else:
+        fa = fa_rows
+    frame = camera.PsiFrame(d, e_x, e_y, True)
+    mu = _render.magnification_map(fa.astype(theta_lookup.dtype),
+                                   theta_lookup, frame,
+                                   resolution, fov)
+    return jnp.concatenate([
+        mu.ravel(), jnp.reshape(res.n_steps, (1,)).astype(mu.dtype)])
+
+
 def render_caustics(scene: SceneConfig, resolution,
                     cfg: RenderConfig = RenderConfig(),
                     bins: int = 256, beta_max: float | None = None,
@@ -704,16 +898,29 @@ def render_caustics(scene: SceneConfig, resolution,
     if beta_max is None:
         beta_max = 0.7 * (scene.vertical_fov / 2.0)
 
-    with timer.stage("precompute") as out:
-        bx, by, res, _th = _trace_escape_beta(scene, cfg, resolution,
-                                              fov, mesh=mesh)
-        out.append(bx)
+    if mesh is None:
+        # ONE program, one dispatch, one fetch (see the single-program
+        # block above); the timed "precompute" stage is the whole
+        # pipeline.
+        metric = _metric_5d(scene.metric())
+        lookups = _mode_lookups(scene, resolution, fov, _dtype_of(cfg))
+        with timer.stage("precompute") as out:
+            packed = _caustics_single(
+                metric, scene.r_obs, *lookups, scene.theta_obs,
+                cfg.max_steps, cfg.precision, cfg.integrator,
+                tuple(resolution), fov, float(beta_max), int(bins))
+            out.append(packed)
+    else:
+        with timer.stage("precompute") as out:
+            bx, by, res, _th = _trace_escape_beta(
+                scene, cfg, resolution, fov, mesh=mesh)
+            out.append(bx)
 
-    with timer.stage("render") as out:
-        packed = _caustics_fused(bx, by, res.n_steps,
-                                 tuple(resolution), fov,
-                                 float(beta_max), int(bins))
-        out.append(packed)
+        with timer.stage("render") as out:
+            packed = _caustics_fused(bx, by, res.n_steps,
+                                     tuple(resolution), fov,
+                                     float(beta_max), int(bins))
+            out.append(packed)
 
     extent = (-float(beta_max), float(beta_max))
     flat = np.asarray(packed)              # one tunnel fetch
@@ -755,20 +962,33 @@ def render_microlens_curve(scene: SceneConfig, resolution,
     fov = camera.fov_from_vertical(scene.vertical_fov, resolution)
     theta_e = math.sqrt(4.0 * scene.M / scene.r_obs)
 
-    with timer.stage("precompute") as out:
-        bx, by, res, _th = _trace_escape_beta(scene, cfg, resolution,
-                                              fov, mesh=mesh)
-        out.append(bx)
+    xs = np.linspace(-span_u, span_u, n_points)
+    track = np.stack(
+        [xs * theta_e, np.full(n_points, impact_u * theta_e)],
+        axis=-1)
+    if mesh is None:
+        metric = _metric_5d(scene.metric())
+        dtype = _dtype_of(cfg)
+        lookups = _mode_lookups(scene, resolution, fov, dtype)
+        with timer.stage("precompute") as out:
+            packed = _microlens_single(
+                metric, scene.r_obs, *lookups, scene.theta_obs,
+                cfg.max_steps, cfg.precision, cfg.integrator,
+                tuple(resolution), fov, jnp.asarray(track, dtype),
+                float(source_radius_u * theta_e))
+            out.append(packed)
+    else:
+        with timer.stage("precompute") as out:
+            bx, by, res, _th = _trace_escape_beta(
+                scene, cfg, resolution, fov, mesh=mesh)
+            out.append(bx)
 
-    with timer.stage("render") as out:
-        xs = np.linspace(-span_u, span_u, n_points)
-        track = np.stack(
-            [xs * theta_e, np.full(n_points, impact_u * theta_e)],
-            axis=-1)
-        packed = _microlens_fused(
-            bx, by, jnp.asarray(track, bx.dtype), res.n_steps,
-            tuple(resolution), fov, float(source_radius_u * theta_e))
-        out.append(packed)
+        with timer.stage("render") as out:
+            packed = _microlens_fused(
+                bx, by, jnp.asarray(track, bx.dtype), res.n_steps,
+                tuple(resolution), fov,
+                float(source_radius_u * theta_e))
+            out.append(packed)
 
     u_axis = np.hypot(xs, impact_u)
     flat = np.asarray(packed)              # one tunnel fetch
@@ -822,17 +1042,28 @@ def render_time_delay(scene: SceneConfig, resolution,
     r_obs = scene.r_obs
     r_e = 2.0 * r_obs
 
-    with timer.stage("precompute") as out:
-        bx, by, res, _th = _trace_escape_beta(
-            scene, cfg, resolution, fov, record_time=True, mesh=mesh)
-        out.append(res.t_hit)
+    if mesh is None:
+        lookups = _mode_lookups(scene, resolution, fov, _dtype_of(cfg))
+        with timer.stage("precompute") as out:
+            packed = _tau_single(
+                metric, r_obs, *lookups, scene.theta_obs,
+                cfg.max_steps, cfg.precision, cfg.integrator,
+                tuple(resolution), float(r_e))
+            out.append(packed)
+    else:
+        with timer.stage("precompute") as out:
+            bx, by, res, _th = _trace_escape_beta(
+                scene, cfg, resolution, fov, record_time=True,
+                mesh=mesh)
+            out.append(res.t_hit)
 
-    with timer.stage("render") as out:
-        packed = _tau_pack_fused(metric, float(r_e), res.theta,
-                                 res.phi, res.p_r, res.p_theta,
-                                 res.xi, res.t_hit, res.status, bx, by,
-                                 res.n_steps, tuple(resolution))
-        out.append(packed)
+        with timer.stage("render") as out:
+            packed = _tau_pack_fused(metric, float(r_e), res.theta,
+                                     res.phi, res.p_r, res.p_theta,
+                                     res.xi, res.t_hit, res.status,
+                                     bx, by, res.n_steps,
+                                     tuple(resolution))
+            out.append(packed)
 
     # ONE host fetch for everything (fixed ~28 ms per fetch on the
     # tunnel): (tau, bx, by) maps + the step count riding the tail.
@@ -888,19 +1119,31 @@ def render_shear(scene: SceneConfig, resolution,
     fov = camera.fov_from_vertical(scene.vertical_fov, resolution)
     dtype = _dtype_of(cfg)
 
-    with timer.stage("precompute") as out:
-        bx, by, res, _th = _trace_escape_beta(scene, cfg, resolution,
-                                              fov, mesh=mesh)
-        out.append(bx)
+    frame = camera.psi_frame(scene.psi)
+    if mesh is None:
+        metric = _metric_5d(scene.metric())
+        lookups = _mode_lookups(scene, resolution, fov, dtype)
+        with timer.stage("precompute") as out:
+            packed = _shear_single(
+                metric, scene.r_obs, *lookups, scene.theta_obs,
+                cfg.max_steps, cfg.precision, cfg.integrator,
+                tuple(resolution), fov, jnp.asarray(frame.d, dtype),
+                jnp.asarray(frame.e_x, dtype),
+                jnp.asarray(frame.e_y, dtype), tuple(scene.boost))
+            out.append(packed)
+    else:
+        with timer.stage("precompute") as out:
+            bx, by, res, _th = _trace_escape_beta(
+                scene, cfg, resolution, fov, mesh=mesh)
+            out.append(bx)
 
-    with timer.stage("render") as out:
-        frame = camera.psi_frame(scene.psi)
-        packed = _shear_fused(
-            bx, by, jnp.asarray(frame.d, dtype),
-            jnp.asarray(frame.e_x, dtype),
-            jnp.asarray(frame.e_y, dtype), res.n_steps,
-            tuple(resolution), fov, tuple(scene.boost))
-        out.append(packed)
+        with timer.stage("render") as out:
+            packed = _shear_fused(
+                bx, by, jnp.asarray(frame.d, dtype),
+                jnp.asarray(frame.e_x, dtype),
+                jnp.asarray(frame.e_y, dtype), res.n_steps,
+                tuple(resolution), fov, tuple(scene.boost))
+            out.append(packed)
 
     flat = np.asarray(packed)              # one tunnel fetch
     n_px = int(np.prod(resolution))
